@@ -1,0 +1,143 @@
+"""Compile manifest commands to lazy DataFrame pipelines.
+
+Pipeline per command (the reference's declared execution contract,
+SURVEY.md §3.2):
+
+    glob(source) → read DSV (kwargs.read) → normalize columns
+    → token columns from path regex → project+rename to cols
+    → melt if specified → (family union is implicit in the multi-path
+    scan) → caller sinks to Parquet.
+
+Scale design: a variable family is ONE multi-path scan, not N per-file
+jobs — tokens come from ``regexp_extract(input_file_name())`` executor-
+side, so a 100k-file family plans as a single FileScan with one task per
+split. The whole pipeline is shuffle-free (scan → project → expand →
+write), i.e. embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.manifest.model import TransformCommand
+from cirro_annotation_spark.operators.reshape import melt as melt_op
+from cirro_annotation_spark.sources.dsv import normalize_columns, read_dsv
+
+TOKEN_RE = re.compile(r"\[(\w+)\]")
+
+
+def extract_tokens(template: str) -> list[str]:
+    """Token names from a ``[token]`` path template (run_annotate.py:133)."""
+    return TOKEN_RE.findall(template)
+
+
+def token_template_to_regex(template: str) -> str:
+    """``[tok]`` template → named-group regex, exactly the reference's
+    substitution semantics (run_annotate.py:134-136): each token matches
+    one path segment ``([^/]+)``; the rest of the template is literal."""
+    out = []
+    pos = 0
+    for m in TOKEN_RE.finditer(template):
+        out.append(re.escape(template[pos : m.start()]))
+        out.append(f"(?P<{m.group(1)}>[^/]+)")
+        pos = m.end()
+    out.append(re.escape(template[pos:]))
+    return "".join(out)
+
+
+def token_template_to_glob(template: str) -> str:
+    return TOKEN_RE.sub("*", template)
+
+
+def substitute_data_directory(source: str, data_directory: str) -> str:
+    """The manifest stores ``$data_directory``-anchored sources
+    (run_annotate.py:190); execution substitutes the real root."""
+    return source.replace("$data_directory", data_directory.rstrip("/"))
+
+
+def compile_command(
+    spark: SparkSession, cmd: TransformCommand, data_directory: str
+) -> DataFrame:
+    """Compile one hot.Parquet command to a lazy DataFrame."""
+    source = substitute_data_directory(cmd.source, data_directory)
+    tokens = list(cmd.tokens) or extract_tokens(source)
+
+    if tokens:
+        pattern = token_template_to_glob(source)
+        # gz is transparent (reference ext list includes .gz variants,
+        # run_annotate.py:259) — accept it as an optional suffix.
+        regex = token_template_to_regex(source) + r"(?:\.gz)?"
+        matched = sorted(
+            p
+            for p in globmod.glob(pattern) + globmod.glob(pattern + ".gz")
+            if re.fullmatch(regex, p)
+        )
+        if not matched:
+            raise FileNotFoundError(f"no files match {pattern}")
+        # ONE multi-path scan for the whole family; sniff sep on one
+        # representative (families share a format by construction).
+        df = read_dsv(
+            spark,
+            matched,
+            sep=cmd.read.sep,
+            header=cmd.read.header,
+            sniff_path=matched[0],
+        )
+        # Group index of each token in the compiled regex (named groups
+        # are ordered by position).
+        group_idx = {name: i + 1 for i, name in enumerate(extract_tokens(source))}
+        for tok in tokens:
+            df = df.withColumn(
+                tok,
+                F.regexp_extract(F.input_file_name(), _file_url_regex(regex), group_idx[tok]),
+            )
+    else:
+        if not os.path.exists(source):
+            raise FileNotFoundError(source)
+        df = read_dsv(spark, source, sep=cmd.read.sep, header=cmd.read.header)
+
+    # Projection + rename with dictionary metadata (run_annotate.py:183-184,
+    # 194, 233): keep only dictionary-resolved columns (plus tokens),
+    # attach {name, desc} as column metadata.
+    if cmd.cols:
+        keep = []
+        df_cols = set(df.columns)
+        for spec in cmd.cols:
+            col_norm = normalize_columns([spec.col])[0]
+            if col_norm in df_cols:
+                keep.append(
+                    F.col(col_norm).alias(
+                        col_norm, metadata={"name": spec.name, "desc": spec.desc}
+                    )
+                )
+            else:
+                # §1.3 schema discipline: manifest column missing from the
+                # file → explicit null column, stable output schema.
+                keep.append(F.lit(None).cast("string").alias(col_norm))
+        keep.extend(F.col(tok) for tok in tokens)
+        df = df.select(*keep)
+
+    if cmd.melt:
+        ids = [c for c in df.columns if c not in cmd.melt.value_cols]
+        # Spark requires a common type across unpivoted values.
+        for vc in cmd.melt.value_cols:
+            df = df.withColumn(vc, F.col(vc).cast("double"))
+        df = melt_op(
+            df,
+            ids=ids,
+            values=list(cmd.melt.value_cols),
+            var_name=cmd.melt.key_name,
+            value_name=cmd.melt.value_name,
+        )
+    return df
+
+
+def _file_url_regex(path_regex: str) -> str:
+    """input_file_name() yields a file: URL — anchor the path regex to
+    match it with a permissive prefix."""
+    return f".*{path_regex}$" if not path_regex.startswith(".*") else path_regex

@@ -1,0 +1,146 @@
+"""Non-interactive manifest builder — the reference's annotate flow
+(run_annotate.py:257-326) with the prompts replaced by declarative specs.
+
+The reference walks a dataset, asks the user which files are "variable"
+(token-templated families, :124-174) and which columns form a melt group
+(:104-120), resolves columns against a fields dictionary (:283-309), and
+emits the manifest. Here the same decisions arrive as arguments; the
+planner does the walking, sniffing, harvesting, and grouping.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import SparkSession
+
+from cirro_annotation_spark.manifest.compiler import (
+    extract_tokens,
+    token_template_to_regex,
+)
+from cirro_annotation_spark.manifest.model import (
+    ColumnSpec,
+    Manifest,
+    MeltSpec,
+    TransformCommand,
+)
+from cirro_annotation_spark.sources.discovery import discover_files
+from cirro_annotation_spark.sources.dsv import harvest_columns
+
+
+def group_variable_files(
+    files: Sequence[str], templates: Sequence[str]
+) -> tuple[dict[str, list[str]], list[str]]:
+    """Partition files into template-matched families vs standard files
+    (run_annotate.py:124-174: pattern→regex→match loop). Returns
+    ({template: matched_files}, remaining_standard_files)."""
+    remaining = list(files)
+    groups: dict[str, list[str]] = {}
+    for template in templates:
+        # gz is a transparent suffix (run_annotate.py:259 ext list).
+        regex = re.compile(token_template_to_regex(template) + r"(?:\.gz)?$")
+        matched = [f for f in remaining if regex.match(f)]
+        groups[template] = sorted(matched)
+        remaining = [f for f in remaining if f not in set(matched)]
+    return groups, remaining
+
+
+def _resolve_cols(
+    columns: Sequence[str], dictionary: Mapping[str, Mapping[str, str]]
+) -> tuple[ColumnSpec, ...]:
+    """Dictionary resolution (run_annotate.py:283-309): known columns get
+    {name, desc}; unknown columns pass through with empty metadata (the
+    reference prompts interactively; we keep them — dropping data silently
+    is worse than missing descriptions)."""
+    out = []
+    for c in columns:
+        meta = dictionary.get(c, {})
+        out.append(ColumnSpec(col=c, name=meta.get("name", c), desc=meta.get("desc", "")))
+    return tuple(out)
+
+
+def build_manifest(
+    spark: SparkSession,
+    data_directory: str,
+    variable_templates: Sequence[str] = (),
+    melt_groups: Mapping[str, Sequence[str]] | None = None,
+    dictionary: Mapping[str, Mapping[str, str]] | None = None,
+    melt_key_name: str = "sample",
+    melt_value_name: str = "reads",
+) -> Manifest:
+    """Walk ``data_directory``, classify files, harvest columns, emit the
+    manifest.
+
+    - variable_templates: ``[token]`` path templates relative to the root.
+    - melt_groups: {file_or_template: [value columns to fold]}.
+    - dictionary: {normalized column: {name, desc}} (fields.json shape).
+    """
+    melt_groups = dict(melt_groups or {})
+    dictionary = dict(dictionary or {})
+    files = discover_files(data_directory)
+    var_groups, standard = group_variable_files(files, variable_templates)
+
+    commands: list[TransformCommand] = []
+
+    # Variable families (generate_variable_file_manifest, :177-215).
+    for template, members in var_groups.items():
+        if not members:
+            continue
+        cols = harvest_columns(spark, data_directory, members[:1])[members[0]]
+        tokens = extract_tokens(template)
+        melt = _melt_for(template, cols, melt_groups, melt_key_name, melt_value_name)
+        target = _target_name(template)
+        commands.append(
+            TransformCommand(
+                source=f"$data_directory/{template}",
+                target=target,
+                name=target,
+                desc=f"variable family {template}",
+                cols=_resolve_cols(cols, dictionary),
+                tokens=tuple(tokens),
+                melt=melt,
+            )
+        )
+
+    # Standard files (generate_standard_file_manifest, :218-253).
+    for rel in standard:
+        cols = harvest_columns(spark, data_directory, [rel])[rel]
+        melt = _melt_for(rel, cols, melt_groups, melt_key_name, melt_value_name)
+        target = _target_name(rel)
+        commands.append(
+            TransformCommand(
+                source=f"$data_directory/{rel}",
+                target=target,
+                name=target,
+                desc=f"standard file {rel}",
+                cols=_resolve_cols(cols, dictionary),
+                melt=melt,
+            )
+        )
+    return Manifest(commands=tuple(commands))
+
+
+def _melt_for(
+    key: str,
+    cols: Sequence[str],
+    melt_groups: Mapping[str, Sequence[str]],
+    key_name: str,
+    value_name: str,
+) -> MeltSpec | None:
+    if key not in melt_groups:
+        return None
+    value_cols = tuple(c for c in melt_groups[key] if c in set(cols))
+    if not value_cols:
+        return None
+    return MeltSpec(key_name=key_name, value_name=value_name, value_cols=value_cols)
+
+
+def _target_name(rel: str) -> str:
+    """Output name from the path basename (run_annotate.py:191, 230)."""
+    base = os.path.basename(rel)
+    for ext in (".gz", ".txt", ".csv", ".tsv"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    return base.replace(".", "_") + ".parquet"

@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All four are built from JVM-side column functions (xxhash64, array ops,
+aggregates) — no Python UDFs — so every stage is a codegen'd scan or a
+keyed shuffle. That is what makes them viable on a 100 TB corpus:
+
+- exact:    1 scan + 1 shuffle on the fingerprint.
+- minhash:  1 scan computes signatures; 1 explode on bands; 1 shuffle
+            groups band-buckets; candidate verification touches only
+            colliding pairs (the LSH point: no all-pairs stage exists).
+- simhash:  1 scan computes 64-bit signatures; near-dup = Hamming
+            distance on colliding prefix buckets.
+- jaccard:  exact verification on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.text import fingerprint_sha, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-content fingerprint.
+
+    Hash first (sha256 of normalized text), then shuffle on the 32-byte
+    hash instead of the document body — the shuffle carries fingerprints,
+    not terabytes of text.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint_sha(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash signatures
+# ---------------------------------------------------------------------------
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array<string>, distinct."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(F.filter(grams, lambda g: g != ""))
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
+    """MinHash signature: array of per-seed minima of xxhash64(shingle, seed).
+
+    xxhash64 with distinct seeds stands in for the classic universal hash
+    family; deterministic across runs and executors.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature become
+    a candidate pair. Returns (id_a, id_b, band_id) distinct pairs, a < b.
+
+    Plan shape: scan→signature (narrow), explode to ``bands`` rows/doc,
+    shuffle on (band_id, band_hash), join within buckets only.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("__sig", b * rows + r + 1).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (the verify stage of
+    MinHash LSH). Returns pairs with jaccard >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        candidates.join(a, F.col("id_a") == F.col("sa.__id"))
+        .join(b, F.col("id_b") == F.col("sb.__id"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
+    union = F.size(F.array_union(F.col("sa.__sh"), F.col("sb.__sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_near_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dedup: drop the higher-id member of every verified near-pair.
+
+    Union-find is driver-side poison at scale; instead we drop any doc that
+    has a verified near-duplicate with a smaller id — one anti-join. (This
+    keeps cluster representatives = local minima, a standard large-corpus
+    approximation of connected components.)
+    """
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    dups = (
+        jaccard_verify(df, cands, text_col, id_col, threshold, shingle_n)
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return df.join(dups, df[id_col] == dups["__dup_id"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text_col: str) -> F.Column:
+    """64-bit SimHash over whitespace tokens, fully vectorized:
+    per-token xxhash64 → per-bit ±1 votes folded with F.aggregate over the
+    token array → sign bits packed into one long."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda x: F.xxhash64(F.lower(x)))
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),  # disjoint bits: XOR == OR == +
+    )
+    return packed
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: bucket on 4 × 16-bit signature chunks
+    (two signatures within Hamming ≤3 of 64 bits MUST agree on at least one
+    16-bit chunk — pigeonhole), verify Hamming within buckets."""
+    sig = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+    chunks = sig.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("__sim", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "__sim", "c.chunk_id", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

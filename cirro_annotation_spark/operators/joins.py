@@ -1,0 +1,118 @@
+"""Join operators beyond plain equi-joins: as-of and range joins.
+
+The reference has no data-plane joins (SURVEY.md §2.4) — its dict
+lookups are broadcast hash joins, covered in suites/relational.py. These
+are the north-star temporal joins the ``events`` table exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row (right_ts <=
+    left_ts) within the same partition_key.
+
+    Scale design: the naive formulation is a correlated subquery / non-equi
+    self-join — O(n·m) per key. Instead we UNION both sides, sort within
+    each key once, and carry the latest right values forward with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+    Cost: ONE shuffle on partition_key + one sort per partition — the same
+    cost as a single sort-merge join, regardless of how many right rows
+    precede each left row. Skewed keys are handled by AQE skew splitting
+    on the shuffle.
+
+    Tie rule: a right row with right_ts == left_ts IS visible to that left
+    row (inclusive as-of), enforced by sorting right-before-left on ts ties.
+    """
+    lcols = left.columns
+    tagged_left = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    tagged_right = (
+        right.select(
+            F.col(partition_key),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(c + suffix) for c in right_value_cols],
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
+    unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(partition_key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+        for c in right_value_cols
+    ]
+    return (
+        unioned.select(*lcols, F.col("__is_left"), *carried)
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )
+
+
+def range_join_bands(
+    fact: DataFrame,
+    bands: DataFrame,
+    fact_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join a fact column into [lo, hi) bands. Bands are tiny → broadcast
+    nested-loop; the fact side streams without shuffling."""
+    cond = (F.col(fact_col) >= F.col(lo_col)) & (F.col(fact_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width_expr: str,
+) -> DataFrame:
+    """Generic interval-overlap join, bucketized so it equi-joins at scale.
+
+    Both sides explode their interval into coarse buckets
+    (floor(ts / width)); the join becomes equi on (key, bucket) + an exact
+    overlap filter, then dedups. Turns an O(n·m) cross into a shuffle
+    hash-join whose fan-out is bounded by interval/width.
+    """
+    def bucketize(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(s).cast("long") / F.expr(bucket_width_expr)).cast("long"),
+                    (F.col(e).cast("long") / F.expr(bucket_width_expr)).cast("long"),
+                )
+            ),
+        )
+
+    lb = bucketize(left, left_start, left_end)
+    rb = bucketize(right, right_start, right_end)
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    return (
+        lb.join(rb, on=[key, "__bucket"], how="inner")
+        .filter(overlap)
+        .drop("__bucket")
+        .dropDuplicates()
+    )

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns next to
+structured metadata (the lakehouse-standard layout). The Spark-side
+plumbing — schema, Arrow batch shape, mapInPandas signatures,
+partition-size control — is real and tested; the actual codec calls are
+STUBBED (image/audio libraries are not in this container) behind
+``FakeCodec`` / NotImplementedError, clearly marked below.
+
+Scale: payload columns dominate bytes, so the rules are (1) never shuffle
+payloads — extract features first, then drop the blob; (2) bound
+``maxRecordsPerBatch`` so an Arrow batch of blobs fits in memory;
+(3) keep metadata in columnar stats-friendly columns for pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_bytes long"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a media-shaped frame from the documents table: the UTF-8 bytes
+    stand in for an opaque blob (deterministic fake payloads)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text/fake").alias("kind"),
+        payload.alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+class FakeCodec:
+    """Deterministic stand-in for image/audio decode.
+
+    STUB: a real deployment plugs Pillow/torchaudio/ffmpeg in here; the
+    container has none of them, so decode() synthesizes features from the
+    bytes themselves (stable, testable) and resize()/frame_sample() raise.
+    """
+
+    @staticmethod
+    def decode(payload: bytes) -> dict:
+        return {
+            "decoded_len": len(payload),
+            "checksum": sum(payload[:64]) % 997,
+        }
+
+    @staticmethod
+    def resize(payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("image resize requires Pillow — not in container")
+
+    @staticmethod
+    def frame_sample(payload: bytes, every_n: int) -> list[bytes]:
+        raise NotImplementedError("video frame sampling requires ffmpeg — not in container")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, per-partition, the
+    real production shape for decode-and-featurize at scale. Payload is
+    DROPPED on output — features travel, blobs don't."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(FakeCodec.decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "decoded_len": feats.map(lambda d: d["decoded_len"]).astype("int64"),
+                    "checksum": feats.map(lambda d: d["checksum"]).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        op, "media_id long, kind string, n_bytes long, decoded_len long, checksum long"
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale playbook:
+- brute-force cosine top-k — the exact baseline; dot products run as
+  JVM-side higher-order functions (zip_with + aggregate), the query
+  vector broadcasts, the fact side never shuffles. Fine for one query
+  against any corpus size (single scan), or small query batches.
+- LSH-bucketed (random hyperplane signatures) — the scale path for
+  query batches / all-pairs: both sides hash to sign-bit buckets, the
+  join touches only colliding buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_cosine_bruteforce(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query is a literal array (broadcast by value into the plan); the
+    scan computes one fused expression per row; TakeOrderedAndProject
+    keeps per-partition top-k then merges — no shuffle of the corpus.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Random-hyperplane signature: one sign bit per plane, packed to long.
+    P(same bucket) = (1 - angle/pi)^n_planes — the SimHash-for-vectors LSH."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(p) for p in plane])) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseXOR(b)  # disjoint bits
+    return out
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to vectors in the query's LSH
+    bucket, then exact cosine inside the bucket. With 8 planes the bucket
+    holds ~1/256 of the corpus in expectation — the candidate scan is 2-3
+    orders of magnitude smaller, and bucketing is a parquet-partitionable
+    column for repeated query workloads."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
+            qsig |= 1 << i
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("__bucket", lsh_bucket(v, planes))
+        .filter(F.col("__bucket") == qsig)
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def near_dup_pairs_cosine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """All-pairs near-duplicates by embedding cosine, LSH-bucketed: join
+    only within buckets (plus nothing else — misses across buckets are the
+    documented recall trade-off; raise recall with multiple plane sets)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        lsh_bucket(v, planes).alias("__bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

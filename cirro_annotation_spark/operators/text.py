@@ -1,0 +1,122 @@
+"""Text-analysis operators for the documents table (north-star set).
+
+All expressions are built-in column functions — language ID, quality
+scoring, token counting, and fingerprinting run inside whole-stage
+codegen, no Python in the loop. That is the property that lets these
+run as a single scan over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small: the point is the *plumbing* (a
+# scan-time scoring expression); swap in real lists for production.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "les"],
+}
+
+
+def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization; empty strings filtered (split artifacts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), pattern), lambda x: x != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Regex token count approximating BPE pre-tokenization (GPT-2 style
+    word/number/punct split): counts word-pieces, digit runs, punct runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda x: (x != "") & (x != " "),
+        )
+    )
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str]) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x))))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(F.length(c) > 0, n_digit / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: str | Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punct/digit
+    noise, sane mean word length. Gopher/C4-style filters, distilled."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when(n_tok >= 10, F.lit(1.0)).otherwise(n_tok / F.lit(10.0))
+    punct_ok = 1.0 - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    digit_ok = 1.0 - F.least(digit_ratio(c) * 5.0, F.lit(1.0))
+    mwl = mean_word_len(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + digit_ok + mwl_ok) / 4.0
+
+
+def langid_stopword_votes(col: str | Column) -> Column:
+    """Language-ID heuristic: most stopword hits wins; 'und' (undetermined)
+    when nothing matches. Deterministic tie-break by language code order."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):  # deterministic fold order
+        hits = F.size(
+            F.filter(
+                tokens(col),
+                lambda x, lang=lang: F.array_contains(
+                    F.array(*[F.lit(w) for w in STOPWORDS[lang]]), F.lower(x)
+                ),
+            )
+        )
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint_sha(col: str | Column) -> Column:
+    """Content fingerprint: sha256 over whitespace-normalized lowercase text.
+    Exact-dedup key; hex string matches any engine's sha256."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.sha2(normalized, 256)
+
+
+def rolling_hash(col: str | Column, base: int = 257, mod: int = 2**61 - 1) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style), computed
+    with F.aggregate over the char array — stays JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    return F.aggregate(
+        F.filter(chars, lambda x: x != ""),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc * base + F.ascii(x)) % F.lit(mod).cast("decimal(38,0)"),
+    ).cast("long")

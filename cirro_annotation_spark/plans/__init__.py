@@ -1,0 +1,56 @@
+"""Plan inspection utilities — the engine's scale-hygiene feedback loop.
+
+Catalyst is the optimizer (SURVEY.md §4: the reference's optimization
+intents — column pruning, file skipping, dictionary encoding — are all
+built-in). These helpers read the physical plan back so tests can assert
+the properties that matter at 100 TB: filters pushed to the scan, scans
+pruned to referenced columns, small joins broadcast, codegen engaged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in the parquet ReadSchema (what the scan actually reads)."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    for line in plan.splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            out.extend(f.split(":")[0] for f in inner.split(",") if ":" in f)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count in the plan — the number every operator should minimize."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith(("Exchange", "+- Exchange"))
+        or "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    plan = physical_plan(df)
+    return plan.count("WholeStageCodegen")

@@ -1,0 +1,117 @@
+"""Delimited-text reading with separator sniffing and pandas-parity typing.
+
+The reference reads every file with ``pd.read_csv(sep=None,
+engine='python')`` — csv.Sniffer separator detection — then coerces
+numerics with ``errors='coerce'`` and lowercases/dedups column names
+(run_annotate.py:20-28, 48-49). Spark has no sniffer, so we peek at the
+first KB of ONE representative file per family driver-side (cheap:
+metadata-scale IO), then hand Spark an explicit ``sep`` so the executor
+scan is a plain vectorized CSV read.
+"""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNIFF_BYTES = 4096
+_SNIFF_DELIMS = [",", "\t", ";", "|"]
+
+
+def sniff_separator(path: str) -> str:
+    """Detect the delimiter from the first bytes of the file (gz-aware).
+
+    csv.Sniffer first; falls back to a count-based vote (the Sniffer
+    rejects single-column files the reference happily reads).
+    """
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        head = f.read(SNIFF_BYTES).decode("utf-8", errors="replace")
+    try:
+        return csv.Sniffer().sniff(head, delimiters="".join(_SNIFF_DELIMS)).delimiter
+    except csv.Error:
+        first = head.splitlines()[0] if head.splitlines() else ""
+        counts = {d: first.count(d) for d in _SNIFF_DELIMS}
+        best = max(counts, key=lambda d: counts[d])
+        return best if counts[best] > 0 else ","
+
+
+def normalize_columns(cols: list[str]) -> list[str]:
+    """trim + lowercase + first-wins dedup (run_annotate.py:48-49).
+
+    Later duplicates get a __dupN suffix so the frame stays addressable;
+    the reference simply dropped them via dict.fromkeys — callers that
+    want that behavior select the unsuffixed names.
+    """
+    seen: dict[str, int] = {}
+    out = []
+    for c in cols:
+        norm = c.strip().lower()
+        if norm in seen:
+            seen[norm] += 1
+            out.append(f"{norm}__dup{seen[norm]}")
+        else:
+            seen[norm] = 0
+            out.append(norm)
+    return out
+
+
+def read_dsv(
+    spark: SparkSession,
+    paths: str | list[str],
+    sep: str | None = None,
+    header: bool = True,
+    infer_schema: bool = True,
+    sniff_path: str | None = None,
+) -> DataFrame:
+    """Read one or many delimited files as a typed DataFrame.
+
+    - ``sep=None`` → sniff from ``sniff_path`` (or the first path).
+    - Schema inference mirrors pandas infer_objects: Spark samples the
+      data; production callers pass an explicit schema from the manifest
+      (the planner freezes the inferred schema exactly so re-reads never
+      flip types — SURVEY.md §1.3).
+    - gz is transparent to Spark's text source.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    if sep is None:
+        sep = sniff_separator(sniff_path or paths[0])
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("inferSchema", infer_schema)
+        .option("mode", "PERMISSIVE")
+    )
+    df = reader.csv(paths)
+    return df.toDF(*normalize_columns(df.columns))
+
+
+def coerce_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """pandas ``to_numeric(errors='coerce')`` parity (run_annotate.py:23-25):
+    try_cast to double — parse failures become NULL, never errors."""
+    return df.select(
+        *[
+            F.try_cast(F.col(c), "double").alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def harvest_columns(
+    spark: SparkSession, root: str, rel_paths: list[str]
+) -> dict[str, list[str]]:
+    """Per-file column inventory (run_annotate.py:30-50): header-only reads
+    (limit 0 rows materialized — the CSV reader only touches the first
+    line per file), normalized names."""
+    out: dict[str, list[str]] = {}
+    for rel in rel_paths:
+        full = f"{root}/{rel}"
+        sep = sniff_separator(full)
+        df = spark.read.option("header", True).option("sep", sep).csv(full)
+        out[rel] = normalize_columns(df.columns)
+    return out

@@ -1,0 +1,132 @@
+"""Streaming operators over the events table (SURVEY.md §2.10 — the
+reference has no streaming; this is the north-star Structured Streaming
+coverage).
+
+Each operator has a BATCH twin expressed with the same groupBy(window(...))
+core, so the DuckDB oracle can verify the semantics; the STREAM variant
+runs the identical aggregation through readStream → memory sink with an
+availableNow-style synchronous drain.
+
+Scale: windowed aggregations with watermarks are Spark's bread-and-butter
+stateful op — state is keyed by (window, group), partial aggregation is
+map-side, and the watermark bounds state size. Session windows use the
+built-in session_window merge.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type (batch & stream safe)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Session windows per user: gap-merged activity bursts."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_streaming_over_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Drive a streaming aggregation over a bounded parquet source and
+    return the complete result as a batch DataFrame.
+
+    readStream(parquet) → withWatermark → transform → memory sink
+    (complete mode) → processAllAvailable. In production the source line
+    changes to Kafka and the sink to a real table; the aggregation
+    dataflow — the part this engine owns — is identical.
+    """
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(parquet_path)
+        .withWatermark("ts", watermark)
+    )
+    q = (
+        transform(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the sink table goes away.
+    out = spark.table(name)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Streaming stateful dedup: dropDuplicatesWithinWatermark on event_id.
+
+    State holds one entry per key only until the watermark passes it —
+    bounded state on an unbounded stream.
+    """
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(parquet_path)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)

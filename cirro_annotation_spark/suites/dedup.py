@@ -1,0 +1,112 @@
+"""Deduplication queries over documents (north-star set, SURVEY.md §2.12).
+
+dedup_exact is oracle-checked (sha256 fingerprints match across engines);
+the MinHash/SimHash/Jaccard family uses xxhash64 seeds DuckDB doesn't
+have, so those are rows-only checks with pytest-side property tests
+(tests/test_dedup.py) backing their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators import dedup as D
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.suites.util import t
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents
+      GROUP BY REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.dedup_exact(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "dedup_exact_counts",
+    oracle="""
+    SELECT REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS fp_text,
+           COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 0
+    """,
+)
+def dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Duplicate-cluster inventory: fingerprint → copy count + keeper id.
+    d = t(spark, sf_dir, "documents")
+    fp_text = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(fp_text.alias("fp_text"), "doc_id")
+        .groupBy("fp_text")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@query("dedup_near_minhash")  # xxhash64-seeded LSH — rows-only check
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.dedup_near_minhash(d, "text", "doc_id", threshold=0.7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query("dedup_minhash_pairs")  # rows-only
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-duplicate pairs with their exact Jaccard."""
+    d = t(spark, sf_dir, "documents")
+    cands = D.minhash_candidates(d, "text", "doc_id")
+    return D.jaccard_verify(d, cands, "text", "doc_id", threshold=0.5)
+
+
+@query("dedup_simhash_pairs")  # rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+@query(
+    "dedup_ngram_jaccard_sample",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 50)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(list_intersect(a.grams, b.grams)) * 1.0 /
+                 NULLIF(LEN(list_distinct(list_concat(a.grams, b.grams))), 0), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE LEN(list_intersect(a.grams, b.grams)) * 1.0 /
+          NULLIF(LEN(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on a small id-slice, all-pairs — the oracle-able
+    twin of the LSH verify stage (the slice keeps the oracle's O(n²) honest)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = d.select(
+        F.col("doc_id"), D.shingles("text", 3).alias("grams")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.round(inter / F.nullif(union, F.lit(0)), 6)
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )

@@ -1,0 +1,41 @@
+"""Multimodal-column queries (north-star, SURVEY.md §2.12).
+
+Binary payload stats are oracle-checked (byte arithmetic matches any
+engine); the mapInPandas feature-extraction path is rows-only (the fake
+codec is engine-side Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators import multimodal as M
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.suites.util import t
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           SHA256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
+@query("multimodal_extract_features")  # mapInPandas fake-codec — rows-only
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "text", "doc_id")
+    return M.extract_features(media)

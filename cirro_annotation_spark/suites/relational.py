@@ -1,0 +1,588 @@
+"""Relational core: scans, projections, filters, joins, aggs, sets, reshaping.
+
+Covers SURVEY.md §2.2 (projections/filters), §2.3 (melt/pivot), §2.4
+(joins — the reference's dict-lookups are broadcast hash joins,
+run_annotate.py:286,309; semi/anti idioms at :81-84,:112,:144), §2.5
+(aggregations), §2.7 (sorts/top-k), §2.8 (set ops), plus the north-star
+equi/outer/range joins and rollup/cube the driver tables exercise.
+
+Scale notes are inline per query: what broadcasts, what shuffles, and why
+the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.suites.util import MONEY, RATIO, t
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary.
+# Scale: single hash-aggregate, partial (map-side) + final; only the 2 group
+# columns + 5 value columns are read (column pruning); shipdate filter pushes
+# to the parquet scan. No join. This is the shape that saturates IO at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), {MONEY})                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), {MONEY})                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), {MONEY})           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {MONEY}) AS sum_charge,
+           ROUND(AVG(l_quantity), {RATIO})                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), {RATIO})                              AS avg_price,
+           ROUND(AVG(l_discount), {RATIO})                                   AS avg_disc,
+           COUNT(*)                                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), MONEY).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), MONEY).alias("sum_base_price"),
+            F.round(F.sum(disc_price), MONEY).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), MONEY).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), RATIO).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), RATIO).alias("avg_price"),
+            F.round(F.avg("l_discount"), RATIO).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# project_rename — the reference's dictionary projection (run_annotate.py:183-184,
+# 221-223): keep a whitelist of columns, rename per dictionary. Pure narrow op;
+# Catalyst prunes the scan to exactly these columns.
+# ---------------------------------------------------------------------------
+@query(
+    "project_rename",
+    oracle="""
+    SELECT c_custkey AS customer_key, c_name AS customer_name,
+           c_mktsegment AS market_segment
+    FROM customer
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter_row_predicate — θ-predicates; both conjuncts push down to parquet
+# (PushedFilters in .explain). The reference has only file-level predicates
+# (run_annotate.py:35,60); this is the row-level generalization.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_row_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount < 0.05
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+)
+def filter_row_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_discount") < 0.05)
+        & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# join_broadcast_lookup — the reference's columns_mapping dict lookup
+# (run_annotate.py:286,309) is exactly a broadcast hash join: tiny dim side
+# ships to every executor, no shuffle of the big side.
+# ---------------------------------------------------------------------------
+@query(
+    "join_broadcast_lookup",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation, r.r_name AS region
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_semi / join_anti — the reference's membership idioms
+# (run_annotate.py:81-84 semi; :112,:144,:267,:281 anti). At scale a semi/anti
+# join beats isin(collected list) because nothing returns to the driver.
+# ---------------------------------------------------------------------------
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_equi_topk — TPC-H Q3 shape: filter both sides BEFORE the join (pushdown),
+# shuffle on the join key, then TakeOrderedAndProject for the top-k (no global
+# sort materialization).
+# ---------------------------------------------------------------------------
+@query(
+    "join_equi_topk",
+    oracle=f"""
+    SELECT o.o_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {MONEY}) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def join_equi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), MONEY).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_outer_agg — customers LEFT JOIN their orders: preserves zero-order
+# customers. Aggregate the fact side FIRST (pre-aggregation shrinks the
+# shuffle), then outer-join the small result to the dim.
+# ---------------------------------------------------------------------------
+@query(
+    "join_outer_agg",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey,
+           COALESCE(s.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(s.total_spent, 0), {MONEY}) AS total_spent
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spent
+               FROM orders GROUP BY o_custkey) s
+      ON s.o_custkey = c.c_custkey
+    """,
+)
+def join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_spent"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("total_spent"), F.lit(0.0)), MONEY).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_multiway — TPC-H Q5 shape: star join through region→nation→customer→
+# orders→lineitem. The three dims broadcast (each << executor memory even at
+# 100 TB fact scale); only orders⋈lineitem shuffles, on the join key both
+# sides already share.
+# ---------------------------------------------------------------------------
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {MONEY}) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), MONEY).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_range_band — non-equi join of a fact to an inlined band dimension.
+# Spark: broadcast nested-loop against the tiny band table — the standard
+# scale pattern for banded joins (bands fit in KB; fact side streams).
+# ---------------------------------------------------------------------------
+_BANDS_SQL = """(VALUES ('small', 0.0, 100000.0),
+                        ('medium', 100000.0, 250000.0),
+                        ('large', 250000.0, 1000000000.0)) AS b(band, lo, hi)"""
+
+
+@query(
+    "join_range_band",
+    oracle=f"""
+    SELECT b.band AS band, COUNT(*) AS n_orders,
+           ROUND(AVG(o.o_totalprice), {RATIO}) AS avg_price
+    FROM orders o JOIN {_BANDS_SQL}
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), RATIO).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.5): grouped stats, count-distinct, rollup, cube.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_grouped_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), {MONEY}) AS total,
+           ROUND(AVG(o_totalprice), {RATIO}) AS avg_price,
+           ROUND(MIN(o_totalprice), {MONEY}) AS min_price,
+           ROUND(MAX(o_totalprice), {MONEY}) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), MONEY).alias("total"),
+            F.round(F.avg("o_totalprice"), RATIO).alias("avg_price"),
+            F.round(F.min("o_totalprice"), MONEY).alias("min_price"),
+            F.round(F.max("o_totalprice"), MONEY).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact here for the oracle; at 100 TB the cardinality probe the
+    # reference does per column (run_annotate.py:26) becomes
+    # approx_count_distinct (HLL) — see agg_approx_distinct (rows-only).
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # approx: engine-specific HLL → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale version of the reference's nunique() probe (run_annotate.py:26)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(c.c_acctbal), {MONEY}) AS total_balance,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("c_acctbal"), MONEY).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), {MONEY}) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), MONEY).alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (§2.7). orderBy+limit plans as TakeOrderedAndProject: each
+# partition keeps its local top-k, driver merges — no global sort at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "sort_lexical",
+    oracle="""
+    SELECT p_partkey, p_name FROM part ORDER BY p_name ASC, p_partkey ASC LIMIT 50
+    """,
+)
+def sort_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference sorts file/column listings lexically (run_annotate.py:265,279).
+    return (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8).
+# ---------------------------------------------------------------------------
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's "remaining = all − selected" loops (run_annotate.py:112,144).
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s)
+
+
+@query(
+    "set_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Reshaping (§2.3) — the reference's signature melt (run_annotate.py:104-120,
+# 202-211) generalized to the driver tables, and its inverse pivot.
+# melt is narrow (no shuffle): each input row yields k output rows in place.
+# ---------------------------------------------------------------------------
+@query(
+    "melt_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS amount
+      FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.reshape import melt
+
+    return melt(
+        t(spark, sf_dir, "lineitem"),
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="amount",
+    )
+
+
+@query(
+    "pivot_widen",
+    oracle="""
+    SELECT source,
+           COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+           COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+           COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+           COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def pivot_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.reshape import pivot
+
+    # Explicit pivot values: skips Spark's extra distinct-scan job AND
+    # pins the output schema (required for both the oracle and any
+    # production job — never let data content define your schema).
+    return pivot(
+        t(spark, sf_dir, "documents"),
+        group_by=["source"],
+        pivot_col="lang",
+        values=["de", "en", "es", "fr", "zh"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_preserve_order — the reference's first-wins dedup (dict.fromkeys,
+# run_annotate.py:49). Spark is unordered, so "first" must be an explicit
+# ordering column: min(doc_id) per key.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_first_wins",
+    oracle="""
+    SELECT lang, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.min("doc_id").alias("first_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

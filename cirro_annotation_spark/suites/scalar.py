@@ -1,0 +1,232 @@
+"""Scalar function coverage (SURVEY.md §2.9): string/regex/path/date/json/math.
+
+Every expression stays JVM-side (whole-stage codegen) — these are the
+functions that must never become Python UDFs in a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.suites.util import RATIO, t
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(TRIM(c_name))          AS name_norm,
+           LENGTH(c_name)               AS name_len,
+           SUBSTR(c_name, 1, 8)         AS name_prefix,
+           UPPER(c_mktsegment)          AS segment_upper,
+           CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # str_trim_lower is the reference's column normalization (run_annotate.py:48).
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim(F.col("c_name"))).alias("name_norm"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@query(
+    "scalar_regex_extract",
+    oracle="""
+    SELECT c_custkey,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           CASE WHEN REGEXP_MATCHES(c_name, '[0-9]{3,}') THEN 1 ELSE 0 END AS has_3digits,
+           REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS name_masked
+    FROM customer
+    """,
+)
+def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # regex_extract_tokens / regex_match (run_annotate.py:133,140) as row ops.
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.when(F.col("c_name").rlike(r"[0-9]{3,}"), 1).otherwise(0).alias("has_3digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+    )
+
+
+@query(
+    "scalar_path_funcs",
+    oracle="""
+    SELECT DISTINCT
+           CONCAT('data/', source, '/', lang, '/doc_', CAST(doc_id AS VARCHAR), '.txt') AS path,
+           source AS src_token,
+           lang   AS lang_token
+    FROM documents
+    """,
+)
+def scalar_path_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """path_split_element + token extraction (run_annotate.py:133-136,191):
+    build a tokenized path, then prove the engine recovers the tokens with
+    the same `[tok]` → `([^/]+)` regex the manifest compiler uses."""
+    d = t(spark, sf_dir, "documents")
+    path = F.concat_ws(
+        "/",
+        F.lit("data"),
+        "source",
+        "lang",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+    )
+    with_path = d.select(path.alias("path"))
+    return with_path.select(
+        "path",
+        F.regexp_extract("path", r"^data/([^/]+)/([^/]+)/doc_\d+\.txt$", 1).alias(
+            "src_token"
+        ),
+        F.regexp_extract("path", r"^data/([^/]+)/([^/]+)/doc_\d+\.txt$", 2).alias(
+            "lang_token"
+        ),
+    ).distinct()
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.props is a JSON string — get_json_object stays JVM-side.
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "scalar_date_parts",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def scalar_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "scalar_date_format",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(ts, '%Y-%m-%d')   AS day_str,
+           STRFTIME(ts, '%Y-%m-%d %H:00:00') AS hour_str,
+           CAST(EXTRACT(dow FROM ts) AS INT) AS day_of_week
+    FROM events
+    """,
+)
+def scalar_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # date_format display (reference ask_dataset.py:23). DOW aligned:
+    # DuckDB EXTRACT(dow) is 0=Sunday; Spark dayofweek is 1=Sunday.
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_str"),
+        (F.dayofweek("ts") - 1).cast("int").alias("day_of_week"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), {RATIO})              AS disc_dev,
+           ROUND(LN(l_extendedprice), {RATIO})                 AS log_price,
+           ROUND(SQRT(l_quantity), {RATIO})                    AS sqrt_qty,
+           CAST(CEIL(l_quantity / 10.0) AS BIGINT)             AS qty_decile,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), {RATIO}) AS charge
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), RATIO).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice")), RATIO).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), RATIO).alias("sqrt_qty"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_decile"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            RATIO,
+        ).alias("charge"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 250000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending-excluded') AS status_label
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 250000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending-excluded")
+        ).alias("status_label"),
+    )
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS DOUBLE) AS bogus_num
+    FROM events
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas to_numeric(errors='coerce') parity (run_annotate.py:23-25):
+    # parse failures become NULL, never errors.
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_cast(F.get_json_object("props", "$.k"), "bigint").alias("k_num"),
+        F.try_cast(F.col("event_type"), "double").alias("bogus_num"),
+    )

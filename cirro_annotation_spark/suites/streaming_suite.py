@@ -1,0 +1,65 @@
+"""Streaming coverage (SURVEY.md §2.10): batch/stream twins over events.
+
+The *_batch queries verify window semantics against DuckDB (time_bucket);
+the *_stream queries run the SAME aggregation through readStream → memory
+sink, and where deterministic are held to the same oracle — proving
+batch/stream parity, Structured Streaming's core promise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.streaming import events as STRM
+from cirro_annotation_spark.suites.util import t
+
+_TUMBLING_ORACLE = """
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+_SLIDING_ORACLE = """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS ws, event_type
+      FROM events
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, COUNT(*) AS n
+    FROM assigned GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_batch", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return STRM.tumbling_agg(t(spark, sf_dir, "events"), "1 hour")
+
+
+@query("stream_tumbling_stream", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same oracle as the batch twin: watermark (1 day) passes nothing at
+    # completion in complete mode, so stream == batch exactly.
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.run_streaming_over_parquet(
+        spark, path, lambda s: STRM.tumbling_agg(s, "1 hour")
+    )
+
+
+@query("stream_sliding_batch", oracle=_SLIDING_ORACLE)
+def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return STRM.sliding_agg(t(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@query("stream_session_window")  # session merge semantics — rows-only + pytest
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return STRM.session_agg(t(spark, sf_dir, "events"), "1 hour")
+
+
+@query("stream_dedup_watermark")  # stateful streaming dedup — rows-only
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.dedup_within_watermark(spark, path)

@@ -1,0 +1,240 @@
+"""Window functions (SURVEY.md §2.6 — absent from the reference; north-star
+coverage over events/lineitem/part) and the as-of join.
+
+All windows shuffle once on their partition key, then sort per partition —
+the right plan at 100 TB as long as keys are well-distributed (user_id,
+brand are). Deterministic ORDER BY tie-breaks everywhere: a window without
+a total order is non-deterministic across engines AND across Spark runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.suites.util import RATIO, t
+
+
+@query(
+    "window_rank_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part) ranked
+    WHERE rn <= 3
+    """,
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 {RATIO}) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), RATIO).alias("running_value"),
+        )
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC),
+                 {RATIO}) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), RATIO).alias("delta"),
+        )
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 {RATIO}) AS moving_avg3
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), RATIO).alias("moving_avg3"),
+        )
+    )
+
+
+@query(
+    "window_ntile_rank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4)    OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+           RANK()      OVER (ORDER BY c_mktsegment ASC)              AS seg_rank,
+           DENSE_RANK() OVER (ORDER BY c_mktsegment ASC)             AS seg_dense_rank
+    FROM customer
+    """,
+)
+def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unpartitioned windows funnel through one task — acceptable for a dim
+    # table like customer-quartiles; for facts, always partition first.
+    w_bal = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    w_seg = Window.orderBy(F.col("c_mktsegment").asc())
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w_bal).alias("quartile"),
+        F.rank().over(w_seg).alias("seg_rank"),
+        F.dense_rank().over(w_seg).alias("seg_dense_rank"),
+    )
+
+
+@query(
+    "first_of_group",
+    oracle="""
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def first_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's matches[0] representative pick (run_annotate.py:129,276)
+    # made deterministic: first/last by explicit ts order.
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT MAX(p.ts) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts) AS ts_asof
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: timestamp of that user's most recent purchase.
+
+    The oracle's correlated subquery is O(n·m) per user; the engine's
+    asof_join (operators/joins.py) is one shuffle + one sorted pass.
+    """
+    from cirro_annotation_spark.operators.joins import asof_join
+
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        errors,
+        purchases,
+        partition_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["ts"],
+    )
+    return joined.select("event_id", F.col("ts_asof"))
+
+
+@query(
+    "sessionize_gap",
+    oracle="""
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC)
+                         > INTERVAL '1 hour'
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events) flags
+    ) sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: new session when >1h since previous event.
+
+    Classic lag + cumulative-sum pattern; one shuffle on user_id shared by
+    both window passes (same partitioning → single exchange in the plan).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 3600),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
