@@ -54,6 +54,21 @@ def token_template_to_glob(template: str) -> str:
     return TOKEN_RE.sub("*", template)
 
 
+def java_safe_regex(regex: str) -> str:
+    """Python named groups ``(?P<name>…)`` are a Python-only spelling —
+    Java regex (what regexp_extract runs) rejects them with
+    INVALID_PARAMETER_VALUE.PATTERN. Token extraction is positional
+    (group_idx below), so plain groups carry the same information."""
+    return re.sub(r"\(\?P<\w+>", "(", regex)
+
+
+def _qcol(name: str) -> F.Column:
+    """Column reference that survives dotted names (`p.low` — mageck output
+    columns, faithful to the reference domain): backtick-quote so neither
+    F.col nor df[...] parses the dot as struct access."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def substitute_data_directory(source: str, data_directory: str) -> str:
     """The manifest stores ``$data_directory``-anchored sources
     (run_annotate.py:190); execution substitutes the real root."""
@@ -94,7 +109,11 @@ def compile_command(
         for tok in tokens:
             df = df.withColumn(
                 tok,
-                F.regexp_extract(F.input_file_name(), _file_url_regex(regex), group_idx[tok]),
+                F.regexp_extract(
+                    F.input_file_name(),
+                    _file_url_regex(java_safe_regex(regex)),
+                    group_idx[tok],
+                ),
             )
     else:
         if not os.path.exists(source):
@@ -111,7 +130,7 @@ def compile_command(
             col_norm = normalize_columns([spec.col])[0]
             if col_norm in df_cols:
                 keep.append(
-                    F.col(col_norm).alias(
+                    _qcol(col_norm).alias(
                         col_norm, metadata={"name": spec.name, "desc": spec.desc}
                     )
                 )
@@ -119,14 +138,16 @@ def compile_command(
                 # §1.3 schema discipline: manifest column missing from the
                 # file → explicit null column, stable output schema.
                 keep.append(F.lit(None).cast("string").alias(col_norm))
-        keep.extend(F.col(tok) for tok in tokens)
+        keep.extend(_qcol(tok) for tok in tokens)
         df = df.select(*keep)
 
     if cmd.melt:
         ids = [c for c in df.columns if c not in cmd.melt.value_cols]
-        # Spark requires a common type across unpivoted values.
+        # Spark requires a common type across unpivoted values; try_cast
+        # (not cast) for pandas to_numeric(errors='coerce') parity — the
+        # domain's 'NA' cells become NULL instead of an ANSI cast error.
         for vc in cmd.melt.value_cols:
-            df = df.withColumn(vc, F.col(vc).cast("double"))
+            df = df.withColumn(vc, _qcol(vc).try_cast("double"))
         df = melt_op(
             df,
             ids=ids,

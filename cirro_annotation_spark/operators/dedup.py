@@ -53,6 +53,14 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(F.filter(grams, lambda g: g != ""))
 
 
+def _seeded_hasher(seed: int):
+    # A 1-arg lambda built per seed: PySpark passes (element, index) to
+    # 2-arg lambdas, so the `i=i` default-arg idiom silently receives the
+    # array index instead of the seed — every signature slot collapses to
+    # the same hash function. The closure factory pins the seed.
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
 def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
     """MinHash signature: array of per-seed minima of xxhash64(shingle, seed).
 
@@ -61,9 +69,7 @@ def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
     """
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingle_col, _seeded_hasher(i)))
             for i in range(num_hashes)
         ]
     )
@@ -184,34 +190,28 @@ def dedup_near_minhash(
 # ---------------------------------------------------------------------------
 def simhash64(text_col: str) -> F.Column:
     """64-bit SimHash over whitespace tokens, fully vectorized:
-    per-token xxhash64 → per-bit ±1 votes folded with F.aggregate over the
-    token array → sign bits packed into one long."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda x: F.xxhash64(F.lower(x)))
-    votes = F.aggregate(
-        hashes,
-        F.array(*[F.lit(0)] * 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            ),
-            lambda a, v: a + v,
-        ),
+    per-token xxhash64 → per-bit ±1 votes folded with aggregate over the
+    token array → sign bits packed into one long.
+
+    Expressed as SQL text: the Python API's shiftleft/shiftright accept
+    only a literal int for numBits, but inside a higher-order-function
+    lambda the bit index is a column — the SQL forms take expressions for
+    both args. Still one codegen'd scan, zero Python in the loop.
+    """
+    toks = f"filter(split(trim(`{text_col}`), '\\\\s+'), x -> x != '')"
+    hashes = f"transform({toks}, x -> xxhash64(lower(x)))"
+    votes = (
+        f"aggregate({hashes}, array_repeat(0, 64), "
+        "(acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 63), i -> IF(shiftright(h, i) & 1 = 1, 1, -1)), "
+        "(a, v) -> a + v))"
     )
-    packed = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),  # disjoint bits: XOR == OR == +
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        "(v, i) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc | x)"
     )
-    return packed
+    return F.expr(packed)
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:

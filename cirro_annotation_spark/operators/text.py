@@ -85,17 +85,16 @@ def quality_score(col: str | Column) -> Column:
 def langid_stopword_votes(col: str | Column) -> Column:
     """Language-ID heuristic: most stopword hits wins; 'und' (undetermined)
     when nothing matches. Deterministic tie-break by language code order."""
+    def _lang_matcher(words: list[str]):
+        # Closure factory: PySpark hands (element, index) to 2-arg lambdas,
+        # so a `lang=lang` default arg would receive the index Column.
+        sw = F.array(*[F.lit(w) for w in words])
+        return lambda x: F.array_contains(sw, F.lower(x))
+
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(STOPWORDS):  # deterministic fold order
-        hits = F.size(
-            F.filter(
-                tokens(col),
-                lambda x, lang=lang: F.array_contains(
-                    F.array(*[F.lit(w) for w in STOPWORDS[lang]]), F.lower(x)
-                ),
-            )
-        )
+        hits = F.size(F.filter(tokens(col), _lang_matcher(STOPWORDS[lang])))
         is_better = hits > best_hits
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)

@@ -40,6 +40,10 @@ def get_spark(app_name: str = "cirro_annotation_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # testdata events.parquet stores ts as TIMESTAMP(NANOS), which the
+        # vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read nanos as
+        # long and normalize to timestamp in suites/util.t().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,6 +63,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.shuffle.partitions", str(default_parallelism())),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(k, v)

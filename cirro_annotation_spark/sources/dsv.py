@@ -96,7 +96,7 @@ def coerce_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     try_cast to double — parse failures become NULL, never errors."""
     return df.select(
         *[
-            F.try_cast(F.col(c), "double").alias(c) if c in cols else F.col(c)
+            F.col(c).try_cast("double").alias(c) if c in cols else F.col(c)
             for c in df.columns
         ]
     )

@@ -57,19 +57,22 @@ def hdf_chunks_to_parquet(
 ) -> DataFrame:
     """Convert a chunk iterator to a single partitioned Parquet dataset.
 
-    Arrow-backed createDataFrame per chunk; unionByName tolerates chunk
-    schema drift (missing columns → null, §1.3 discipline).
+    Arrow-backed createDataFrame per chunk, written with per-chunk APPEND —
+    an incremental-union plan would grow O(chunks) and bottleneck the
+    driver; append keeps every chunk's plan a constant-size two-node write,
+    and parquet appends are just new files in the target directory. The
+    first chunk overwrites so reruns are idempotent.
     """
-    df: DataFrame | None = None
+    wrote_any = False
     for pdf in chunks:
         part = spark.createDataFrame(pdf)
-        df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-    if df is None:
+        writer = part.write.mode("append" if wrote_any else "overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        wrote_any = True
+    if not wrote_any:
         raise ValueError("empty chunk iterator")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(target)
     return spark.read.parquet(target)
 
 

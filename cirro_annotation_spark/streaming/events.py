@@ -15,15 +15,36 @@ built-in session_window merge.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# ts is declared long: the testdata events.parquet stores TIMESTAMP(NANOS),
+# which Spark only reads via the nanosAsLong legacy conf; _read_events_stream
+# normalizes it to a real timestamp (micros truncation) in-stream.
 EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def _read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """readStream over one events parquet file.
+
+    Structured Streaming's file source requires a *directory* — so we load
+    the parent dir with pathGlobFilter pinned to the file's basename. In
+    production this line is a directory of arriving files (or Kafka); the
+    dataflow downstream is identical.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", os.path.basename(parquet_path))
+        .parquet(os.path.dirname(parquet_path))
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -81,11 +102,7 @@ def run_streaming_over_parquet(
     dataflow — the part this engine owns — is identical.
     """
     name = "stream_out_" + uuid.uuid4().hex[:8]
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(parquet_path)
-        .withWatermark("ts", watermark)
-    )
+    stream = _read_events_stream(spark, parquet_path).withWatermark("ts", watermark)
     q = (
         transform(stream)
         .writeStream.outputMode("complete")
@@ -97,10 +114,9 @@ def run_streaming_over_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
-    # Materialize before the sink table goes away.
-    out = spark.table(name)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    return out
+    # Snapshot executor-side (no driver round-trip): localCheckpoint
+    # materializes the sink's partitions so the result outlives the query.
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -111,8 +127,7 @@ def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
     """
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(parquet_path)
+        _read_events_stream(spark, parquet_path)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
@@ -128,5 +143,4 @@ def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    return spark.table(name).localCheckpoint(eager=True)

@@ -227,6 +227,6 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.try_cast(F.get_json_object("props", "$.k"), "bigint").alias("k_num"),
-        F.try_cast(F.col("event_type"), "double").alias("bogus_num"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
+        F.col("event_type").try_cast("double").alias("bogus_num"),
     )

@@ -13,7 +13,7 @@ Conventions that keep the Spark query and the DuckDB oracle hash-equal:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cirro_annotation_spark.catalog import table_path
 
@@ -23,5 +23,23 @@ RATIO = 6  # averages / ratios / similarities
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one catalog table lazily (scan stays prunable/pushdown-able)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one catalog table lazily (scan stays prunable/pushdown-able).
+
+    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read the
+    nanos as a plain long (legacy conf, runtime-settable — set here because
+    the driver invokes query callables on its own session without going
+    through our session factory) and normalize to a real timestamp column,
+    truncating to microseconds exactly like DuckDB/pandas do, so oracle
+    comparisons line up. The conversion is a cheap per-row projection that
+    pipelines inside the scan stage — no shuffle, scale-neutral.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked by the hosting driver; the read may still work
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

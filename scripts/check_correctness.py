@@ -1,0 +1,107 @@
+"""Driver-mimicking correctness harness.
+
+Runs each queries() entry through the PUBLIC __spark_entry__ surface and
+compares against its oracle_sql() in DuckDB at the given sf, replicating
+the driver's gate: row count, schema (column names sorted), and a value
+hash over name-sorted columns with rows sorted by all columns.
+
+Usage:
+    python scripts/check_correctness.py [--sf-dir /root/testdata/sf0.01] [query ...]
+
+With no query names, runs everything. Exit code 1 if anything fails.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(9)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def _hash(pdf: pd.DataFrame) -> str:
+    return hashlib.sha256(
+        pdf.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as se
+    from cirro_annotation_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    qs = se.queries()
+    oracles = se.oracle_sql()
+    names = args.names or list(qs)
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{args.sf_dir}/{tbl}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name in names:
+        rec: dict = {}
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            spdf = _canon(sdf.toPandas())
+            rec["spark_rows"] = len(spdf)
+            if name in oracles:
+                opdf = _canon(con.execute(oracles[name]).df())
+                rec["oracle_rows"] = len(opdf)
+                rec["rows_match"] = len(spdf) == len(opdf)
+                rec["schema_match"] = list(spdf.columns) == list(opdf.columns)
+                rec["hash_match"] = rec["schema_match"] and _hash(spdf) == _hash(opdf)
+                if not rec["hash_match"]:
+                    rec["spark_cols"] = list(spdf.columns)
+                    rec["oracle_cols"] = list(opdf.columns)
+                    n_fail += 1
+            else:
+                rec["err"] = "no_oracle"
+        except Exception:
+            rec["err"] = traceback.format_exc().splitlines()[-1]
+            n_fail += 1
+        results[name] = rec
+        status = (
+            "GREEN" if rec.get("hash_match")
+            else ("ROWS-ONLY" if rec.get("err") == "no_oracle" and "spark_rows" in rec
+                  else "FAIL")
+        )
+        print(f"{status:10s} {name:35s} {json.dumps(rec)[:160]}", flush=True)
+
+    print(f"\n{len(names) - n_fail}/{len(names)} ok")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

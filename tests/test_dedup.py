@@ -1,0 +1,113 @@
+"""Property tests for the dedup operators (SURVEY.md §2.12).
+
+The round-1 MinHash bug (all signature slots identical — a silent
+degenerate family) is exactly what these tests exist to catch.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.dedup import (
+    dedup_exact,
+    dedup_near_minhash,
+    jaccard_verify,
+    minhash_candidates,
+    minhash_signature,
+    shingles,
+    simhash64,
+    simhash_near_pairs,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to hide from the loud hunters"
+)
+NEAR_DOC = DOC.replace("green", "dark")  # one token differs → high jaccard
+FAR_DOC = (
+    "completely unrelated text about databases query engines and the "
+    "cost based optimization of distributed analytical workloads at scale"
+)
+
+
+def _docs(spark):
+    rows = [(0, DOC), (1, NEAR_DOC), (2, FAR_DOC)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_signature_not_degenerate(spark):
+    """A 32-hash signature must use 32 DISTINCT hash functions: on a
+    many-shingle doc the slots should be (nearly) all distinct."""
+    df = _docs(spark)
+    sig = df.filter("doc_id = 0").select(
+        minhash_signature(shingles("text"), 32).alias("sig")
+    ).first()["sig"]
+    assert len(sig) == 32
+    assert len(set(sig)) > 16, f"degenerate signature: {len(set(sig))} distinct"
+
+
+def test_minhash_signature_similarity_ordering(spark):
+    """Near-identical docs agree on most signature slots; unrelated docs
+    agree on (almost) none."""
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in _docs(spark)
+        .select("doc_id", minhash_signature(shingles("text"), 64).alias("sig"))
+        .collect()
+    }
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree_near > 32, f"near-dup agreement too low: {agree_near}/64"
+    assert agree_far <= 8, f"unrelated docs agree on {agree_far}/64 slots"
+
+
+def test_lsh_recall_on_planted_duplicates(spark):
+    """Plant 20 near-duplicate pairs in 100 distinct docs; banded LSH +
+    jaccard verify must recover >= 90% of them."""
+    rows = []
+    for i in range(100):
+        base = " ".join(f"tok{i}_{j} word{(i * 7 + j) % 23}" for j in range(30))
+        rows.append((i * 2, base))
+        if i < 20:  # first 20 docs get a near-dup twin (one token changed)
+            rows.append((i * 2 + 1, base.replace(f"tok{i}_5", "CHANGED")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
+    verified = jaccard_verify(df, cands, "text", "doc_id", threshold=0.7)
+    found = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall} < 0.9 (found {len(found & planted)}/20)"
+
+
+def test_dedup_near_minhash_drops_only_duplicates(spark):
+    df = _docs(spark)
+    kept = dedup_near_minhash(df, "text", "doc_id", threshold=0.6)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2], f"expected near-dup 1 dropped, got {ids}"
+
+
+def test_dedup_exact_first_wins(spark):
+    rows = [(3, "same text"), (1, "same text"), (2, "OTHER")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_exact(df, "text", "doc_id").collect())
+    assert kept == [1, 2]
+
+
+def test_simhash_near_pairs(spark):
+    """The 4×16-bit pigeonhole bucketing GUARANTEES recall for pairs within
+    Hamming ≤ 3; a one-token change in a 120-token doc lands there
+    (measured Hamming = 1). Unrelated docs must not collide."""
+    long_doc = " ".join(f"stable{i} anchor{i} fixed{i}" for i in range(40))
+    near = long_doc.replace("anchor0", "CHG0")
+    rows = [(0, long_doc), (1, near), (2, FAR_DOC)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_simhash_deterministic(spark):
+    df = _docs(spark)
+    a = df.select(simhash64("text").alias("s")).collect()
+    b = df.select(simhash64("text").alias("s")).collect()
+    assert a == b

@@ -1,0 +1,152 @@
+"""Golden manifest tests: the reference's declared pipeline (SURVEY.md §3.2)
+run end-to-end on the FIXTURES.md §B tree — scan_dsv_sniffed →
+normalize_colnames → project_rename → scan_glob_tokens →
+concat_union_tokens → melt_unpivot → sink_parquet
+(reference: run_annotate.py:177-253).
+"""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cirro_annotation_spark.manifest.compiler import (
+    compile_command,
+    extract_tokens,
+    java_safe_regex,
+    token_template_to_glob,
+    token_template_to_regex,
+)
+from cirro_annotation_spark.manifest.executor import execute_manifest
+from cirro_annotation_spark.manifest.fixtures import (
+    FIELDS_DICTIONARY,
+    GENES,
+    build_fixture_tree,
+)
+from cirro_annotation_spark.manifest.model import load_manifest
+from cirro_annotation_spark.manifest.planner import build_manifest
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory) -> str:
+    return build_fixture_tree(str(tmp_path_factory.mktemp("fixture")))
+
+
+@pytest.fixture(scope="module")
+def manifest(spark, data_dir):
+    return build_manifest(
+        spark,
+        data_dir,
+        variable_templates=["mageck/[gene]/rra.sgrna_summary.txt"],
+        melt_groups={
+            "mageck/count/combined/counts.txt": [
+                "ctrl_r1", "ctrl_r2", "treat_r1", "treat_r2",
+            ]
+        },
+        dictionary=FIELDS_DICTIONARY,
+    )
+
+
+def _cmd(manifest, target):
+    for c in manifest.commands:
+        if c.target == target:
+            return c
+    raise KeyError(target)
+
+
+# --- token template compiler properties (run_annotate.py:133-136) ---------
+
+def test_extract_tokens():
+    assert extract_tokens("data/mageck/[gene]/rra.[kind].txt") == ["gene", "kind"]
+
+
+def test_template_regex_roundtrip():
+    template = "data/mageck/[gene]/rra.sgrna_summary.txt"
+    regex = token_template_to_regex(template)
+    m = re.fullmatch(regex, "data/mageck/GENE_A/rra.sgrna_summary.txt")
+    assert m and m.group("gene") == "GENE_A"
+    # dots in the template are literal, not wildcards
+    assert not re.fullmatch(regex, "data/mageck/GENE_A/rraXsgrna_summary.txt")
+    # tokens match exactly one path segment
+    assert not re.fullmatch(regex, "data/mageck/a/b/rra.sgrna_summary.txt")
+
+
+def test_java_safe_regex_is_java_compatible():
+    regex = token_template_to_regex("data/[a]/x_[b].txt")
+    safe = java_safe_regex(regex)
+    assert "?P<" not in safe
+    # positional groups preserved in order
+    m = re.fullmatch(safe, "data/A1/x_B2.txt")
+    assert m and m.group(1) == "A1" and m.group(2) == "B2"
+
+
+def test_template_glob():
+    assert token_template_to_glob("d/[g]/f_[x].txt") == "d/*/f_*.txt"
+
+
+# --- golden end-to-end execution ------------------------------------------
+
+def test_variable_family_union(spark, manifest, data_dir):
+    """3-gene family (one member gzipped) unions to 150 rows with the
+    [gene] token materialized as a column."""
+    df = compile_command(spark, _cmd(manifest, "rra_sgrna_summary.parquet"), data_dir)
+    rows = df.collect()
+    assert len(rows) == 3 * 50
+    genes = {r["gene"] for r in rows}
+    assert genes == set(GENES)
+    # dotted source columns survive projection
+    assert "p.low" in df.columns and "p.twosided" in df.columns
+
+
+def test_melt_standard_counts(spark, manifest, data_dir):
+    """counts.txt (100 rows × 4 sample cols) melts to 400 long rows;
+    the one 'NA' cell coerces to NULL (to_numeric errors='coerce' parity,
+    run_annotate.py:23-25) rather than raising under ANSI mode."""
+    df = compile_command(spark, _cmd(manifest, "counts.parquet"), data_dir)
+    assert df.columns == ["sgrna", "gene", "sample", "reads"]
+    rows = df.collect()
+    assert len(rows) == 400
+    nulls = [r for r in rows if r["reads"] is None]
+    assert len(nulls) == 1 and nulls[0]["sgrna"] == "sg0013"
+    assert nulls[0]["sample"] == "treat_r1"
+
+
+def test_project_dictionary_metadata(spark, manifest, data_dir):
+    """Dictionary-resolved projection attaches {name, desc} column metadata
+    (run_annotate.py:283-309)."""
+    df = compile_command(spark, _cmd(manifest, "summary.parquet"), data_dir)
+    meta = {f.name: f.metadata for f in df.schema.fields}
+    assert meta["sample"]["name"] == "Sample"
+    assert meta["giniindex"]["desc"] == "count inequality"
+    assert df.count() == 4
+
+
+def test_execute_manifest_writes_parquet(spark, manifest, data_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = execute_manifest(spark, manifest, data_dir, out, coalesce_small=1)
+    assert len(results) == 3
+    for target, df in results.items():
+        assert target.startswith(out)
+        assert df.count() > 0
+
+
+def test_manifest_json_roundtrip(manifest):
+    """to_json → load_manifest is lossless for the executed fields."""
+    loaded = load_manifest(manifest.to_json())
+    assert len(loaded.commands) == len(manifest.commands)
+    for a, b in zip(manifest.commands, loaded.commands):
+        assert (a.source, a.target, a.tokens) == (b.source, b.target, b.tokens)
+        assert [c.col for c in a.cols] == [c.col for c in b.cols]
+        assert (a.melt is None) == (b.melt is None)
+        if a.melt:
+            assert a.melt.value_cols == b.melt.value_cols
+
+
+def test_load_manifest_nested_command_groups():
+    """The reference emits commands as a list of lists
+    (run_annotate.py:314-319); the loader flattens."""
+    m = load_manifest(
+        '{"commands": [[{"command": "hot.Parquet", "params": '
+        '{"source": "a.txt", "target": "a.parquet"}}]]}'
+    )
+    assert len(m.commands) == 1 and m.commands[0].target == "a.parquet"
