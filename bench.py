@@ -1,0 +1,78 @@
+"""Headline benchmark: representative queries from every operator family,
+timed at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop-format write — the full physical plan runs
+(scan → shuffle → agg) without driver-side collection, so the number is
+the engine's throughput, not pandas conversion time.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One headline per operator family (SURVEY.md §2): relational agg, multiway
+# join, reshape, window, as-of, exact + near dedup, similarity, text,
+# streaming-batch twin.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_multiway",
+    "melt_unpivot",
+    "window_running_sum",
+    "asof_join_last_purchase",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_cosine",
+    "text_token_stats",
+    "stream_tumbling_batch",
+]
+
+
+def main() -> int:
+    from cirro_annotation_spark.session import get_spark
+    import __spark_entry__ as se
+
+    spark = get_spark("bench")
+    qs = se.queries()
+
+    # Warm the JVM/codegen once on the flagship so per-query times measure
+    # the plan, not first-call JIT.
+    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,6 +141,19 @@ def compile_command(
         keep.extend(_qcol(tok) for tok in tokens)
         df = df.select(*keep)
 
+    # kwargs.read.index_col (transform.json:16-19): Spark has no index —
+    # keep it as an ordinary column, hoisted first and tagged as the row
+    # identity in column metadata (§1.2 mapping).
+    if cmd.read.index_col:
+        idx = normalize_columns([cmd.read.index_col])[0]
+        if idx in df.columns:
+            meta = dict(df.schema[idx].metadata or {})
+            meta["index"] = True
+            df = df.select(
+                _qcol(idx).alias(idx, metadata=meta),
+                *[_qcol(c) for c in df.columns if c != idx],
+            )
+
     if cmd.melt:
         ids = [c for c in df.columns if c not in cmd.melt.value_cols]
         # Spark requires a common type across unpivoted values; try_cast

@@ -101,6 +101,36 @@ class Manifest:
         )
 
 
+class ManifestValidationError(ValueError):
+    """Malformed manifest — raised at LOAD time with a path to the bad
+    field, instead of an opaque failure deep inside Spark (the reference
+    ships manifest.schema.json but never validates against it — a drift
+    bug we fix rather than replicate, SURVEY.md §5)."""
+
+
+def _validate_command(d: dict, where: str) -> None:
+    if not isinstance(d, dict):
+        raise ManifestValidationError(f"{where}: command must be an object, got {type(d).__name__}")
+    p = d.get("params", d)
+    if not isinstance(p, dict):
+        raise ManifestValidationError(f"{where}.params: must be an object")
+    for req in ("source", "target"):
+        if not isinstance(p.get(req), str) or not p.get(req):
+            raise ManifestValidationError(f"{where}.params.{req}: required non-empty string")
+    if not isinstance(p.get("cols", []), list):
+        raise ManifestValidationError(f"{where}.params.cols: must be a list")
+    for i, c in enumerate(p.get("cols", [])):
+        if not isinstance(c, dict) or "col" not in c:
+            raise ManifestValidationError(f"{where}.params.cols[{i}]: needs a 'col' key")
+    if not isinstance(p.get("concat", []), list):
+        raise ManifestValidationError(f"{where}.params.concat: must be a list of token names")
+    cmd_name = d.get("command", "hot.Parquet")
+    if cmd_name != "hot.Parquet":
+        raise ManifestValidationError(
+            f"{where}.command: unknown command {cmd_name!r} (only hot.Parquet is declared, run_annotate.py:188)"
+        )
+
+
 def _parse_command(d: dict) -> TransformCommand:
     p = d.get("params", d)
     melt = None
@@ -140,6 +170,8 @@ def load_manifest(obj: str | dict) -> Manifest:
     run_annotate.py:314-319)."""
     if isinstance(obj, str):
         obj = json.loads(obj)
+    if not isinstance(obj, dict) or not isinstance(obj.get("commands", []), list):
+        raise ManifestValidationError("manifest root must be {'commands': [...]}")
     raw = obj.get("commands", [])
     flat: list[dict] = []
     for item in raw:
@@ -147,4 +179,6 @@ def load_manifest(obj: str | dict) -> Manifest:
             flat.extend(item)
         else:
             flat.append(item)
+    for i, c in enumerate(flat):
+        _validate_command(c, f"commands[{i}]")
     return Manifest(commands=tuple(_parse_command(c) for c in flat))

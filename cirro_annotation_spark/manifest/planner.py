@@ -20,10 +20,15 @@ from cirro_annotation_spark.manifest.compiler import (
     extract_tokens,
     token_template_to_regex,
 )
+from cirro_annotation_spark.manifest.fields import (
+    FieldsDictionary,
+    load_fields_dictionary,
+)
 from cirro_annotation_spark.manifest.model import (
     ColumnSpec,
     Manifest,
     MeltSpec,
+    ReadOptions,
     TransformCommand,
 )
 from cirro_annotation_spark.sources.discovery import discover_files
@@ -48,16 +53,20 @@ def group_variable_files(
 
 
 def _resolve_cols(
-    columns: Sequence[str], dictionary: Mapping[str, Mapping[str, str]]
+    columns: Sequence[str],
+    dictionary: FieldsDictionary,
+    process: str = "*",
+    file: str = "*",
 ) -> tuple[ColumnSpec, ...]:
     """Dictionary resolution (run_annotate.py:283-309): known columns get
-    {name, desc}; unknown columns pass through with empty metadata (the
-    reference prompts interactively; we keep them — dropping data silently
-    is worse than missing descriptions)."""
+    {name, desc} via alias + process/file scope matching (the rich
+    fields.json:3-75 semantics); unknown columns pass through with empty
+    metadata (the reference prompts interactively; we keep them — dropping
+    data silently is worse than missing descriptions)."""
     out = []
     for c in columns:
-        meta = dictionary.get(c, {})
-        out.append(ColumnSpec(col=c, name=meta.get("name", c), desc=meta.get("desc", "")))
+        meta = dictionary.resolve(c, process=process, file=file) or {}
+        out.append(ColumnSpec(col=c, name=meta.get("name") or c, desc=meta.get("desc", "")))
     return tuple(out)
 
 
@@ -66,19 +75,25 @@ def build_manifest(
     data_directory: str,
     variable_templates: Sequence[str] = (),
     melt_groups: Mapping[str, Sequence[str]] | None = None,
-    dictionary: Mapping[str, Mapping[str, str]] | None = None,
+    dictionary=None,
     melt_key_name: str = "sample",
     melt_value_name: str = "reads",
+    process: str = "*",
+    index_cols: Mapping[str, str] | None = None,
 ) -> Manifest:
     """Walk ``data_directory``, classify files, harvest columns, emit the
     manifest.
 
     - variable_templates: ``[token]`` path templates relative to the root.
     - melt_groups: {file_or_template: [value columns to fold]}.
-    - dictionary: {normalized column: {name, desc}} (fields.json shape).
+    - dictionary: any fields.json shape (rich alias/scoped, flat, mapping).
+    - process: pipeline process id for scoped dictionary resolution.
+    - index_cols: {file_or_template: row-identity column}
+      (transform.json:16-19 ``kwargs.read.index_col``).
     """
     melt_groups = dict(melt_groups or {})
-    dictionary = dict(dictionary or {})
+    dictionary = load_fields_dictionary(dictionary or {})
+    index_cols = dict(index_cols or {})
     files = discover_files(data_directory)
     var_groups, standard = group_variable_files(files, variable_templates)
 
@@ -98,9 +113,10 @@ def build_manifest(
                 target=target,
                 name=target,
                 desc=f"variable family {template}",
-                cols=_resolve_cols(cols, dictionary),
+                cols=_resolve_cols(cols, dictionary, process=process, file=template),
                 tokens=tuple(tokens),
                 melt=melt,
+                read=ReadOptions(index_col=index_cols.get(template)),
             )
         )
 
@@ -115,8 +131,9 @@ def build_manifest(
                 target=target,
                 name=target,
                 desc=f"standard file {rel}",
-                cols=_resolve_cols(cols, dictionary),
+                cols=_resolve_cols(cols, dictionary, process=process, file=rel),
                 melt=melt,
+                read=ReadOptions(index_col=index_cols.get(rel)),
             )
         )
     return Manifest(commands=tuple(commands))

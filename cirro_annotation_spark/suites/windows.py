@@ -119,22 +119,59 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_rank",
     oracle="""
     SELECT c_custkey,
-           NTILE(4)    OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
-           RANK()      OVER (ORDER BY c_mktsegment ASC)              AS seg_rank,
-           DENSE_RANK() OVER (ORDER BY c_mktsegment ASC)             AS seg_dense_rank
+           NTILE(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+           RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS seg_rank,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey ASC)               AS nation_dense_rank
     FROM customer
     """,
 )
 def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Unpartitioned windows funnel through one task — acceptable for a dim
-    # table like customer-quartiles; for facts, always partition first.
-    w_bal = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    w_seg = Window.orderBy(F.col("c_mktsegment").asc())
+    # Windows PARTITIONED by mktsegment: each segment ranks independently,
+    # so the work spreads across tasks instead of funneling through one.
+    # This is the pattern users should copy at scale; the GLOBAL quartile
+    # case (no natural partition) is quantile_bucket_global below.
+    w_bal = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_nat = Window.partitionBy("c_mktsegment").orderBy(F.col("c_nationkey").asc())
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.ntile(4).over(w_bal).alias("quartile"),
-        F.rank().over(w_seg).alias("seg_rank"),
-        F.dense_rank().over(w_seg).alias("seg_dense_rank"),
+        F.rank().over(w_bal).alias("seg_rank"),
+        F.dense_rank().over(w_nat).alias("nation_dense_rank"),
+    )
+
+
+@query(
+    "quantile_bucket_global",
+    oracle="""
+    WITH th AS (SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS q FROM customer)
+    SELECT c_custkey,
+           1 + CASE WHEN c_acctbal > q[1] THEN 1 ELSE 0 END
+             + CASE WHEN c_acctbal > q[2] THEN 1 ELSE 0 END
+             + CASE WHEN c_acctbal > q[3] THEN 1 ELSE 0 END AS quartile
+    FROM customer, th
+    """,
+)
+def quantile_bucket_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL quartile bucketing without a global-order window (which is a
+    single-task funnel at any scale): one exact-percentile aggregate
+    (linear interpolation — same definition as DuckDB quantile_cont)
+    produces 3 thresholds, broadcast to a map-side comparison. Two scans,
+    zero wide shuffles, no total order anywhere. At 100 TB swap
+    percentile → approx_percentile and the plan shape is unchanged."""
+    c = t(spark, sf_dir, "customer")
+    th = c.agg(
+        F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("q")
+    )
+    return c.crossJoin(F.broadcast(th)).select(
+        "c_custkey",
+        (
+            F.lit(1)
+            + (F.col("c_acctbal") > F.col("q")[0]).cast("int")
+            + (F.col("c_acctbal") > F.col("q")[1]).cast("int")
+            + (F.col("c_acctbal") > F.col("q")[2]).cast("int")
+        ).alias("quartile"),
     )
 
 
