@@ -150,8 +150,20 @@ def jaccard_verify(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the verify stage of
-    MinHash LSH). Returns pairs with jaccard >= threshold."""
-    sh = df.select(
+    MinHash LSH). Returns pairs with jaccard >= threshold.
+
+    Shingles are computed only for docs that appear in a candidate pair
+    (semi-join first): LSH keeps candidates ≪ corpus, so the verify stage
+    re-shingles a sliver, not the full 100 TB."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .union(candidates.select(F.col("id_b")))
+        .distinct()
+    )
+    needed = df.join(
+        cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
+    )
+    sh = needed.select(
         F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
     )
     a = sh.alias("sa")

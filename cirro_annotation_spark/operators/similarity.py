@@ -115,6 +115,105 @@ def topk_cosine_lsh(
     )
 
 
+def train_centroids_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means via DataFrame ops (Lloyd iterations).
+
+    Deterministic init (first k vectors by id), then per iteration:
+    map-side argmin assignment against broadcast-literal centroids →
+    posexplode → groupBy(cluster, dim) avg → collect k×dim floats (model
+    state, tiny) for the next round. The data never shuffles except the
+    (cluster, dim, value) triples — k·dim·rows narrow rows, map-side
+    partially aggregated. This is the standard scale shape for iterative
+    centroid fitting; rounds are few and each is one job.
+    """
+    init = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iterations):
+        assigned = df.select(
+            _argmin_centroid(v, centroids).alias("__cluster"), v.alias("__v")
+        )
+        new = (
+            assigned.select("__cluster", F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("__cluster", "__dim")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new:
+            by_cluster.setdefault(r["__cluster"], {})[r["__dim"]] = r["__m"]
+        centroids = [
+            [by_cluster[c][d] for d in sorted(by_cluster[c])]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its previous centroid
+            for c in range(k)
+        ]
+    return centroids
+
+
+def _argmin_centroid(v: F.Column, centroids: list[list[float]]) -> F.Column:
+    """Index of the nearest centroid (squared L2), as one fused expression
+    over broadcast-literal centroids — no join, no shuffle."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+def ivf_topk_cosine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat search: scan only the ``nprobe`` cells whose centroids are
+    nearest the query, exact cosine within them. With k=16 cells and
+    nprobe=4 the candidate scan is ~1/4 of the corpus; at 100 TB the
+    cell id becomes a parquet partition column and unprobed cells are
+    pruned at the file level (never read)."""
+    import math as _math
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda c: _d2(centroids[c], query_vec))
+    probe = order[:nprobe]
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("__cell", _argmin_centroid(v, centroids))
+        .filter(F.col("__cell").isin(probe))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def near_dup_pairs_cosine(
     df: DataFrame,
     vec_col: str,

@@ -1,15 +1,15 @@
 """Manifest-pipeline queries: the reference's entire declared capability
 run end-to-end (SURVEY.md §3.2) on the FIXTURES.md §B DSV tree.
 
-These operate on synthesized DSV files rather than the registered parquet
-views, so they are rows-only checks here; the exact golden-output
-verification lives in tests/test_manifest.py.
+The fixture tree lives at a STABLE path so the DuckDB oracle can
+read_csv the very same files the Spark pipeline reads — upgrading these
+from rows-only to exact hash checks. Golden pytest coverage is in
+tests/test_manifest.py.
 """
 
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,16 +22,20 @@ from cirro_annotation_spark.manifest.fixtures import (
 from cirro_annotation_spark.manifest.planner import build_manifest
 from cirro_annotation_spark.registry import query
 
-_FIXTURE_DIR: str | None = None
+# Stable, deterministic fixture location (content is seed-free arithmetic,
+# so rebuilds are byte-identical; the marker gates a finished build).
+FIXTURE_ROOT = "/tmp/cirro_annotation_fixture"
+_MARKER = os.path.join(FIXTURE_ROOT, ".complete")
 
 
 def fixture_data_dir() -> str:
-    """Build (once per process) the FIXTURES.md §B tree in a temp dir."""
-    global _FIXTURE_DIR
-    if _FIXTURE_DIR is None or not os.path.isdir(_FIXTURE_DIR):
-        root = tempfile.mkdtemp(prefix="cirro_fixture_")
-        _FIXTURE_DIR = build_fixture_tree(root)
-    return _FIXTURE_DIR
+    """Build (once) the FIXTURES.md §B tree at the stable path."""
+    data = os.path.join(FIXTURE_ROOT, "data")
+    if not os.path.exists(_MARKER):
+        build_fixture_tree(FIXTURE_ROOT)
+        with open(_MARKER, "w") as f:
+            f.write("ok\n")
+    return data
 
 
 def _manifest(spark: SparkSession):
@@ -58,7 +62,18 @@ def _command(spark: SparkSession, target: str):
     raise KeyError(target)
 
 
-@query("manifest_variable_family")  # DSV inputs — rows-only; golden test in pytest
+@query(
+    "manifest_variable_family",
+    # DuckDB reads the SAME fixture files (glob incl. the gz member) and
+    # re-derives the [gene] token from the path — exact union parity.
+    oracle=f"""
+    SELECT sgrna, score, "p.low", "p.high", "p.twosided", fdr, lfc,
+           regexp_extract(filename, 'mageck/([^/]+)/', 1) AS gene
+    FROM read_csv('{FIXTURE_ROOT}/data/mageck/*/rra.sgrna_summary.txt*',
+                  delim='\t', header=true, filename=true)
+    ORDER BY gene, sgrna
+    """,
+)
 def manifest_variable_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scan_glob_tokens + concat_union_tokens: the 3-gene family unions into
     one frame with the [gene] path token as a column (150 rows = 3×50)."""
@@ -66,7 +81,25 @@ def manifest_variable_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_command(spark, cmd, fixture_data_dir()).orderBy("gene", "sgrna")
 
 
-@query("manifest_melt_standard")  # rows-only; golden test in pytest
+@query(
+    "manifest_melt_standard",
+    # Melt re-expressed as a 4-way UNION ALL; TRY_CAST mirrors the
+    # engine's to_numeric(errors='coerce') parity (the 'NA' cell → NULL).
+    oracle=f"""
+    WITH src AS (SELECT * FROM read_csv('{FIXTURE_ROOT}/data/mageck/count/combined/counts.txt',
+                                        delim='\t', header=true, all_varchar=true))
+    SELECT "sgRNA" AS sgrna, "Gene" AS gene, sample, reads FROM (
+      SELECT "sgRNA", "Gene", 'ctrl_r1' AS sample, TRY_CAST(ctrl_r1 AS DOUBLE) AS reads FROM src
+      UNION ALL
+      SELECT "sgRNA", "Gene", 'ctrl_r2', TRY_CAST(ctrl_r2 AS DOUBLE) FROM src
+      UNION ALL
+      SELECT "sgRNA", "Gene", 'treat_r1', TRY_CAST(treat_r1 AS DOUBLE) FROM src
+      UNION ALL
+      SELECT "sgRNA", "Gene", 'treat_r2', TRY_CAST(treat_r2 AS DOUBLE) FROM src
+    )
+    ORDER BY sgrna, sample
+    """,
+)
 def manifest_melt_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scan_dsv_sniffed + normalize + project_rename + melt_unpivot: the
     counts file folds 4 sample columns into (sample, reads) long form."""
@@ -76,14 +109,44 @@ def manifest_melt_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("manifest_project_dictionary")  # rows-only; golden test in pytest
+@query(
+    "manifest_project_dictionary",
+    oracle=f"""
+    SELECT sample, reads, mapped, percentage, zerocounts, giniindex
+    FROM read_csv('{FIXTURE_ROOT}/data/mageck/count/summary.csv', header=true)
+    ORDER BY sample
+    """,
+)
 def manifest_project_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-resolved projection of the summary CSV (sniffed comma sep)."""
     cmd = _command(spark, "summary.parquet")
     return compile_command(spark, cmd, fixture_data_dir()).orderBy("sample")
 
 
-@query("manifest_harvest_columns")  # rows-only
+_HARVEST_GOLDEN = " UNION ALL ".join(
+    f"SELECT '{f}' AS file, '{c}' AS column"
+    for f, cols in [
+        ("mageck/GENE_A/rra.sgrna_summary.txt",
+         ["fdr", "lfc", "p.high", "p.low", "p.twosided", "score", "sgrna"]),
+        ("mageck/GENE_B/rra.sgrna_summary.txt",
+         ["fdr", "lfc", "p.high", "p.low", "p.twosided", "score", "sgrna"]),
+        ("mageck/GENE_C/rra.sgrna_summary.txt.gz",
+         ["fdr", "lfc", "p.high", "p.low", "p.twosided", "score", "sgrna"]),
+        ("mageck/count/combined/counts.txt",
+         ["ctrl_r1", "ctrl_r2", "gene", "sgrna", "treat_r1", "treat_r2"]),
+        ("mageck/count/summary.csv",
+         ["giniindex", "mapped", "percentage", "reads", "sample", "zerocounts"]),
+    ]
+    for c in cols
+)
+
+
+@query(
+    "manifest_harvest_columns",
+    # Golden inventory: the fixture tree is deterministic, so the expected
+    # (file, normalized column) catalog is a literal table.
+    oracle=f"SELECT * FROM ({_HARVEST_GOLDEN}) ORDER BY file, \"column\"",
+)
 def manifest_harvest_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """harvest_columns + discover_files as a queryable frame
     (file → normalized column inventory, run_annotate.py:30-50)."""
@@ -99,7 +162,15 @@ def manifest_harvest_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("manifest_roundtrip_tokens")  # rows-only
+@query(
+    "manifest_roundtrip_tokens",
+    oracle="""
+    SELECT 'GENE_A' AS gene, 50 AS n_rows
+    UNION ALL SELECT 'GENE_B', 50
+    UNION ALL SELECT 'GENE_C', 50
+    ORDER BY gene
+    """,
+)
 def manifest_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property check as a query: [tok] template → regex → extracted values
     equals the values the glob saw (run_annotate.py:133-144 semantics)."""

@@ -34,7 +34,21 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_extract_features")  # mapInPandas fake-codec — rows-only
+@query(
+    "multimodal_extract_features",
+    # The fake codec is deterministic byte arithmetic, so even the
+    # mapInPandas path gets a real oracle (documents text is ASCII, so
+    # char codes == UTF-8 bytes): checksum = sum(first 64 bytes) % 997.
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/fake' AS kind,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           OCTET_LENGTH(ENCODE(text)) AS decoded_len,
+           list_sum(list_transform(range(1, LEAST(LENGTH(text), 64) + 1),
+                                   i -> ascii(SUBSTRING(text, CAST(i AS INT), 1)))) % 997 AS checksum
+    FROM documents
+    """,
+)
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "text", "doc_id")

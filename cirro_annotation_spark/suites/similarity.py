@@ -83,6 +83,19 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_topk_ivf")  # k-means cells; float-avg centroids — rows-only
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat: k-means coarse quantizer trained with DataFrame ops
+    (broadcast-literal centroids, map-side argmin assignment, posexplode +
+    avg refit), then nprobe-limited exact search. Recall vs brute force is
+    pinned in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = S.train_centroids_kmeans(emb, "embedding", "vec_id", k=8, iterations=2)
+    return S.ivf_topk_cosine(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), centroids, k=10, nprobe=3
+    )
+
+
 @query(
     "sim_centroid_per_label",
     oracle=f"""

@@ -54,12 +54,42 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STRM.sliding_agg(t(spark, sf_dir, "events"), "2 hours", "1 hour")
 
 
-@query("stream_session_window")  # session merge semantics — rows-only + pytest
+@query(
+    "stream_session_window",
+    # Session windows = gap-based islands, re-derived with standard
+    # LAG + cumulative-sum SQL: a new session starts when the gap to the
+    # previous event is >= 1 hour (session windows are half-open
+    # [start, last+gap)).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '1 hour'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STRM.session_agg(t(spark, sf_dir, "events"), "1 hour")
 
 
-@query("stream_dedup_watermark")  # stateful streaming dedup — rows-only
+@query(
+    "stream_dedup_watermark",
+    # dropDuplicatesWithinWatermark on event_id then count per type; with
+    # the testdata's globally-unique event_ids this must equal the batch
+    # distinct count — the parity IS the check.
+    oracle="SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     return STRM.dedup_within_watermark(spark, path)

@@ -86,7 +86,40 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_quality_score")  # composite heuristic — rows-only check
+@query(
+    "text_quality_score",
+    # The full composite heuristic re-derived in DuckDB SQL: length gate,
+    # punct/digit noise, mean-word-length sanity — exact arithmetic parity.
+    # The bpe-ish count is re-expressed without lookarounds (RE2): maximal
+    # alnum runs + each non-alnum non-space char is its own token.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS n_tok,
+             list_sum(list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                                     x -> LENGTH(x))) AS tok_chars,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END AS len_ok,
+             1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0) AS punct_ok,
+             1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0) AS digit_ok,
+             CASE WHEN n_tok > 0 THEN COALESCE(tok_chars, 0) * 1.0 / n_tok ELSE 0.0 END AS mwl
+      FROM base
+    )
+    SELECT p.doc_id,
+           ROUND((len_ok + punct_ok + digit_ok +
+                  CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) / 4.0,
+                 {RATIO}) AS quality,
+           p.n_tok AS n_tokens,
+           LEN(list_filter(string_split_regex(b.text, '[^A-Za-z0-9]+'), x -> x <> ''))
+             + LENGTH(REGEXP_REPLACE(b.text, '[A-Za-z0-9 ]', '', 'g')) AS n_bpe_tokens
+    FROM parts p JOIN base b USING (doc_id)
+    """,
+)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
@@ -97,7 +130,34 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_langid")  # heuristic voting — rows-only check
+@query(
+    "text_langid",
+    # Vote fold re-derived: winner = earliest language (code order) that
+    # attains the maximum stopword-hit count; 'und' when all are zero —
+    # exactly the strictly-greater fold in langid_stopword_votes.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                            x -> LOWER(x)) AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS h_de,
+             LEN(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+             LEN(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS h_es,
+             LEN(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS h_fr
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(

@@ -1,0 +1,69 @@
+"""Similarity-search property tests: exact kernel sanity, LSH/IVF recall
+against the brute-force baseline."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators import similarity as S
+from cirro_annotation_spark.suites.util import t
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = S.topk_cosine_bruteforce(emb, "embedding", "vec_id", q, k=1).first()
+    assert top["vec_id"] == 0
+    assert abs(top["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with k=8 cells / nprobe=3 must recover most of the exact top-10
+    (the query's own cell is always probed, so the top hit is guaranteed)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    exact = {r["vec_id"] for r in
+             S.topk_cosine_bruteforce(emb, "embedding", "vec_id", q, k=10).collect()}
+    centroids = S.train_centroids_kmeans(emb, "embedding", "vec_id", k=8, iterations=2)
+    assert len(centroids) == 8 and all(len(c) == len(q) for c in centroids)
+    approx = {r["vec_id"] for r in
+              S.ivf_topk_cosine(emb, "embedding", "vec_id", q, centroids,
+                                k=10, nprobe=3).collect()}
+    recall = len(exact & approx) / 10
+    assert 0 in approx  # self-match lives in a probed cell by construction
+    assert recall >= 0.5, f"IVF recall {recall} < 0.5"
+
+
+def test_kmeans_assignment_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one of k cells; cells are non-trivial
+    (no single cell swallows the corpus after Lloyd refinement)."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = S.train_centroids_kmeans(emb, "embedding", "vec_id", k=8, iterations=2)
+    v = F.col("embedding").cast("array<double>")
+    cells = (
+        emb.select(S._argmin_centroid(v, centroids).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in cells)
+    assert total == emb.count()
+    assert max(r["count"] for r in cells) < total  # >1 non-empty cell
+
+
+def test_lsh_bucket_contains_query_neighbors(spark, sf_dir):
+    """The LSH top-k always contains the query itself (same bucket by
+    definition) and only returns vectors from the query's bucket."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = S.topk_cosine_lsh(emb, "embedding", "vec_id", q, k=10, n_planes=6).collect()
+    assert top and top[0]["vec_id"] == 0
