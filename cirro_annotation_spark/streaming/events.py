@@ -119,6 +119,52 @@ def run_streaming_over_parquet(
     return spark.table(name).localCheckpoint(eager=True)
 
 
+def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """CUSTOM stateful operator via applyInPandasWithState: a per-user
+    running event counter held in explicit GroupState — the escape hatch
+    for stateful logic Spark's built-in operators can't express
+    (SURVEY.md §2.10's 'custom stateful operators' slot).
+
+    State is one long per user (bounded); batches arrive Arrow-encoded per
+    group; each trigger emits the updated total. Over a bounded source in
+    one micro-batch this equals the batch groupBy count — which is exactly
+    what the oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    name = "stream_state_" + uuid.uuid4().hex[:8]
+    stream = (
+        _read_events_stream(spark, parquet_path)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
     """Streaming stateful dedup: dropDuplicatesWithinWatermark on event_id.
 

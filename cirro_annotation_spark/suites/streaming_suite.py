@@ -93,3 +93,14 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     return STRM.dedup_within_watermark(spark, path)
+
+
+@query(
+    "stream_stateful_counts",
+    # One micro-batch over the bounded source → the custom GroupState
+    # counter must equal the plain batch groupBy count.
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.stateful_user_counts(spark, path)
