@@ -163,6 +163,46 @@ def manifest_harvest_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_file_to_columns",
+    # Golden: the 5 fixture files joined (broadcast) to their harvested
+    # column counts — run_annotate.py:273-276's files_mapping lookup as a
+    # real join.
+    oracle="""
+    SELECT * FROM (
+      SELECT 'mageck/GENE_A/rra.sgrna_summary.txt' AS file, 7 AS n_columns, 'fdr' AS first_column
+      UNION ALL SELECT 'mageck/GENE_B/rra.sgrna_summary.txt', 7, 'fdr'
+      UNION ALL SELECT 'mageck/GENE_C/rra.sgrna_summary.txt.gz', 7, 'fdr'
+      UNION ALL SELECT 'mageck/count/combined/counts.txt', 6, 'ctrl_r1'
+      UNION ALL SELECT 'mageck/count/summary.csv', 6, 'giniindex'
+    ) ORDER BY file
+    """,
+)
+def manifest_file_to_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_file_to_columns (SURVEY §2.4): the discovered file list
+    broadcast-joined to the harvested per-file column inventory."""
+    from cirro_annotation_spark.sources.discovery import discover_files
+    from cirro_annotation_spark.sources.dsv import harvest_columns
+
+    data = fixture_data_dir()
+    files = discover_files(data)
+    harvested = harvest_columns(spark, data, files)
+    files_df = spark.createDataFrame([(f,) for f in sorted(files)], "file string")
+    cols_df = spark.createDataFrame(
+        [(f, c) for f, cols in harvested.items() for c in cols],
+        "file string, column string",
+    )
+    return (
+        files_df.join(F.broadcast(cols_df), "file", "left")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            F.min("column").alias("first_column"),
+        )
+        .orderBy("file")
+    )
+
+
+@query(
     "manifest_roundtrip_tokens",
     oracle="""
     SELECT 'GENE_A' AS gene, 50 AS n_rows

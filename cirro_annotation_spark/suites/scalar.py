@@ -41,6 +41,28 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_str_endswith",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN ends_with(p_name, 'red') THEN 1 ELSE 0 END AS ends_red,
+           CASE WHEN starts_with(p_type, 'STANDARD') THEN 1 ELSE 0 END AS std_type,
+           CASE WHEN contains(p_brand, '#1') THEN 1 ELSE 0 END AS brand_1x
+    FROM part
+    """,
+)
+def scalar_str_endswith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # str_endswith as a row-level predicate (the reference applies it at
+    # the file-listing level, run_annotate.py:35,60,94; same function).
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").endswith("red").cast("int").alias("ends_red"),
+        F.col("p_type").startswith("STANDARD").cast("int").alias("std_type"),
+        F.col("p_brand").contains("#1").cast("int").alias("brand_1x"),
+    )
+
+
+@query(
     "scalar_regex_extract",
     oracle="""
     SELECT c_custkey,
