@@ -9,6 +9,8 @@ pruned to referenced columns, small joins broadcast, codegen engaged.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -40,17 +42,17 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count in the plan — the number every operator should minimize."""
+    """Shuffle count in the plan — the number every operator should
+    minimize. Counts the formatted-explain node headers ``(N) Exchange``,
+    which are branch-prefix-proof (tree lines like ``:  +- Exchange (3)``
+    are easy to miss) and exclude ReusedExchange."""
     plan = physical_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if line.strip().startswith(("Exchange", "+- Exchange"))
-        or "Exchange hashpartitioning" in line
-        or "Exchange rangepartitioning" in line
-    )
+    return len(re.findall(r"^\(\d+\)\s+Exchange\b", plan, flags=re.MULTILINE))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages (formatted explain annotates
+    member nodes with ``[codegen id : N]``)."""
     plan = physical_plan(df)
-    return plan.count("WholeStageCodegen")
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    return len(ids) or plan.count("WholeStageCodegen")
