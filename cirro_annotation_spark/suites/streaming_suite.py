@@ -54,6 +54,15 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STRM.sliding_agg(t(spark, sf_dir, "events"), "2 hours", "1 hour")
 
 
+@query("stream_sliding_stream", oracle=_SLIDING_ORACLE)
+def stream_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream twin of stream_sliding_batch, held to the SAME oracle.
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.run_streaming_over_parquet(
+        spark, path, lambda s: STRM.sliding_agg(s, "2 hours", "1 hour")
+    )
+
+
 @query(
     "stream_session_window",
     # Session windows = gap-based islands, re-derived with standard

@@ -168,6 +168,48 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top",
+    # TF-IDF with smoothed IDF: ln((N+1)/(df+1)) + 1. The doc-frequency
+    # side is a tiny (token, df) aggregate joined back broadcast-style;
+    # deterministic top-20 by weight.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), {RATIO}) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id ASC, token ASC
+    LIMIT 20
+    """,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-doc term counts x smoothed inverse document frequency.
+    Two keyed aggregations over the exploded tokens; the (token, df)
+    side is corpus-vocabulary-sized — broadcast it so the big tf side
+    never reshuffles on token."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver scalar: one lightweight count job
+    tfidf = F.col("tf") * (
+        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .select("doc_id", "token", F.round(tfidf, RATIO).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
