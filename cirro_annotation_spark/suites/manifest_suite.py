@@ -38,6 +38,11 @@ def fixture_data_dir() -> str:
     return data
 
 
+# Build at import: the driver may evaluate an oracle (which read_csv's
+# these files) before it calls the paired Spark query.
+fixture_data_dir()
+
+
 def _manifest(spark: SparkSession):
     return build_manifest(
         spark,
