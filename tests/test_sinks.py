@@ -1,0 +1,51 @@
+"""Sink coverage: parquet (the declared hot.Parquet target), data-plane
+JSON, and manifest JSON metadata round-trips."""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.suites.util import t
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "out.parquet")
+    df = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df.write.mode("overwrite").parquet(target)
+    back = spark.read.parquet(target)
+    assert back.count() == df.count()
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_json_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Data-plane JSON (sink_json_metadata's data-side analog,
+    SURVEY §2.1 row 8): types survive the round-trip for the JSON-able
+    subset (long/string/double)."""
+    target = str(tmp_path / "out.json")
+    df = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    df.coalesce(1).write.mode("overwrite").json(target)
+    back = spark.read.json(target)
+    rows = {(r["r_regionkey"], r["r_name"]) for r in back.collect()}
+    want = {(r["r_regionkey"], r["r_name"]) for r in df.collect()}
+    assert rows == want
+
+
+def test_manifest_json_metadata_sink(spark, tmp_path):
+    """The reference writes manifest.json at the dataset root
+    (run_annotate.py:321-326); our Manifest.to_json round-trips through a
+    file the same way."""
+    from cirro_annotation_spark.manifest.fixtures import build_fixture_tree
+    from cirro_annotation_spark.manifest.model import load_manifest
+    from cirro_annotation_spark.manifest.planner import build_manifest
+
+    data = build_fixture_tree(str(tmp_path))
+    m = build_manifest(spark, data)
+    path = os.path.join(str(tmp_path), "manifest.json")
+    with open(path, "w") as f:
+        f.write(m.to_json())
+    with open(path) as f:
+        loaded = load_manifest(json.load(f))
+    assert len(loaded.commands) == len(m.commands)
+    assert {c.target for c in loaded.commands} == {c.target for c in m.commands}
