@@ -173,7 +173,13 @@ def jaccard_verify(
 
     Shingles are computed only for docs that appear in a candidate pair
     (semi-join first): LSH keeps candidates ≪ corpus, so the verify stage
-    re-shingles a sliver, not the full 100 TB."""
+    re-shingles a sliver, not the full 100 TB.
+
+    The candidate frame is referenced twice below (id-union + pair join);
+    localCheckpoint materializes it once so the signature/banding stage
+    upstream doesn't run twice. Candidates are pairs of ids — tiny
+    relative to the corpus at any scale."""
+    candidates = candidates.localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("id_a").alias("__cid"))
         .union(candidates.select(F.col("id_b")))
