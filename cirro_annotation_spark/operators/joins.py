@@ -64,6 +64,37 @@ def asof_join(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: the manual fallback when AQE's runtime
+    skew-split can't apply (e.g. the skewed side feeds an aggregation
+    that pins partitioning, or a non-AQE deployment).
+
+    The skewed side gets a random salt in [0, salt_buckets); the small
+    side is replicated salt_buckets× (explode over the salt range). The
+    join key becomes (key, salt), so one hot key's rows spread across
+    salt_buckets reducers instead of one straggler task. Replication
+    cost: |small| × salt_buckets rows — use only when `small` is modest
+    (dimension-sized) but too big or mid-plan for a plain broadcast.
+
+    rand(seed) is fine here: salt values only need to spread rows, not
+    reproduce across runs — results are salt-invariant.
+    """
+    salted_big = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_big.join(replicated, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def range_join_bands(
     fact: DataFrame,
     bands: DataFrame,

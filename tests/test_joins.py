@@ -1,0 +1,43 @@
+"""Join-operator tests: as-of semantics, salted skew join equivalence."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.joins import asof_join, salted_join
+
+
+def test_asof_inclusive_tie_and_carry_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30)], "k long, lts long"
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b")], "k long, rts long, v string"
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    out = asof_join(left, right, "k", "lts", "rts", ["v"])
+    got = {int(r["lts"].timestamp()): r["v_asof"] for r in out.collect()}
+    assert got == {10: "a", 20: "a", 30: "b"}  # tie at 10 is inclusive
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change the result set — only the partitioning."""
+    from cirro_annotation_spark.suites.util import t
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy("o_orderstatus").count()
+    salted = (
+        salted_join(li, orders, "l_orderkey", salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y")], "k long, a string")
+    small = spark.createDataFrame([(1, "dim1")], "k long, d string")
+    out = salted_join(big, small, "k", salt_buckets=4, how="left")
+    rows = {(r["k"], r["d"]) for r in out.collect()}
+    assert rows == {(1, "dim1"), (2, None)}
