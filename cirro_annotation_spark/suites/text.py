@@ -210,6 +210,74 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_training_data",
+    # The composed LLM-training-data pipeline, end to end: quality gate →
+    # language gate → exact dedup (first-wins on the normalized-text
+    # fingerprint) → per-doc token accounting. The whole chain re-derived
+    # in DuckDB: one oracle checks four operators composed.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS n_tok,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
+             list_sum(list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                                     x -> LENGTH(x))) AS tok_chars,
+             list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                            x -> LOWER(x)) AS toks_l
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, n_tok,
+             (CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END
+              + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0))
+              + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0))
+              + (CASE WHEN (CASE WHEN n_tok > 0 THEN COALESCE(tok_chars, 0) * 1.0 / n_tok ELSE 0.0 END)
+                           BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+             LEN(list_filter(toks_l, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+             GREATEST(
+               LEN(list_filter(toks_l, x -> list_contains(['der','die','das','und','zu'], x))),
+               LEN(list_filter(toks_l, x -> list_contains(['the','a','of','and','to'], x))),
+               LEN(list_filter(toks_l, x -> list_contains(['el','la','de','y','que'], x))),
+               LEN(list_filter(toks_l, x -> list_contains(['le','la','de','et','les'], x)))) AS h_max,
+             LEN(list_filter(toks_l, x -> list_contains(['der','die','das','und','zu'], x))) AS h_de
+      FROM base
+    ), gated AS (
+      SELECT doc_id, text, n_tok, quality FROM scored
+      WHERE quality >= 0.75 AND h_max > 0 AND h_de < h_en AND h_en = h_max
+    ), deduped AS (
+      SELECT doc_id, n_tok, quality FROM gated
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM gated
+        GROUP BY REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+    )
+    SELECT doc_id, n_tok AS n_tokens, ROUND(quality, {RATIO}) AS quality
+    FROM deduped
+    """,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality >= 0.75 AND
+    langid == 'en' → exact dedup (first wins) → per-doc token counts.
+
+    Single narrow scan for the gates (all codegen'd column expressions),
+    ONE fingerprint shuffle for the dedup — the whole corpus-scale
+    pipeline costs one exchange."""
+    from cirro_annotation_spark.operators.dedup import dedup_exact
+
+    d = t(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id",
+        "text",
+        X.token_count("text").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+        X.langid_stopword_votes("text").alias("lang_pred"),
+    ).filter((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
+    return dedup_exact(gated, "text", "doc_id").select(
+        "doc_id", "n_tokens", F.round("quality", RATIO).alias("quality")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
