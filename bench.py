@@ -33,6 +33,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_token_stats",
     "stream_tumbling_batch",
+    "pipeline_training_data",
 ]
 
 
