@@ -116,6 +116,37 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_time_range_sum",
+    # RANGE frame keyed on TIME, not row count: all events of the same
+    # user within the trailing hour (inclusive).
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+             AS hour_sum
+    FROM events
+    """,
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (rows frames count neighbors; range frames
+    bound by the ORDER value): trailing-1-hour sum per user. Expressed on
+    epoch seconds — Spark's rangeBetween takes long offsets."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("value").over(w).alias("hour_sum"),
+        )
+    )
+
+
+@query(
     "window_ntile_rank",
     oracle="""
     SELECT c_custkey,
