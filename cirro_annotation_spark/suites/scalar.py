@@ -135,6 +135,56 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS valid_json
+    FROM events
+    """,
+)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON decode: from_json with a declared schema (vs the
+    path-extract in scalar_json_extract) — struct fields become real
+    columns Catalyst can prune/push."""
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed.isNotNull().cast("int").alias("valid_json"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle=f"""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), {RATIO}) AS max_val,
+           ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), {RATIO}) AS head_sum,
+           CASE WHEN list_contains(list_transform(CAST(embedding AS DOUBLE[]), x -> x > 0), true)
+                THEN 1 ELSE 0 END AS has_positive
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar coverage (SURVEY §2.9 north star): size / max /
+    slice+fold / existence — all JVM higher-order functions."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(v), RATIO).alias("max_val"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 4), F.lit(0.0), lambda a, x: a + x), RATIO
+        ).alias("head_sum"),
+        F.exists(v, lambda x: x > 0).cast("int").alias("has_positive"),
+    )
+
+
+@query(
     "scalar_date_parts",
     oracle=f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS order_year,
