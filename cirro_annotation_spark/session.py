@@ -44,6 +44,10 @@ def get_spark(app_name: str = "cirro_annotation_spark") -> SparkSession:
         # vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read nanos as
         # long and normalize to timestamp in suites/util.t().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime bloom-filter join pruning: build a bloom of the small
+        # side's join keys and push it into the big side's scan — at
+        # 100 TB this skips row groups the join would discard anyway.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
