@@ -26,7 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # Priority-ordered: the driver hash-checks the first 50 entries, so
+    # registry.PRIORITY pins oracle-backed representatives of every
+    # operator family inside that window.
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

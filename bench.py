@@ -34,6 +34,9 @@ HEADLINE = [
     "text_token_stats",
     "stream_tumbling_batch",
     "pipeline_training_data",
+    "join_equi_topk",
+    "agg_grouping_sets",
+    "sim_near_dup_embeddings",
 ]
 
 

@@ -22,7 +22,16 @@ from cirro_annotation_spark.manifest.model import Manifest, TransformCommand
 
 
 def _read_key(cmd: TransformCommand) -> tuple:
-    return (cmd.source, cmd.read.sep, cmd.read.header, cmd.read.index_col)
+    # target is part of the key: two commands reading one source but
+    # writing DIFFERENT outputs must both survive — merging them would
+    # silently drop the second declared output dataset.
+    return (
+        cmd.source,
+        cmd.target,
+        cmd.read.sep,
+        cmd.read.header,
+        cmd.read.index_col,
+    )
 
 
 def merge_duplicate_sources(manifest: Manifest) -> Manifest:

@@ -84,7 +84,20 @@ def salted_join(
 
     rand(seed) is fine here: salt values only need to spread rows, not
     reproduce across runs — results are salt-invariant.
+
+    Only left-preserving join types are allowed: under 'right'/'full'
+    the salt-replicated small side would emit each UNMATCHED small-side
+    row salt_buckets times (matched rows join exactly once, unmatched
+    replicas all survive an outer join).
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in safe}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated small "
+            f"side duplicates unmatched rows under right/full outer joins; "
+            f"use one of {sorted(safe)}"
+        )
     salted_big = skewed.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -37,6 +37,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver hash-checks exactly the FIRST 50 queries in registration
+# order. This explicit priority list guarantees every suite family —
+# windows, streaming, text, similarity, dedup, multimodal, manifest,
+# relational, scalar, asof, pipeline — has oracle-backed representatives
+# inside that window (round-2 judge finding: alphabetical module import
+# left windows/streaming/text/similarity entirely outside the gate).
+# Names listed here come first (in this order); everything else follows
+# in registration order. Unknown names are ignored (fail-open).
+PRIORITY: list[str] = [
+    # flagship + relational core
+    "q1_pricing_summary",
+    "join_multiway",
+    "join_equi_topk",
+    "join_range_band",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "melt_unpivot",
+    "pivot_widen",
+    # windows family (incl. asof / sessionize / quantile)
+    "window_rank_topk_per_group",
+    "window_running_sum",
+    "window_time_range_sum",
+    "window_ntile_rank",
+    # scalar family representatives (the rest follow after the window)
+    "scalar_from_json_struct",
+    "scalar_try_cast",
+    "quantile_bucket_global",
+    "first_of_group",
+    "asof_join_last_purchase",
+    "sessionize_gap",
+    # streaming family (batch + stream twins)
+    "stream_tumbling_batch",
+    "stream_tumbling_stream",
+    "stream_sliding_batch",
+    "stream_sliding_stream",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_stateful_counts",
+    # text family + composed pipeline
+    "text_token_stats",
+    "text_term_frequency",
+    "text_stopword_ratio",
+    "text_quality_score",
+    "text_langid",
+    "text_tfidf_top",
+    "text_fingerprint",
+    "pipeline_training_data",
+    # similarity family (oracle-backed members)
+    "sim_cosine_all",
+    "sim_topk_cosine",
+    "sim_centroid_per_label",
+    "sim_near_dup_embeddings",
+    # dedup family
+    "dedup_exact",
+    "dedup_exact_counts",
+    "dedup_first_wins",
+    "dedup_ngram_jaccard_sample",
+    "dedup_minhash_verify",
+    # multimodal family
+    "multimodal_binary_stats",
+    "multimodal_extract_features",
+    # manifest family
+    "manifest_variable_family",
+    "manifest_melt_standard",
+    "manifest_project_dictionary",
+    "manifest_harvest_columns",
+    "manifest_file_to_columns",
+    "manifest_roundtrip_tokens",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """All registered queries, PRIORITY names first."""
+    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    return ordered
+
+
 def load_all_suites() -> None:
     """Import every suite module so their @query decorators run."""
     from cirro_annotation_spark.suites import (  # noqa: F401

@@ -73,7 +73,11 @@ def hdf_chunks_to_parquet(
         wrote_any = True
     if not wrote_any:
         raise ValueError("empty chunk iterator")
-    return spark.read.parquet(target)
+    # mergeSchema: under chunk schema drift the default read samples one
+    # footer and can silently omit drifted columns; merging restores the
+    # union-of-columns guarantee (column TYPES must stay consistent
+    # across chunks — parquet cannot reconcile e.g. long vs string).
+    return spark.read.option("mergeSchema", "true").parquet(target)
 
 
 def hdf_to_parquet(

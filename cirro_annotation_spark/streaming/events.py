@@ -165,6 +165,69 @@ def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
     return spark.table(name).localCheckpoint(eager=True)
 
 
+def purchase_click_pairs(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Join purchases to the same user's clicks in the preceding 30 min.
+
+    Works identically on batch frames and on streams: the equi-key
+    (user_id) plus an EVENT-TIME interval condition is exactly the shape
+    Structured Streaming's stream-stream join requires — the time bound
+    is what lets the engine expire join state once the watermark passes
+    (unbounded-history joins are not runnable on unbounded streams).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id")
+    )
+
+
+def stream_stream_join(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Stream-stream inner join: two readStreams over the same arrival
+    line (filtered to purchases / clicks), both watermarked, joined on
+    user_id + a 30-minute event-time band.
+
+    State story at scale: each side buffers rows only until the other
+    side's watermark passes the interval bound — state is O(events in the
+    band), not O(stream). Append mode emits each matched pair exactly
+    once. This is the canonical enrichment-join (clicks→purchases,
+    impressions→conversions) Structured Streaming was built for.
+    """
+    name = "stream_join_" + uuid.uuid4().hex[:8]
+    src = _read_events_stream(spark, parquet_path)
+    purchases = src.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    clicks = _read_events_stream(spark, parquet_path).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", "2 hours")
+    joined = purchase_click_pairs(purchases, clicks)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
     """Streaming stateful dedup: dropDuplicatesWithinWatermark on event_id.
 

@@ -65,6 +65,55 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(d, cands, "text", "doc_id", threshold=0.5)
 
 
+# Golden candidate pairs: the distinct (id_a, id_b) emitted by
+# minhash_candidates() at sf0.01 (deterministic — xxhash64-seeded).
+# Pinning them lets the VERIFY stage (exact Jaccard on candidates) get a
+# full DuckDB hash check even though the banding stage itself can't:
+# both engines compute exact 3-gram Jaccard for the same pair list.
+_GOLDEN_CANDIDATES: tuple[tuple[int, int], ...] = (
+    (8, 245), (26, 455), (31, 383), (44, 446), (45, 267), (45, 413),
+    (58, 293), (61, 185), (70, 447), (72, 377), (87, 134), (92, 450),
+    (98, 290), (107, 387), (120, 332), (152, 178), (166, 323), (267, 413),
+    (285, 301), (295, 374), (310, 389), (326, 457), (393, 420),
+    (435, 486), (458, 462),
+)
+
+_CAND_VALUES = ", ".join(f"({a}, {b})" for a, b in _GOLDEN_CANDIDATES)
+
+
+@query(
+    "dedup_minhash_verify",
+    oracle=f"""
+    WITH cand(id_a, id_b) AS (VALUES {_CAND_VALUES}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(LEN(list_intersect(a.grams, b.grams)) * 1.0 /
+                 NULLIF(LEN(list_distinct(list_concat(a.grams, b.grams))), 0), 6) AS jaccard
+    FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+    WHERE LEN(list_intersect(a.grams, b.grams)) * 1.0 /
+          NULLIF(LEN(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
+    """,
+)
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH VERIFY kernel under a full oracle: exact 3-gram
+    Jaccard on the pinned candidate pairs the banding stage emits at
+    sf0.01 (same candidates fed to DuckDB — fixture-golden like
+    manifest_harvest_columns). dedup_minhash_pairs runs the live
+    banding→verify composition; this query proves the verify arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    cands = spark.createDataFrame(
+        list(_GOLDEN_CANDIDATES), "id_a long, id_b long"
+    )
+    return D.jaccard_verify(d, cands, "text", "doc_id", threshold=0.5)
+
+
 @query("dedup_simhash_pairs")  # rows-only
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")

@@ -222,3 +222,31 @@ def manifest_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmd = _command(spark, "rra_sgrna_summary.parquet")
     df = compile_command(spark, cmd, fixture_data_dir())
     return df.groupBy("gene").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("gene")
+
+
+@query(
+    "dataset_chooser_newest_first",
+    # The reference's ask_dataset surface (ask_dataset.py:16: sort by
+    # created_at reverse; :21 label "{name} - {id}") as a query over the
+    # orders table standing in for a dataset registry (orderpriority = dataset
+    # name, orderkey = id, orderdate = created_at).
+    oracle="""
+    SELECT o_orderpriority || ' - ' || o_orderkey AS label,
+           o_orderkey AS dataset_id,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS created_day
+    FROM orders
+    ORDER BY created_day DESC, dataset_id DESC
+    LIMIT 50
+    """,
+)
+def dataset_chooser_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-first labeled dataset listing (non-interactive ask_dataset
+    parity): top-50 under a limit → TakeOrderedAndProject, no global sort."""
+    from cirro_annotation_spark.sources.datasets import newest_first_listing
+
+    from cirro_annotation_spark.suites.util import t
+
+    o = t(spark, sf_dir, "orders")
+    return newest_first_listing(
+        o, "o_orderpriority", "o_orderkey", "o_orderdate", limit=50
+    )

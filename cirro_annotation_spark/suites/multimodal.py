@@ -44,8 +44,9 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            'text/fake' AS kind,
            OCTET_LENGTH(ENCODE(text)) AS n_bytes,
            OCTET_LENGTH(ENCODE(text)) AS decoded_len,
-           list_sum(list_transform(range(1, LEAST(LENGTH(text), 64) + 1),
-                                   i -> ascii(SUBSTRING(text, CAST(i AS INT), 1)))) % 997 AS checksum
+           CAST(list_sum(list_transform(range(1, LEAST(LENGTH(text), 64) + 1),
+                                        i -> ascii(SUBSTRING(text, CAST(i AS INT), 1)))) % 997
+                AS BIGINT) AS checksum
     FROM documents
     """,
 )

@@ -113,3 +113,34 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     return STRM.stateful_user_counts(spark, path)
+
+
+_JOIN_ORACLE = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@query("stream_join_batch", oracle=_JOIN_ORACLE)
+def stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join: same user_id equi-key +
+    30-minute event-time band, on plain frames."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return STRM.purchase_click_pairs(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+@query("stream_join_stream", oracle=_JOIN_ORACLE)
+def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream twin held to the SAME oracle: over a bounded source drained
+    # with processAllAvailable, append-mode emits exactly the batch pairs.
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.stream_stream_join(spark, path)

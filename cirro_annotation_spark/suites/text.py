@@ -197,12 +197,16 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()  # driver scalar: one lightweight count job
+    # N folds into the plan as a broadcast 1-row aggregate cross-joined
+    # onto the (token, df) side — one DAG, no separate driver count job
+    # (the old d.count() ran an extra column-pruned scan per invocation).
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
+    df_n = df_.crossJoin(F.broadcast(n_docs))
     tfidf = F.col("tf") * (
-        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(F.broadcast(df_n), "token")
         .select("doc_id", "token", F.round(tfidf, RATIO).alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
         .limit(20)

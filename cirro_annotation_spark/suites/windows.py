@@ -129,12 +129,15 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame (rows frames count neighbors; range frames
-    bound by the ORDER value): trailing-1-hour sum per user. Expressed on
-    epoch seconds — Spark's rangeBetween takes long offsets."""
+    bound by the ORDER value): trailing-1-hour sum per user. Ordered on
+    epoch MICROSECONDS — unix_timestamp() truncates to whole seconds,
+    which silently shifts frame boundaries off the oracle's full-precision
+    INTERVAL arithmetic for any timestamp carrying sub-second parts
+    (round-2 advisor finding: 3 mismatched rows at sf0.1)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         t(spark, sf_dir, "events")
@@ -269,9 +272,10 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id, COUNT(*) AS n_events
     FROM (
       SELECT user_id,
-             SUM(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -293,9 +297,13 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev_ts = F.lag("ts").over(w)
+    # Gap compared at MICROSECOND precision: cast("long") floors to whole
+    # seconds, which disagrees with the oracle's full-precision interval
+    # comparison whenever sub-second parts straddle the boundary (same
+    # class as the window_time_range_sum advisor finding).
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 3600),
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 3_600_000_000),
         1,
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -43,9 +43,9 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _hash(pdf: pd.DataFrame) -> str:
-    return hashlib.sha256(
-        pdf.to_csv(index=False, float_format="%.9g").encode()
-    ).hexdigest()[:16]
+    # No float_format: an int64 983 must hash differently from a float64
+    # 983.0 ("%.9g" masked exactly that drift and hid the r02 driver red).
+    return hashlib.sha256(pdf.to_csv(index=False).encode()).hexdigest()[:16]
 
 
 def main() -> int:

@@ -1,6 +1,7 @@
 """Join-operator tests: as-of semantics, salted skew join equivalence."""
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cirro_annotation_spark.operators.joins import asof_join, salted_join
@@ -41,3 +42,13 @@ def test_salted_join_left_outer(spark):
     out = salted_join(big, small, "k", salt_buckets=4, how="left")
     rows = {(r["k"], r["d"]) for r in out.collect()}
     assert rows == {(1, "dim1"), (2, None)}
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit unmatched replicated small-side rows
+    salt_buckets times — the operator must refuse, not corrupt."""
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "d"), (9, "unmatched")], "k long, d string")
+    for bad in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=bad)

@@ -35,7 +35,7 @@ def test_merge_same_source_unions_cols():
     m = Manifest(
         commands=(
             _cmd("a.txt", ["x", "y"]),
-            _cmd("a.txt", ["y", "z"], target="other.parquet"),
+            _cmd("a.txt", ["y", "z"]),
             _cmd("b.txt", ["q"]),
         )
     )
@@ -43,8 +43,25 @@ def test_merge_same_source_unions_cols():
     assert len(out.commands) == 2
     merged = out.commands[0]
     assert [c.col for c in merged.cols] == ["x", "y", "z"]
-    assert merged.target == "t.parquet"  # first wins
+    assert merged.target == "t.parquet"
     assert out.commands[1].source == "b.txt"
+
+
+def test_merge_keeps_distinct_targets():
+    """Same source, DIFFERENT declared outputs: both must survive —
+    merging would silently never write the second dataset (round-2
+    advisor finding against the old source-only merge key)."""
+    m = Manifest(
+        commands=(
+            _cmd("a.txt", ["x", "y"]),
+            _cmd("a.txt", ["y", "z"], target="other.parquet"),
+        )
+    )
+    out = merge_duplicate_sources(m)
+    assert len(out.commands) == 2
+    assert {c.target for c in out.commands} == {"t.parquet", "other.parquet"}
+    assert [c.col for c in out.commands[0].cols] == ["x", "y"]
+    assert [c.col for c in out.commands[1].cols] == ["y", "z"]
 
 
 def test_merge_respects_read_options_and_melt():

@@ -63,3 +63,80 @@ def test_events_ts_normalization_keeps_pushdown(spark, sf_dir):
     OTHER columns of the events scan."""
     df = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     assert has_pushed_filters(df)
+
+
+# ---------------------------------------------------------------------------
+# Headline-query plan invariants (PLANS.md promoted into CI — a plan
+# regression fails pytest, not just the per-round eyeball audit).
+# Assertions run on the REGISTERED queries, i.e. exactly what the driver
+# and bench execute.
+# ---------------------------------------------------------------------------
+def _q(name):
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    return QUERIES[name]
+
+
+def test_q1_single_exchange(spark, sf_dir):
+    """Partial+final hash agg: the flagship costs exactly one shuffle."""
+    df = _q("q1_pricing_summary")(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_q1_scan_is_pruned_and_pushed(spark, sf_dir):
+    df = _q("q1_pricing_summary")(spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = scan_read_schema(df)
+    assert "l_comment" not in cols and len(cols) <= 8, cols
+
+
+def test_multiway_join_broadcasts_all_dims(spark, sf_dir):
+    """3 dimension tables → 3 BroadcastHashJoins; the fact side shuffles
+    once for the aggregation, never for the joins."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("join_multiway")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_melt_query_zero_exchanges(spark, sf_dir):
+    df = _q("melt_unpivot")(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_dedup_exact_shuffles_fingerprint_not_text(spark, sf_dir):
+    """The dedup shuffle must carry the 32-byte fingerprint, not the
+    document body: 'text' may appear only below the Exchange (scan side),
+    never in the Exchange's output attributes."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("dedup_exact")(spark, sf_dir)
+    plan = physical_plan(df)
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+            args = [l for l in block.splitlines() if "Arguments:" in l]
+            assert all("text" not in a for a in args), block
+
+
+def test_tfidf_single_dag_no_driver_count(spark, sf_dir):
+    """N(docs) folds in as a broadcast 1-row agg, so it appears in the
+    PLAN (the old d.count() ran a separate eager job and baked a
+    literal in). Construction may only launch the parquet footer-read
+    jobs a plain table read launches — not a count aggregation."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = len(tracker.getJobIdsForGroup(None))
+        out = fn()
+        return out, len(tracker.getJobIdsForGroup(None)) - before
+
+    _, read_jobs = jobs_during(lambda: t(spark, sf_dir, "documents"))
+    df, build_jobs = jobs_during(lambda: _q("text_tfidf_top")(spark, sf_dir))
+    assert build_jobs <= read_jobs, (build_jobs, read_jobs)
+    assert "__n_docs" in physical_plan(df)
+    assert df.count() == 20

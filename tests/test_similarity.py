@@ -67,3 +67,24 @@ def test_lsh_bucket_contains_query_neighbors(spark, sf_dir):
     q = _query_vec(spark, sf_dir)
     top = S.topk_cosine_lsh(emb, "embedding", "vec_id", q, k=10, n_planes=6).collect()
     assert top and top[0]["vec_id"] == 0
+
+
+def test_near_dup_lsh_finds_planted_pair(spark):
+    """A planted near-identical pair MUST collide in the LSH buckets and
+    survive the cosine verify — guards against the round-2 vacuous check
+    (threshold no fixture pair could reach => 0 rows verified nothing)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0.0, 1.0) for _ in range(64)]
+    near = [x + rng.gauss(0.0, 0.001) for x in base]  # cosine ~0.9999+
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(2, 50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.near_dup_pairs_cosine(
+        df, "embedding", "vec_id", threshold=0.95, n_planes=10
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+    for r in pairs:
+        assert r["cosine_sim"] >= 0.95
