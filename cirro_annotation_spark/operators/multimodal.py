@@ -66,6 +66,49 @@ class FakeCodec:
         raise NotImplementedError("video frame sampling requires ffmpeg — not in container")
 
 
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: one media row fans out to ``n_frames``
+    rows (media_id, frame_idx, frame_len, frame_checksum) via mapInPandas
+    — the one-to-many Arrow-batch shape real video frame extraction uses.
+
+    The DECODE is the deterministic fake chunker (a real deployment swaps
+    FakeCodec.frame_sample / ffmpeg in): frame k of a payload of length L
+    is bytes [k*(L//n) : (k+1)*(L//n)) with the remainder folded into the
+    last frame; checksum = sum of the frame's first 16 bytes % 997. Being
+    byte arithmetic, the whole path gets a real DuckDB oracle — the
+    plumbing under test (schema, fan-out, payload dropped on output) is
+    exactly production-shaped.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                q = len(b) // n_frames
+                for k in range(n_frames):
+                    start = k * q
+                    end = (k + 1) * q if k < n_frames - 1 else len(b)
+                    frame = b[start:end]
+                    ids.append(mid)
+                    idxs.append(k)
+                    lens.append(len(frame))
+                    sums.append(sum(frame[:16]) % 997)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        op,
+        "media_id long, frame_idx int, frame_len long, frame_checksum long",
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, per-partition, the
     real production shape for decode-and-featurize at scale. Payload is

@@ -54,3 +54,34 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "text", "doc_id")
     return M.extract_features(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    # One media row fans out to 4 frames; frame boundaries and checksums
+    # are pure byte arithmetic (ASCII text ⇒ char codes == UTF-8 bytes),
+    # so the mapInPandas fan-out path gets a full hash check.
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text, LENGTH(text) AS L,
+                      LENGTH(text) // 4 AS q
+               FROM documents),
+    f AS (SELECT media_id, text, L, q, UNNEST([0, 1, 2, 3]) AS frame_idx
+          FROM m)
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(CASE WHEN frame_idx < 3 THEN q ELSE L - 3 * q END AS BIGINT)
+             AS frame_len,
+           CAST(list_sum(list_transform(
+                  range(frame_idx * q + 1,
+                        frame_idx * q + 1
+                        + LEAST(16, CASE WHEN frame_idx < 3 THEN q
+                                         ELSE L - 3 * q END)),
+                  i -> ascii(SUBSTRING(text, CAST(i AS INT), 1)))) % 997
+                AS BIGINT) AS frame_checksum
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "text", "doc_id")
+    return M.frame_sample(media, n_frames=4)

@@ -609,3 +609,107 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.min("doc_id").alias("first_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (second-moment family + exact percentiles +
+# ordered string aggregation) — the analytics surface a training-data
+# pipeline leans on for corpus QC dashboards. All are single-exchange
+# partial+final hash aggregations.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_stats_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), {RATIO})                    AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), {RATIO})                       AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), {RATIO})          AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), {MONEY})    AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/correlation/covariance per group — one
+    shuffle of constant-size moment sketches (sum, sum², sum-of-products),
+    never of rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), RATIO).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), RATIO).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), RATIO).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), MONEY).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), {MONEY}) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), {MONEY}) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), {MONEY}) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont: linear interpolation). Grouped percentiles
+    shuffle per-group value multisets; for the GLOBAL no-partition case
+    at 100 TB use approx_percentile (quantile_bucket_global shows the
+    bucket-compare pattern)."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), MONEY).alias("p25"),
+        F.round(F.element_at(pct, 2), MONEY).alias("p50"),
+        F.round(F.element_at(pct, 3), MONEY).alias("p75"),
+    )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG parity): collect_list under a
+    deterministic sort — array_sort AFTER collect makes the result
+    partition-order-proof (collect_list alone is nondeterministic)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path: correlated EXISTS / NOT EXISTS.
+    Catalyst rewrites both subqueries into semi/anti hash joins — the
+    same physical plan the DataFrame join_semi/join_anti queries get,
+    proving SQL-text and DataFrame users hit identical execution."""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"__sq_{name}")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment FROM __sq_customer c
+        WHERE EXISTS (SELECT 1 FROM __sq_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM __sq_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """)

@@ -314,3 +314,27 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "window_cume_dist_pct_rank",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(CUME_DIST()    OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank
+    FROM customer
+    """,
+)
+def window_cume_dist_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (cume_dist / percent_rank) — per-segment
+    partitions keep the sort partition-local, no global-order funnel."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
