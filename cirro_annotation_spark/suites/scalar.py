@@ -302,3 +302,30 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
         F.col("event_type").try_cast("double").alias("bogus_num"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           event_type AS m_type,
+           CAST(LEN(json_keys(props)) AS INT) AS n_keys,
+           CAST(props->>'k' AS BIGINT) AS k_val,
+           array_to_string(json_keys(props), ',') AS keys
+    FROM events
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalars (§2.9 north-star `map_*`): in-plan map
+    construction + from_json into map<string,long> + key/value access —
+    all codegen'd column functions, one narrow scan."""
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(F.lit("type"), F.col("event_type"))
+    pm = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.size(F.map_keys(pm)).alias("n_keys"),
+        F.element_at(pm, "k").alias("k_val"),
+        F.array_join(F.map_keys(pm), ",").alias("keys"),
+    )
