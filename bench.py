@@ -37,6 +37,8 @@ HEADLINE = [
     "join_equi_topk",
     "agg_grouping_sets",
     "sim_near_dup_embeddings",
+    "stream_join_batch",
+    "multimodal_frame_sample",
 ]
 
 

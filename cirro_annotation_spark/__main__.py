@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--data-dir", required=True)
     ex.add_argument("--output-dir", required=True)
 
+    # The reference's ask_dataset prompt (ask_dataset.py:13-34) as a
+    # non-interactive listing: newest first, labeled "{name} - {id}".
+    ch = sub.add_parser("datasets", help="list datasets newest-first")
+    ch.add_argument("--table", required=True, help="parquet file to list")
+    ch.add_argument("--name-col", required=True)
+    ch.add_argument("--id-col", required=True)
+    ch.add_argument("--created-col", required=True)
+    ch.add_argument("--limit", type=int, default=25)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "optimize":
@@ -70,6 +79,20 @@ def main(argv: list[str] | None = None) -> int:
     from cirro_annotation_spark.session import get_spark
 
     spark = get_spark("cirro_annotation_spark_cli")
+    if args.cmd == "datasets":
+        from cirro_annotation_spark.sources.datasets import newest_first_listing
+
+        df = newest_first_listing(
+            spark.read.parquet(args.table),
+            args.name_col,
+            args.id_col,
+            args.created_col,
+            limit=args.limit,
+        )
+        for row in df.collect():
+            print(f"{row['label']}\t{row['created_day']}")
+        return 0
+
     if args.cmd == "execute":
         from cirro_annotation_spark.manifest.executor import execute_manifest
         from cirro_annotation_spark.manifest.model import load_manifest

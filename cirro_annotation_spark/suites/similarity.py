@@ -67,7 +67,34 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_lsh")  # seeded-hyperplane approximate path — rows-only
+def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The LSH path's oracle: the hyperplanes are seeded driver-side
+    constants, so DuckDB can recompute the identical sign-bit buckets
+    from plane literals — upgrading this query from rows-only to a full
+    hash check (a sign flips between engines only if a dot product lands
+    within float-noise of zero; with N(0,8)-scale dots that is ~1e-13
+    probability). repr() keeps full float precision in the SQL text."""
+    planes = S._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ve, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    sig AS (SELECT vec_id, ve, {bucket} AS bucket FROM e),
+    q AS (SELECT ve AS qv, bucket AS qb FROM sig WHERE vec_id = {_QUERY_VEC_ID}),
+    z AS (SELECT s.vec_id,
+                 UNNEST(s.ve) AS x, UNNEST(q.qv) AS y
+          FROM sig s CROSS JOIN q WHERE s.bucket = q.qb)
+    SELECT vec_id,
+           ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cosine_sim
+    FROM z GROUP BY vec_id
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query("sim_topk_lsh", oracle=_lsh_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return S.topk_cosine_lsh(
@@ -115,12 +142,37 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_near_dup_lsh")  # seeded-hyperplane buckets — rows-only
+def _near_dup_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Bucket-join near-dup with plane-literal buckets (same technique as
+    _lsh_oracle): DuckDB reproduces the sign-bit bucketing exactly, so
+    even the LSH candidate-generation stage is hash-checked — the oracle
+    verifies both which pairs collide AND their exact cosines."""
+    planes = S._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ve, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    sig AS (SELECT vec_id, ve, {bucket} AS bucket FROM e),
+    z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 UNNEST(a.ve) AS x, UNNEST(b.ve) AS y
+          FROM sig a JOIN sig b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cosine_sim
+    FROM z GROUP BY id_a, id_b
+    HAVING ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) >= 0.43
+    """
+
+
+@query("sim_near_dup_lsh", oracle=_near_dup_lsh_oracle())
 def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs — the 100 TB path (join only within
-    sign-bit buckets). The random fixture has no true near-dups, so the
-    semantic guarantee (a planted near-identical pair collides and
-    survives) is pinned in tests/test_similarity.py instead."""
+    sign-bit buckets). The planted-pair recall guarantee is pinned in
+    tests/test_similarity.py; the emitted pairs + cosines are
+    hash-checked against the plane-literal oracle."""
     emb = t(spark, sf_dir, "embeddings")
     return S.near_dup_pairs_cosine(
         emb, "embedding", "vec_id", threshold=0.43, n_planes=6
