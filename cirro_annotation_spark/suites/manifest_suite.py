@@ -250,3 +250,69 @@ def dataset_chooser_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return newest_first_listing(
         o, "o_orderpriority", "o_orderkey", "o_orderdate", limit=50
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (§2.1 extension): newline-delimited JSON with an explicit
+# schema — the other lakehouse interchange format next to DSV/parquet.
+# Deterministic fixture so the oracle reads the very same file.
+# ---------------------------------------------------------------------------
+_JSONL_PATH = os.path.join(FIXTURE_ROOT, "jsonl", "records.jsonl")
+
+
+def _jsonl_fixture() -> str:
+    if not os.path.exists(_JSONL_PATH):
+        os.makedirs(os.path.dirname(_JSONL_PATH), exist_ok=True)
+        import json as _json
+
+        tmp = _JSONL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            for i in range(200):
+                f.write(
+                    _json.dumps(
+                        {
+                            "rec_id": i,
+                            "score": round(i * 0.5, 1),
+                            "tag": f"t{i % 5}",
+                            "nested": {"a": i % 7, "b": f"v{i % 3}"},
+                        },
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, _JSONL_PATH)
+    return _JSONL_PATH
+
+
+_jsonl_fixture()  # the driver may run the oracle before the Spark query
+
+
+@query(
+    "scan_jsonl_typed",
+    oracle=f"""
+    SELECT rec_id, score, tag, nested.a AS nested_a, nested.b AS nested_b
+    FROM read_json('{_JSONL_PATH}', format='newline_delimited',
+                   columns={{'rec_id': 'BIGINT', 'score': 'DOUBLE',
+                             'tag': 'VARCHAR',
+                             'nested': 'STRUCT(a BIGINT, b VARCHAR)'}})
+    WHERE tag <> 't3'
+    """,
+)
+def scan_jsonl_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL scan with an EXPLICIT schema (never inferSchema at scale —
+    inference is a second full pass over 100 TB) + nested-struct
+    projection + a pushdown-able predicate."""
+    path = _jsonl_fixture()
+    df = spark.read.schema(
+        "rec_id long, score double, tag string, nested struct<a: long, b: string>"
+    ).json(path)
+    return (
+        df.filter(F.col("tag") != "t3")
+        .select(
+            "rec_id",
+            "score",
+            "tag",
+            F.col("nested.a").alias("nested_a"),
+            F.col("nested.b").alias("nested_b"),
+        )
+    )

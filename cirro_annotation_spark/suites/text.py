@@ -292,3 +292,63 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", X.fingerprint_sha("text").alias("fp"))
+
+
+@query(
+    "pipeline_embedding_centroids",
+    # Cross-family composition: quality-gate documents → join their
+    # embeddings (doc_id = vec_id) → per-lang centroid of the kept docs.
+    # The whole chain re-derived in DuckDB, including the quality gate.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS n_tok,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
+             list_sum(list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                                     x -> LENGTH(x))) AS tok_chars
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang FROM base
+      WHERE (CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END
+             + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0))
+             + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0))
+             + (CASE WHEN (CASE WHEN n_tok > 0 THEN COALESCE(tok_chars, 0) * 1.0 / n_tok ELSE 0.0 END)
+                          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 >= 0.75
+    ), z AS (
+      SELECT g.lang,
+             UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+             GENERATE_SUBSCRIPTS(e.embedding, 1) AS dim
+      FROM gated g JOIN embeddings e ON g.doc_id = e.vec_id
+    )
+    SELECT lang, dim, ROUND(AVG(x), {RATIO}) AS centroid_val, COUNT(*) AS n_docs
+    FROM z WHERE dim <= 4
+    GROUP BY lang, dim
+    """,
+)
+def pipeline_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed documents⋈embeddings pipeline: quality gate (narrow scan
+    column expressions) → equi-join docs to their vectors → per-lang
+    centroid. At scale the gate prunes the doc side BEFORE the join
+    shuffle, and only (doc_id, lang) travels — never text, never the
+    full vector set for gated-out docs."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    gated = d.select(
+        "doc_id", "lang", X.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= 0.75)
+    joined = gated.join(e, gated.doc_id == e.vec_id)
+    return (
+        joined.select(
+            "lang",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .select("lang", (F.col("pos") + 1).alias("dim"), "x")
+        .filter(F.col("dim") <= 4)
+        .groupBy("lang", "dim")
+        .agg(
+            F.round(F.avg("x"), RATIO).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

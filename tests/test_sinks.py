@@ -49,3 +49,43 @@ def test_manifest_json_metadata_sink(spark, tmp_path):
         loaded = load_manifest(json.load(f))
     assert len(loaded.commands) == len(m.commands)
     assert {c.target for c in loaded.commands} == {c.target for c in m.commands}
+
+
+def test_partitioned_parquet_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB layout pattern: write partitioned by a low-cardinality
+    gate column, and a reader filtering on it must prune at the FILE
+    level (PartitionFilters in the scan, non-matching directories never
+    read). This is what makes lang/source/bucket gates free at scale."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    target = str(tmp_path / "docs_by_lang")
+    t(spark, sf_dir, "documents").select("doc_id", "lang", "source").write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(target)
+
+    back = spark.read.parquet(target).filter(F.col("lang") == "en")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    en_dir = os.path.join(target, "lang=en")
+    assert os.path.isdir(en_dir)
+    want = t(spark, sf_dir, "documents").filter(F.col("lang") == "en").count()
+    assert back.count() == want
+
+
+def test_bucketed_table_write(spark, sf_dir, tmp_path):
+    """bucketBy sink: pay the shuffle once at write time; co-located
+    reads join bucket-to-bucket without an exchange (the read-side proof
+    is tests/test_bucketing.py)."""
+    name = "docs_bucketed_sink_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .write.bucketBy(4, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    back = spark.table(name)
+    assert back.count() == t(spark, sf_dir, "documents").count()
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
