@@ -60,3 +60,64 @@ def test_stream_dedup_watermark_counts(spark, sf_dir):
     got = {(r["event_type"], r["n"]) for r in stream_out.collect()}
     want = {(r["event_type"], r["count"]) for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """The watermark's actual job: in APPEND mode, an event arriving
+    after the watermark has passed its window is DROPPED, not merged.
+
+    Four micro-batches (maxFilesPerTrigger=1, single-file parquet so the
+    file source sees them — Spark write output is a DIRECTORY, which the
+    streaming source does not recurse into): 09:00 event → 12:00 event →
+    12:30 event → 09:00:01 straggler. Spark applies a freshly-advanced
+    watermark with one batch of lag (measured on 4.1: a straggler in the
+    very next batch after the advancing event still merges), so the
+    12:30 batch exists to let the 11:50 watermark take effect before the
+    straggler arrives. The 09:00 window must close with n=1."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+        time.sleep(1.1)  # file-source ordering follows modification time
+
+    write("b0.parquet", [(1, "2024-01-01 09:00:00", "a", 1.0)])
+    write("b1.parquet", [(2, "2024-01-01 12:00:00", "a", 1.0)])
+    write("b2.parquet", [(3, "2024-01-01 12:30:00", "a", 1.0)])
+    write("b3.parquet", [(4, "2024-01-01 09:00:01", "a", 1.0)])
+
+    agg = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["ws"], r["n"]) for r in spark.table("late_drop_test").collect()}
+    # The 09:00 window closed with ONLY the on-time event; the straggler
+    # was dropped. The 12:00/12:30 windows never finalize (watermark
+    # stops at 12:20 when the source dries up), so nothing else appears.
+    assert rows == {("09:00", 1)}, rows
