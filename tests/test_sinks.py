@@ -89,3 +89,28 @@ def test_bucketed_table_write(spark, sf_dir, tmp_path):
     back = spark.table(name)
     assert back.count() == t(spark, sf_dir, "documents").count()
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dynamic_partition_overwrite_refreshes_one_partition(spark, sf_dir, tmp_path):
+    """Incremental corpus refresh: with partitionOverwriteMode=dynamic,
+    rewriting ONE lang partition leaves every other partition's files
+    untouched — the update pattern for a partitioned 100 TB corpus
+    (static mode would wipe the whole root)."""
+    target = str(tmp_path / "docs_dyn")
+    base = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    base.write.mode("overwrite").partitionBy("lang").parquet(target)
+    before = {
+        lang: spark.read.parquet(target).filter(F.col("lang") == lang).count()
+        for lang in ("en", "de")
+    }
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        refreshed = base.filter(F.col("lang") == "en").limit(10)
+        refreshed.write.mode("overwrite").partitionBy("lang").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    back = spark.read.parquet(target)
+    assert back.filter(F.col("lang") == "en").count() == 10  # replaced
+    assert back.filter(F.col("lang") == "de").count() == before["de"]  # intact

@@ -121,3 +121,55 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # was dropped. The 12:00/12:30 windows never finalize (watermark
     # stops at 12:20 when the source dries up), so nothing else appears.
     assert rows == {("09:00", 1)}, rows
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restartability: a file-sink stream with a checkpoint, stopped and
+    restarted after new data arrives, processes ONLY the new files — no
+    reprocessing, no duplicates. This is the exactly-once contract that
+    makes a streaming ingest safe to crash anywhere."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ck_src"
+    out = str(tmp_path / "ck_out")
+    ck = str(tmp_path / "ck_state")
+    src.mkdir()
+
+    def write(name, ids):
+        pdf = pd.DataFrame({"event_id": pd.Series(ids, dtype="int64")})
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+        time.sleep(1.1)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long")
+            .parquet(str(src))
+            .withColumn("doubled", F.col("event_id") * 2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("a.parquet", [1, 2, 3])
+    run_once()
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 3]
+
+    write("b.parquet", [4, 5])
+    run_once()  # restart from the SAME checkpoint
+    rows = sorted(
+        (r["event_id"], r["doubled"]) for r in spark.read.parquet(out).collect()
+    )
+    # 1-3 appear exactly once (not reprocessed), 4-5 appended once.
+    assert rows == [(1, 2), (2, 4), (3, 6), (4, 8), (5, 10)], rows
