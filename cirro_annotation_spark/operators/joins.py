@@ -19,6 +19,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row (right_ts <=
     left_ts) within the same partition_key.
@@ -34,6 +35,11 @@ def asof_join(
 
     Tie rule: a right row with right_ts == left_ts IS visible to that left
     row (inclusive as-of), enforced by sorting right-before-left on ts ties.
+
+    ``tolerance_seconds`` (pandas merge_asof parity): when set, a match
+    older than the tolerance is nulled out — the carried right timestamp
+    rides along in the same window pass, so the bound costs zero extra
+    shuffles.
     """
     lcols = left.columns
     tagged_left = left.withColumn("__is_left", F.lit(1)).withColumn(
@@ -53,15 +59,30 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    match_ts = F.last(
+        F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w)
     carried = [
         F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
         for c in right_value_cols
     ]
-    return (
-        unioned.select(*lcols, F.col("__is_left"), *carried)
-        .filter(F.col("__is_left") == 1)
-        .drop("__is_left")
-    )
+    out = unioned.select(
+        *lcols, F.col("__is_left"), F.col("__ts"), match_ts.alias("__match_ts"), *carried
+    ).filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match_ts"))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        out = out.select(
+            *lcols,
+            *[
+                F.when(in_tol, F.col(c + suffix)).alias(c + suffix)
+                for c in right_value_cols
+            ],
+        )
+        return out
+    return out.drop("__is_left", "__ts", "__match_ts")
 
 
 def salted_join(

@@ -338,3 +338,38 @@ def window_cume_dist_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@query(
+    "asof_join_tolerance",
+    # merge_asof(tolerance=...) parity: a purchase older than 2 hours is
+    # no match. Same one-shuffle union+last plan; the bound nulls the
+    # carried value in the same window pass.
+    oracle="""
+    SELECT e.event_id,
+           (SELECT MAX(p.ts) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts
+              AND p.ts >= e.ts - INTERVAL '2 hours') AS ts_asof
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.joins import asof_join
+
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        errors,
+        purchases,
+        partition_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["ts"],
+        tolerance_seconds=7200,
+    )
+    return joined.select("event_id", F.col("ts_asof"))

@@ -52,3 +52,24 @@ def test_salted_join_rejects_right_and_full(spark):
     for bad in ("right", "full", "full_outer", "rightouter"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, "k", how=bad)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 23:00:00")],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:30:00", 100.0)], "ts_s string, px double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "px").withColumn("id", F.lit(0))
+    # both sides share key 0 so the join partitions on a constant
+    left = left.withColumn("key", F.lit(0))
+    right = right.withColumn("key", F.lit(0))
+    out = {
+        r["id"]: r["px_asof"]
+        for r in asof_join(
+            left, right, "key", "ts", "ts", ["px"], tolerance_seconds=3600
+        ).collect()
+    }
+    assert out[1] == 100.0      # 30 min old: within tolerance
+    assert out[2] is None       # 13.5 h old: stale, nulled

@@ -88,3 +88,26 @@ def test_near_dup_lsh_finds_planted_pair(spark):
     assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
     for r in pairs:
         assert r["cosine_sim"] >= 0.95
+
+
+def test_ivf_cells_prune_as_partition_columns(spark, sf_dir, tmp_path):
+    """SCALE.md's claim made executable: materialize the IVF cell id as a
+    parquet partition column, and an nprobe-limited read prunes unprobed
+    cells at the FILE level (PartitionFilters — their directories are
+    never listed into the scan)."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.train_centroids_kmeans(emb, "embedding", "vec_id", k=4, iterations=1)
+    assigned = emb.withColumn(
+        "cell", S._argmin_centroid(F.col("embedding").cast("array<double>"), cents)
+    )
+    target = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(target)
+
+    probed = spark.read.parquet(target).filter(F.col("cell").isin([0, 1]))
+    plan = physical_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    want = assigned.filter(F.col("cell").isin([0, 1])).count()
+    assert probed.count() == want and want > 0
