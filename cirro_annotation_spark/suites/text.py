@@ -352,3 +352,35 @@ def pipeline_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+@query(
+    "split_train_eval",
+    # Reproducible 90/10 corpus split: bucket = first 4 hex chars of
+    # md5(doc_id) mod 100. Hash-based (not sample()-based) so the split
+    # is deterministic across engines, runs, partitionings, and corpus
+    # growth — a doc's assignment never changes when other docs arrive.
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                % 100 AS BIGINT) AS bucket,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train/eval) — the reproducible
+    alternative to df.sample(): pure per-row arithmetic, no shuffle, no
+    RNG state, stable under repartitioning and incremental ingest."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+    )
