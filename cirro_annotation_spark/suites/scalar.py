@@ -329,3 +329,24 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pm, "k").alias("k_val"),
         F.array_join(F.map_keys(pm), ",").alias("keys"),
     )
+
+
+@query(
+    "scalar_explode_outer",
+    # explode_outer vs explode: a row whose array is EMPTY (115 of 500 fixture docs) survives with
+    # a NULL element instead of vanishing — the difference between "doc
+    # has no matches" being observable and silently disappearing.
+    oracle="""
+    WITH n AS (SELECT doc_id, regexp_extract_all(text, 'qu\\w+') AS nums
+               FROM documents)
+    SELECT doc_id, UNNEST(nums) AS num FROM n WHERE LEN(nums) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS num FROM n WHERE LEN(nums) = 0
+    """,
+)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode_outer(F.regexp_extract_all("text", F.lit(r"qu\w+"), 0)).alias("num"),
+    )
