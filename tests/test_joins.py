@@ -73,3 +73,77 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert out[1] == 100.0      # 30 min old: within tolerance
     assert out[2] is None       # 13.5 h old: stale, nulled
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling, observed: a join where 90% of the
+    left rows share one hot key gets its skewed partition SPLIT
+    (skew=true in the executed sort-merge join) instead of one straggler
+    task. This is the default-path answer to skew; salted_join is the
+    manual fallback when AQE can't apply."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 455_000  # join is still correct
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_asof_properties_hypothesis(spark):
+    """Property check over generated event sets: (1) the as-of match is
+    never in the left row's future; (2) it is the MAX eligible right ts;
+    (3) an infinite tolerance equals no tolerance."""
+    from hypothesis import given, settings, strategies as st
+
+    ts0 = 1_700_000_000
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lefts=st.lists(st.integers(0, 5000), min_size=1, max_size=8),
+        rights=st.lists(st.integers(0, 5000), min_size=0, max_size=8),
+    )
+    def prop(lefts, rights):
+        ldf = spark.createDataFrame(
+            [(i, 0, ts0 + s) for i, s in enumerate(lefts)], "id long, k long, sec long"
+        ).select("id", "k", F.timestamp_seconds("sec").alias("ts"))
+        rdf = spark.createDataFrame(
+            [(0, ts0 + s, float(s)) for s in rights] or [(1, ts0, 0.0)],
+            "k long, sec long, val double",
+        ).select("k", F.timestamp_seconds("sec").alias("ts"), "val")
+        out = {
+            r["id"]: r["val_asof"]
+            for r in asof_join(ldf, rdf, "k", "ts", "ts", ["val"]).collect()
+        }
+        out_tol = {
+            r["id"]: r["val_asof"]
+            for r in asof_join(
+                ldf, rdf, "k", "ts", "ts", ["val"], tolerance_seconds=10**9
+            ).collect()
+        }
+        assert out == out_tol  # infinite tolerance == no tolerance
+        for i, ls in enumerate(lefts):
+            eligible = [s for s in rights if s <= ls]
+            want = float(max(eligible)) if eligible else None
+            assert out[i] == want, (i, ls, rights, out)
+
+    prop()
