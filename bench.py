@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_near_dup_embeddings",
     "stream_join_batch",
     "multimodal_frame_sample",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
 ]
 
 

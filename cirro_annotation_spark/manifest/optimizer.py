@@ -6,8 +6,13 @@ The reference PLANNED this pass but never built it —
 remains useful at the manifest level is job-count reduction:
 
 - merge_duplicate_sources: commands reading the same source with the
-  same read options collapse into one command with the union of their
-  projections — one scan instead of N (at 100 TB, N-1 fewer full passes).
+  same read options AND writing the same target collapse into one
+  command with the union of their projections. Same-source commands
+  with DIFFERENT targets are left alone — each declared output must be
+  written (merging them silently dropped the second dataset; round-2
+  advisor finding). De-duplicating the scan across different targets is
+  an executor-level concern (scan once, project per target), not a
+  manifest rewrite.
 - prune_empty_commands: commands whose projection resolves to nothing
   (no cols, no tokens) are dropped with a warning rather than scheduled
   as empty scans.
@@ -36,11 +41,11 @@ def _read_key(cmd: TransformCommand) -> tuple:
 
 def merge_duplicate_sources(manifest: Manifest) -> Manifest:
     """Collapse commands that scan the same source with identical read
-    options into one command carrying the union of their column specs.
-
-    The merged command keeps the FIRST command's target/name/melt (melt
-    specs differing across duplicates are not merged — those commands are
-    left untouched, since a melt changes row cardinality)."""
+    options AND the same target into one command carrying the union of
+    their column specs (the target is part of the merge key — a merge
+    across targets would drop a declared output). Commands whose melt or
+    token specs differ are never merged (a melt changes row
+    cardinality)."""
     merged: dict[tuple, TransformCommand] = {}
     out: list[TransformCommand] = []
     for cmd in manifest.commands:

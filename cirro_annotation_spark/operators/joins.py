@@ -40,49 +40,49 @@ def asof_join(
     older than the tolerance is nulled out — the carried right timestamp
     rides along in the same window pass, so the bound costs zero extra
     shuffles.
+
+    ROW semantics, not per-column: the right side is carried as ONE
+    struct, so every emitted value (and the tolerance timestamp) comes
+    from the SAME most-recent right row — a right row with a NULL value
+    yields NULL, it does not fall through to an older row's value (the
+    per-column last(ignorenulls) formulation had exactly that bug).
     """
     lcols = left.columns
     tagged_left = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
-    tagged_right = (
-        right.select(
-            F.col(partition_key),
-            F.col(right_ts).alias("__ts"),
-            *[F.col(c).alias(c + suffix) for c in right_value_cols],
-        )
-        .withColumn("__is_left", F.lit(0))
+    pack = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c + suffix) for c in right_value_cols],
     )
+    tagged_right = right.select(
+        F.col(partition_key),
+        F.col(right_ts).alias("__ts"),
+        pack.alias("__right"),
+    ).withColumn("__is_left", F.lit(0))
     unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
     w = (
         Window.partitionBy(partition_key)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    match_ts = F.last(
-        F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
-    ).over(w)
-    carried = [
-        F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-        for c in right_value_cols
-    ]
+    matched = F.last("__right", ignorenulls=True).over(w)
     out = unioned.select(
-        *lcols, F.col("__is_left"), F.col("__ts"), match_ts.alias("__match_ts"), *carried
+        *lcols, F.col("__is_left"), F.col("__ts"), matched.alias("__m")
     ).filter(F.col("__is_left") == 1)
+    keep = F.lit(True)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match_ts"))
+        keep = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
             <= int(tolerance_seconds * 1_000_000)
         )
-        out = out.select(
-            *lcols,
-            *[
-                F.when(in_tol, F.col(c + suffix)).alias(c + suffix)
-                for c in right_value_cols
-            ],
-        )
-        return out
-    return out.drop("__is_left", "__ts", "__match_ts")
+    return out.select(
+        *lcols,
+        *[
+            F.when(keep, F.col(f"__m.{c + suffix}")).alias(c + suffix)
+            for c in right_value_cols
+        ],
+    )
 
 
 def salted_join(

@@ -44,7 +44,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # inside that window (round-2 judge finding: alphabetical module import
 # left windows/streaming/text/similarity entirely outside the gate).
 # Names listed here come first (in this order); everything else follows
-# in registration order. Unknown names are ignored (fail-open).
+# in registration order. ordered_queries() fails CLOSED on names that
+# don't resolve — a rename/typo must break loudly, not silently slide a
+# family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # flagship + relational core
     "q1_pricing_summary",
@@ -110,7 +112,13 @@ PRIORITY: list[str] = [
 
 def ordered_queries() -> dict[str, QueryFn]:
     """All registered queries, PRIORITY names first."""
-    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(
+            f"PRIORITY names not registered (rename without updating the "
+            f"list?): {missing}"
+        )
+    ordered = {n: QUERIES[n] for n in PRIORITY}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     return ordered
 

@@ -33,19 +33,24 @@ def newest_first_listing(
 
     Returns (label, dataset_id, created_day): label is the reference's
     ``"{name} - {id}"`` choice string; created_day its formatted-date
-    meta line. Ties on the date break by id descending so the listing is
-    deterministic under any partitioning.
+    meta line. Sorts on the RAW created column (full timestamp
+    precision — sorting the formatted day string would order same-day
+    datasets by id, deviating from the reference's created_at-reverse
+    semantics), with id descending as the deterministic tie-break.
     """
     label = F.concat_ws(" - ", F.col(name_col), F.col(id_col).cast("string"))
     out = (
         df.select(
             label.alias("label"),
             F.col(id_col).alias("dataset_id"),
+            F.col(created_col).alias("__created"),
             F.date_format(F.col(created_col), "yyyy-MM-dd").alias("created_day"),
         )
-        .orderBy(F.col("created_day").desc(), F.col("dataset_id").desc())
+        .orderBy(F.col("__created").desc(), F.col("dataset_id").desc())
     )
-    return out.limit(limit) if limit is not None else out
+    if limit is not None:
+        out = out.limit(limit)
+    return out.drop("__created")
 
 
 def resolve_label(

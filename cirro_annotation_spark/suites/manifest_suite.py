@@ -235,7 +235,7 @@ def manifest_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderkey AS dataset_id,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS created_day
     FROM orders
-    ORDER BY created_day DESC, dataset_id DESC
+    ORDER BY o_orderdate DESC, dataset_id DESC
     LIMIT 50
     """,
 )

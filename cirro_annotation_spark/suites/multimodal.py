@@ -59,8 +59,11 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frame_sample",
     # One media row fans out to 4 frames; frame boundaries and checksums
-    # are pure byte arithmetic (ASCII text ⇒ char codes == UTF-8 bytes),
-    # so the mapInPandas fan-out path gets a full hash check.
+    # are pure byte arithmetic (ASCII text ⇒ char codes == UTF-8 bytes —
+    # a non-ASCII fixture would need OCTET-based oracle arithmetic), so
+    # the mapInPandas fan-out path gets a full hash check. COALESCE
+    # guards the empty-frame case (payload shorter than n_frames →
+    # list_sum over an empty range is NULL in DuckDB, 0 in Python).
     oracle="""
     WITH m AS (SELECT doc_id AS media_id, text, LENGTH(text) AS L,
                       LENGTH(text) // 4 AS q
@@ -71,12 +74,12 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(frame_idx AS INT) AS frame_idx,
            CAST(CASE WHEN frame_idx < 3 THEN q ELSE L - 3 * q END AS BIGINT)
              AS frame_len,
-           CAST(list_sum(list_transform(
+           CAST(COALESCE(list_sum(list_transform(
                   range(frame_idx * q + 1,
                         frame_idx * q + 1
                         + LEAST(16, CASE WHEN frame_idx < 3 THEN q
                                          ELSE L - 3 * q END)),
-                  i -> ascii(SUBSTRING(text, CAST(i AS INT), 1)))) % 997
+                  i -> ascii(SUBSTRING(text, CAST(i AS INT), 1)))), 0) % 997
                 AS BIGINT) AS frame_checksum
     FROM f
     """,

@@ -643,26 +643,33 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentiles_exact",
-    oracle=f"""
+    # Percentiles over an INTEGER-valued column: linear interpolation at
+    # p ∈ {.25,.5,.75} of integers is exact float arithmetic (fractions
+    # are powers of two), so both engines produce bit-identical values.
+    # Over arbitrary doubles (l_extendedprice) the two engines' last-ulp
+    # interpolation differences can straddle a rounding boundary —
+    # caught by self-review at sf0.001 (52724.24 vs .25).
+    oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.25), {MONEY}) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), {MONEY}) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), {MONEY}) AS p75
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark percentile ==
-    DuckDB quantile_cont: linear interpolation). Grouped percentiles
-    shuffle per-group value multisets; for the GLOBAL no-partition case
-    at 100 TB use approx_percentile (quantile_bucket_global shows the
-    bucket-compare pattern)."""
+    """Exact interpolated percentiles per group (same linear-interp
+    definition as DuckDB quantile_cont). Grouped percentiles shuffle
+    per-group value multisets; for the GLOBAL no-partition case at
+    100 TB use approx_percentile (quantile_bucket_global shows the
+    bucket-compare pattern; tests/test_aggregates.py pins the
+    approx-vs-exact error bound)."""
     li = t(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    pct = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.element_at(pct, 1), MONEY).alias("p25"),
-        F.round(F.element_at(pct, 2), MONEY).alias("p50"),
-        F.round(F.element_at(pct, 3), MONEY).alias("p75"),
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
     )
 
 

@@ -111,3 +111,23 @@ def test_simhash_deterministic(spark):
     a = df.select(simhash64("text").alias("s")).collect()
     b = df.select(simhash64("text").alias("s")).collect()
     assert a == b
+
+
+def test_minhash_verify_golden_pairs_nonvacuous(spark):
+    """dedup_minhash_verify's pinned golden candidates belong to the
+    sf0.01 fixture; at that sf the query MUST emit all 25 verified pairs
+    (a 0-row GREEN at another sf is an agreed-empty result, not a check
+    — this pins the non-vacuous case the gate actually runs at)."""
+    import os
+
+    if not os.path.exists("/root/testdata/sf0.01/documents.parquet"):
+        import pytest
+
+        pytest.skip("sf0.01 fixture not present")
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = QUERIES["dedup_minhash_verify"](spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert len(rows) == 25
+    assert all(r["jaccard"] >= 0.5 for r in rows)

@@ -147,3 +147,24 @@ def test_asof_properties_hypothesis(spark):
             assert out[i] == want, (i, ls, rights, out)
 
     prop()
+
+
+def test_asof_null_value_row_is_the_match(spark):
+    """ROW semantics: if the most recent right row carries a NULL value,
+    the as-of result is NULL — it must not fall through to an older
+    row's value (per-column last(ignorenulls) did exactly that)."""
+    left = spark.createDataFrame(
+        [(1, 0, "2024-01-01 11:00:00")], "id long, k long, ts_s string"
+    ).select("id", "k", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(0, "2024-01-01 09:00:00", 100.0), (0, "2024-01-01 10:59:00", None)],
+        "k long, ts_s string, px double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "px")
+    out = asof_join(left, right, "k", "ts", "ts", ["px"]).collect()
+    assert out[0]["px_asof"] is None
+    # and with a 1h tolerance the (in-tolerance, NULL-valued) row still
+    # wins — the stale 09:00 value must not leak through the bound
+    out_tol = asof_join(
+        left, right, "k", "ts", "ts", ["px"], tolerance_seconds=3600
+    ).collect()
+    assert out_tol[0]["px_asof"] is None
