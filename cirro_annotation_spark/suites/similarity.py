@@ -129,14 +129,19 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest). The unbounded-corpus path is sim_near_dup_lsh."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     v = F.col("embedding").cast("array<double>")
-    sl = emb.select(F.col("vec_id").alias("__id"), v.alias("__v"))
+    # norms precomputed per vector (not per pair) — same arithmetic,
+    # one fold per vector instead of two per candidate pair
+    sl = emb.select(
+        F.col("vec_id").alias("__id"), v.alias("__v"), S.l2_norm(v).alias("__n")
+    )
     a, b = sl.alias("a"), sl.alias("b")
+    sim = S.dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(S.cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.43)
     )
