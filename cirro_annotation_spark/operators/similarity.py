@@ -39,6 +39,17 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_to_query(v: F.Column, query_vec: list[float]) -> F.Column:
+    """Cosine against a constant query vector with the query's norm
+    folded driver-side: per row this costs one dot + one norm instead
+    of one dot + two norms (the query norm is the same number for every
+    row). Python's left-to-right sum matches F.aggregate's fold order,
+    so the value is bit-identical to cosine(v, lit(q))."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    return dot(v, q) / (l2_norm(v) * F.lit(qn))
+
+
 def topk_cosine_bruteforce(
     df: DataFrame,
     vec_col: str,
@@ -52,8 +63,7 @@ def topk_cosine_bruteforce(
     scan computes one fused expression per row; TakeOrderedAndProject
     keeps per-partition top-k then merges — no shuffle of the corpus.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    sim = cosine_to_query(F.col(vec_col).cast("array<double>"), query_vec)
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
@@ -105,11 +115,10 @@ def topk_cosine_lsh(
         if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
             qsig |= 1 << i
     v = F.col(vec_col).cast("array<double>")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("__bucket", lsh_bucket(v, planes))
         .filter(F.col("__bucket") == qsig)
-        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine_sim"))
+        .select(F.col(id_col), F.round(cosine_to_query(v, query_vec), 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -204,11 +213,10 @@ def ivf_topk_cosine(
     order = sorted(range(len(centroids)), key=lambda c: _d2(centroids[c], query_vec))
     probe = order[:nprobe]
     v = F.col(vec_col).cast("array<double>")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("__cell", _argmin_centroid(v, centroids))
         .filter(F.col("__cell").isin(probe))
-        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine_sim"))
+        .select(F.col(id_col), F.round(cosine_to_query(v, query_vec), 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )

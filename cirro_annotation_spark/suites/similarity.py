@@ -46,10 +46,10 @@ def sim_cosine_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of every vector vs the query vector — the exact kernel,
     verified value-by-value (no top-k boundary effects)."""
     emb = t(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(v) for v in _query_vec(spark, sf_dir)])
     v = F.col("embedding").cast("array<double>")
     return emb.select(
-        "vec_id", F.round(S.cosine(v, q), 6).alias("cosine_sim")
+        "vec_id",
+        F.round(S.cosine_to_query(v, _query_vec(spark, sf_dir)), 6).alias("cosine_sim"),
     )
 
 
