@@ -261,3 +261,45 @@ def near_dup_pairs_cosine(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id_col: str,
+    corpus_id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Batched top-k cosine join: for every query vector, its k nearest
+    corpus vectors. The query side broadcasts (batches are small — if
+    yours isn't, bucket both sides with lsh_bucket and join on the
+    bucket instead); per (query, corpus) pair one dot product — both
+    norms are precomputed per VECTOR on their own side before the join.
+    Per-query ranking is a window over the query id: each query's top-k
+    resolves independently, so the work spreads across tasks keyed by
+    query — no global sort.
+    """
+    from pyspark.sql import Window
+
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("__qv"),
+        l2_norm(qv).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id_col).alias("neighbor_id"),
+        qv.alias("__cv"),
+        l2_norm(qv).alias("__cn"),
+    )
+    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

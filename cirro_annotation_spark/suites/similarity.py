@@ -223,3 +223,42 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
     )
+
+
+@query(
+    "sim_knn_join_batch",
+    # Batched kNN: top-3 neighbors for each of the first 5 query vectors
+    # (self-match excluded by the id inequality on both sides).
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    z AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 UNNEST(q.ve) AS x, UNNEST(c.ve) AS y
+          FROM q JOIN e c ON q.vec_id <> c.vec_id),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cosine_sim
+          FROM z GROUP BY query_id, neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def sim_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join (operators/similarity.knn_join): 5 query vectors,
+    top-3 each, self-matches excluded."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = S.knn_join(q, emb, "vec_id", "vec_id", "embedding", k=3 + 1)
+    # exclude self-matches, then re-rank to top-3
+    from pyspark.sql import Window
+
+    filtered = out.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        filtered.select("query_id", "neighbor_id", "cosine_sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

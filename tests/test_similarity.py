@@ -111,3 +111,17 @@ def test_ivf_cells_prune_as_partition_columns(spark, sf_dir, tmp_path):
     assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     want = assigned.filter(F.col("cell").isin([0, 1])).count()
     assert probed.count() == want and want > 0
+
+
+def test_knn_join_self_match_ranks_first(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.knn_join(q, emb, "vec_id", "vec_id", "embedding", k=5).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 1, 2}
+    for qid, rows in by_query.items():
+        assert len(rows) == 5
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == qid and best["cosine_sim"] == 1.0
