@@ -384,3 +384,83 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 90, "train").otherwise("eval").alias("split"),
     )
+
+
+@query(
+    "text_zipf_histogram",
+    # Frequency-of-frequencies (the Zipf diagnostic a corpus QC dashboard
+    # plots log-log): two stacked aggregations — token counts, then a
+    # histogram over the counts. Both shuffles carry tiny keyed partials.
+    oracle="""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS tf
+      FROM (SELECT UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY token
+    )
+    SELECT tf AS token_freq, COUNT(*) AS n_tokens_with_freq
+    FROM tf GROUP BY tf
+    """,
+)
+def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy(F.col("tf").alias("token_freq")).agg(
+        F.count(F.lit(1)).alias("n_tokens_with_freq")
+    )
+
+
+@query(
+    "corpus_health_report",
+    # The per-(lang, source) QC dashboard in one query: volume, exact
+    # duplicate rate (1 - distinct fingerprints / docs), mean quality.
+    # One scan + one keyed aggregation; the fingerprint distinct rides
+    # the same shuffle as the group keys.
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(1.0 - COUNT(DISTINCT REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) * 1.0
+                       / COUNT(*), {RATIO}) AS dup_rate,
+           ROUND(AVG((CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END
+                 + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0))
+                 + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END * 5.0, 1.0))
+                 + (CASE WHEN (CASE WHEN n_tok > 0 THEN COALESCE(tok_chars, 0) * 1.0 / n_tok ELSE 0.0 END)
+                              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0), {RATIO}) AS mean_quality
+    FROM (
+      SELECT lang, source, text,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS n_tok,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
+             list_sum(list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                                     x -> LENGTH(x))) AS tok_chars
+      FROM documents)
+    GROUP BY lang, source
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus QC dashboard: per (lang, source) volume, exact-dup
+    rate, and mean quality in ONE aggregation pass."""
+    from cirro_annotation_spark.operators.text import fingerprint_sha
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            "source",
+            fingerprint_sha("text").alias("__fp"),
+            X.quality_score("text").alias("__q"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                1.0 - F.count_distinct("__fp") / F.count(F.lit(1)), RATIO
+            ).alias("dup_rate"),
+            F.round(F.avg("__q"), RATIO).alias("mean_quality"),
+        )
+    )
