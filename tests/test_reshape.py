@@ -69,3 +69,30 @@ def test_interval_overlap_join(spark):
     # exact expectation: [0,100]x[90,210] overlap, [200,300]x[90,210]
     # overlap, [50,60]x[10,55] overlap; nothing touches [500,600]
     assert got == {(1, 0, 90), (1, 200, 90), (2, 50, 10)}
+
+
+def test_melt_pivot_inverse_property(spark):
+    """SURVEY §5.3's melt⇄pivot inverse, as a hypothesis property: for a
+    generated wide frame, melt → pivot(first) reconstructs exactly the
+    original (ids, value columns) content."""
+    from hypothesis import given, settings, strategies as st
+
+    from cirro_annotation_spark.operators.reshape import melt
+
+    vals = st.integers(min_value=-1000, max_value=1000)
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=st.lists(st.tuples(vals, vals, vals), min_size=1, max_size=6,
+                         unique_by=lambda r: r[0]))
+    def prop(rows):
+        wide = spark.createDataFrame(rows, "id long, a long, b long")
+        long = melt(wide, ["id"], ["a", "b"], "k", "v")
+        assert long.count() == 2 * len(rows)
+        back = (
+            long.groupBy("id").pivot("k", ["a", "b"]).agg(F.first("v"))
+        )
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(rows)
+        assert got == want, (got, want)
+
+    prop()
