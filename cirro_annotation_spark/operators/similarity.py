@@ -268,21 +268,29 @@ def knn_join(
     corpus: DataFrame,
     query_id_col: str,
     corpus_id_col: str,
-    vec_col: str,
+    query_vec_col: str,
+    corpus_vec_col: str | None = None,
     k: int = 10,
 ) -> DataFrame:
     """Batched top-k cosine join: for every query vector, its k nearest
-    corpus vectors. The query side broadcasts (batches are small — if
-    yours isn't, bucket both sides with lsh_bucket and join on the
-    bucket instead); per (query, corpus) pair one dot product — both
+    corpus vectors. The query side broadcasts (batches are small — for
+    corpus-×-corpus scale, bucket both sides with lsh_bucket and join on
+    the bucket instead); per (query, corpus) pair one dot product — both
     norms are precomputed per VECTOR on their own side before the join.
-    Per-query ranking is a window over the query id: each query's top-k
-    resolves independently, so the work spreads across tasks keyed by
-    query — no global sort.
+
+    Top-k resolves in TWO stages so no single task ever ranks a query's
+    full corpus-sized candidate list: a pre-top-k keyed by (query, input
+    partition) — parallelism = queries × partitions, so no funnel — then
+    the final per-query window ranks at most k · n_partitions survivors.
+
+    ``corpus_vec_col`` defaults to ``query_vec_col`` when both frames
+    name their vector column the same way.
     """
     from pyspark.sql import Window
 
-    qv = F.col(vec_col).cast("array<double>")
+    corpus_vec_col = corpus_vec_col or query_vec_col
+    qv = F.col(query_vec_col).cast("array<double>")
+    cv = F.col(corpus_vec_col).cast("array<double>")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         qv.alias("__qv"),
@@ -290,16 +298,20 @@ def knn_join(
     )
     c = corpus.select(
         F.col(corpus_id_col).alias("neighbor_id"),
-        qv.alias("__cv"),
-        l2_norm(qv).alias("__cn"),
+        cv.alias("__cv"),
+        l2_norm(cv).alias("__cn"),
     )
     sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim")
     )
+    order = (F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    w_final = Window.partitionBy("query_id").orderBy(*order)
     return (
-        c.crossJoin(F.broadcast(q))
-        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+        .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
     )

@@ -116,7 +116,7 @@ def test_ivf_cells_prune_as_partition_columns(spark, sf_dir, tmp_path):
 def test_knn_join_self_match_ranks_first(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
-    out = S.knn_join(q, emb, "vec_id", "vec_id", "embedding", k=5).collect()
+    out = S.knn_join(q, emb, "vec_id", "vec_id", "embedding", corpus_vec_col="embedding", k=5).collect()
     by_query = {}
     for r in out:
         by_query.setdefault(r["query_id"], []).append(r)
