@@ -62,6 +62,13 @@ class FakeCodec:
         raise NotImplementedError("image resize requires Pillow — not in container")
 
     @staticmethod
+    def resize_fake(payload: bytes, factor: int = 2) -> bytes:
+        """Deterministic stand-in for a downscale: keep every
+        ``factor``-th byte. Exercises the binary→binary plumbing with
+        verifiable arithmetic; a real deployment swaps resize() in."""
+        return payload[::factor]
+
+    @staticmethod
     def frame_sample(payload: bytes, every_n: int) -> list[bytes]:
         raise NotImplementedError("video frame sampling requires ffmpeg — not in container")
 
@@ -106,6 +113,34 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(
         op,
         "media_id long, frame_idx int, frame_len long, frame_checksum long",
+    )
+
+
+def resize_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Binary→binary transform plumbing (the resize/transcode shape):
+    unlike extract_features, the OUTPUT carries a payload — the one
+    multimodal case where blob bytes legitimately flow through the
+    plan. Rules at scale: transform immediately after the scan (no
+    shuffle between), write immediately after (partition the sink, cap
+    file sizes), and keep only derived metadata for anything keyed.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: FakeCodec.resize_fake(bytes(b), factor)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        op, "media_id long, kind string, payload binary, n_bytes long"
     )
 
 

@@ -88,3 +88,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "text", "doc_id")
     return M.frame_sample(media, n_frames=4)
+
+
+@query(
+    "multimodal_resize",
+    # Binary→binary transform: fake resize keeps every 2nd byte (ASCII
+    # text ⇒ every 2nd char). Output payload verified by sha256 — both
+    # engines hash the same derived bytes.
+    oracle="""
+    WITH r AS (
+      SELECT doc_id AS media_id,
+             list_reduce(list_transform(range(1, LENGTH(text) + 1, 2),
+                                        i -> SUBSTRING(text, CAST(i AS INT), 1)),
+                         (a, b) -> a || b) AS resized_text
+      FROM documents)
+    SELECT media_id,
+           'text/fake' AS kind,
+           CAST(OCTET_LENGTH(ENCODE(resized_text)) AS BIGINT) AS n_bytes,
+           SHA256(resized_text) AS resized_sha
+    FROM r
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "text", "doc_id")
+    resized = M.resize_payloads(media, factor=2)
+    return resized.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.sha2("payload", 256).alias("resized_sha"),
+    )

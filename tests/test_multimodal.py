@@ -49,3 +49,18 @@ def test_codec_stubs_raise(spark):
         M.FakeCodec.resize(b"x", 2, 2)
     with pytest.raises(NotImplementedError):
         M.FakeCodec.frame_sample(b"x", 2)
+
+
+def test_resize_payloads_decimates_bytes(spark, sf_dir):
+    media = _media(spark, sf_dir, n=10)
+    out = M.resize_payloads(media, factor=2)
+    joined = (
+        out.select("media_id", F.col("n_bytes").alias("resized_bytes"))
+        .join(media.select("media_id", "n_bytes"), "media_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r["resized_bytes"] == (r["n_bytes"] + 1) // 2  # every 2nd byte
+    row = out.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
