@@ -161,3 +161,40 @@ def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.1)
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    # Edit-distance fuzzy matching on a fixed id-slice of 40-char
+    # prefixes (the verify-kernel twin for typo-level near-dups, where
+    # token-level Jaccard is blind). Integer metric — engine-exact.
+    # Threshold 22 yields 44 pairs at sf0.01 (min distance in the random
+    # fixture is 19, so the check is non-vacuous by construction).
+    oracle="""
+    WITH s AS (SELECT doc_id, SUBSTRING(text, 1, 40) AS prefix
+               FROM documents WHERE doc_id < 120)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 22
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy pairs (Levenshtein on a bounded prefix,
+    sliced all-pairs): the typo-dedup kernel. At corpus scale the
+    all-pairs stage is replaced by a blocking key (simhash chunk or
+    length band) exactly like the MinHash banding — the kernel is what
+    this query verifies."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    s = d.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 22)
+    )

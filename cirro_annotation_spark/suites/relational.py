@@ -789,3 +789,40 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "agg_quarter_over_quarter",
+    # Composition: time-bucketed aggregation + window lag = period-over-
+    # period growth, the standard reporting query. One agg exchange plus
+    # one window exchange on the (tiny) quarter keys.
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+             ROUND(SUM(o_totalprice), {MONEY}) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, qtr, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY yr, qtr), {MONEY}) AS qoq_delta
+    FROM q
+    """,
+)
+def agg_quarter_over_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    q = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), MONEY).alias("revenue"))
+    )
+    # the window is over ~28 quarter rows — a single-partition sort of a
+    # post-aggregation frame, not of the data
+    w = Window.orderBy("yr", "qtr")
+    return q.select(
+        "yr", "qtr", "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), MONEY).alias("qoq_delta"),
+    )

@@ -350,3 +350,31 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode_outer(F.regexp_extract_all("text", F.lit(r"qu\w+"), 0)).alias("num"),
     )
+
+
+@query(
+    "scalar_hof_exists_forall",
+    # Higher-order predicates over arrays: exists / forall / filter-count
+    # — all JVM-side lambda expressions, one narrow scan.
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+                 FROM documents)
+    SELECT doc_id,
+           LEN(list_filter(toks, x -> LENGTH(x) > 8)) AS n_long_tokens,
+           CAST(LEN(list_filter(toks, x -> LOWER(x) = 'the')) > 0 AS BOOLEAN) AS has_the,
+           CAST(LEN(list_filter(toks, x -> LENGTH(x) < 20)) = LEN(toks) AS BOOLEAN) AS all_short
+    FROM tok
+    """,
+)
+def scalar_hof_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 8)).alias("n_long_tokens"),
+        F.exists(toks, lambda x: F.lower(x) == "the").alias("has_the"),
+        F.forall(toks, lambda x: F.length(x) < 20).alias("all_short"),
+    )
