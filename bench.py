@@ -41,6 +41,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "q3_shipping_priority",
     "q6_revenue_forecast",
+    "corpus_health_report",
 ]
 
 

@@ -140,3 +140,19 @@ def test_tfidf_single_dag_no_driver_count(spark, sf_dir):
     assert build_jobs <= read_jobs, (build_jobs, read_jobs)
     assert "__n_docs" in physical_plan(df)
     assert df.count() == 20
+
+
+def test_q6_predicates_all_pushed_single_exchange(spark, sf_dir):
+    df = _q("q6_revenue_forecast")(spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert count_exchanges(df) == 1  # partial->final agg only
+
+
+def test_q3_broadcast_chain_no_sortmerge(spark, sf_dir):
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q3_shipping_priority")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) == 1  # only the grouped agg shuffles
