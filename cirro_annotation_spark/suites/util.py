@@ -34,10 +34,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons line up. The conversion is a cheap per-row projection that
     pipelines inside the scan stage — no shuffle, scale-neutral.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked by the hosting driver; the read may still work
+    # Full runtime tuning, not just the nanos conf: the driver invokes
+    # query callables on its OWN session, and oracle parity needs the
+    # UTC session timezone (date_format/window queries) as much as the
+    # nanos read conf. tune_existing is idempotent and swallows locked
+    # confs, so calling it per-read is safe and makes every query
+    # self-sufficient on any session.
+    from cirro_annotation_spark.session import tune_existing
+
+    tune_existing(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
