@@ -22,6 +22,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _label(name_col: str, id_col: str) -> F.Column:
+    """The reference's ``"{name} - {id}"`` choice string. A NULL name
+    renders as the visible marker ``"<null>"`` rather than being silently
+    dropped (``concat_ws`` skips NULLs, which would relabel a NULL-named
+    dataset as just ``"<id>"`` — a label the reference's rendering could
+    never produce; round-3 advice)."""
+    return F.concat(
+        F.coalesce(F.col(name_col).cast("string"), F.lit("<null>")),
+        F.lit(" - "),
+        F.col(id_col).cast("string"),
+    )
+
+
 def newest_first_listing(
     df: DataFrame,
     name_col: str,
@@ -38,7 +51,7 @@ def newest_first_listing(
     datasets by id, deviating from the reference's created_at-reverse
     semantics), with id descending as the deterministic tie-break.
     """
-    label = F.concat_ws(" - ", F.col(name_col), F.col(id_col).cast("string"))
+    label = _label(name_col, id_col)
     out = (
         df.select(
             label.alias("label"),
@@ -60,7 +73,7 @@ def resolve_label(
     scan over choices). One equality filter — pushdown-able — plus a
     single-row driver fetch; raises ValueError on no match (the
     reference's ``InputError`` path)."""
-    lbl = F.concat_ws(" - ", F.col(name_col), F.col(id_col).cast("string"))
+    lbl = _label(name_col, id_col)
     row = df.filter(lbl == F.lit(label)).select(F.col(id_col)).first()
     if row is None:
         raise ValueError(f"no dataset matches label {label!r}")

@@ -94,13 +94,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     # Binary→binary transform: fake resize keeps every 2nd byte (ASCII
     # text ⇒ every 2nd char). Output payload verified by sha256 — both
-    # engines hash the same derived bytes.
+    # engines hash the same derived bytes. The CASE guard keeps the
+    # oracle total over empty text (list_reduce errors on an empty list
+    # in DuckDB — round-3 advice), matching Spark's '' output.
     oracle="""
     WITH r AS (
       SELECT doc_id AS media_id,
-             list_reduce(list_transform(range(1, LENGTH(text) + 1, 2),
-                                        i -> SUBSTRING(text, CAST(i AS INT), 1)),
-                         (a, b) -> a || b) AS resized_text
+             CASE WHEN LENGTH(text) = 0 THEN ''
+                  ELSE list_reduce(list_transform(range(1, LENGTH(text) + 1, 2),
+                                                  i -> SUBSTRING(text, CAST(i AS INT), 1)),
+                                   (a, b) -> a || b)
+             END AS resized_text
       FROM documents)
     SELECT media_id,
            'text/fake' AS kind,

