@@ -86,11 +86,13 @@ PRIORITY: list[str] = [
     "text_tfidf_top",
     "text_fingerprint",
     "pipeline_training_data",
-    # similarity family (oracle-backed members)
+    # similarity family (oracle-backed members; ivf = pinned-centroid
+    # literals, round-4)
     "sim_cosine_all",
     "sim_topk_cosine",
     "sim_centroid_per_label",
     "sim_near_dup_embeddings",
+    "sim_topk_ivf",
     # dedup family
     "dedup_exact",
     "dedup_exact_counts",
@@ -100,9 +102,12 @@ PRIORITY: list[str] = [
     # multimodal family
     "multimodal_binary_stats",
     "multimodal_extract_features",
-    # manifest family
+    # manifest family (melt_standard + file_to_columns rotated out in
+    # round 4 to fit sim_topk_ivf + join_salted_skew — the melt shape is
+    # still in-window via melt_unpivot, the join-file shape via the
+    # harvest/roundtrip reps, and both rotated queries stay hash-checked
+    # in the local 108-query sweep)
     "manifest_variable_family",
-    "manifest_melt_standard",
     "manifest_project_dictionary",
     "manifest_harvest_columns",
     "manifest_file_to_columns",
