@@ -53,6 +53,7 @@ PRIORITY: list[str] = [
     "join_multiway",
     "join_equi_topk",
     "join_range_band",
+    "join_salted_skew",
     "agg_grouping_sets",
     "agg_rollup",
     "melt_unpivot",
@@ -110,7 +111,6 @@ PRIORITY: list[str] = [
     "manifest_variable_family",
     "manifest_project_dictionary",
     "manifest_harvest_columns",
-    "manifest_file_to_columns",
     "manifest_roundtrip_tokens",
 ]
 

@@ -142,6 +142,21 @@ def test_tfidf_single_dag_no_driver_count(spark, sf_dir):
     assert df.count() == 20
 
 
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted-skew query must actually join on (key, salt): the salt
+    column appears in the join's shuffle, the join is a ShuffledHashJoin
+    (hinted — broadcast would make salting moot), and no broadcast join
+    sneaks in. With ~80% of rows on one key, partitioning WITHOUT the
+    salt would put 80% of the fact table on one reducer."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("join_salted_skew")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "__salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_similarity_construction_launches_no_job(spark, sf_dir):
     """The query vector folds in as a broadcast 1-row frame
     (operators.similarity.query_vector_frame) — constructing any sim_*
