@@ -870,3 +870,196 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), MONEY).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H parity widening (round 4): q5 / q10 / q14 / q18 adapted to the
+# fixture's column subset. Scale notes inline; tiny dims broadcast
+# explicitly, fact-fact joins left to Catalyst/AQE (broadcast at test
+# scale, sort-merge at 100 TB — both correct).
+#
+# Revenue sums run in EXACT DECIMAL, not double: price/discount quantize
+# to cents once (deterministic from identical double bits), then
+# multiply/sum/round are exact integer arithmetic in BOTH engines — a
+# double-summation formulation differs between engines by add order,
+# which flipped a ROUND(x, 2) knife-edge in q10 during development
+# (Spark 307843.60 vs DuckDB 307843.59). Final cast back to DOUBLE for
+# a stable output schema.
+# ---------------------------------------------------------------------------
+def _rev_dec() -> F.Column:
+    # built lazily — Column construction needs an active SparkContext,
+    # and suite modules import before any session exists
+    return F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+_REV_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(3,2)))"
+)
+@query(
+    "q5_local_supplier_volume",
+    # Six-table join; revenue per nation for one region-year, with the
+    # TPC-H c_nationkey = s_nationkey "local supplier" constraint. The
+    # nation⋈region subtree and supplier are broadcast dims; lineitem
+    # never shuffles for the joins, only for the final agg.
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(ROUND(SUM({_REV_DEC_SQL}), {MONEY}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_rev_dec()), MONEY).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    # Top-20 customers by revenue lost to returns in one quarter.
+    # lineitem filters to returnflag='R' at the scan; the quarter filter
+    # pushes into the orders scan; nation broadcasts; the top-20 is a
+    # TakeOrderedAndProject after the grouped agg.
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM({_REV_DEC_SQL}), {MONEY}) AS DOUBLE) AS revenue,
+           n_name AS nation
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_rev_dec()), MONEY).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    # One-month promo revenue share: a single scalar from a
+    # lineitem⋈part join — part prunes to (partkey, type) and
+    # broadcasts; the month filter pushes into the lineitem scan;
+    # conditional agg folds both sums into one pass.
+    oracle=f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN {_REV_DEC_SQL}
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_REV_DEC_SQL}) AS DOUBLE), {RATIO})
+             AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type").startswith("PROMO"), _rev_dec()).otherwise(
+        F.lit(0).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(_rev_dec()).cast("double"),
+                RATIO,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    # Customers whose single orders exceed 180 units: the HAVING
+    # subquery becomes a grouped agg + semi-join (no IN-list collect);
+    # lineitem aggregates by orderkey ONCE and the heavy-order frame
+    # reuses it for both the semi filter and the final sum.
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), {MONEY}) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 180)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round(F.col("__qty"), MONEY).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
