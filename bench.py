@@ -48,6 +48,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q6_revenue_forecast",
     "corpus_health_report",
+    # round 4: skew-salted join, 6-table TPC-H q5, IVF vs brute-force
+    # (sim_topk_ivf probes 3 of 8 cells — its delta vs sim_topk_cosine
+    # is the ANN speedup evidence)
+    "join_salted_skew",
+    "q5_local_supplier_volume",
+    "sim_topk_ivf",
 ]
 
 
