@@ -1,0 +1,100 @@
+"""Synthesize a scaled events tier and pressure-test the event-family queries.
+
+The driver testdata stops at sf0.1 (100k events), where fixed costs
+dominate (SCALE.md round-3 sweep). This builds an N× events tier
+(default 100× = 10M rows) by replicating the REAL sf0.1 events with
+disjoint user_id/event_id ranges per copy — session structure per user
+is preserved exactly, so sessionize/window/streaming outputs scale
+linearly and every DuckDB oracle still applies. Timestamps keep the
+original TIMESTAMP(NANOS) physical type (pyarrow ns), so the scaled
+tier exercises the same nanos normalization path as the driver data.
+
+Usage:
+    python scripts/scale_events_tier.py [N]          # build /tmp/sf_events{N}x
+    python scripts/check_correctness.py --sf-dir /tmp/sf_events{N}x \
+        sessionize_gap window_time_range_sum ...     # correctness at N×
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings",
+]
+
+# Event-family queries that read the events table (windows + streaming
+# batch twins + quantile bucketing).
+EVENT_QUERIES = [
+    "sessionize_gap",
+    "window_time_range_sum",
+    "window_running_sum",
+    "window_rank_topk_per_group",
+    "first_of_group",
+    "quantile_bucket_global",
+    "stream_tumbling_batch",
+    "stream_sliding_batch",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "asof_join_last_purchase",
+]
+
+
+def build(n_copies: int) -> str:
+    out_dir = f"/tmp/sf_events{n_copies}x"
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{SRC}/events.parquet")
+    offset = 10_000_000
+    copies = []
+    for i in range(n_copies):
+        t = src
+        if i:
+            t = t.set_column(
+                t.schema.get_field_index("event_id"), "event_id",
+                pc.add(t["event_id"], i * offset),
+            ).set_column(
+                t.schema.get_field_index("user_id"), "user_id",
+                pc.add(t["user_id"], i * offset),
+            )
+        copies.append(t)
+    big = pa.concat_tables(copies)
+    pq.write_table(big, f"{out_dir}/events.parquet")
+    for name in TABLES:
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"built {out_dir}: {big.num_rows} events ({n_copies}x)")
+    return out_dir
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out_dir = build(n)
+
+    from cirro_annotation_spark.session import get_spark
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    spark = get_spark("scale-events")
+    times = {}
+    for name in EVENT_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name:32s} {times[name]:8.3f} s")
+    print(f"total {sum(times.values()):.3f} s at {n}x "
+          f"(oracle-check via scripts/check_correctness.py --sf-dir {out_dir})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
