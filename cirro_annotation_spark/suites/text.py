@@ -464,3 +464,79 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("__q"), RATIO).alias("mean_quality"),
         )
     )
+
+
+@query(
+    "text_decontaminate_ngram",
+    # Train/eval decontamination — the training-data hygiene staple: an
+    # eval document is contaminated if it shares any 8-gram with any
+    # train document. Reuses split_train_eval's deterministic md5
+    # bucketing, so both engines derive the identical split. Scale
+    # shape: tokenize → 8-gram explode → per-side (gram, doc) distinct
+    # → equi-join on gram → per-eval-doc agg. Both sides are large at
+    # corpus scale, so the gram join is a hash shuffle (no broadcast) —
+    # exactly the dedup-exact exchange discipline: grams travel, text
+    # does not. Skew (a boilerplate gram in millions of docs) is the
+    # known hazard; the production mitigation is dropping grams above a
+    # document-frequency cap before the join (cheap pre-agg), the same
+    # stopword idea as text_tfidf.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split,
+             list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, split, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      FROM s, UNNEST(range(1, len(w) - 6)) AS t(i)),
+    tr AS (SELECT DISTINCT gram, doc_id FROM g WHERE split = 'train'),
+    ev AS (SELECT DISTINCT gram, doc_id FROM g WHERE split = 'eval')
+    SELECT ev.doc_id,
+           COUNT(DISTINCT ev.gram) AS n_shared_ngrams,
+           COUNT(DISTINCT tr.doc_id) AS n_train_docs
+    FROM ev JOIN tr ON ev.gram = tr.gram
+    GROUP BY ev.doc_id
+    """,
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated eval docs (shared 8-grams vs the train split), with
+    how many distinct 8-grams and train docs each one collides with."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    toks = d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+        X.tokens("text").alias("__w"),
+    )
+    # sequence(1, n-7) is DESCENDING when n < 8 (Spark generates
+    # backwards sequences) — guard short docs to an empty gram list
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.when(
+                F.size("__w") >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 7),
+                    lambda i: F.array_join(F.slice("__w", i, 8), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    tr = grams.filter(F.col("split") == "train").select(
+        "gram", F.col("doc_id").alias("__train_doc")
+    ).distinct()
+    ev = grams.filter(F.col("split") == "eval").select("gram", "doc_id").distinct()
+    return (
+        ev.join(tr, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("__train_doc").alias("n_train_docs"),
+        )
+    )
