@@ -373,3 +373,64 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=7200,
     )
     return joined.select("event_id", F.col("ts_asof"))
+
+
+@query(
+    "window_funnel_stages",
+    # Ordered-funnel analytics (view → click-after-view →
+    # purchase-after-that): the oracle states it as a chain of
+    # conditional-min joins; the Spark plan computes it in ONE shuffle —
+    # running "stage reached so far" flags over a per-user µs-precision
+    # RANGE frame (RANGE, not ROWS, so an event tied to the same
+    # timestamp as its predecessor stage counts, exactly matching the
+    # oracle's >= semantics), then a per-user max + global sum. At
+    # 100 TB this is one sort per user partition vs the oracle's three
+    # self-joins — the window formulation is the scale path.
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def window_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users reaching each funnel stage in order, single-shuffle."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    is_type = lambda tp: F.when(F.col("event_type") == tp, 1).otherwise(0)
+    s1 = ev.withColumn("__seen_v", F.max(is_type("view")).over(w))
+    s2 = s1.withColumn(
+        "__seen_vc",
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("__seen_v") == 1), 1)
+            .otherwise(0)
+        ).over(w),
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.max(is_type("view")).alias("__f1"),
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("__seen_v") == 1), 1)
+            .otherwise(0)
+        ).alias("__f2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("__seen_vc") == 1), 1
+            ).otherwise(0)
+        ).alias("__f3"),
+    )
+    return per_user.agg(
+        F.sum("__f1").alias("n_view"),
+        F.sum("__f2").alias("n_view_click"),
+        F.sum("__f3").alias("n_view_click_purchase"),
+    )
