@@ -8,7 +8,7 @@ have, so those are rows-only checks with pytest-side property tests
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cirro_annotation_spark.operators import dedup as D
@@ -197,4 +197,96 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= 22)
+    )
+
+
+# Shared edge definition for the cluster queries: the Levenshtein pair
+# graph over the doc_id<120 prefix slice — the same engine-exact integer
+# metric dedup_fuzzy_levenshtein already hash-proves, reused here as the
+# EDGE SET whose transitive closure forms duplicate clusters.
+_CC_ORACLE_GRAPH = """
+    s AS (SELECT doc_id, SUBSTRING(text, 1, 40) AS prefix
+          FROM documents WHERE doc_id < 120),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE levenshtein(a.prefix, b.prefix) <= 22),
+    edges AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    reach(v, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT edges.v, reach.lbl FROM reach JOIN edges ON edges.u = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lbl) AS component FROM reach GROUP BY v)
+"""
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    s = d.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(dist <= 22)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_GRAPH}
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members
+    FROM comp
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: distributed
+    min-label propagation (operators/dedup.py:connected_components) vs
+    the oracle's WITH RECURSIVE reachability closure. A~B and B~C chain
+    into one cluster even though A~C never fired — the step a pairwise
+    verify can't express and the classic driver-side union-find doesn't
+    survive at corpus scale."""
+    comp = D.connected_components(_cc_edges(spark, sf_dir))
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("vertex").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_GRAPH}
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           CAST(c.component IS NOT NULL AS BOOLEAN) AS clustered
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+    LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing collapse key: every document in the slice gets a
+    cluster id — its component when it belongs to one, itself as a
+    singleton otherwise. Downstream dedup is then a plain
+    first-of-group on cluster_id. The component frame is tiny relative
+    to the corpus (only docs that appeared in a verified pair), so the
+    join broadcasts at scale."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+    comp = D.connected_components(_cc_edges(spark, sf_dir)).withColumnRenamed(
+        "vertex", "doc_id"
+    )
+    return d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        F.col("component").isNotNull().alias("clustered"),
     )

@@ -131,3 +131,39 @@ def test_minhash_verify_golden_pairs_nonvacuous(spark):
     rows = out.collect()
     assert len(rows) == 25
     assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
+def _cc(spark, pairs):
+    from cirro_annotation_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components(edges)
+    return {r["vertex"]: r["component"] for r in out.collect()}
+
+
+def test_cc_path_graph_single_component(spark):
+    """A 6-vertex path needs transitive closure across every hop — the
+    shape plain pairwise verify can't collapse and slow propagation
+    would get wrong if it stopped early."""
+    labels = _cc(spark, [(i, i + 1) for i in range(5)])
+    assert labels == {i: 0 for i in range(6)}
+
+
+def test_cc_disjoint_components(spark):
+    labels = _cc(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert labels == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_triangle_plus_bridge(spark):
+    # triangle {3,4,5} bridged to {1} through 2 → one component rooted at 1
+    labels = _cc(spark, [(3, 4), (4, 5), (3, 5), (2, 3), (1, 2)])
+    assert labels == {v: 1 for v in (1, 2, 3, 4, 5)}
+
+
+def test_cc_direction_invariant(spark):
+    """Edges are undirected: reversing every pair must not change the
+    components (the symmetrize step is what guarantees this)."""
+    pairs = [(5, 1), (2, 5), (9, 7)]
+    fwd = _cc(spark, pairs)
+    rev = _cc(spark, [(b, a) for a, b in pairs])
+    assert fwd == rev == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
