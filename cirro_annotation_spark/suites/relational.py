@@ -1063,3 +1063,55 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert (latest-wins). The Delta/Iceberg MERGE INTO shape
+# expressed as pure DataFrame ops: collapse the changelog to its newest
+# row per key (one window over the changes only — the base table is
+# never shuffled by this step), then left-join onto the base. At scale
+# the changelog is orders of magnitude smaller than the base, so the
+# collapsed changes broadcast; the base stays a straight scan.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, value, event_type
+      FROM (SELECT user_id, value, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(COALESCE(l.value, c.c_acctbal), {MONEY}) AS acctbal_merged,
+           (l.user_id IS NOT NULL) AS updated,
+           l.event_type AS last_event_type
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a changelog onto a base table, newest change wins
+    (ts desc, event_id desc as the deterministic tie-break). Customers
+    with no change keep their base balance — the upsert semantics of
+    MERGE INTO without any table-format dependency."""
+    from pyspark.sql import Window
+
+    cust = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "value", "event_type")
+    )
+    return cust.join(
+        F.broadcast(latest), cust.c_custkey == latest.user_id, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.coalesce("value", "c_acctbal"), MONEY).alias("acctbal_merged"),
+        F.col("user_id").isNotNull().alias("updated"),
+        F.col("event_type").alias("last_event_type"),
+    )

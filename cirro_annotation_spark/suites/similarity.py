@@ -318,3 +318,60 @@ def sim_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "sim_cosine_int8",
+    # Quantized-embedding similarity: floor(x*127) int8-style codes, so
+    # the dot product is EXACT integer arithmetic — the compression
+    # trick product-quantization indexes are built from, here with a
+    # full value oracle (floor + int multiply-add have no float drift;
+    # both engines then take the same sqrt of the same BIGINT product).
+    oracle=f"""
+    WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(FLOOR(x * 127) AS BIGINT)) AS qq
+               FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    z AS (SELECT e.vec_id,
+                 UNNEST(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                       x -> CAST(FLOOR(x * 127) AS BIGINT))) AS a,
+                 UNNEST(q.qq) AS b
+          FROM embeddings e CROSS JOIN q)
+    SELECT vec_id,
+           CAST(SUM(a * b) AS BIGINT) AS qdot,
+           ROUND(CAST(SUM(a * b) AS BIGINT) /
+                 SQRT(CAST(SUM(a * a) AS BIGINT) * CAST(SUM(b * b) AS BIGINT)),
+                 6) AS cosine_q
+    FROM z GROUP BY vec_id
+    """,
+)
+def sim_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized cosine vs the query vector. The corpus scan
+    carries 64 int8-scale codes per row instead of 64 floats — 4x less
+    shuffle/scan width when materialized — and the kernel is exact
+    integer multiply-add inside codegen. Query vector folded in as a
+    broadcast 1-row frame (no eager .first())."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def quant(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.floor(x * 127).cast("long"),
+        )
+
+    qframe = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        quant(F.col("embedding")).alias("__qq")
+    )
+    qv = quant(F.col("embedding"))
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(qv, F.col("__qq"), lambda a, b: a * b),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(qv, zero, lambda acc, x: acc + x * x)
+    nb = F.aggregate(F.col("__qq"), zero, lambda acc, x: acc + x * x)
+    return emb.crossJoin(F.broadcast(qframe)).select(
+        "vec_id",
+        dot.alias("qdot"),
+        F.round(dot / F.sqrt(na * nb), 6).alias("cosine_q"),
+    )

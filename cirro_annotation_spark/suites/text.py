@@ -540,3 +540,199 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("__train_doc").alias("n_train_docs"),
         )
     )
+
+
+# DuckDB-side lowercased token list, shared by the quality-rule and
+# repetition oracles (same tokenization as X.tokens, then LOWER).
+_LT_SQL = (
+    "list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'),"
+    " x -> x <> ''), x -> LOWER(x))"
+)
+
+
+@query(
+    "docs_gopher_quality_rules",
+    # Published-heuristics document filter (Gopher-rules shape): word
+    # count band, mean-word-length band, minimum distinct stopwords,
+    # repetition cap — each rule surfaced as its own flag so downstream
+    # can audit WHY a doc was dropped, plus the composite verdict.
+    # Thresholds chosen non-vacuous on the fixture (both outcomes occur
+    # for every rule). Flags are computed from the UNROUNDED metrics on
+    # both sides — int/int division is the same IEEE double everywhere.
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_LT_SQL} AS lt,
+             LENGTH(REPLACE(TRIM(text), ' ', '')) AS n_letter_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             LEN(lt) AS n_words,
+             LEN(list_intersect(lt, ['the','a','of','and','to'])) AS sw_distinct,
+             n_letter_chars * 1.0 / NULLIF(LEN(lt), 0) AS mwl,
+             1.0 - LEN(list_distinct(lt)) * 1.0 / NULLIF(LEN(lt), 0) AS dup
+      FROM tk
+    )
+    SELECT doc_id, n_words, sw_distinct,
+           ROUND(mwl, {RATIO}) AS mean_word_len,
+           ROUND(dup, {RATIO}) AS dup_token_ratio,
+           (n_words BETWEEN 20 AND 80) AS rule_word_count,
+           (mwl >= 4.2 AND mwl <= 10.0) AS rule_mean_word_len,
+           (sw_distinct >= 2) AS rule_stopwords,
+           (dup <= 0.5) AS rule_repetition,
+           ((n_words BETWEEN 20 AND 80) AND mwl >= 4.2 AND mwl <= 10.0
+            AND sw_distinct >= 2 AND dup <= 0.5) AS passes
+    FROM m
+    """,
+)
+def docs_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-by-rule quality gate — one codegen'd scan, no shuffle: every
+    metric is an array expression over the token list, so the filter
+    runs at ingest speed on any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
+    n_words = F.size(lt)
+    sw = F.size(
+        F.array_intersect(lt, F.array(*[F.lit(w) for w in X.STOPWORDS["en"]]))
+    )
+    mwl = X.mean_word_len("text")
+    dup = 1.0 - F.size(F.array_distinct(lt)) / F.nullif(n_words, F.lit(0))
+    rule_wc = (n_words >= 20) & (n_words <= 80)
+    rule_mwl = (mwl >= 4.2) & (mwl <= 10.0)
+    rule_sw = sw >= 2
+    rule_rep = dup <= 0.5
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sw.alias("sw_distinct"),
+        F.round(mwl, RATIO).alias("mean_word_len"),
+        F.round(dup, RATIO).alias("dup_token_ratio"),
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_sw.alias("rule_stopwords"),
+        rule_rep.alias("rule_repetition"),
+        (rule_wc & rule_mwl & rule_sw & rule_rep).alias("passes"),
+    )
+
+
+@query(
+    "docs_repetition_ratio",
+    # Within-document repetition: duplicate-token ratio + the most
+    # frequent token and its share (the "fraction of chars in most
+    # common n-gram" family of quality filters). The oracle finds the
+    # top token with an UNNEST→GROUP BY→ROW_NUMBER chain; the Spark
+    # side does the same argmax as a scan-local array fold — no explode,
+    # no shuffle, which is the difference between a projection and a
+    # doc_id-keyed aggregation at corpus scale.
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_LT_SQL} AS lt FROM documents),
+    ex AS (SELECT doc_id, UNNEST(lt) AS tok FROM tk),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+    top AS (SELECT doc_id, tok, n,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, tok ASC) AS rn
+            FROM cnt),
+    base AS (SELECT doc_id, LEN(lt) AS n_tokens,
+                    LEN(list_distinct(lt)) AS n_distinct
+             FROM tk)
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           ROUND(1.0 - b.n_distinct * 1.0 / NULLIF(b.n_tokens, 0),
+                 {RATIO}) AS dup_token_ratio,
+           tp.tok AS top_token,
+           ROUND(tp.n * 1.0 / NULLIF(b.n_tokens, 0), {RATIO}) AS top_token_frac
+    FROM base b JOIN top tp ON b.doc_id = tp.doc_id AND tp.rn = 1
+    """,
+)
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
+    n_tokens = F.size(lt)
+    n_distinct = F.size(F.array_distinct(lt))
+    # argmax(count, then lexicographically-smallest token) as a fold
+    # over the distinct tokens; aggregate's merge lambda is (acc, x).
+    cand = F.transform(
+        F.array_distinct(lt),
+        lambda d_: F.struct(
+            F.size(F.filter(lt, lambda x: x == d_)).alias("cnt"),
+            d_.alias("tok"),
+        ),
+    )
+    best = F.aggregate(
+        cand,
+        F.struct(F.lit(-1).alias("cnt"), F.lit("").alias("tok")),
+        lambda acc, c: F.when(
+            (c["cnt"] > acc["cnt"])
+            | ((c["cnt"] == acc["cnt"]) & (c["tok"] < acc["tok"])),
+            c,
+        ).otherwise(acc),
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            1.0 - n_distinct / F.nullif(n_tokens, F.lit(0)), RATIO
+        ).alias("dup_token_ratio"),
+        best["tok"].alias("top_token"),
+        F.round(
+            best["cnt"] / F.nullif(n_tokens, F.lit(0)), RATIO
+        ).alias("top_token_frac"),
+    )
+
+
+@query(
+    "text_redact_terms",
+    # Lexicon-driven scrubbing — the PII-redaction shape (the fixture
+    # text has no emails/phones, so the demo lexicon is two corpus terms;
+    # swap the pattern for email/phone regexes in production). \\b is an
+    # ASCII word boundary in BOTH Java regex (Spark) and RE2 (DuckDB).
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '\\b(spark|customer)\\b')) AS n_redacted,
+           SUBSTRING(regexp_replace(text, '\\b(spark|customer)\\b', '<TERM>', 'g'),
+                     1, 80) AS redacted_prefix
+    FROM documents
+    """,
+)
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub a term lexicon out of every document and count the hits —
+    single scan, regexp runs inside codegen; the redacted text streams
+    straight back to parquet without a shuffle."""
+    d = t(spark, sf_dir, "documents")
+    pat = r"\b(spark|customer)\b"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("n_redacted"),
+        F.substring(F.regexp_replace("text", pat, "<TERM>"), 1, 80).alias(
+            "redacted_prefix"
+        ),
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    # Deterministic stratified downsampling: dominant language keeps 20%
+    # of its md5 buckets, the rest keep 50% — corpus rebalancing that is
+    # reproducible across engines, runs, partitionings, and incremental
+    # ingest (df.sample() is none of those). Same md5-bucket arithmetic
+    # split_train_eval hash-proves.
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket FROM r
+    WHERE bucket < CASE lang WHEN 'en' THEN 20 ELSE 50 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
