@@ -1115,3 +1115,227 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull().alias("updated"),
         F.col("event_type").alias("last_event_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipped between two nations, both directions.
+# Scale: nation⋈supplier and nation⋈customer are broadcast dimension
+# chains, and the nation filter prunes lineitem to ~8% BEFORE the only
+# real shuffle (lineitem⋈orders on orderkey). The disjunctive pair
+# predicate runs after both sides are labeled — a cheap row filter, not
+# a join condition.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), {MONEY}) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier s, lineitem l, orders o, customer c, nation ns, nation nc
+      WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        AND c.c_custkey = o.o_custkey AND s.s_nationkey = ns.n_nationkey
+        AND c.c_nationkey = nc.n_nationkey
+        AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_1", "NATION_2")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s2 = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2 = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.year("l_shipdate").alias("l_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), MONEY).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count distribution including zero-order rows —
+# the LEFT JOIN whose ON-clause filter must NOT drop unmatched keys
+# (filtering orders BEFORE the join is the equivalent plan Catalyst
+# can't be talked out of; a WHERE after the join would silently turn it
+# inner). Two aggregations, both on already-small frames.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: parts bought in quantities below 20% of their own
+# average — the correlated scalar subquery decorrelated into a grouped
+# agg joined back. Scale: the brand filter broadcasts (~4% of parts) and
+# prunes lineitem FIRST, so the per-part average aggregates only the
+# brand's rows; the avg frame re-broadcasts for the final filter. The
+# naive plan (full-table per-part agg) would shuffle 25x more.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, {MONEY}) AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_brand = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    limits = li_brand.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__lim")
+    )
+    return (
+        li_brand.join(F.broadcast(limits.withColumnRenamed("l_partkey", "__pk")),
+                      F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, MONEY).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of three conjunctive branches mixing
+# part and lineitem attributes. Catalyst extracts the common join key
+# and pushes the derivable per-table residuals (quantity ∈ [1,30],
+# brand ∈ the three literals) below the join — the pushdown test for
+# OR-of-ANDs predicates.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), {MONEY}) AS revenue
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+            AND l.l_quantity BETWEEN 1 AND 11)
+        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+            AND l.l_quantity BETWEEN 10 AND 20)
+        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+            AND l.l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    def branch(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            branch("Brand#12", 15, 1, 11)
+            | branch("Brand#23", 25, 10, 20)
+            | branch("Brand#3", 35, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), MONEY
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers with no urgent
+# orders — a global scalar aggregate folded in as a broadcast 1-row
+# frame (no eager .first()) plus an anti join. The average is ROUNDed
+# at 2dp on BOTH sides before comparing: engines sum doubles in
+# different orders, and an unrounded threshold could flip boundary rows
+# on the last ulp. ("No orders at all" is vacuous in this fixture —
+# every customer ordered — so the anti side is the urgent slice.)
+# ---------------------------------------------------------------------------
+@query(
+    "q22_dormant_high_balance",
+    oracle=f"""
+    WITH ab AS (SELECT ROUND(AVG(c_acctbal), 2) AS avg_bal
+                FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), {MONEY}) AS totacctbal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    ab = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("__avg_bal"))
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), MONEY).alias("totacctbal"),
+        )
+    )
