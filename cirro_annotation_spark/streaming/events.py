@@ -165,7 +165,9 @@ def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
     return spark.table(name).localCheckpoint(eager=True)
 
 
-def purchase_click_pairs(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+def purchase_click_pairs(
+    purchases: DataFrame, clicks: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Join purchases to the same user's clicks in the preceding 30 min.
 
     Works identically on batch frames and on streams: the equi-key
@@ -173,6 +175,14 @@ def purchase_click_pairs(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     Structured Streaming's stream-stream join requires — the time bound
     is what lets the engine expire join state once the watermark passes
     (unbounded-history joins are not runnable on unbounded streams).
+
+    ``how="left_outer"`` keeps unmatched purchases (click_id NULL) — the
+    attribution question "which purchases had no preceding click". On
+    streams, outer rows are emitted only when the watermark passes the
+    join bound (the engine must be SURE no match can still arrive), so
+    purchases near the head of the stream stay in state until later
+    data advances the watermark — tests/test_streaming.py pins that
+    emission behavior on a controlled timeline.
     """
     p = purchases.select(
         F.col("event_id").alias("purchase_id"),
@@ -190,6 +200,7 @@ def purchase_click_pairs(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
             (F.col("user_id") == F.col("c_user_id"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
             & (F.col("c_ts") <= F.col("p_ts")),
+            how,
         )
         .select("purchase_id", "click_id", "user_id")
     )

@@ -144,3 +144,32 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with processAllAvailable, append-mode emits exactly the batch pairs.
     path = os.path.join(sf_dir, "events.parquet")
     return STRM.stream_stream_join(spark, path)
+
+
+_JOIN_LEFT_ORACLE = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+     AND c.ts <= p.ts
+"""
+
+
+@query("stream_join_left_batch", oracle=_JOIN_LEFT_ORACLE)
+def stream_join_left_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer twin of the time-band join: purchases with NO click in
+    the preceding 30 minutes survive with a NULL click_id — the
+    attribution gap-analysis query. Same state-bound shape as the inner
+    join when run as a stream (outer rows emit on watermark passage;
+    that emission behavior is pinned in tests/test_streaming.py on a
+    controlled timeline, since a bounded drain leaves tail purchases
+    un-emitted by design)."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return STRM.purchase_click_pairs(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )

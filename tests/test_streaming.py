@@ -173,3 +173,72 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     )
     # 1-3 appear exactly once (not reprocessed), 4-5 appended once.
     assert rows == [(1, 2), (2, 4), (3, 6), (4, 8), (5, 10)], rows
+
+
+def test_stream_left_outer_join_emits_null_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a purchase with no click in its
+    30-minute band is emitted with a NULL click_id — but only after the
+    watermark passes the point where a matching click could still
+    arrive. Later batches exist solely to advance the watermark (same
+    one-batch application lag as the late-drop test)."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "loj_src"
+    src.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+        time.sleep(1.1)
+
+    # P1 has no click; P2 has C1 ten seconds before it.
+    write("b0.parquet", [(1, "2024-01-01 09:00:00", 1, "purchase")])
+    write("b1.parquet", [(2, "2024-01-01 10:00:00", 2, "click"),
+                         (3, "2024-01-01 10:00:10", 2, "purchase")])
+    write("b2.parquet", [(4, "2024-01-01 13:00:00", 9, "click")])
+    write("b3.parquet", [(5, "2024-01-01 14:00:00", 9, "click")])
+    write("b4.parquet", [(6, "2024-01-01 15:00:00", 9, "click")])
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def read():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    purchases = read().filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "10 minutes"
+    )
+    clicks = read().filter(F.col("event_type") == "click").withWatermark(
+        "ts", "10 minutes"
+    )
+    from cirro_annotation_spark.streaming.events import purchase_click_pairs
+
+    joined = purchase_click_pairs(purchases, clicks, how="left_outer")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("loj_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["purchase_id"], r["click_id"], r["user_id"])
+        for r in spark.table("loj_test").collect()
+    }
+    assert (3, 2, 2) in rows, rows          # matched pair emitted
+    assert (1, None, 1) in rows, rows       # unmatched purchase → NULL row
+    assert len(rows) == 2, rows
