@@ -191,3 +191,97 @@ def test_q3_broadcast_chain_no_sortmerge(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert count_exchanges(df) == 1  # only the grouped agg shuffles
+
+
+def test_q7_broadcast_dims_no_sortmerge(spark, sf_dir):
+    """Two-sided nation chain: dimension joins broadcast; at most the
+    lineitem⋈orders join and the final agg shuffle."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q7_nation_volume")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_q13_left_join_preserved(spark, sf_dir):
+    """The ON-clause priority filter must not degrade the LEFT join to
+    inner — zero-order customers are the point of the query."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q13_customer_distribution")(spark, sf_dir)
+    assert "LeftOuter" in physical_plan(df)
+    assert count_exchanges(df) == 2  # per-customer agg + distribution agg
+
+
+def test_q17_decorrelated_two_aggs(spark, sf_dir):
+    """Correlated scalar subquery decorrelated: brand-pruned per-part
+    avg + final sum — exactly two shuffles, everything else broadcast."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q17_small_quantity_revenue")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) == 2
+
+
+def test_q19_disjunction_single_exchange(spark, sf_dir):
+    df = _q("q19_disjunctive_revenue")(spark, sf_dir)
+    assert count_exchanges(df) == 1  # partial->final agg only
+
+
+def test_q22_anti_join_with_broadcast_threshold(spark, sf_dir):
+    """Global-average threshold arrives as a broadcast 1-row frame; the
+    urgent-orders exclusion is an anti join, never a collected IN-list."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q22_dormant_high_balance")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold frame
+    assert count_exchanges(df) <= 2
+
+
+def test_cdc_merge_single_window_exchange(spark, sf_dir):
+    """Latest-wins collapse shuffles ONLY the changelog (window by key);
+    the base table joins broadcast — it is never repartitioned."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("cdc_merge_upsert")(spark, sf_dir)
+    assert "LeftOuter" in physical_plan(df)
+    assert count_exchanges(df) == 1
+
+
+def test_scan_local_doc_queries_shuffle_free(spark, sf_dir):
+    """The quality/repetition/redaction/sampling family must be pure
+    codegen'd projections: zero exchanges, corpus-size-independent."""
+    for name in (
+        "docs_gopher_quality_rules",
+        "docs_repetition_ratio",
+        "text_redact_terms",
+        "sample_stratified_hash",
+    ):
+        df = _q(name)(spark, sf_dir)
+        assert count_exchanges(df) == 0, name
+
+
+def test_int8_cosine_broadcast_only(spark, sf_dir):
+    """Quantized cosine: the query vector joins as a broadcast 1-row
+    frame; the corpus never shuffles."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("sim_cosine_int8")(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_left_outer_band_join_no_cartesian(spark, sf_dir):
+    """The time-band left join keeps its equi-key: never a cartesian."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("stream_join_left_batch")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
