@@ -434,3 +434,43 @@ def window_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__f2").alias("n_view_click"),
         F.sum("__f3").alias("n_view_click_purchase"),
     )
+
+
+@query(
+    "window_retention_cohorts",
+    # Weekly cohort retention: users grouped by their first active week,
+    # counted in each later week they return. ONE shuffle on user_id
+    # builds (cohort, active-weeks) per user — min and collect_set in
+    # the same aggregation — then the explode fans out to the
+    # (cohort, offset) grid, whose aggregation is tiny. The naive
+    # two-frame self-join shuffles the activity table twice.
+    oracle="""
+    WITH wkly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wkly GROUP BY user_id)
+    SELECT STRFTIME(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_wk, w.wk) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_users
+    FROM wkly w JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
+    )
+    return (
+        per_user.select(
+            "user_id", "cohort_wk", F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
