@@ -54,6 +54,14 @@ HEADLINE = [
     "join_salted_skew",
     "q5_local_supplier_volume",
     "sim_topk_ivf",
+    # round 4 additions: transitive-closure dedup clustering, the
+    # scan-local quality gate, a two-sided broadcast-dim TPC-H shape,
+    # the changelog merge, and single-shuffle cohort retention
+    "dedup_cluster_components",
+    "docs_gopher_quality_rules",
+    "q7_nation_volume",
+    "cdc_merge_upsert",
+    "window_retention_cohorts",
 ]
 
 

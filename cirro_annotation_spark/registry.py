@@ -74,7 +74,11 @@ PRIORITY: list[str] = [
     "stream_tumbling_batch",
     "stream_tumbling_stream",
     "stream_sliding_batch",
-    "stream_sliding_stream",
+    # round-4 rotation: stream_sliding_stream → dedup_cluster_components
+    # (sliding shape stays via stream_sliding_batch, stream twins via
+    # stream_tumbling_stream; the rotated query stays hash-checked in
+    # the local full sweep)
+    "dedup_cluster_components",
     "stream_session_window",
     "stream_dedup_watermark",
     "stream_stateful_counts",
@@ -82,7 +86,9 @@ PRIORITY: list[str] = [
     "text_token_stats",
     "text_term_frequency",
     "text_stopword_ratio",
-    "text_quality_score",
+    # round-4 rotation: text_quality_score → docs_gopher_quality_rules
+    # (the rule-by-rule gate strictly subsumes the composite score shape)
+    "docs_gopher_quality_rules",
     "text_langid",
     "text_tfidf_top",
     "text_fingerprint",
@@ -96,7 +102,9 @@ PRIORITY: list[str] = [
     "sim_topk_ivf",
     # dedup family
     "dedup_exact",
-    "dedup_exact_counts",
+    # round-4 rotation: dedup_exact_counts → cdc_merge_upsert (the
+    # cluster-inventory shape stays via dedup_exact + dedup_cluster_*)
+    "cdc_merge_upsert",
     "dedup_first_wins",
     "dedup_ngram_jaccard_sample",
     "dedup_minhash_verify",
