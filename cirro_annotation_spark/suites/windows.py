@@ -474,3 +474,47 @@ def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "window_zscore_anomaly",
+    # Rolling anomaly score: each event's value standardized against the
+    # SAME user's trailing-hour distribution (µs-precision RANGE frame,
+    # like window_time_range_sum). Frames with <3 events or zero spread
+    # yield NULL — flagging against a 1-sample "distribution" is noise.
+    # stddev_samp is computed by both engines on the same frame rows;
+    # the 6dp rounding absorbs their different accumulation orders.
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             AVG(value)         OVER fr AS mu,
+             STDDEV_SAMP(value) OVER fr AS sigma,
+             COUNT(*)           OVER fr AS n_frame
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, n_frame,
+           CASE WHEN n_frame >= 3
+                THEN ROUND((value - mu) / NULLIF(sigma, 0), 6) END AS zscore
+    FROM w
+    """,
+)
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    ev = t(spark, sf_dir, "events")
+    mu = F.avg("value").over(fr)
+    sigma = F.stddev_samp("value").over(fr)
+    n_frame = F.count(F.lit(1)).over(fr)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n_frame.alias("n_frame"),
+        F.when(
+            n_frame >= 3,
+            F.round((F.col("value") - mu) / F.nullif(sigma, F.lit(0.0)), 6),
+        ).alias("zscore"),
+    )
