@@ -50,3 +50,73 @@ def test_shingles_of_null_or_empty_are_empty(spark):
     by_id = {r["doc_id"]: r["s"] for r in rows}
     assert by_id[1] == ["hello world"]
     assert by_id[2] == [] and by_id[3] == []
+
+
+def test_repetition_and_quality_exprs_on_degenerate_text(spark):
+    """The round-4 quality/repetition expressions on empty / NULL /
+    single-token text: no crash, no fake values. The top-token argmax
+    fold must yield NULL-ish output (its init struct) on an empty token
+    list, not an exception; single-token docs have dup_ratio 0 and
+    top_token_frac 1."""
+    df = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, None), (4, "a a a b")],
+        "doc_id long, text string",
+    )
+    lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
+    n = F.size(lt)
+    nd = F.size(F.array_distinct(lt))
+    cand = F.transform(
+        F.array_distinct(lt),
+        lambda d: F.struct(
+            F.size(F.filter(lt, lambda x: x == d)).alias("cnt"), d.alias("tok")
+        ),
+    )
+    best = F.aggregate(
+        cand,
+        F.struct(F.lit(-1).alias("cnt"), F.lit("").alias("tok")),
+        lambda acc, c: F.when(
+            (c["cnt"] > acc["cnt"])
+            | ((c["cnt"] == acc["cnt"]) & (c["tok"] < acc["tok"])),
+            c,
+        ).otherwise(acc),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            n.alias("n"),
+            (1.0 - nd / F.nullif(n, F.lit(0))).alias("dup"),
+            best["cnt"].alias("top_cnt"),
+            best["tok"].alias("top_tok"),
+            (best["cnt"] / F.nullif(n, F.lit(0))).alias("top_frac"),
+        ).collect()
+    }
+    assert out[1]["n"] == 1 and out[1]["dup"] == 0.0 and out[1]["top_frac"] == 1.0
+    assert out[2]["n"] == 0 and out[2]["dup"] is None and out[2]["top_frac"] is None
+    assert out[2]["top_cnt"] == -1  # fold init survives an empty list
+    assert out[3]["n"] is None and out[3]["dup"] is None and out[3]["top_frac"] is None
+    assert out[4]["top_tok"] == "a" and out[4]["top_cnt"] == 3
+    assert abs(out[4]["dup"] - 0.5) < 1e-12
+
+
+def test_stratified_hash_rates_deterministic(spark):
+    """The md5-bucket sample keeps EXACTLY the same rows on re-run and
+    under repartitioning — the reproducibility df.sample() lacks."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    pick = lambda d: sorted(
+        r["doc_id"]
+        for r in d.select("doc_id", "lang")
+        .filter(bucket < rate)
+        .collect()
+    )
+    first = pick(df)
+    again = pick(df.repartition(13))
+    assert first == again and len(first) > 0
