@@ -62,7 +62,10 @@ PRIORITY: list[str] = [
     "window_rank_topk_per_group",
     "window_running_sum",
     "window_time_range_sum",
-    "window_ntile_rank",
+    # round-4b rotation: window_ntile_rank → q21_waiting_supplier (the
+    # ranking shape stays via window_rank_topk_per_group; the EXISTS +
+    # NOT-EXISTS self-join shape had no in-window representative)
+    "q21_waiting_supplier",
     # scalar family representatives (the rest follow after the window)
     "scalar_from_json_struct",
     "scalar_try_cast",
@@ -85,7 +88,10 @@ PRIORITY: list[str] = [
     # text family + composed pipeline
     "text_token_stats",
     "text_term_frequency",
-    "text_stopword_ratio",
+    # round-4b rotation: text_stopword_ratio → q8_market_share (the
+    # token-ratio shape stays via text_token_stats/gopher rules; the
+    # 7-table conditional-ratio join shape had no in-window rep)
+    "q8_market_share",
     # round-4 rotation: text_quality_score → docs_gopher_quality_rules
     # (the rule-by-rule gate strictly subsumes the composite score shape)
     "docs_gopher_quality_rules",
@@ -147,5 +153,6 @@ def load_all_suites() -> None:
         similarity,
         streaming_suite,
         text,
+        tpch_full,
         windows,
     )
