@@ -285,3 +285,93 @@ def test_left_outer_band_join_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "LeftOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion suite (tpch_full.py). Broadcast/semi/anti structure is
+# pinned exactly (hinted, so stats-independent); exchange counts use the
+# structural value where the plan shape fixes it and an upper bound where
+# the optimizer's stats-based join choice may add or remove a shuffle
+# between sf tiers.
+# ---------------------------------------------------------------------------
+def test_q2_shared_partitioning_single_exchange(spark, sf_dir):
+    """The explicit repartition(l_partkey) must serve BOTH the
+    (partkey, suppkey) aggregate and the per-part min window — one
+    exchange total, dims broadcast, never a sort-merge."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q2_min_cost_supplier")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """EXISTS compiles to a semi join (one output row per order, state
+    bounded by the orders side) — never an inner join + distinct."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q4_order_priority")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 3
+
+
+def test_q8_q9_broadcast_dims_no_cartesian(spark, sf_dir):
+    """The 7-table chains: every dimension subtree broadcasts; only the
+    lineitem⋈orders fact join and the final agg may shuffle."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    for name, min_bc in (("q8_market_share", 3), ("q9_product_profit", 3)):
+        df = _q(name)(spark, sf_dir)
+        plan = physical_plan(df)
+        assert plan.count("BroadcastHashJoin") >= min_bc, name
+        assert "CartesianProduct" not in plan, name
+        assert count_exchanges(df) <= 3, name
+
+
+def test_q11_q15_threshold_is_broadcast_one_row(spark, sf_dir):
+    """HAVING-over-scalar-subquery shape: the global threshold arrives as
+    a broadcast 1-row frame — the cross join must build on the broadcast
+    side (BNLJ or BHJ-cross depending on stats), never materialize as a
+    CartesianProduct or a collected literal."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        df = _q(name)(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Cross Build" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert count_exchanges(df) <= 3, name
+
+
+def test_q16_denylist_is_anti_join(spark, sf_dir):
+    """The supplier exclusion is a broadcast anti join; the variety count
+    is the standard two-exchange distinct aggregate."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("q16_part_supplier_variety")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert count_exchanges(df) == 2, plan
+
+
+def test_q20_q21_nested_correlations_no_cartesian(spark, sf_dir):
+    """Nested semi (q20) and semi+anti self-joins with inequality
+    residuals (q21) must stay keyed hash joins — an inequality-only plan
+    would be a cartesian explosion at scale."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    for name, kinds in (
+        ("q20_excess_suppliers", ("LeftSemi",)),
+        ("q21_waiting_supplier", ("LeftSemi", "LeftAnti")),
+    ):
+        df = _q(name)(spark, sf_dir)
+        plan = physical_plan(df)
+        for kind in kinds:
+            assert kind in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert count_exchanges(df) <= 4, name
