@@ -62,6 +62,13 @@ HEADLINE = [
     "q7_nation_volume",
     "cdc_merge_upsert",
     "window_retention_cohorts",
+    # round 4b: the two TPC-H completion shapes promoted into the scored
+    # window (7-table ratio, semi+anti self-joins) and the new pipeline
+    # ops (packing window, segment-dedup fingerprint shuffle)
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "pipeline_pack_sequences",
+    "docs_segment_dedup_ratio",
 ]
 
 

@@ -736,3 +736,178 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < rate)
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    # Concat-and-chunk sequence packing — the layout step of a pretraining
+    # pipeline: documents are concatenated per source shard in doc_id
+    # order and sliced into fixed 256-token training chunks; each doc's
+    # chunk is the one containing its first token. All-integer window
+    # arithmetic, so the oracle is knife-edge-free. Scale: ONE shuffle
+    # (the per-source window sort); token counts travel, text does not —
+    # at 100 TB the sort key set is (source, doc_id, n_tokens) only.
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id, source,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM counted
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           start_offset,
+           start_offset // 256 AS chunk_id,
+           CASE WHEN n_tokens > 0
+                THEN (start_offset + n_tokens - 1) // 256 > start_offset // 256
+                ELSE FALSE END AS spans_boundary
+    FROM laid
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "source", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    laid = counted.withColumn("start_offset", start)
+    chunk = F.expr("start_offset DIV 256")
+    end_chunk = F.expr("(start_offset + n_tokens - 1) DIV 256")
+    return laid.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        chunk.alias("chunk_id"),
+        F.when(F.col("n_tokens") > 0, end_chunk > chunk)
+        .otherwise(F.lit(False))
+        .alias("spans_boundary"),
+    )
+
+
+@query(
+    "docs_segment_dedup_ratio",
+    # Chunk-level near-dedup statistics (the line-dedup pass of
+    # RefinedWeb/CCNet, adapted to newline-free fixture text): each doc is
+    # cut into consecutive 10-token segments; a segment is duplicated if
+    # its fingerprint occurs more than once in the corpus. Scale: after
+    # the explode the plan carries (doc_id, 16-byte md5) only — the
+    # segment COUNT aggregate and the join back both shuffle fingerprints,
+    # never text; the per-doc rollup keys on doc_id.
+    oracle=f"""
+    WITH segs AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+                 range(CAST(CEIL(LEN(toks) / 10.0) AS BIGINT)),
+                 i -> md5(array_to_string(toks[i*10+1 : i*10+10], ' ')))) AS fp
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), cnt AS (
+      SELECT fp, COUNT(*) AS n FROM segs GROUP BY fp
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+                 {RATIO}) AS dup_ratio
+    FROM segs s JOIN cnt c USING (fp)
+    GROUP BY s.doc_id
+    """,
+)
+def docs_segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    nseg = F.ceil(F.size(toks) / F.lit(10.0)).cast("long")
+    seg_fps = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nseg - 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i * 10 + 1, 10), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = d.select("doc_id", F.explode(seg_fps).alias("fp"))
+    cnt = segs.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        segs.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dup).alias("n_dup_segments"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), RATIO).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    # Corpus-mixture rebalancing: every source declares a target weight
+    # (1 + source_number % 3 — non-uniform so the gate is non-vacuous) and
+    # is hash-downsampled to its target share of the total. The acceptance
+    # test bucket/10000 < w*total/(W*cnt) is cross-multiplied into pure
+    # BIGINT arithmetic (bucket*W*cnt < w*total*10000) — no float rate, no
+    # rounding knife-edge, and sources under their share keep everything
+    # without an explicit min(1, ·) cap. Scale: the (source, cnt) frame is
+    # a tiny single-shuffle aggregate; the global (total, W) pair is a
+    # broadcast 1-row aggregate OF that frame; the per-doc gate is then
+    # scan-local — the corpus itself never shuffles.
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS cnt,
+             1 + CAST(SUBSTRING(source, 4) AS BIGINT) % 3 AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(cnt) AS total, SUM(w) AS big_w FROM per_src
+    )
+    SELECT d.doc_id, d.source,
+           CAST(('0x' || SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % 10000 AS bucket
+    FROM documents d
+    JOIN per_src p USING (source)
+    CROSS JOIN tot
+    WHERE (CAST(('0x' || SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % 10000) * big_w * p.cnt < p.w * total * 10000
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per_src = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "w", 1 + F.substring("source", 4, 10).cast("long") % 3
+        )
+    )
+    tot = per_src.agg(
+        F.sum("cnt").alias("total"), F.sum("w").alias("big_w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("bucket") * F.col("big_w") * F.col("cnt")
+            < F.col("w") * F.col("total") * F.lit(10000)
+        )
+        .select("doc_id", "source", "bucket")
+    )

@@ -375,3 +375,56 @@ def test_q20_q21_nested_correlations_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert count_exchanges(df) <= 4, name
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """Concat-and-chunk packing costs exactly the per-source window
+    shuffle, and that shuffle carries token COUNTS, never text."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("pipeline_pack_sequences")(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+            args = [l for l in block.splitlines() if "Arguments:" in l]
+            assert all("text" not in a for a in args), block
+
+
+def test_segment_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
+    """After the explode, every exchange carries (doc_id, md5) — the
+    document body must never enter a shuffle."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("docs_segment_dedup_ratio")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 4
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+            args = [l for l in block.splitlines() if "Arguments:" in l]
+            assert all("text" not in a for a in args), block
+
+
+def test_mixture_sampling_corpus_never_shuffles(spark, sf_dir):
+    """The per-source counts and the global (total, W) pair are tiny
+    aggregates joined back by broadcast (the per_src subtree appears
+    twice pre-AQE, so up to 3 aggregate exchanges) — but the corpus side
+    itself is filtered scan-locally: no exchange may sit between the
+    documents scan and the broadcast joins."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("sample_mixture_weighted")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # The probe (streaming) side of each broadcast join is the corpus
+    # scan: in the tree rendering its branch lines start with ':- ' and
+    # must contain no shuffle Exchange (BroadcastExchange is fine).
+    probe_lines = [
+        l for l in plan.splitlines()
+        if l.strip().startswith(":-") or ":  +-" in l
+    ]
+    assert not any(
+        "Exchange" in l and "BroadcastExchange" not in l for l in probe_lines
+    ), plan
