@@ -911,3 +911,46 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "bucket")
     )
+
+
+@query(
+    "docs_token_entropy",
+    # Token-distribution Shannon entropy per document — the lexical-
+    # diversity quality signal (degenerate/repetitive docs score near 0,
+    # varied prose near ln(n_tokens)). Computed as ln(n) - sum(c*ln c)/n
+    # so each term is derived once from exact integer counts; only the
+    # final double is rounded. Scale: explode carries (doc_id, token);
+    # the (doc, token) count and the per-doc rollup are two map-side-
+    # combining shuffles, both on narrow keys.
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                      x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), {RATIO}) AS entropy_nats
+    FROM tc
+    GROUP BY doc_id
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, RATIO).alias(
+            "entropy_nats"
+        ),
+    )

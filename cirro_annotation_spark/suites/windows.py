@@ -518,3 +518,105 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - mu) / F.nullif(sigma, F.lit(0.0)), 6),
         ).alias("zscore"),
     )
+
+
+@query(
+    "events_resample_ffill",
+    # Time-series resample + forward-fill (the hypertable/rollup gap-fill
+    # shape): one row per (user, day) over the fixture's fixed 30-day
+    # span, carrying the user's most recent value BEFORE the next
+    # midnight and the running event count. Implemented as the classic
+    # union trick — grid markers interleave with events in ONE per-user
+    # window pass (last_value IGNORE NULLS) — no per-bucket correlated
+    # lookup, no as-of join fan-out. The (ts, is_grid DESC, event_id)
+    # sort key makes the interleave total and engine-portable: a grid
+    # marker at midnight sorts BEFORE an event at the same instant, so
+    # day D covers [D, D+1) exactly. Scale: the grid is |users|x30 rows
+    # (vanishing next to the fact table); the single window shuffle
+    # carries (user_id, 8-byte ts, value) — the day-grid explode and the
+    # final filter are scan-local.
+    oracle="""
+    WITH grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day_ts
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), unioned AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, 0 AS is_grid, event_id, value,
+             NULL AS day_ts
+      FROM events
+      UNION ALL
+      SELECT user_id, epoch_us(day_ts + INTERVAL 1 DAY) AS ts_us, 1 AS is_grid,
+             -1 AS event_id, NULL AS value, day_ts
+      FROM grid
+    ), filled AS (
+      SELECT user_id, day_ts, is_grid,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts_us, is_grid DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value,
+             CAST(SUM(1 - is_grid) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts_us, is_grid DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_events_so_far
+      FROM unioned
+    )
+    SELECT user_id, CAST(day_ts AS DATE) AS day, last_value, n_events_so_far
+    FROM filled WHERE is_grid = 1
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(0).alias("is_grid"),
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("day_ts"),
+    )
+    grid = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 00:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("day_ts") + F.expr("INTERVAL 1 DAY")).alias("ts_us"),
+            F.lit(1).alias("is_grid"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "day_ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("is_grid").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.unionByName(grid)
+        .select(
+            "user_id",
+            "day_ts",
+            "is_grid",
+            F.last("value", ignorenulls=True).over(w).alias("last_value"),
+            F.sum(1 - F.col("is_grid")).over(w).cast("long").alias("n_events_so_far"),
+        )
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("day_ts").cast("date").alias("day"),
+            "last_value",
+            "n_events_so_far",
+        )
+    )

@@ -428,3 +428,31 @@ def test_mixture_sampling_corpus_never_shuffles(spark, sf_dir):
     assert not any(
         "Exchange" in l and "BroadcastExchange" not in l for l in probe_lines
     ), plan
+
+
+def test_resample_ffill_single_window_pass(spark, sf_dir):
+    """The union-trick gap-fill does ONE per-user window pass — no
+    per-bucket correlated join, no as-of fan-out: exactly the union's
+    two input shuffles plus the grid's distinct, and exactly one Window
+    operator."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("events_resample_ffill")(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count(") Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_token_entropy_two_narrow_shuffles(spark, sf_dir):
+    """Explode → (doc, token) count → per-doc rollup: two map-side-
+    combining exchanges, text never shuffles."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("docs_token_entropy")(spark, sf_dir)
+    assert count_exchanges(df) == 2
+    plan = physical_plan(df)
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+            args = [l for l in block.splitlines() if "Arguments:" in l]
+            assert all("text" not in a for a in args), block
