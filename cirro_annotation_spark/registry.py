@@ -68,7 +68,11 @@ PRIORITY: list[str] = [
     "q21_waiting_supplier",
     # scalar family representatives (the rest follow after the window)
     "scalar_from_json_struct",
-    "scalar_try_cast",
+    # round-4b rotation: scalar_try_cast → pipeline_pack_sequences (the
+    # scalar family stays represented by scalar_from_json_struct; the
+    # concat-and-chunk packing layout had no in-window representative
+    # and is 100x-tier-validated)
+    "pipeline_pack_sequences",
     "quantile_bucket_global",
     "first_of_group",
     "asof_join_last_purchase",
@@ -97,11 +101,17 @@ PRIORITY: list[str] = [
     "docs_gopher_quality_rules",
     "text_langid",
     "text_tfidf_top",
-    "text_fingerprint",
+    # round-4b rotation: text_fingerprint → docs_segment_dedup_ratio (the
+    # fingerprint shape stays in-window inside dedup_exact/minhash_verify;
+    # the segment-level line-dedup shape had no in-window representative)
+    "docs_segment_dedup_ratio",
     "pipeline_training_data",
     # similarity family (oracle-backed members; ivf = pinned-centroid
     # literals, round-4)
-    "sim_cosine_all",
+    # round-4b rotation: sim_cosine_all → events_resample_ffill (the
+    # exact-cosine shape stays via sim_topk_cosine/sim_near_dup_embeddings;
+    # the gap-fill/resample family had no in-window representative)
+    "events_resample_ffill",
     "sim_topk_cosine",
     "sim_centroid_per_label",
     "sim_near_dup_embeddings",
