@@ -9,6 +9,14 @@ Usage:
     python scripts/check_correctness.py [--sf-dir /root/testdata/sf0.01] [query ...]
 
 With no query names, runs everything. Exit code 1 if anything fails.
+
+The session is VANILLA by default (bare ``SparkSession.builder.master``,
+no engine SQL confs) — exactly what the driver hands ``queries()``. The
+round-4 red set was invisible to this gate precisely because it ran on
+``get_spark()``'s tuned session (inferTimestampNTZ disabled there masked
+the TIMESTAMP_NTZ failure mode); every query must now prove it is
+self-sufficient on a session the engine did not build. ``--tuned`` opts
+back into the tuned session for A/B debugging.
 """
 from __future__ import annotations
 
@@ -48,16 +56,41 @@ def _hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256(pdf.to_csv(index=False).encode()).hexdigest()[:16]
 
 
+def _vanilla_spark():
+    """A driver-like session: master + memory only, ZERO engine SQL confs.
+
+    No pinned timezone, no inferTimestampNTZ/nanosAsLong, no AQE — if a
+    query needs any of those it must set them itself (suites/util.t does
+    via tune_existing), or it fails here the same way it fails on the
+    driver's session.
+    """
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("check_correctness_vanilla")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--tuned", action="store_true",
+                    help="use the engine's get_spark() session instead of vanilla")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as se
-    from cirro_annotation_spark.session import get_spark
 
-    spark = get_spark("check_correctness")
+    if args.tuned:
+        from cirro_annotation_spark.session import get_spark
+        spark = get_spark("check_correctness")
+    else:
+        spark = _vanilla_spark()
     qs = se.queries()
     oracles = se.oracle_sql()
     names = args.names or list(qs)
