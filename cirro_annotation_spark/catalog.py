@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -32,6 +32,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read one parquet table with the ``ts`` column normalized to a
+    proper TIMESTAMP regardless of how the file physically stores it.
+
+    The testdata has shipped ``events.ts`` three different ways across
+    driver regenerations, and this is the single choke point that absorbs
+    all of them on ANY session (including one the engine did not build):
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      outright, so the legacy ``nanosAsLong`` conf is set (per-file, iff
+      the footer peek shows nanos) and the resulting bigint is truncated
+      to micros — exactly what DuckDB/pandas do, keeping oracles aligned.
+    - parquet micros + isAdjustedToUTC=false on a session with Spark 4's
+      default NTZ inference: arrives as TIMESTAMP_NTZ; cast to TIMESTAMP
+      (value-identical under the UTC session timezone tune_existing pins).
+    - plain TIMESTAMP: passes through untouched.
+
+    All three normalizations are per-row projections that pipeline inside
+    the scan stage — no shuffle, scale-neutral, and the scan stays
+    column-prunable/pushdown-able.
+    """
+    from cirro_annotation_spark.session import parquet_ts_unit
+
+    if parquet_ts_unit(path) == "ns":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked by the hosting driver; the read will raise
+    df = spark.read.parquet(path)
+    for f in df.schema.fields:
+        if f.name != "ts":
+            continue
+        kind = f.dataType.simpleString()
+        if kind == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every table under ``sf_dir`` and register temp views.
 
@@ -43,7 +83,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = read_table(spark, path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -8,8 +8,33 @@ master/memory lines which are deployment-specific.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import SparkSession
+
+
+@lru_cache(maxsize=1024)
+def parquet_ts_unit(path: str) -> str | None:
+    """Physical time unit ('ns'|'us'|'ms'|'s') of a parquet file's ``ts``
+    column, or None if the file has no timestamp-typed ``ts``.
+
+    Footer-only read (pyarrow) — no data pages touched, cached per path.
+    This peek is what makes the nanos legacy conf CONDITIONAL: the
+    round-3 testdata stored TIMESTAMP(NANOS) (vectorized reader rejects
+    it without ``nanosAsLong``), round-4 regenerated it as micros (where
+    ``nanosAsLong`` would be dead config). Reading the actual physical
+    type instead of assuming either era survives the next regeneration.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(path).field("ts")
+        if pa.types.is_timestamp(field.type):
+            return field.type.unit
+    except Exception:
+        return None
+    return None
 
 
 def default_parallelism() -> int:
@@ -39,11 +64,13 @@ def get_spark(app_name: str = "cirro_annotation_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Without this, parquet timestamps with isAdjustedToUTC=false
+        # (how the testdata stores ts) infer as TIMESTAMP_NTZ on Spark 4,
+        # and unix_micros()/watermarks reject them. catalog.read_table
+        # also normalizes NTZ defensively for sessions we did not build.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # testdata events.parquet stores ts as TIMESTAMP(NANOS), which the
-        # vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read nanos as
-        # long and normalize to timestamp in suites/util.t().
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is NOT set here: it is applied per-file by
+        # catalog.read_table, iff the footer peek shows TIMESTAMP(NANOS).
         # Runtime bloom-filter join pruning: build a bloom of the small
         # side's join keys and push it into the big side's scan — at
         # 100 TB this skips row groups the join would discard anyway.
@@ -67,7 +94,13 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.shuffle.partitions", str(default_parallelism())),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # The round-4 driver session inferred events.ts as TIMESTAMP_NTZ
+        # (micros parquet + Spark 4's inferTimestampNTZ default), breaking
+        # every unix_micros call site; disable the inference here so reads
+        # on a foreign session resolve ts as TIMESTAMP. nanosAsLong is
+        # applied per-file in catalog.read_table iff the footer shows
+        # nanos — unconditional would be dead config against micros files.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)

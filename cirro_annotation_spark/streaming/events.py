@@ -21,13 +21,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ts is declared long: the testdata events.parquet stores TIMESTAMP(NANOS),
-# which Spark only reads via the nanosAsLong legacy conf; _read_events_stream
-# normalizes it to a real timestamp (micros truncation) in-stream.
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+# Streaming file sources require an explicit schema (no inference), so the
+# ts declaration must match the file's PHYSICAL storage — which the driver's
+# testdata has changed across regenerations (nanos in round 3, micros in
+# round 4). _read_events_stream peeks the parquet footer and picks the
+# matching (schema, normalization) pair; a hardcoded nanos assumption here
+# silently collapsed the round-4 timeline 1000x.
+_EVENTS_COLS = "event_id long, {ts}, user_id long, event_type string, value double, props string"
+EVENTS_SCHEMA_NANOS = _EVENTS_COLS.format(ts="ts long")
+EVENTS_SCHEMA_TIMESTAMP = _EVENTS_COLS.format(ts="ts timestamp")
 
 
 def _read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -37,14 +39,27 @@ def _read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
     the parent dir with pathGlobFilter pinned to the file's basename. In
     production this line is a directory of arriving files (or Kafka); the
     dataflow downstream is identical.
+
+    tune_existing pins the UTC session timezone first, so a micros file
+    with isAdjustedToUTC=false reads into TIMESTAMP with values identical
+    to the batch path (and to the DuckDB oracle).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from cirro_annotation_spark.session import parquet_ts_unit, tune_existing
+
+    tune_existing(spark)
+    nanos = parquet_ts_unit(parquet_path) == "ns"
+    if nanos:
+        # Vectorized reader rejects TIMESTAMP(NANOS); read as long and
+        # truncate to micros exactly like DuckDB/pandas do.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_TIMESTAMP)
         .option("pathGlobFilter", os.path.basename(parquet_path))
         .parquet(os.path.dirname(parquet_path))
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:

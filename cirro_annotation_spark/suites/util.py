@@ -13,7 +13,7 @@ Conventions that keep the Spark query and the DuckDB oracle hash-equal:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from cirro_annotation_spark.catalog import table_path
 
@@ -25,26 +25,18 @@ RATIO = 6  # averages / ratios / similarities
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table lazily (scan stays prunable/pushdown-able).
 
-    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read the
-    nanos as a plain long (legacy conf, runtime-settable — set here because
-    the driver invokes query callables on its own session without going
-    through our session factory) and normalize to a real timestamp column,
-    truncating to microseconds exactly like DuckDB/pandas do, so oracle
-    comparisons line up. The conversion is a cheap per-row projection that
-    pipelines inside the scan stage — no shuffle, scale-neutral.
+    The driver invokes query callables on its OWN session, so every read
+    must be self-sufficient: tune_existing pins the runtime confs oracle
+    parity needs (UTC session timezone, NTZ inference off — idempotent,
+    swallows locked confs), and catalog.read_table normalizes the ``ts``
+    column to a proper TIMESTAMP whatever the parquet file physically
+    stores (nanos-as-long, micros-inferred-NTZ, or plain timestamp — the
+    testdata has shipped all three across driver regenerations). Every
+    downstream ``unix_micros``/window/watermark call site relies on this
+    normalization; none may read events raw.
     """
-    # Full runtime tuning, not just the nanos conf: the driver invokes
-    # query callables on its OWN session, and oracle parity needs the
-    # UTC session timezone (date_format/window queries) as much as the
-    # nanos read conf. tune_existing is idempotent and swallows locked
-    # confs, so calling it per-read is safe and makes every query
-    # self-sufficient on any session.
+    from cirro_annotation_spark.catalog import read_table
     from cirro_annotation_spark.session import tune_existing
 
     tune_existing(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return read_table(spark, table_path(sf_dir, name))
