@@ -27,6 +27,21 @@ def test_batch_stream_parity_tumbling(spark, sf_dir):
     assert _sorted_rows(batch, cols) == _sorted_rows(stream, cols)
 
 
+def test_batch_stream_parity_session_window(spark, sf_dir):
+    """Session windows through the stream equal the batch run, SESSION
+    START VALUES included. Round-4 lesson: the session twin stayed green
+    while the streaming timeline was collapsed 1000x because nothing
+    compared ts-bearing output — this does, by construction."""
+    batch = STRM.session_agg(t(spark, sf_dir, "events"), "1 hour")
+    stream = STRM.run_streaming_over_parquet(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        lambda s: STRM.session_agg(s, "1 hour"),
+    )
+    cols = ["session_start", "user_id", "n_events"]
+    assert _sorted_rows(batch, cols) == _sorted_rows(stream, cols)
+
+
 def test_session_window_merges_gaps(spark):
     """Events < gap apart merge into one session; a > gap break splits."""
     rows = [
