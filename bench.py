@@ -69,6 +69,17 @@ HEADLINE = [
     "q21_waiting_supplier",
     "pipeline_pack_sequences",
     "docs_segment_dedup_ratio",
+    # round 5: the ts-heavy family fixed this round (time-range window,
+    # gap sessionization, grid resample+ffill, ordered funnel, bounded
+    # as-of) plus one end-to-end STREAMING drain — readStream → watermark
+    # → windowed agg → memory sink, the engine's streaming throughput
+    # number rather than just the batch twin's
+    "window_time_range_sum",
+    "sessionize_gap",
+    "events_resample_ffill",
+    "window_funnel_stages",
+    "asof_join_tolerance",
+    "stream_tumbling_stream",
 ]
 
 

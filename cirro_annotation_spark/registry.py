@@ -55,8 +55,15 @@ PRIORITY: list[str] = [
     "join_range_band",
     "join_salted_skew",
     "agg_grouping_sets",
-    "agg_rollup",
-    "melt_unpivot",
+    # round-5 rotation: agg_rollup → window_zscore_anomaly (grouped-agg
+    # family stays via agg_grouping_sets, whose grouping-sets shape
+    # strictly subsumes rollup; zscore was broken-on-driver in r4 —
+    # ts-type fix must be proven under the driver's gate, not just ours)
+    "window_zscore_anomaly",
+    # round-5 rotation: melt_unpivot → stream_sliding_stream (reshape
+    # family stays via pivot_widen; the sliding STREAM twin was silently
+    # 1000x-collapsed in r4 and its fix needs a driver-green row)
+    "stream_sliding_stream",
     "pivot_widen",
     # windows family (incl. asof / sessionize / quantile)
     "window_rank_topk_per_group",
@@ -74,8 +81,17 @@ PRIORITY: list[str] = [
     # and is 100x-tier-validated)
     "pipeline_pack_sequences",
     "quantile_bucket_global",
-    "first_of_group",
+    # round-5 rotation: first_of_group → window_funnel_stages (the
+    # first-row-per-group shape stays via window_rank_topk_per_group and
+    # dedup_first_wins' local sweep; the funnel threw on the driver's
+    # session in r4 and its fix needs a driver-green row)
+    "window_funnel_stages",
     "asof_join_last_purchase",
+    # round-5 rotation: dedup_first_wins → asof_join_tolerance (dedup
+    # family keeps 4 in-window reps: exact, cdc_merge, ngram_jaccard,
+    # minhash_verify; the tolerance-bounded asof threw on the driver's
+    # session in r4)
+    "asof_join_tolerance",
     "sessionize_gap",
     # streaming family (batch + stream twins)
     "stream_tumbling_batch",
@@ -114,14 +130,17 @@ PRIORITY: list[str] = [
     "events_resample_ffill",
     "sim_topk_cosine",
     "sim_centroid_per_label",
-    "sim_near_dup_embeddings",
+    # round-5 rotation: sim_near_dup_embeddings → stream_join_stream
+    # (similarity keeps 3 in-window reps: topk_cosine, centroid, ivf;
+    # the stream-stream join emitted 11,690 inflated band-matches on the
+    # r4 driver session and its fix needs a driver-green row)
+    "stream_join_stream",
     "sim_topk_ivf",
     # dedup family
     "dedup_exact",
     # round-4 rotation: dedup_exact_counts → cdc_merge_upsert (the
     # cluster-inventory shape stays via dedup_exact + dedup_cluster_*)
     "cdc_merge_upsert",
-    "dedup_first_wins",
     "dedup_ngram_jaccard_sample",
     "dedup_minhash_verify",
     # multimodal family
