@@ -115,6 +115,14 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STRM.stateful_user_counts(spark, path)
 
 
+# NOTE: streaming/events.stateful_user_stats_tws (Spark 4's
+# transformWithStateInPandas) is NOT registered as a scored query: its
+# Python driver worker needs google.protobuf, absent from this container
+# — registering it would ship a guaranteed-red row. The operator is
+# implemented, environment-gated with a clear NotImplementedError, and
+# covered by tests/test_streaming.py; the applyInPandasWithState twin
+# (stream_stateful_counts) holds the custom-stateful slot in the gate.
+
 _JOIN_ORACLE = """
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
     FROM events p JOIN events c

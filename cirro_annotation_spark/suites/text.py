@@ -914,6 +914,50 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_chunk_overlap",
+    # RAG/context-window chunking: split each document into fixed-size
+    # character windows with overlap (size 400, stride 300 → 100-char
+    # overlap), the standard retrieval-index prep step. Chunk starts are
+    # 1-based; both sequence() (Spark) and generate_series (DuckDB) are
+    # stop-inclusive, so boundary chunks agree exactly. Scale: the
+    # explode is scan-local (zero shuffles — fan-out happens inside the
+    # scan stage), per-doc fan-out is ceil(len/stride), and the overlap
+    # bounds byte amplification at size/stride ≈ 1.33x regardless of
+    # corpus size. An empty doc still yields its one (empty) chunk, so
+    # the chunk table keeps a row for every doc_id.
+    oracle="""
+    SELECT doc_id,
+           (s - 1) // 300 AS chunk_idx,
+           s AS chunk_start,
+           substr(text, CAST(s AS INT), 400) AS chunk_text,
+           LENGTH(substr(text, CAST(s AS INT), 400)) AS chunk_len
+    FROM documents, UNNEST(generate_series(1, GREATEST(LENGTH(text), 1), 300)) AS u(s)
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 400, 300
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride)
+                )
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.expr(f"substring(text, chunk_start, {size})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+@query(
     "docs_token_entropy",
     # Token-distribution Shannon entropy per document — the lexical-
     # diversity quality signal (degenerate/repetitive docs score near 0,

@@ -6,8 +6,9 @@ dominate (SCALE.md round-3 sweep). This builds an N× events tier
 disjoint user_id/event_id ranges per copy — session structure per user
 is preserved exactly, so sessionize/window/streaming outputs scale
 linearly and every DuckDB oracle still applies. Timestamps keep the
-original TIMESTAMP(NANOS) physical type (pyarrow ns), so the scaled
-tier exercises the same nanos normalization path as the driver data.
+SOURCE file's physical type (nanos in round 3, micros since round 4 —
+the concat inherits it), so the scaled tier exercises the same ts
+normalization path the driver data does in the current era.
 
 Usage:
     python scripts/scale_events_tier.py [N]          # build /tmp/sf_events{N}x
@@ -46,6 +47,16 @@ EVENT_QUERIES = [
     "stream_session_window",
     "stream_dedup_watermark",
     "asof_join_last_purchase",
+    # round 5: the ts-family fixed this round, at tier scale — including
+    # the actual STREAMING drains (readStream → watermark → window →
+    # memory sink over 10M rows), not just their batch twins
+    "events_resample_ffill",
+    "window_funnel_stages",
+    "window_zscore_anomaly",
+    "asof_join_tolerance",
+    "stream_tumbling_stream",
+    "stream_sliding_stream",
+    "stream_join_stream",
 ]
 
 
