@@ -270,13 +270,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN comp c USING (doc_id)
     """,
 )
-def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-facing collapse key: every document in the slice gets a
-    cluster id — its component when it belongs to one, itself as a
-    singleton otherwise. Downstream dedup is then a plain
-    first-of-group on cluster_id. The component frame is tiny relative
-    to the corpus (only docs that appeared in a verified pair), so the
-    join broadcasts at scale."""
+def dedup_cluster_assign_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by dedup_cluster_assign and dedup_survivor_corpus."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
@@ -289,4 +284,62 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
         F.col("component").isNotNull().alias("clustered"),
+    )
+
+
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing collapse key: every document in the slice gets a
+    cluster id — its component when it belongs to one, itself as a
+    singleton otherwise. Downstream dedup is then a plain
+    first-of-group on cluster_id. The component frame is tiny relative
+    to the corpus (only docs that appeared in a verified pair), so the
+    join broadcasts at scale."""
+    return dedup_cluster_assign_impl(spark, sf_dir)
+
+
+@query(
+    "dedup_survivor_corpus",
+    # The step that actually SHRINKS the training set: pick one
+    # canonical survivor (min doc_id) per cluster and rewrite the
+    # corpus down to survivors only — the terminal stage of the
+    # minhash → verify → components → assign chain.
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_GRAPH},
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+      LEFT JOIN comp c USING (doc_id)
+    ),
+    survivors AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_collapsed
+      FROM assign
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id)
+    )
+    SELECT s.doc_id, s.cluster_id, s.n_collapsed, d.lang, d.n_chars
+    FROM survivors s JOIN documents d USING (doc_id)
+    """,
+)
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection is a window min keyed on cluster_id — the
+    shuffle carries (doc_id, cluster_id) pairs only, never text; corpus
+    hydration then BROADCASTS the survivor ids onto the documents scan,
+    so the full corpus is read once and never shuffled. n_collapsed
+    rides along so downstream mixture weights can upweight survivors
+    that represent many duplicates (the dedup-aware sampling trick)."""
+    assign = dedup_cluster_assign_impl(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    survivors = (
+        assign.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("n_collapsed"),
+            F.min("doc_id").over(w).alias("__keep"),
+        )
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.join(F.broadcast(survivors), "doc_id").select(
+        "doc_id", "cluster_id", "n_collapsed", "lang", "n_chars"
     )

@@ -104,6 +104,46 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rag_retrieve_context",
+    # The composed retrieval pipeline an LLM-serving stack runs per
+    # query: ANN top-k over the embedding corpus → hydrate the winning
+    # doc_ids from the document store → emit context snippets. The
+    # testdata keys align 1:1 (vec_id == doc_id), standing in for the
+    # doc_id both tables would share in production.
+    oracle=f"""
+    WITH topk AS (
+      SELECT vec_id, cosine_sim FROM ({_COSINE_ALL_ORACLE})
+      ORDER BY cosine_sim DESC, vec_id ASC LIMIT 5
+    )
+    SELECT t.vec_id AS doc_id, t.cosine_sim, d.lang, d.source,
+           substr(d.text, 1, 400) AS context, d.n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+)
+def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval hydration join, shaped for scale: the top-k result is a
+    k-row frame, so it BROADCASTS onto the documents scan — the corpus
+    never shuffles, and the document store is touched by one prunable
+    scan (doc_id/lang/source/text/n_chars only). At 100 TB the top-k
+    side is still k rows; the plan is identical."""
+    emb = t(spark, sf_dir, "embeddings")
+    topk = S.topk_cosine_bruteforce_q(
+        emb, "embedding", "vec_id", _query_frame(emb), k=5
+    )
+    docs = t(spark, sf_dir, "documents")
+    return docs.join(
+        F.broadcast(topk), docs.doc_id == topk.vec_id
+    ).select(
+        "doc_id",
+        "cosine_sim",
+        "lang",
+        "source",
+        F.substring("text", 1, 400).alias("context"),
+        "n_chars",
+    )
+
+
+@query(
     "sim_near_dup_embeddings",
     # Exact all-pairs on a fixed id-slice — the oracle-able twin of the
     # LSH-bucketed scale path (sim_near_dup_lsh below), same pattern as
