@@ -80,6 +80,11 @@ HEADLINE = [
     "window_funnel_stages",
     "asof_join_tolerance",
     "stream_tumbling_stream",
+    # round 5 additions: RAG prep + retrieval and the dedup terminal
+    # stage (survivor rewrite)
+    "docs_chunk_overlap",
+    "rag_retrieve_context",
+    "dedup_survivor_corpus",
 ]
 
 

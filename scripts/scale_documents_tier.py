@@ -47,6 +47,10 @@ DOC_QUERIES = [
     "text_redact_terms",
     "sample_stratified_hash",
     "pipeline_training_data",
+    # round 5: chunking fan-out and retrieval hydration are corpus-wide
+    # (the top-k probe side broadcasts; the documents side scans fully)
+    "docs_chunk_overlap",
+    "rag_retrieve_context",
 ]
 
 

@@ -456,3 +456,37 @@ def test_token_entropy_two_narrow_shuffles(spark, sf_dir):
         if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
             args = [l for l in block.splitlines() if "Arguments:" in l]
             assert all("text" not in a for a in args), block
+
+
+def test_chunk_overlap_scan_local(spark, sf_dir):
+    """Chunking is explode-only: zero exchanges, and the scan reads just
+    (doc_id, text) — fan-out happens inside the scan stage."""
+    df = _q("docs_chunk_overlap")(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert set(scan_read_schema(df)) == {"doc_id", "text"}
+
+
+def test_rag_retrieval_broadcasts_topk(spark, sf_dir):
+    """The k-row top-k side must broadcast onto the documents scan — the
+    corpus itself never shuffles (only the top-k's own
+    TakeOrderedAndProject funnel appears)."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("rag_retrieve_context")(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_survivor_corpus_broadcasts_and_never_shuffles_text(spark, sf_dir):
+    """Survivor hydration: broadcast join onto documents; every Exchange
+    argument carries ids/cluster labels, never the text column."""
+    from cirro_annotation_spark.plans import physical_plan
+
+    df = _q("dedup_survivor_corpus")(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+            args = [l for l in block.splitlines() if "Arguments:" in l]
+            assert all("text" not in a for a in args), block
