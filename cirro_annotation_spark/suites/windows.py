@@ -620,3 +620,40 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events_so_far",
         )
     )
+
+
+@query(
+    "events_rollup_multigrain",
+    # Hypertable-style continuous-aggregate rollup: ONE pass produces
+    # every grain of the time hierarchy — (type, day, hour), (type, day),
+    # (type), () — the query a TimescaleDB/Druid rollup table answers.
+    # Spark's rollup() lowers to a single Expand + one hash aggregation:
+    # each input row fans out to its 4 grouping sets map-side, partial
+    # aggregation collapses them before the one shuffle. NULL grain
+    # columns mark the subtotal rows, exactly like the SQL ROLLUP the
+    # oracle runs. At 100 TB this is the always-cheaper alternative to
+    # 4 separate groupBys (4 scans, 4 shuffles -> 1 scan, 1 shuffle).
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+             STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:00') AS hour,
+             value
+      FROM events
+    )
+    SELECT event_type, day, hour,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM e GROUP BY ROLLUP (event_type, day, hour)
+    """,
+)
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("HOUR", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "value",
+    )
+    return e.rollup("event_type", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
