@@ -85,6 +85,7 @@ HEADLINE = [
     "docs_chunk_overlap",
     "rag_retrieve_context",
     "dedup_survivor_corpus",
+    "events_rollup_multigrain",
 ]
 
 

@@ -107,7 +107,11 @@ PRIORITY: list[str] = [
     "stream_stateful_counts",
     # text family + composed pipeline
     "text_token_stats",
-    "text_term_frequency",
+    # round-5 rotation: text_term_frequency → docs_chunk_overlap (term
+    # counting stays in-window via text_token_stats + text_tfidf_top,
+    # which contains the full tf computation; the RAG chunk-prep shape
+    # is new this round and deserves a driver row)
+    "docs_chunk_overlap",
     # round-4b rotation: text_stopword_ratio → q8_market_share (the
     # token-ratio shape stays via text_token_stats/gopher rules; the
     # 7-table conditional-ratio join shape had no in-window rep)
@@ -141,7 +145,11 @@ PRIORITY: list[str] = [
     # round-4 rotation: dedup_exact_counts → cdc_merge_upsert (the
     # cluster-inventory shape stays via dedup_exact + dedup_cluster_*)
     "cdc_merge_upsert",
-    "dedup_ngram_jaccard_sample",
+    # round-5 rotation: dedup_ngram_jaccard_sample → dedup_survivor_corpus
+    # (the candidate-scoped jaccard verify kernel stays in-window inside
+    # dedup_minhash_verify; the survivor rewrite is the terminal stage of
+    # the dedup chain and completes its in-window story end to end)
+    "dedup_survivor_corpus",
     "dedup_minhash_verify",
     # multimodal family
     "multimodal_binary_stats",
@@ -154,7 +162,12 @@ PRIORITY: list[str] = [
     "manifest_variable_family",
     "manifest_project_dictionary",
     "manifest_harvest_columns",
-    "manifest_roundtrip_tokens",
+    # round-5 rotation: manifest_roundtrip_tokens → rag_retrieve_context
+    # (manifest keeps 3 in-window reps and the token round-trip stays
+    # property-tested in tests/test_template_properties.py plus
+    # hash-checked in the local sweep; the composed ANN→hydration
+    # retrieval pipeline is new this round)
+    "rag_retrieve_context",
 ]
 
 
