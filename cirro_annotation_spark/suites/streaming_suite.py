@@ -93,6 +93,40 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_stream",
+    # The STREAM twin of stream_session_window, held to the same
+    # LAG+cumulative-sum oracle: session_window merge through a real
+    # readStream drain (complete mode over a bounded source) must
+    # produce the identical gap-merged sessions, session-start values
+    # included — the ts-sensitive assertion the round-4 collapse taught
+    # us to demand of every stream twin.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '1 hour'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.run_streaming_over_parquet(
+        spark, path, lambda s: STRM.session_agg(s, "1 hour")
+    )
+
+
+@query(
     "stream_dedup_watermark",
     # dropDuplicatesWithinWatermark on event_id then count per type; with
     # the testdata's globally-unique event_ids this must equal the batch
