@@ -657,3 +657,47 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "events_value_histogram",
+    # Fixed-width histogram of the value column — the distribution-
+    # profiling scan every ingest QA step runs. Bucket id is pure
+    # arithmetic (floor((v - lo)/width), clamped), so the plan is one
+    # codegen'd scan + ONE narrow shuffle on ≤ n_buckets+2 keys; at
+    # 100 TB the reduce side is constant-size regardless of row count.
+    # Explicit [lo, hi) buckets with underflow/overflow bins -1 and
+    # n_buckets keep the SQL twin exactly expressible.
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), -1), 20) AS bucket
+      FROM events
+    )
+    SELECT bucket,
+           0.0 + bucket * 50.0 AS lo,
+           0.0 + (bucket + 1) * 50.0 AS hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, width, n_buckets = 0.0, 50.0, 20
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(-1),
+        ),
+        F.lit(n_buckets),
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * width).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * width).alias("hi"),
+            "n",
+        )
+    )

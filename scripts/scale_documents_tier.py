@@ -94,31 +94,16 @@ def main() -> int:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"{name:32s} {times[name]:8.3f} s")
 
-    # Idempotence under duplication: near-dedup of the N× corpus must
-    # keep exactly the 1× survivor set (one keeper per clone cluster,
-    # and the keeper is the min-id copy, which lives in copy 0).
     from pyspark.sql import functions as F
     from cirro_annotation_spark.operators import dedup as D
     from cirro_annotation_spark.suites.util import t as read_t
 
-    t0 = time.perf_counter()
-    survivors = D.dedup_near_minhash(
-        read_t(spark, out_dir, "documents"), "text", "doc_id", threshold=0.7
-    ).select("doc_id")
-    n_total = survivors.count()
-    n_copy0 = survivors.filter(F.col("doc_id") < 10_000_000).count()
-    dt = time.perf_counter() - t0
-    print(
-        f"near-dedup survivors at {n}x: {n_total} total, {n_copy0} in copy 0 "
-        f"({dt:.1f} s; 1x survivor count is 4756)"
-    )
-
     # The production composition: EXACT dedup first (32-byte fingerprint
     # shuffle collapses the N-clone clusters for pennies), THEN MinHash
     # on the unique survivors. Candidate-pair interiors scale as
-    # clones^2, so running banding on raw clone-heavy data is the
-    # adversarial worst case measured above — this is the shape that
-    # avoids it.
+    # clones^2, so banding raw clone-heavy data is the adversarial worst
+    # case — this is the shape that avoids it, so it runs FIRST and at
+    # every tier.
     t0 = time.perf_counter()
     uniq = D.dedup_exact(
         read_t(spark, out_dir, "documents"), "text", "doc_id"
@@ -131,6 +116,33 @@ def main() -> int:
         f"composed exact->minhash at {n}x: {n_composed} survivors "
         f"(exact {t_exact:.1f} s + minhash-on-unique {t_minhash:.1f} s)"
     )
+
+    # Idempotence of the RAW banding path under duplication: near-dedup
+    # of the N× corpus must keep exactly the 1× survivor set (keeper =
+    # min-id copy, which lives in copy 0). Verify-stage pair volume is
+    # clones²·clusters (~25M text-bearing pairs at 100×), which exceeds
+    # a single-JVM heap — measured: OOM at 100×, clean at ≤10× (2.4×
+    # wall at 10×, SCALE.md). On a cluster the pairs spill per-executor;
+    # here we gate the check to tiers the harness can hold, and the
+    # composed path above IS the 100× answer.
+    if n <= 10:
+        t0 = time.perf_counter()
+        survivors = D.dedup_near_minhash(
+            read_t(spark, out_dir, "documents"), "text", "doc_id", threshold=0.7
+        ).select("doc_id")
+        n_total = survivors.count()
+        n_copy0 = survivors.filter(F.col("doc_id") < 10_000_000).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"near-dedup survivors at {n}x: {n_total} total, {n_copy0} in copy 0 "
+            f"({dt:.1f} s; 1x survivor count is 4756)"
+        )
+    else:
+        print(
+            f"raw-banding idempotence check skipped at {n}x "
+            f"(clones^2 verify pairs exceed single-JVM heap; run with N<=10 — "
+            f"the composed exact->minhash result above is the {n}x path)"
+        )
     print(f"total {sum(times.values()):.3f} s at {n}x "
           f"(oracle-check via scripts/check_correctness.py --sf-dir {out_dir})")
     return 0
