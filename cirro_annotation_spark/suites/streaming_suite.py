@@ -149,6 +149,58 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STRM.stateful_user_counts(spark, path)
 
 
+@query(
+    "stream_static_enrich",
+    # Stream-STATIC join: the third join shape Structured Streaming
+    # supports (beyond stream-stream and self-join) — each micro-batch
+    # joins against a static dimension with NO watermark requirement and
+    # NO join state, because the static side is re-broadcast per batch.
+    # This is the canonical enrichment of an event stream by a reference
+    # table (user dims, type metadata). The dimension here is derived
+    # from the same events file (per-type value averages), so the oracle
+    # is self-contained SQL.
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, ROUND(AVG(value), 6) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, dim.type_avg,
+           ROUND(e.value - dim.type_avg, 6) AS value_delta
+    FROM events e JOIN dim USING (event_type)
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    path = os.path.join(sf_dir, "events.parquet")
+    dim = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    )
+    stream = STRM._read_events_stream(spark, path)
+    enriched = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "event_type",
+        "type_avg",
+        F.round(F.col("value") - F.col("type_avg"), 6).alias("value_delta"),
+    )
+    import uuid as _uuid
+
+    name = "stream_enrich_" + _uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 # NOTE: streaming/events.stateful_user_stats_tws (Spark 4's
 # transformWithStateInPandas) is NOT registered as a scored query: its
 # Python driver worker needs google.protobuf, absent from this container
