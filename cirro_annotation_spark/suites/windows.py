@@ -701,3 +701,51 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_interarrival_stats",
+    # Per-user inter-arrival gaps (LAG delta) rolled into per-user
+    # stats — the time-series health signal behind rate limiting and
+    # bot detection. One user-keyed shuffle serves BOTH the window and
+    # the aggregation (same key, Catalyst reuses the partitioning);
+    # arithmetic is integer micros until the final rounding, so the
+    # oracle matches exactly. Deterministic tie-break on event_id.
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS mean_gap_s,
+           ROUND(MIN(gap_s), 6) AS min_gap_s,
+           ROUND(MAX(gap_s), 6) AS max_gap_s
+    FROM d GROUP BY user_id
+    HAVING COUNT(gap_s) > 0
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros("ts")
+    gaps = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            ((us - F.lag(us).over(w)) / F.lit(1e6)).alias("gap_s"),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.min("gap_s"), 6).alias("min_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
