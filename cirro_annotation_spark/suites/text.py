@@ -998,3 +998,58 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         ),
     )
+
+
+@query(
+    "text_langid_confusion",
+    # Classifier evaluation as a query: the langid heuristic's confusion
+    # matrix against the labeled lang column, with per-cell share of the
+    # true-label row — the eval table any labeling pipeline publishes.
+    # One scan computes the prediction (codegen'd vote fold), one narrow
+    # shuffle on the (label, prediction) pair — at most n_langs² cells
+    # regardless of corpus size; the share window runs over those cells,
+    # not the corpus.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                            x -> LOWER(x)) AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS h_de,
+             LEN(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+             LEN(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS h_es,
+             LEN(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS h_fr
+      FROM tok
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                  WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                  WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM hits
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+             AS share_of_label
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", X.langid_stopword_votes("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), RATIO).alias("share_of_label"),
+    )
