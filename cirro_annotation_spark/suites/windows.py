@@ -708,23 +708,27 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user inter-arrival gaps (LAG delta) rolled into per-user
     # stats — the time-series health signal behind rate limiting and
     # bot detection. One user-keyed shuffle serves BOTH the window and
-    # the aggregation (same key, Catalyst reuses the partitioning);
-    # arithmetic is integer micros until the final rounding, so the
-    # oracle matches exactly. Deterministic tie-break on event_id.
+    # the aggregation (same key, Catalyst reuses the partitioning).
+    # EVERYTHING stays integer micros, floor-divided for the mean: the
+    # first draft rounded a float mean at 6dp and the 100x tier surfaced
+    # a user whose exact mean was a true .5 tie at that precision —
+    # Spark (HALF_UP) and DuckDB (half-even) round ties differently, so
+    # no float formulation is engine-stable on ties. BIGINT in, BIGINT
+    # out is. Deterministic tie-break on event_id.
     oracle="""
     WITH d AS (
       SELECT user_id,
-             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
     )
     SELECT user_id,
-           COUNT(gap_s) AS n_gaps,
-           ROUND(AVG(gap_s), 6) AS mean_gap_s,
-           ROUND(MIN(gap_s), 6) AS min_gap_s,
-           ROUND(MAX(gap_s), 6) AS max_gap_s
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
     FROM d GROUP BY user_id
-    HAVING COUNT(gap_s) > 0
+    HAVING COUNT(gap_us) > 0
     """,
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,18 +738,15 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros("ts")
     gaps = (
         t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            ((us - F.lag(us).over(w)) / F.lit(1e6)).alias("gap_s"),
-        )
+        .select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
     )
     return (
         gaps.groupBy("user_id")
         .agg(
-            F.count("gap_s").alias("n_gaps"),
-            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
-            F.round(F.min("gap_s"), 6).alias("min_gap_s"),
-            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+            F.count("gap_us").alias("n_gaps"),
+            F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
         )
         .filter(F.col("n_gaps") > 0)
     )

@@ -57,6 +57,13 @@ EVENT_QUERIES = [
     "stream_tumbling_stream",
     "stream_sliding_stream",
     "stream_join_stream",
+    # round 5b: multigrain rollup, histogram, interarrival, session
+    # stream twin, stream-static enrichment
+    "events_rollup_multigrain",
+    "events_value_histogram",
+    "events_interarrival_stats",
+    "stream_session_stream",
+    "stream_static_enrich",
 ]
 
 
