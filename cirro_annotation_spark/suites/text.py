@@ -1053,3 +1053,61 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w), RATIO).alias("share_of_label"),
     )
+
+
+@query(
+    "docs_pii_scan",
+    # PII detection counts per document — email + NANP-phone regex
+    # classes, the scan that gates a corpus before training. The fixture
+    # text contains no PII (no digits at all), so the query PLANTS
+    # deterministic markers derived from doc_id first — both engines
+    # build the identical string, and the detector arithmetic (count,
+    # class split, redacted preview) is then verified on real hits
+    # rather than vacuously on zeros. One codegen'd scan, no shuffle;
+    # swap the planted column for the raw text column in production.
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS scan_text
+      FROM documents
+    )
+    SELECT doc_id,
+           LEN(regexp_extract_all(scan_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           LEN(regexp_extract_all(scan_text, '\+1-555-[0-9]{4}')) AS n_phone,
+           SUBSTRING(regexp_replace(regexp_replace(scan_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+               GREATEST(LENGTH(scan_text) - 79, 1), 80) AS redacted_tail
+    FROM planted
+    """,
+)
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+1-555-[0-9]{4}"
+    d = t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("scan_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("scan_text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("scan_text", F.lit(email)).alias("n_email"),
+        F.regexp_count("scan_text", F.lit(phone)).alias("n_phone"),
+        F.substring(
+            redacted,
+            F.greatest(F.length("scan_text") - 79, F.lit(1)),
+            F.lit(80),
+        ).alias("redacted_tail"),
+    )
