@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from cirro_annotation_spark.operators import similarity as S
 from cirro_annotation_spark.registry import query
-from cirro_annotation_spark.suites.util import t
+from cirro_annotation_spark.suites.util import RATIO, t
 
 # Query = vec_id 0's embedding. Folded into every plan as a broadcast
 # 1-row frame (operators.similarity.query_vector_frame) — constructing a
@@ -414,4 +414,42 @@ def sim_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         dot.alias("qdot"),
         F.round(dot / F.sqrt(na * nb), 6).alias("cosine_q"),
+    )
+
+
+@query(
+    "embeddings_norm_stats",
+    # Vector-norm QA per label — the health check before any cosine
+    # math (zero-norm or wildly-scaled vectors break ANN silently).
+    # Norms are exact double dot-products folded per row (codegen'd
+    # zip-free self-dot via aggregate); the per-label rollup rounds
+    # once at the end. One scan, one narrow shuffle on n_labels keys.
+    oracle=f"""
+    WITH n AS (
+      SELECT label,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(MIN(nrm), {RATIO}) AS min_norm,
+           ROUND(MAX(nrm), {RATIO}) AS max_norm,
+           CAST(COUNT(*) FILTER (WHERE nrm = 0.0) AS BIGINT) AS n_zero
+    FROM n GROUP BY label
+    """,
+)
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), RATIO).alias("min_norm"),
+            F.round(F.max("nrm"), RATIO).alias("max_norm"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("n_zero"),
+        )
     )
