@@ -86,6 +86,11 @@ HEADLINE = [
     "rag_retrieve_context",
     "dedup_survivor_corpus",
     "events_rollup_multigrain",
+    "events_value_histogram",
+    "events_interarrival_stats",
+    "text_langid_confusion",
+    "docs_pii_scan",
+    "embeddings_norm_stats",
 ]
 
 
