@@ -201,6 +201,70 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).localCheckpoint(eager=True)
 
 
+@query(
+    "stream_cdc_apply",
+    # The streaming CDC merge (streaming/cdc.py) as a scored query: the
+    # events table is reinterpreted as a changelog (key=user_id, ordered
+    # by ts with event_id as the binlog seq; event_type='error' rows are
+    # delete tombstones), drained through readStream → foreachBatch
+    # latest-wins merge into a parquet base, and the FINAL BASE TABLE is
+    # returned. Deterministic end to end, so the oracle is the plain
+    # latest-wins SQL. Each call uses a fresh temp base+checkpoint.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id AS key, ts, event_type AS payload,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT key, ts, payload FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from cirro_annotation_spark.streaming.cdc import run_cdc_stream
+
+    work = tempfile.mkdtemp(prefix="cdc_apply_")
+    try:
+        changelog_dir = os.path.join(work, "changelog")
+        os.makedirs(changelog_dir)
+        # Changelog derived from events, written as ONE parquet file so
+        # the whole log lands in one micro-batch (multi-batch ordering
+        # over a shared key needs per-batch ts ordering guarantees a
+        # file source doesn't give; the per-batch merge itself is
+        # latest-wins either way — tests/test_streaming_cdc.py covers
+        # the multi-batch path on a controlled timeline).
+        (
+            t(spark, sf_dir, "events")
+            .select(
+                F.col("user_id").alias("key"),
+                "ts",
+                F.col("event_id").alias("seq"),
+                F.when(F.col("event_type") == "error", "d")
+                .otherwise("u")
+                .alias("op"),
+                F.col("event_type").alias("payload"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(changelog_dir)
+        )
+        base = os.path.join(work, "base")
+        run_cdc_stream(spark, changelog_dir, base)
+        return (
+            spark.read.parquet(base)
+            .select("key", "ts", "payload")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # NOTE: streaming/events.stateful_user_stats_tws (Spark 4's
 # transformWithStateInPandas) is NOT registered as a scored query: its
 # Python driver worker needs google.protobuf, absent from this container

@@ -110,7 +110,7 @@ def test_read_table_normalizes_inferred_ntz(spark, tmp_path):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", before)
 
 
-@pytest.mark.parametrize("unit", ["ns", "us"])
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
 def test_streaming_reader_matches_batch_per_flavor(spark, tmp_path, unit):
     """The streaming schema peek picks the right (schema, normalization)
     pair: tumbling windows through the stream equal the batch run over
