@@ -270,6 +270,31 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN comp c USING (doc_id)
     """,
 )
+@query(
+    "dedup_cluster_components_star",
+    # Same transitive closure, computed by large-star/small-star edge
+    # rewiring (Kiveris et al.) instead of min-label propagation —
+    # O(log^2) rounds on long-diameter graphs where propagation pays
+    # O(diameter). Both implementations must produce the identical
+    # (vertex, component) mapping; holding the star variant to the SAME
+    # recursive-CTE oracle proves that, not just that it "runs".
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_GRAPH}
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members
+    FROM comp
+    """,
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = D.connected_components_star(_cc_edges(spark, sf_dir))
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("vertex").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
 def dedup_cluster_assign_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared by dedup_cluster_assign and dedup_survivor_corpus."""
     d = (

@@ -62,6 +62,17 @@ def main() -> int:
     print(f"path: length {path_len} -> {bad} mislabeled, {dt:.1f} s "
           f"({dt/max(path_len-1,1):.2f} s/round)")
     assert bad == 0
+
+    # --- same path through star rewiring: O(log^2) rounds, not O(L) ---
+    from cirro_annotation_spark.operators.dedup import connected_components_star
+
+    t0 = time.perf_counter()
+    scomp = connected_components_star(path_edges)
+    sbad = scomp.filter(F.col("component") != 0).count()
+    sdt = time.perf_counter() - t0
+    print(f"path via star rewiring: {sbad} mislabeled, {sdt:.1f} s "
+          f"(vs {dt:.1f} s propagation — the long-diameter switch)")
+    assert sbad == 0
     return 0
 
 

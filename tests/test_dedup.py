@@ -167,3 +167,46 @@ def test_cc_direction_invariant(spark):
     fwd = _cc(spark, pairs)
     rev = _cc(spark, [(b, a) for a, b in pairs])
     assert fwd == rev == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+
+
+def _cc_star(spark, pairs):
+    from cirro_annotation_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components_star(edges)
+    return {r["vertex"]: r["component"] for r in out.collect()}
+
+
+def test_cc_star_agrees_with_propagation_on_known_graphs(spark):
+    """Star rewiring must produce identical components to min-label
+    propagation on every shape the propagation tests pin."""
+    for pairs in (
+        [(i, i + 1) for i in range(5)],
+        [(1, 2), (10, 11), (11, 12), (20, 21)],
+        [(3, 4), (4, 5), (3, 5), (2, 3), (1, 2)],
+        [(5, 1), (2, 5), (9, 7)],
+    ):
+        assert _cc_star(spark, pairs) == _cc(spark, pairs), pairs
+
+
+def test_cc_star_long_path_few_rounds(spark):
+    """The reason this variant exists: a 64-link chain converges in
+    O(log^2) star rounds where propagation needs 64. Known answer:
+    everything reaches root 0."""
+    labels = _cc_star(spark, [(i, i + 1) for i in range(64)])
+    assert labels == {i: 0 for i in range(65)}
+
+
+def test_cc_star_random_graphs_match_propagation(spark):
+    """Seeded random sparse graphs: both algorithms must agree exactly
+    (they compute the same mathematical object by different routes)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _cc_star(spark, pairs) == _cc(spark, pairs), trial
