@@ -260,17 +260,6 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_cluster_assign",
-    oracle=f"""
-    WITH RECURSIVE {_CC_ORACLE_GRAPH}
-    SELECT d.doc_id,
-           COALESCE(c.component, d.doc_id) AS cluster_id,
-           CAST(c.component IS NOT NULL AS BOOLEAN) AS clustered
-    FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
-    LEFT JOIN comp c USING (doc_id)
-    """,
-)
-@query(
     "dedup_cluster_components_star",
     # Same transitive closure, computed by large-star/small-star edge
     # rewiring (Kiveris et al.) instead of min-label propagation —
@@ -312,6 +301,17 @@ def dedup_cluster_assign_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_GRAPH}
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           CAST(c.component IS NOT NULL AS BOOLEAN) AS clustered
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+    LEFT JOIN comp c USING (doc_id)
+    """,
+)
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-facing collapse key: every document in the slice gets a
     cluster id — its component when it belongs to one, itself as a

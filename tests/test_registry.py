@@ -63,3 +63,21 @@ def test_window_entries_are_overwhelmingly_oracle_backed() -> None:
         f"too many rows-only queries occupy hash-checkable window slots: "
         f"{rows_only}"
     )
+
+
+def test_registered_name_matches_function_name():
+    """Every @query("name") must decorate the function named `name` —
+    a decorator accidentally stacked onto the NEXT def registers the
+    wrong callable under the name (round-5 near-miss: an inserted query
+    block landed between dedup_cluster_assign's decorator and its def,
+    silently rebinding that scored name to the new function; only the
+    full-sweep oracle diff caught it)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    mismatched = {
+        name: fn.__name__
+        for name, fn in QUERIES.items()
+        if fn.__name__ != name
+    }
+    assert not mismatched, mismatched
