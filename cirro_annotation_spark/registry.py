@@ -48,126 +48,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    # flagship + relational core
-    "q1_pricing_summary",
-    "join_multiway",
-    "join_equi_topk",
-    "join_range_band",
-    "join_salted_skew",
-    "agg_grouping_sets",
-    # round-5 rotation: agg_rollup → window_zscore_anomaly (grouped-agg
-    # family stays via agg_grouping_sets, whose grouping-sets shape
-    # strictly subsumes rollup; zscore was broken-on-driver in r4 —
-    # ts-type fix must be proven under the driver's gate, not just ours)
-    "window_zscore_anomaly",
-    # round-5 rotation: melt_unpivot → stream_sliding_stream (reshape
-    # family stays via pivot_widen; the sliding STREAM twin was silently
-    # 1000x-collapsed in r4 and its fix needs a driver-green row)
-    "stream_sliding_stream",
-    "pivot_widen",
-    # windows family (incl. asof / sessionize / quantile)
-    "window_rank_topk_per_group",
-    "window_running_sum",
-    "window_time_range_sum",
-    # round-4b rotation: window_ntile_rank → q21_waiting_supplier (the
-    # ranking shape stays via window_rank_topk_per_group; the EXISTS +
-    # NOT-EXISTS self-join shape had no in-window representative)
-    "q21_waiting_supplier",
-    # scalar family representatives (the rest follow after the window)
-    "scalar_from_json_struct",
-    # round-4b rotation: scalar_try_cast → pipeline_pack_sequences (the
-    # scalar family stays represented by scalar_from_json_struct; the
-    # concat-and-chunk packing layout had no in-window representative
-    # and is 100x-tier-validated)
-    "pipeline_pack_sequences",
-    "quantile_bucket_global",
-    # round-5 rotation: first_of_group → window_funnel_stages (the
-    # first-row-per-group shape stays via window_rank_topk_per_group and
-    # dedup_first_wins' local sweep; the funnel threw on the driver's
-    # session in r4 and its fix needs a driver-green row)
-    "window_funnel_stages",
-    "asof_join_last_purchase",
-    # round-5 rotation: dedup_first_wins → asof_join_tolerance (dedup
-    # family keeps 4 in-window reps: exact, cdc_merge, ngram_jaccard,
-    # minhash_verify; the tolerance-bounded asof threw on the driver's
-    # session in r4)
-    "asof_join_tolerance",
-    "sessionize_gap",
-    # streaming family (batch + stream twins)
-    "stream_tumbling_batch",
-    "stream_tumbling_stream",
-    "stream_sliding_batch",
-    # round-4 rotation: stream_sliding_stream → dedup_cluster_components
-    # (sliding shape stays via stream_sliding_batch, stream twins via
-    # stream_tumbling_stream; the rotated query stays hash-checked in
-    # the local full sweep)
-    "dedup_cluster_components",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_stateful_counts",
-    # text family + composed pipeline
-    "text_token_stats",
-    # round-5 rotation: text_term_frequency → docs_chunk_overlap (term
-    # counting stays in-window via text_token_stats + text_tfidf_top,
-    # which contains the full tf computation; the RAG chunk-prep shape
-    # is new this round and deserves a driver row)
-    "docs_chunk_overlap",
-    # round-4b rotation: text_stopword_ratio → q8_market_share (the
-    # token-ratio shape stays via text_token_stats/gopher rules; the
-    # 7-table conditional-ratio join shape had no in-window rep)
-    "q8_market_share",
-    # round-4 rotation: text_quality_score → docs_gopher_quality_rules
-    # (the rule-by-rule gate strictly subsumes the composite score shape)
-    "docs_gopher_quality_rules",
-    "text_langid",
-    "text_tfidf_top",
-    # round-4b rotation: text_fingerprint → docs_segment_dedup_ratio (the
-    # fingerprint shape stays in-window inside dedup_exact/minhash_verify;
-    # the segment-level line-dedup shape had no in-window representative)
-    "docs_segment_dedup_ratio",
-    "pipeline_training_data",
-    # similarity family (oracle-backed members; ivf = pinned-centroid
-    # literals, round-4)
-    # round-4b rotation: sim_cosine_all → events_resample_ffill (the
-    # exact-cosine shape stays via sim_topk_cosine/sim_near_dup_embeddings;
-    # the gap-fill/resample family had no in-window representative)
-    "events_resample_ffill",
-    "sim_topk_cosine",
-    "sim_centroid_per_label",
-    # round-5 rotation: sim_near_dup_embeddings → stream_join_stream
-    # (similarity keeps 3 in-window reps: topk_cosine, centroid, ivf;
-    # the stream-stream join emitted 11,690 inflated band-matches on the
-    # r4 driver session and its fix needs a driver-green row)
-    "stream_join_stream",
-    "sim_topk_ivf",
-    # dedup family
-    "dedup_exact",
-    # round-4 rotation: dedup_exact_counts → cdc_merge_upsert (the
-    # cluster-inventory shape stays via dedup_exact + dedup_cluster_*)
-    "cdc_merge_upsert",
-    # round-5 rotation: dedup_ngram_jaccard_sample → dedup_survivor_corpus
-    # (the candidate-scoped jaccard verify kernel stays in-window inside
-    # dedup_minhash_verify; the survivor rewrite is the terminal stage of
-    # the dedup chain and completes its in-window story end to end)
-    "dedup_survivor_corpus",
-    "dedup_minhash_verify",
-    # multimodal family
-    "multimodal_binary_stats",
-    "multimodal_extract_features",
-    # manifest family (melt_standard + file_to_columns rotated out in
-    # round 4 to fit sim_topk_ivf + join_salted_skew — the melt shape is
-    # still in-window via melt_unpivot, the join-file shape via the
-    # harvest/roundtrip reps, and both rotated queries stay hash-checked
-    # in the local 108-query sweep)
-    "manifest_variable_family",
-    "manifest_project_dictionary",
-    "manifest_harvest_columns",
-    # round-5 rotation: manifest_roundtrip_tokens → rag_retrieve_context
-    # (manifest keeps 3 in-window reps and the token round-trip stays
-    # property-tested in tests/test_template_properties.py plus
-    # hash-checked in the local sweep; the composed ANN→hydration
-    # retrieval pipeline is new this round)
-    "rag_retrieve_context",
+    # ------------------------------------------------------------------
+    # ROUND-6 WINDOW ROTATION (VERDICT r5 item 1): all 50 entries below
+    # were NEVER driver-scored in rounds 1-5 (97 of 159 had been; this
+    # window converts 50 of the remaining 62 from local-vanilla-green to
+    # driver-green). The 97 previously-scored queries keep their green
+    # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
+    # full sweep (scripts/check_correctness.py, no args = all 159).
+    # The 12 still-unscored after this round (fuzzy_levenshtein, resize,
+    # string_concat_ordered, explode_outer, join_left_batch,
+    # mixture_weighted, redact_terms, token_entropy, cume_dist,
+    # interarrival, cosine_int8, norm_stats) rotate in next round —
+    # each family they belong to has >=2 representatives in THIS window.
+    # ------------------------------------------------------------------
+    # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q22_dormant_high_balance",
+    "sql_exists_subquery",
+    # aggregates never scored (grouped/rollup/cube green r03-r05)
+    "agg_stats_moments",
+    "agg_percentiles_exact",
+    "agg_quarter_over_quarter",
+    # scalar HOF/map family
+    "scalar_map_funcs",
+    "scalar_hof_exists_forall",
+    # window family members never scored
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_retention_cohorts",
+    # events analytics (r5 additions, plan-audited but never scored)
+    "events_rollup_multigrain",
+    "events_value_histogram",
+    # streaming members never scored (tumbling/sliding/session/dedup/
+    # stateful/join_stream all green in r04/r05)
+    "stream_session_stream",
+    "stream_static_enrich",
+    "stream_cdc_apply",
+    "stream_join_batch",
+    # similarity members never scored
+    "sim_near_dup_lsh",
+    "sim_knn_join_batch",
+    "pipeline_embedding_centroids",
+    # sampling / split family (md5-bucket determinism)
+    "sample_stratified_hash",
+    "split_train_eval",
+    # text/docs members never scored
+    "text_zipf_histogram",
+    "text_decontaminate_ngram",
+    "docs_repetition_ratio",
+    "text_langid_confusion",
+    "docs_pii_scan",
+    "corpus_health_report",
+    # dedup members never scored (exact/minhash/ngram/components/
+    # survivor/assign-chain green in r04/r05)
+    "dedup_cluster_components_star",
+    "dedup_cluster_assign",
+    # sources / datasets never scored
+    "dataset_chooser_newest_first",
+    "scan_jsonl_typed",
+    # multimodal member never scored (binary_stats/features green r05)
+    "multimodal_frame_sample",
 ]
 
 
