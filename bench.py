@@ -91,6 +91,17 @@ HEADLINE = [
     "text_langid_confusion",
     "docs_pii_scan",
     "embeddings_norm_stats",
+    # round 6 (append-only, r5 verdict item 4 — bench every family): the
+    # correlated-subquery and group-max TPC-H shapes, the scalar HOF/map
+    # family, hash-deterministic sampling/split, and the streaming CDC
+    # merge (readStream → foreachBatch latest-wins rewrite)
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "scalar_map_funcs",
+    "scalar_hof_exists_forall",
+    "sample_stratified_hash",
+    "split_train_eval",
+    "stream_cdc_apply",
 ]
 
 

@@ -55,17 +55,46 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     """
     from cirro_annotation_spark.session import parquet_ts_unit
 
-    if parquet_ts_unit(path) == "ns":
+    unit = parquet_ts_unit(path)
+    if unit == "ns":
+        # Schema inference happens eagerly inside spark.read.parquet, so
+        # the legacy conf only needs to hold across that call; restoring
+        # it immediately after keeps the hosting (possibly foreign)
+        # session unpolluted — a LATER nanos read on the same session
+        # must error loudly, not silently arrive as bigint (round-5
+        # advisor). Execution reads through the already-resolved bigint
+        # schema, so the restore is safe before any action runs
+        # (verified: collect() after restore returns the raw nanos).
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            prev = spark.conf.get(conf_key, None)
+        except Exception:
+            prev = None
+        try:
+            spark.conf.set(conf_key, "true")
         except Exception:
             pass  # conf locked by the hosting driver; the read will raise
-    df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            try:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+            except Exception:
+                pass
+    else:
+        df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name != "ts":
             continue
         kind = f.dataType.simpleString()
-        if kind == "bigint":
+        # div-1000 is gated on the FOOTER saying nanos, not on the Spark
+        # type alone: a genuinely long-typed ts column (epoch micros or
+        # a plain counter) must pass through untouched, not be misscaled
+        # 1000x (round-5 advisor).
+        if kind == "bigint" and unit == "ns":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif kind == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

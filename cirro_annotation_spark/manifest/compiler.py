@@ -94,15 +94,7 @@ def compile_command(
         )
         if not matched:
             raise FileNotFoundError(f"no files match {pattern}")
-        # ONE multi-path scan for the whole family; sniff sep on one
-        # representative (families share a format by construction).
-        df = read_dsv(
-            spark,
-            matched,
-            sep=cmd.read.sep,
-            header=cmd.read.header,
-            sniff_path=matched[0],
-        )
+        df = _read_family(spark, matched, cmd)
         # Group index of each token in the compiled regex (named groups
         # are ordered by position).
         group_idx = {name: i + 1 for i, name in enumerate(extract_tokens(source))}
@@ -169,6 +161,41 @@ def compile_command(
             value_name=cmd.melt.value_name,
         )
     return df
+
+
+def _read_family(spark: SparkSession, matched: list[str], cmd: TransformCommand):
+    """Scan a variable family, honoring PER-MEMBER separators.
+
+    The reference sniffs each file independently (``pd.read_csv(sep=
+    None)`` per member, run_annotate.py:20-22), so a family whose
+    members drifted between comma and tab still reads correctly. With
+    an explicit ``cmd.read.sep`` this is ONE multi-path scan; with
+    sniffing, members are grouped by detected separator — the common
+    all-same-sep family still plans as a single FileScan, and a mixed
+    family becomes one scan PER SEPARATOR unioned by column name
+    (Union is plan-level concatenation: no shuffle, each branch stays
+    embarrassingly parallel).
+
+    The sniff itself is a driver-side head read per member — metadata-
+    scale IO (4 KB/file). At a 100k-file family that is 100k small
+    reads; against object storage this loop is the thing to batch
+    (thread pool / ranged GETs), not the scan design.
+    """
+    if cmd.read.sep is not None:
+        return read_dsv(spark, matched, sep=cmd.read.sep, header=cmd.read.header)
+    from cirro_annotation_spark.sources.dsv import sniff_separator
+
+    by_sep: dict[str, list[str]] = {}
+    for p in matched:
+        by_sep.setdefault(sniff_separator(p), []).append(p)
+    frames = [
+        read_dsv(spark, paths, sep=sep, header=cmd.read.header)
+        for sep, paths in sorted(by_sep.items())
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def _file_url_regex(path_regex: str) -> str:

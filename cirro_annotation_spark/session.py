@@ -13,18 +13,31 @@ from functools import lru_cache
 from pyspark.sql import SparkSession
 
 
-@lru_cache(maxsize=1024)
 def parquet_ts_unit(path: str) -> str | None:
     """Physical time unit ('ns'|'us'|'ms'|'s') of a parquet file's ``ts``
     column, or None if the file has no timestamp-typed ``ts``.
 
-    Footer-only read (pyarrow) — no data pages touched, cached per path.
+    Footer-only read (pyarrow) — no data pages touched. Cached on
+    (path, mtime, size), NOT path alone: a file regenerated in place
+    within one process (exactly the driver-regeneration scenario this
+    peek defends against) must invalidate the cached unit, or the stale
+    unit selects the wrong schema/normalization (round-5 advisor).
     This peek is what makes the nanos legacy conf CONDITIONAL: the
     round-3 testdata stored TIMESTAMP(NANOS) (vectorized reader rejects
     it without ``nanosAsLong``), round-4 regenerated it as micros (where
     ``nanosAsLong`` would be dead config). Reading the actual physical
     type instead of assuming either era survives the next regeneration.
     """
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = (0, 0)
+    return _parquet_ts_unit_stamped(path, stamp)
+
+
+@lru_cache(maxsize=1024)
+def _parquet_ts_unit_stamped(path: str, _stamp: tuple[int, int]) -> str | None:
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq

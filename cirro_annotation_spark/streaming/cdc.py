@@ -9,6 +9,28 @@ micro-batch applies atomically via foreachBatch, which is exactly how
 Structured Streaming documents idempotent-sink integration: the batch
 function receives (batch_df, batch_id) and can use full batch APIs.
 
+The base table STORES the full changelog resolution state
+(key, ts, seq, op, payload) — including the winning tombstone per
+deleted key — not just the live rows. Two correctness properties depend
+on that (round-5 advisor finding):
+
+* (ts, seq) total order survives across micro-batches. If the base
+  stored only (key, ts, payload), replayed base rows would need a
+  synthetic seq; any synthetic value mis-orders SOME late arrival with
+  the same ts (seq=-1 loses to a stale lower-seq duplicate, seq=+inf
+  beats a legitimate newer event). Persisting the real seq makes the
+  merge associative: merge(merge(a,b),c) == merge(a,b∪c).
+* A late upsert that is OLDER than an applied delete must stay dead.
+  If tombstones were dropped at write time, the delete's (ts, seq)
+  would be forgotten and the stale upsert would resurrect the key.
+  Retained tombstones win the per-key window and keep it deleted.
+
+Readers go through :func:`read_cdc_base`, which filters ``op != 'd'`` —
+tombstones are bookkeeping, not data. At 100 TB the retained-tombstone
+set is pruned by a compaction pass once the reordering horizon (the
+source's watermark) has passed — ``tombstone_horizon`` implements that
+pruning; the default retains forever, which is always correct.
+
 Scale story: at 100 TB the base table is Delta/Iceberg and this batch
 function becomes one ``MERGE INTO`` (file-pruned by the join keys, ACID
 commit per micro-batch, idempotent via batch_id). Parquet-only
@@ -31,48 +53,135 @@ from pyspark.sql import functions as F
 
 # op: 'u' = upsert (insert or update), 'd' = delete tombstone.
 CHANGELOG_SCHEMA = "key long, ts timestamp, seq long, op string, payload string"
+# The base persists the same five columns — see module docstring for why
+# seq and tombstones must survive the write.
+BASE_SCHEMA = CHANGELOG_SCHEMA
 
 
-def apply_cdc_batch(batch_df: DataFrame, base_path: str) -> None:
+def _recover(base_path: str) -> None:
+    """Roll forward/back a swap interrupted between the two renames.
+
+    The swap sequence is: rename(base → base.old), rename(staging →
+    base), rmtree(base.old). A crash between the renames leaves
+    base.old but no base; the staged result (a complete, fsynced
+    parquet dir) may or may not exist. Recovery: prefer a complete
+    staging dir (roll forward), else restore base.old (roll back).
+    Either way the reader sees a complete base, never a half state.
+    """
+    old = base_path + ".old"
+    if os.path.exists(base_path):
+        if os.path.exists(old):  # crash after swap, before cleanup
+            shutil.rmtree(old)
+        return
+    if not os.path.exists(old):
+        return
+    parent = os.path.dirname(base_path) or "."
+    prefix = os.path.basename(base_path) + ".staging-"
+    staged = sorted(
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(prefix)
+        and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+    )
+    if staged:  # roll forward to the newest complete staging dir
+        os.rename(staged[-1], base_path)
+        shutil.rmtree(old)
+        for leftover in staged[:-1]:
+            shutil.rmtree(leftover)
+    else:  # roll back
+        os.rename(old, base_path)
+
+
+def _swap_in(latest: DataFrame, base_path: str) -> None:
+    """Atomically-ish replace base_path with ``latest``.
+
+    Never leaves zero bases on disk: the old base is renamed aside
+    (not deleted) before the staged result takes its place, and
+    :func:`_recover` heals a crash between the two renames. An empty
+    ``latest`` is written through ``repartition(1)`` so one task runs
+    and parquet still gets a footer-bearing file — a bare _SUCCESS dir
+    would break later schema-less reads.
+    """
+    if latest.isEmpty():
+        latest = latest.repartition(1)
+    staging = f"{base_path}.staging-{uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").parquet(staging)
+    old = base_path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(base_path):
+        os.rename(base_path, old)
+    os.rename(staging, base_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def read_cdc_base(spark: SparkSession, base_path: str) -> DataFrame:
+    """The live view of the base table: tombstones filtered, payload
+    columns only. Always reads with the explicit BASE_SCHEMA so an
+    empty base (every key deleted) is a 0-row frame, not an inference
+    error."""
+    _recover(base_path)
+    return (
+        spark.read.schema(BASE_SCHEMA)
+        .parquet(base_path)
+        .filter(F.col("op") != "d")
+        .select("key", "ts", "payload")
+    )
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame, base_path: str, tombstone_horizon: str | None = None
+) -> None:
     """Merge one changelog micro-batch into the parquet base at base_path.
 
-    latest-wins per key on (ts, seq); tombstones drop the key. The new
-    base is materialized (localCheckpoint) BEFORE the overwrite — Spark
-    cannot lazily read and overwrite the same path — then swapped in via
-    a staging-directory rename, so a crash mid-write never leaves a
-    half-truncated base (the Delta/Iceberg commit does this with real
-    ACID; staging-swap is the file-level equivalent).
+    latest-wins per key on (ts, seq); the winning row is stored even
+    when it is a tombstone (see module docstring). The new base is
+    materialized (localCheckpoint) BEFORE the overwrite — Spark cannot
+    lazily read and overwrite the same path — then swapped in via a
+    staged write and a rename pair that keeps a complete base on disk
+    at every instant (the Delta/Iceberg commit does this with real
+    ACID; staging-swap + recovery is the file-level equivalent).
+
+    ``tombstone_horizon``: optional SQL interval string (e.g.
+    ``'7 days'``). Tombstones older than ``max(ts) - horizon`` are
+    compacted away — safe once the source can no longer deliver events
+    that old (its watermark), exactly like Kafka's log-compaction
+    ``delete.retention.ms``.
     """
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
+    _recover(base_path)
+    batch = batch_df.select("key", "ts", "seq", "op", "payload")
     if os.path.exists(base_path):
-        # Base rows replay as upserts from the epoch before any change:
-        # seq -1 sorts below every changelog seq at equal ts.
-        base = (
-            spark.read.parquet(base_path)
-            .select("key", "ts", F.lit(-1).alias("seq"), F.lit("u").alias("op"), "payload")
-        )
-        merged = base.unionByName(batch_df.select(*base.columns))
+        # Base rows replay with their STORED (ts, seq, op) — the merge
+        # must be associative across micro-batches, so no synthetic seq.
+        base = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+        merged = base.unionByName(batch)
     else:
-        merged = batch_df.select("key", "ts", "seq", "op", "payload")
+        merged = batch
     w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("seq").desc())
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("op") != "d"))
-        .select("key", "ts", "payload")
-        .localCheckpoint(eager=True)
+    latest = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
     )
-    staging = f"{base_path}.staging-{uuid.uuid4().hex[:8]}"
-    latest.write.mode("overwrite").parquet(staging)
-    if os.path.exists(base_path):
-        shutil.rmtree(base_path)
-    os.rename(staging, base_path)
+    if tombstone_horizon is not None:
+        horizon = F.expr(f"INTERVAL {tombstone_horizon}")
+        latest = latest.withColumn(
+            "__max_ts", F.max("ts").over(Window.partitionBy())
+        ).filter(
+            (F.col("op") != "d") | (F.col("ts") >= F.col("__max_ts") - horizon)
+        )
+    latest = latest.select("key", "ts", "seq", "op", "payload").localCheckpoint(
+        eager=True
+    )
+    _swap_in(latest, base_path)
 
 
 def run_cdc_stream(
     spark: SparkSession, changelog_dir: str, base_path: str,
     max_files_per_trigger: int | None = None,
+    tombstone_horizon: str | None = None,
 ) -> None:
     """Drain a changelog directory into the base table, one merge per
     micro-batch. In production the source line is Kafka and the sink a
@@ -84,7 +193,7 @@ def run_cdc_stream(
     stream = reader.parquet(changelog_dir)
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, _id: apply_cdc_batch(df, base_path)
+            lambda df, _id: apply_cdc_batch(df, base_path, tombstone_horizon)
         )
         .option(
             "checkpointLocation",

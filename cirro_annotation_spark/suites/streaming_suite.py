@@ -227,7 +227,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.functions as F
 
-    from cirro_annotation_spark.streaming.cdc import run_cdc_stream
+    from cirro_annotation_spark.streaming.cdc import read_cdc_base, run_cdc_stream
 
     work = tempfile.mkdtemp(prefix="cdc_apply_")
     try:
@@ -256,11 +256,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         base = os.path.join(work, "base")
         run_cdc_stream(spark, changelog_dir, base)
-        return (
-            spark.read.parquet(base)
-            .select("key", "ts", "payload")
-            .localCheckpoint(eager=True)
-        )
+        # read_cdc_base filters the retained tombstones (the base stores
+        # the winning row per key INCLUDING deletes, so cross-batch
+        # (ts, seq) ordering survives — streaming/cdc.py module doc).
+        return read_cdc_base(spark, base).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -210,3 +210,62 @@ def test_cc_star_random_graphs_match_propagation(spark):
         ]
         pairs = [(a, b) for a, b in pairs if a != b]
         assert _cc_star(spark, pairs) == _cc(spark, pairs), trial
+
+def test_cc_propagation_raises_on_round_cap(spark):
+    """Round-5 advisor: exhausting max_iter must raise, not hand back
+    plausible-but-unconverged labels. A 20-link path cannot finish
+    min-label propagation in 3 rounds."""
+    import pytest
+
+    from cirro_annotation_spark.operators.dedup import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(edges, max_iter=3)
+
+
+def test_cc_star_raises_on_round_cap(spark):
+    import pytest
+
+    from cirro_annotation_spark.operators.dedup import (
+        ComponentsNotConverged,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components_star(edges, max_iter=1)
+
+
+def test_cc_auto_falls_through_to_star_on_long_path(spark):
+    """Round-5 verdict item 5: a path graph whose diameter exceeds the
+    propagation round cap must transparently complete via star rewiring
+    with the identical (vertex, component) answer."""
+    from cirro_annotation_spark.operators.dedup import connected_components_auto
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    out = connected_components_auto(edges, propagation_rounds=4)
+    labels = {r["vertex"]: r["component"] for r in out.collect()}
+    assert labels == {i: 0 for i in range(41)}
+
+
+def test_cc_auto_uses_propagation_on_small_diameter(spark):
+    """On the common near-clique dedup graph the capped propagation
+    already converges — same answer, no fallback needed."""
+    from cirro_annotation_spark.operators.dedup import connected_components_auto
+
+    edges = spark.createDataFrame(
+        [(3, 4), (4, 5), (3, 5), (2, 3), (1, 2)], "id_a long, id_b long"
+    )
+    out = connected_components_auto(edges, propagation_rounds=8)
+    labels = {r["vertex"]: r["component"] for r in out.collect()}
+    assert labels == {v: 1 for v in (1, 2, 3, 4, 5)}

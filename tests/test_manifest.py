@@ -150,3 +150,36 @@ def test_load_manifest_nested_command_groups():
         '{"source": "a.txt", "target": "a.parquet"}}]]}'
     )
     assert len(m.commands) == 1 and m.commands[0].target == "a.parquet"
+
+
+def test_variable_family_mixed_separators(spark, tmp_path):
+    """SURVEY risk-register case (round-5 verdict item 8): a family whose
+    members sniff to DIFFERENT separators — one comma member, one tab
+    member — must union correctly, because the reference sniffs each
+    file independently (pd.read_csv(sep=None) per member,
+    run_annotate.py:20-22). One scan per detected separator, unioned by
+    column name; tokens still extract per row."""
+    from cirro_annotation_spark.manifest.model import ReadOptions, TransformCommand
+
+    root = tmp_path / "mixroot"
+    (root / "mix" / "A").mkdir(parents=True)
+    (root / "mix" / "B").mkdir(parents=True)
+    (root / "mix" / "A" / "data.txt").write_text(
+        "id,score\n1,0.5\n2,0.7\n"
+    )
+    (root / "mix" / "B" / "data.txt").write_text(
+        "id\tscore\n3\t0.9\n4\t1.1\n"
+    )
+    cmd = TransformCommand(
+        source="$data_directory/mix/[sample]/data.txt",
+        target="mix.parquet",
+        read=ReadOptions(),  # sep unset -> per-member sniff
+    )
+    df = compile_command(spark, cmd, str(root))
+    rows = {(r["id"], r["score"], r["sample"]) for r in df.collect()}
+    assert rows == {
+        (1, 0.5, "A"),
+        (2, 0.7, "A"),
+        (3, 0.9, "B"),
+        (4, 1.1, "B"),
+    }

@@ -125,3 +125,26 @@ def test_knn_join_self_match_ranks_first(spark, sf_dir):
         assert len(rows) == 5
         best = min(rows, key=lambda r: r["rank"])
         assert best["neighbor_id"] == qid and best["cosine_sim"] == 1.0
+
+def test_ivf_pinned_centroids_not_stale(spark):
+    """Round-5 verdict item 2: if the sf0.01 embeddings fixture or the
+    trainer drifts, the pinned CENTROIDS literals silently diverge and
+    sim_topk_ivf goes red on the driver with no pytest early warning
+    (the r4 ts-regeneration lesson, tests/test_testdata_canary.py).
+    Retrain with the documented parameters and compare to the literals."""
+    from cirro_annotation_spark.operators import similarity as S
+    from cirro_annotation_spark.suites import _ivf_centroids
+    from cirro_annotation_spark.suites.util import t
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    fresh = S.train_centroids_kmeans(emb, "embedding", "vec_id", k=8, iterations=2)
+    pinned = _ivf_centroids.CENTROIDS
+    assert len(fresh) == len(pinned)
+    for ci, (f, p) in enumerate(zip(fresh, pinned)):
+        assert len(f) == len(p), f"centroid {ci} dim mismatch"
+        for di, (fv, pv) in enumerate(zip(f, p)):
+            assert abs(fv - pv) < 1e-9, (
+                f"pinned centroid {ci}[{di}]={pv} != freshly trained {fv}; "
+                f"regenerate suites/_ivf_centroids.py (docstring has the "
+                f"recipe)"
+            )

@@ -9,8 +9,9 @@ import time
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
-from cirro_annotation_spark.streaming.cdc import run_cdc_stream
+from cirro_annotation_spark.streaming.cdc import read_cdc_base, run_cdc_stream
 
 
 def _write(src, name, rows):
@@ -21,9 +22,11 @@ def _write(src, name, rows):
 
 
 def _base(spark, path):
+    # The live view: the stored base retains tombstones + seq for
+    # cross-batch ordering; readers filter them via read_cdc_base.
     return {
         (r["key"], r["payload"])
-        for r in spark.read.parquet(path).collect()
+        for r in read_cdc_base(spark, path).collect()
     }
 
 
@@ -81,3 +84,113 @@ def test_cdc_stream_restart_does_not_reapply(spark, tmp_path):
     # Third run with no new data: a no-op, not a re-merge.
     run_cdc_stream(spark, str(src), base)
     assert _base(spark, base) == {(1, "v2")}
+
+def test_cdc_cross_batch_same_ts_lower_seq_does_not_clobber(spark, tmp_path):
+    """Round-5 advisor case 1: a late-arriving duplicate with the SAME ts
+    but a LOWER binlog seq than the already-applied row must lose. This
+    requires the base to persist the winning row's real seq — a synthetic
+    replay seq (the old seq=-1) loses to ANY changelog seq and clobbers."""
+    src = tmp_path / "cl4"
+    src.mkdir()
+    base = str(tmp_path / "base4")
+    _write(src, "b0.parquet", [(1, "2024-01-01 00:00:00", 20, "u", "new")])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == {(1, "new")}
+
+    # Late re-delivery of the OLDER event at the same ts, lower seq.
+    _write(src, "b1.parquet", [(1, "2024-01-01 00:00:00", 10, "u", "stale")])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == {(1, "new")}
+
+
+def test_cdc_late_upsert_does_not_resurrect_deleted_key(spark, tmp_path):
+    """Round-5 advisor case 2: an upsert OLDER than an applied delete
+    arrives in a later micro-batch. The retained tombstone must keep the
+    key dead — dropping tombstones at write time forgets the delete's
+    (ts, seq) and resurrects it."""
+    src = tmp_path / "cl5"
+    src.mkdir()
+    base = str(tmp_path / "base5")
+    _write(src, "b0.parquet", [
+        (1, "2024-01-01 00:00:00", 1, "u", "v1"),
+        (1, "2024-01-01 01:00:00", 2, "d", ""),
+    ])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == set()
+
+    # Late upsert from BEFORE the delete: stays dead.
+    _write(src, "b1.parquet", [(1, "2024-01-01 00:30:00", 9, "u", "zombie")])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == set()
+
+    # A genuinely NEWER upsert after the delete does revive the key.
+    _write(src, "b2.parquet", [(1, "2024-01-01 02:00:00", 10, "u", "reborn")])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == {(1, "reborn")}
+
+
+def test_cdc_tombstone_only_base_remains_readable(spark, tmp_path):
+    """Every key deleted in batch 0: the base must still be a readable,
+    schema'd table (the old swap wrote a part-file-less dir that
+    schema-less reads could not infer)."""
+    src = tmp_path / "cl6"
+    src.mkdir()
+    base = str(tmp_path / "base6")
+    _write(src, "b0.parquet", [(1, "2024-01-01 00:00:00", 1, "d", "")])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == set()
+
+    # And the next batch merges on top of the empty-live base fine.
+    _write(src, "b1.parquet", [(2, "2024-01-01 00:01:00", 2, "u", "v1")])
+    run_cdc_stream(spark, str(src), base)
+    assert _base(spark, base) == {(2, "v1")}
+
+
+def test_cdc_swap_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a crash between rename(base->old) and rename(staging->
+    base): base absent, base.old present. The next reader/merger must
+    roll back (or forward to a complete staging dir), never see zero
+    bases (round-5 advisor: the rmtree-then-rename swap could)."""
+    import os
+
+    src = tmp_path / "cl7"
+    src.mkdir()
+    base = str(tmp_path / "base7")
+    _write(src, "b0.parquet", [(1, "2024-01-01 00:00:00", 1, "u", "v1")])
+    run_cdc_stream(spark, str(src), base)
+
+    # Crash window: base renamed aside, staged result not yet in place.
+    os.rename(base, base + ".old")
+    assert _base(spark, base) == {(1, "v1")}  # rolled back transparently
+    assert not os.path.exists(base + ".old")
+
+    # Crash window variant: a COMPLETE staging dir exists -> roll forward.
+    from cirro_annotation_spark.streaming.cdc import BASE_SCHEMA
+
+    staged = base + ".staging-deadbeef"
+    spark.read.schema(BASE_SCHEMA).parquet(base).withColumn(
+        "payload", F.lit("v2")
+    ).write.parquet(staged)
+    os.rename(base, base + ".old")
+    assert _base(spark, base) == {(1, "v2")}
+    assert not os.path.exists(base + ".old")
+    assert not os.path.exists(staged)
+
+
+def test_cdc_tombstone_horizon_prunes_old_tombstones(spark, tmp_path):
+    """With a horizon, tombstones older than max(ts)-horizon compact
+    away (Kafka delete.retention.ms semantics); recent ones survive."""
+    src = tmp_path / "cl8"
+    src.mkdir()
+    base = str(tmp_path / "base8")
+    _write(src, "b0.parquet", [
+        (1, "2024-01-01 00:00:00", 1, "d", ""),   # ancient tombstone
+        (2, "2024-01-10 00:00:00", 2, "d", ""),   # recent tombstone
+        (3, "2024-01-10 00:00:01", 3, "u", "v1"),
+    ])
+    run_cdc_stream(spark, str(src), base, tombstone_horizon="'2' DAYS")
+    stored = spark.read.parquet(base)
+    ops = {(r["key"], r["op"]) for r in stored.collect()}
+    assert (1, "d") not in ops          # pruned: older than horizon
+    assert (2, "d") in ops              # retained: within horizon
+    assert _base(spark, base) == {(3, "v1")}
