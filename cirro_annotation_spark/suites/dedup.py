@@ -284,6 +284,34 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "dedup_cluster_auto",
+    # The round-6 auto-select wrapper (r5 verdict item 5): capped
+    # propagation with transparent star fallback. Held to the SAME
+    # recursive-CTE oracle as both underlying algorithms — whichever
+    # branch fires, the (doc_id, component) contract must be identical.
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_GRAPH}
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members
+    FROM comp
+    """,
+)
+def dedup_cluster_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected_components_auto (operators/dedup.py): min-label
+    propagation under a round cap, falling through to large/small-star
+    rewiring on ComponentsNotConverged — the long-diameter escape hatch
+    made automatic, so a 100 TB caller never has to guess the graph's
+    diameter up front."""
+    comp = D.connected_components_auto(_cc_edges(spark, sf_dir))
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("vertex").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
 def dedup_cluster_assign_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared by dedup_cluster_assign and dedup_survivor_corpus."""
     d = (

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "embeddings",
+    "orders", "lineitem", "events",
 ]
 
 # Corpus-wide document queries (no doc_id-slice kernels — those only
@@ -51,6 +51,17 @@ DOC_QUERIES = [
     # (the top-k probe side broadcasts; the documents side scans fully)
     "docs_chunk_overlap",
     "rag_retrieve_context",
+    # round 6 (verdict item 7): the r5 additions without a tier run yet —
+    # langid share-window confusion cells and the regex PII sweep are
+    # both corpus-wide scans
+    "text_langid_confusion",
+    "docs_pii_scan",
+]
+
+# Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
+# build() replicates it with disjoint vec_id ranges alongside.
+EMB_QUERIES = [
+    "embeddings_norm_stats",
 ]
 
 
@@ -70,11 +81,28 @@ def build(n_copies: int) -> str:
         copies.append(t)
     big = pa.concat_tables(copies)
     pq.write_table(big, f"{out_dir}/documents.parquet")
+    # embeddings scale the same way (disjoint vec_id per copy) so the
+    # embedding-QA queries measure an actual N× vector set.
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    emb_copies = []
+    for i in range(n_copies):
+        t = emb
+        if i:
+            t = t.set_column(
+                t.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(t["vec_id"], i * offset),
+            )
+        emb_copies.append(t)
+    emb_big = pa.concat_tables(emb_copies)
+    pq.write_table(emb_big, f"{out_dir}/embeddings.parquet")
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
-    print(f"built {out_dir}: {big.num_rows} documents ({n_copies}x)")
+    print(
+        f"built {out_dir}: {big.num_rows} documents, "
+        f"{emb_big.num_rows} embeddings ({n_copies}x)"
+    )
     return out_dir
 
 
@@ -88,7 +116,7 @@ def main() -> int:
     load_all_suites()
     spark = get_spark("scale-docs")
     times = {}
-    for name in DOC_QUERIES:
+    for name in DOC_QUERIES + EMB_QUERIES:
         t0 = time.perf_counter()
         QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
