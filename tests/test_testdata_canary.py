@@ -145,3 +145,60 @@ def test_parity_comparison_detects_collapsed_timeline(spark, sf_dir):
     }
     assert real != fake
     assert len(real) > len(fake)  # collapse merges windows, never splits
+
+
+def test_read_table_restores_nanos_conf(spark, tmp_path):
+    """Round-5 advisor: the nanos legacy conf must not leak session-wide.
+    After read_table on a nanos file, the hosting session's conf is back
+    to its prior state — a LATER raw nanos read must error loudly, not
+    silently arrive as bigint — while the returned frame still collects
+    correctly (schema was resolved while the conf held)."""
+    path = str(tmp_path / "events_ns_conf.parquet")
+    _write_events_flavor(path, "ns")
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(conf_key, None)
+    df = read_table(spark, path)
+    assert spark.conf.get(conf_key, None) == before
+    assert _ts_values(df) == _EXPECTED
+
+
+def test_read_table_leaves_genuine_long_ts_untouched(spark, tmp_path):
+    """Round-5 advisor: div-1000 is gated on the FOOTER saying nanos. A
+    genuinely long-typed ts column (here: epoch micros as plain int64)
+    must pass through untouched, not get misscaled 1000x."""
+    n = len(_TS_US)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(_TS_US, pa.int64()),  # plain long, NOT timestamp
+            "user_id": pa.array([7] * n, pa.int64()),
+        }
+    )
+    path = str(tmp_path / "events_long_ts.parquet")
+    pq.write_table(table, path)
+    assert parquet_ts_unit(path) is None
+
+    df = read_table(spark, path)
+    assert df.schema["ts"].dataType.simpleString() == "bigint"
+    vals = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert vals == _TS_US
+
+
+def test_parquet_ts_unit_cache_invalidates_on_regeneration(tmp_path):
+    """Round-5 advisor: the footer-peek cache must not survive in-place
+    file regeneration (the exact driver scenario it defends against) —
+    key is (path, mtime, size), not path alone."""
+    import os
+    import time
+
+    path = str(tmp_path / "regen.parquet")
+    _write_events_flavor(path, "ns")
+    assert parquet_ts_unit(path) == "ns"
+
+    time.sleep(0.01)
+    _write_events_flavor(path, "us")
+    # Force a distinct mtime even on coarse-mtime filesystems.
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert parquet_ts_unit(path) == "us"
