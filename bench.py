@@ -102,6 +102,10 @@ HEADLINE = [
     "sample_stratified_hash",
     "split_train_eval",
     "stream_cdc_apply",
+    # round 6 additions: SemDeDup (pinned-quantizer cell-local cosine
+    # dedup) and the ExactSubstr-style duplicate-8-gram span coverage
+    "sim_semantic_dedup",
+    "docs_dup_span_coverage",
 ]
 
 

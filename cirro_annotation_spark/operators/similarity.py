@@ -456,3 +456,57 @@ def knn_join(
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup_removed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a pretrained coarse quantizer, then mark as duplicates the
+    vectors whose cosine to a LOWER-id member of the SAME cell meets the
+    threshold. Returns the removal list:
+    ``(vec_id, cell, n_dominators, keeper_id, max_cosine)``.
+
+    Scale shape (the reason SemDeDup works at 100 TB where all-pairs
+    cosine cannot): cell assignment is a map-side argmin against
+    broadcast centroid literals (no join), and the quadratic pair stage
+    runs ONLY within a cell — one shuffle on ``__cell``, pair count
+    bounded by k·(max cell size)². With k sized so cells hold ~1e5
+    vectors, the pair stage is ~1e10·k comparisons spread over the
+    cluster instead of (1e9)² globally. The keep-lowest-id rule makes
+    the output deterministic and engine-independent (the paper keeps a
+    random member; min-id is the reproducible choice, same as
+    dedup_first_wins).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    sl = df.select(
+        F.col(id_col).alias("__id"),
+        _argmin_centroid(v, centroids).alias("__cell"),
+        v.alias("__v"),
+        l2_norm(v).alias("__n"),
+    )
+    a, b = sl.alias("a"), sl.alias("b")
+    sim = dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("vec_id"),
+            F.col("b.__cell").alias("cell"),
+            F.round(sim, 6).alias("__cs"),
+        )
+        .filter(F.col("__cs") >= threshold)
+    )
+    return pairs.groupBy("vec_id", "cell").agg(
+        F.count("*").alias("n_dominators"),
+        F.min("id_a").alias("keeper_id"),
+        F.round(F.max("__cs"), 6).alias("max_cosine"),
+    )

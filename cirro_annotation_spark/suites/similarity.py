@@ -453,3 +453,58 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("n_zero"),
         )
     )
+
+
+def _semdedup_oracle(threshold: float = 0.43) -> str:
+    """Full-arithmetic SemDeDup oracle over the PINNED centroid literals
+    (suites/_ivf_centroids.py): DuckDB recomputes per-vector argmin cell
+    (ties by cell id, same as array_position-of-min), the within-cell
+    lower-id pair cosines, and the removal aggregate. Cell membership is
+    discrete, so float ulp noise flips a row only on an exact distance
+    tie — negligible on random embeddings (same argument as the IVF/LSH
+    oracles)."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    values = ",\n          ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(CENTROIDS)
+    )
+    return f"""
+    WITH cent(cell, cv) AS (VALUES {values}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    ed AS (SELECT vec_id, cell, SUM((x - y) * (x - y)) AS d
+           FROM (SELECT e.vec_id, c.cell, UNNEST(e.ve) AS x, UNNEST(c.cv) AS y
+                 FROM e CROSS JOIN cent c)
+           GROUP BY vec_id, cell),
+    assign AS (SELECT vec_id, cell FROM
+                 (SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cell) AS rn
+                  FROM ed) WHERE rn = 1),
+    m AS (SELECT e.vec_id, a.cell, e.ve FROM e JOIN assign a USING (vec_id)),
+    z AS (SELECT a.vec_id AS id_a, b.vec_id AS vid, b.cell AS cell,
+                 UNNEST(a.ve) AS x, UNNEST(b.ve) AS y
+          FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    s AS (SELECT id_a, vid, cell,
+                 ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6)
+                   AS cs
+          FROM z GROUP BY id_a, vid, cell)
+    SELECT vid AS vec_id, cell, COUNT(*) AS n_dominators,
+           MIN(id_a) AS keeper_id, ROUND(MAX(cs), 6) AS max_cosine
+    FROM s WHERE cs >= {threshold} GROUP BY vid, cell
+    """
+
+
+@query("sim_semantic_dedup", oracle=_semdedup_oracle())
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup removal list (operators/similarity.semantic_dedup_removed):
+    pinned-quantizer cells + within-cell cosine >= 0.43, keep-lowest-id.
+    The 100 TB semantic-dedup shape — quadratic work confined to cells,
+    one shuffle, centroids broadcast as literals. Reference analogue:
+    none (beyond-reference LLM-pipeline operator, SURVEY.md §2.12)."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_removed(
+        emb, "embedding", "vec_id", CENTROIDS, threshold=0.43
+    )

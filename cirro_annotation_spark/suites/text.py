@@ -1111,3 +1111,88 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(80),
         ).alias("redacted_tail"),
     )
+
+
+_DUP_SPAN_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents),
+    sh AS (SELECT doc_id, u.i AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS sh
+           FROM t, LATERAL UNNEST(generate_series(1, n-7)) AS u(i)
+           WHERE n >= 8),
+    dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS p
+            FROM sh s JOIN dup USING (sh),
+                 LATERAL UNNEST(generate_series(0, 7)) AS o(o)),
+    c AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, t.n AS n_tokens,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           ROUND(COALESCE(c.covered_tokens, 0) * 1.0 / t.n, 6) AS dup_coverage
+    FROM t LEFT JOIN c USING (doc_id)
+"""
+
+
+@query("docs_dup_span_coverage", oracle=_DUP_SPAN_ORACLE)
+def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. 2021, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of each document's tokens covered by an 8-gram that also
+    appears in ANOTHER document. The suffix-array ExactSubstr operator
+    re-expressed in shuffle-friendly form: 8-token shingles + position
+    bookkeeping gives the same per-document coverage statistic a suffix
+    array yields, without a global sort over the corpus string.
+
+    Scale shape: one shuffle keyed on the shingle (at 100 TB the key
+    would be xxhash64(shingle) — 8 bytes, not the text; the raw string
+    is kept here so DuckDB hash-verifies the full pipeline), the
+    coverage explode (x8) touches only shingles that ARE duplicated,
+    and documents never shuffle — per-doc totals join back on doc_id.
+    Coverage 1.0 flags the planted exact dups; mid-range values are the
+    boilerplate/template detector ExactSubstr exists for.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    W = 8
+    sh = base.filter(F.col("n_tokens") >= W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (W - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("toks", i, W), " ").alias("sh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("sh")
+    )
+    cov = (
+        sh.join(dup, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (W - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_coverage"),
+        )
+    )

@@ -148,3 +148,50 @@ def test_ivf_pinned_centroids_not_stale(spark):
                 f"regenerate suites/_ivf_centroids.py (docstring has the "
                 f"recipe)"
             )
+
+
+def test_semantic_dedup_planted_pair_same_cell(spark):
+    """A planted near-identical pair lands in the same quantizer cell
+    (nearest centroid is distance-continuous) and the higher id is
+    removed with the lower id as keeper; a vector with no in-cell
+    near-neighbor is never emitted."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.gauss(0.0, 1.0) for _ in range(8)]
+    near = [x + rng.gauss(0.0, 0.001) for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[rng.gauss(0.0, 1.0) for _ in range(8)] for _ in range(4)]
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup_removed(
+            df, "embedding", "vec_id", cents, threshold=0.95
+        ).collect()
+    }
+    assert 1 in out and out[1]["keeper_id"] == 0
+    assert out[1]["max_cosine"] >= 0.99
+    assert 0 not in out  # keeper survives
+
+
+def test_semantic_dedup_respects_cell_boundary(spark):
+    """Two identical vectors assigned to DIFFERENT cells are not compared
+    — the SemDeDup recall trade-off is a documented property, and this
+    pins that the pair stage really is cell-local (no all-pairs leak)."""
+    # centroids at +e0 and -e0; v and its duplicate sit exactly on +e0
+    # and -e0 so they assign to different cells.
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    # cosine(v0, v1) = -1 < any threshold anyway; use opposite-cell
+    # EQUAL vectors instead: both exactly on the boundary is ambiguous,
+    # so assert on clearly-separated cells with a high-cosine pair.
+    rows = [(0, [1.0, 0.05]), (1, [1.0, -0.05])]  # cosine ~0.995
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.5], [1.0, -0.5]]
+    out = S.semantic_dedup_removed(
+        df, "embedding", "vec_id", cents, threshold=0.9
+    ).collect()
+    assert out == []  # same-cell pairs only; cross-cell near-dup ignored

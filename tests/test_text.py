@@ -57,3 +57,33 @@ def test_rolling_hash_deterministic_and_discriminating(spark):
     b = _one(spark, "abcdef", rolling_hash(F.col("text")))
     c = _one(spark, "abcdeg", rolling_hash(F.col("text")))
     assert a == b != c
+
+
+def test_dup_span_coverage_planted_exact_dup(spark):
+    """Two identical 12-token docs are fully covered (1.0); a disjoint
+    doc has coverage 0; a doc sharing one 8-gram window with another is
+    covered on exactly those 8 positions."""
+    from cirro_annotation_spark.suites.text import docs_dup_span_coverage
+    import cirro_annotation_spark.suites.text as T
+    from pyspark.sql import functions as F
+
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    b = a  # exact dup
+    c = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11"  # disjoint
+    d = "y0 y1 w0 w1 w2 w3 w4 w5 w6 w7 z0 z1"  # shares a's first 8-gram
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, d)], "doc_id long, text string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in docs_dup_span_coverage(spark, td).collect()
+        }
+    assert out[0]["dup_coverage"] == 1.0 and out[1]["dup_coverage"] == 1.0
+    assert out[2]["covered_tokens"] == 0
+    # doc 3: the shared window is tokens w0..w7 at positions 3..10 → 8 tokens
+    assert out[3]["covered_tokens"] == 8
+    assert abs(out[3]["dup_coverage"] - 8 / 12) < 1e-6  # 6dp-rounded column
