@@ -490,3 +490,46 @@ def test_survivor_corpus_broadcasts_and_never_shuffles_text(spark, sf_dir):
         if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
             args = [l for l in block.splitlines() if "Arguments:" in l]
             assert all("text" not in a for a in args), block
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark, sf_dir):
+    """Runtime bloom-filter injection (session.py enables
+    spark.sql.optimizer.runtime.bloomFilter): a selective dim filter on
+    the creation side of a SHUFFLE join must inject might_contain onto
+    the big-side scan, so at 100 TB the fact table is row-filtered at
+    the scan instead of shuffling rows the join will drop. Thresholds
+    are lowered only inside this test (the defaults — 10 GB application
+    side — are the right production gates; sf0.01 is below them)."""
+    from pyspark.sql import functions as F
+    from cirro_annotation_spark.suites.util import t
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
