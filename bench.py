@@ -106,6 +106,7 @@ HEADLINE = [
     # dedup) and the ExactSubstr-style duplicate-8-gram span coverage
     "sim_semantic_dedup",
     "docs_dup_span_coverage",
+    "docs_dup_span_removal",
 ]
 
 

@@ -1196,3 +1196,105 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_coverage"),
         )
     )
+
+
+_DUP_SPAN_REMOVAL_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents),
+    sh AS (SELECT doc_id, u.i AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS sh
+           FROM t, LATERAL UNNEST(generate_series(1, n-7)) AS u(i)
+           WHERE n >= 8),
+    dup AS (SELECT sh, MIN(doc_id) AS canon FROM sh GROUP BY sh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    rem AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS p
+            FROM sh s JOIN dup d USING (sh),
+                 LATERAL UNNEST(generate_series(0, 7)) AS o(o)
+            WHERE s.doc_id <> d.canon),
+    kept AS (SELECT t.doc_id, u.p AS p, toks[u.p] AS tok
+             FROM t, LATERAL UNNEST(generate_series(1, t.n)) AS u(p)
+             WHERE NOT EXISTS (SELECT 1 FROM rem r
+                               WHERE r.doc_id = t.doc_id AND r.p = u.p)),
+    reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n AS n_tokens, COALESCE(reb.n_kept, 0) AS n_kept,
+           COALESCE(reb.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN reb USING (doc_id)
+"""
+
+
+@query("docs_dup_span_removal", oracle=_DUP_SPAN_REMOVAL_ORACLE)
+def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr terminal stage (Lee et al. 2021): REWRITE each document
+    with its duplicated 8-gram spans removed, keeping the occurrence in
+    the canonical (min-doc_id) holder of each duplicated shingle — every
+    duplicated span survives exactly once corpus-wide, deterministically.
+
+    Scale shape: candidate discovery is docs_dup_span_coverage's
+    shingle-keyed shuffle; the removal set is (doc_id, position) int
+    pairs (never text); the rebuild is the one stage that must move
+    tokens — a single doc_id-keyed shuffle of (pos, token) narrow rows,
+    the same rewrite cost class as dedup_survivor_corpus. Documents
+    with nothing removed pass through with n_kept = n_tokens.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    W = 8
+    sh = base.filter(F.col("n_tokens") >= W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (W - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("toks", i, W), " ").alias("sh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    dup = (
+        sh.groupBy("sh")
+        .agg(
+            F.count_distinct("doc_id").alias("__nd"),
+            F.min("doc_id").alias("canon"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("sh", "canon")
+    )
+    rem = (
+        sh.join(dup, "sh")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (W - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept = (
+        base.select(
+            "doc_id", F.posexplode("toks").alias("p0", "tok")
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+        .join(rem, ["doc_id", "p"], "left_anti")
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

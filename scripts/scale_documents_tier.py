@@ -121,7 +121,17 @@ def main() -> int:
     # the harness can hold; the composed exact→minhash path afterwards
     # is the 100× shape.
     queries = DOC_QUERIES + EMB_QUERIES + (
-        ["dedup_near_minhash"] if n <= 10 else []
+        # N-clone corpora are the adversarial case for BOTH quadratic
+        # interiors: minhash verify pairs and SemDeDup's within-cell
+        # pairs scale as clones² (every clone lands in the same LSH
+        # bucket / quantizer cell). Same gate, same reasoning: the
+        # composed exact-first paths below are the 100× shape.
+        # docs_dup_span_coverage is gated with them — on an N-clone
+        # corpus EVERY shingle is duplicated, so its dup-only x8
+        # coverage explode degenerates to 8×(all shingles).
+        ["dedup_near_minhash", "sim_semantic_dedup", "docs_dup_span_coverage"]
+        if n <= 10
+        else []
     )
     for name in queries:
         t0 = time.perf_counter()
@@ -150,6 +160,27 @@ def main() -> int:
     print(
         f"composed exact->minhash at {n}x: {n_composed} survivors "
         f"(exact {t_exact:.1f} s + minhash-on-unique {t_minhash:.1f} s)"
+    )
+
+    # SemDeDup composed the same way: exact dedup first, then cell-local
+    # cosine on the unique survivors. With the quantizer pinned at k=8
+    # the cell population grows linearly with UNIQUE corpus size, so at
+    # a real 100 TB deployment k is chosen as ~n/target_cell_size (the
+    # paper trains 50k clusters for 5B docs); here the survivor set is
+    # 1× -sized, so pinned k=8 is in-regime.
+    t0 = time.perf_counter()
+    emb_uniq = read_t(spark, out_dir, "embeddings").filter(
+        F.col("vec_id") < 10_000_000
+    )
+    from cirro_annotation_spark.operators import similarity as S
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    n_removed = S.semantic_dedup_removed(
+        emb_uniq, "embedding", "vec_id", CENTROIDS, threshold=0.43
+    ).count()
+    print(
+        f"composed exact->semdedup at {n}x: {n_removed} removed "
+        f"({time.perf_counter() - t0:.1f} s on the unique slice)"
     )
 
     # Idempotence of the RAW banding path under duplication: near-dedup

@@ -87,3 +87,27 @@ def test_dup_span_coverage_planted_exact_dup(spark):
     # doc 3: the shared window is tokens w0..w7 at positions 3..10 → 8 tokens
     assert out[3]["covered_tokens"] == 8
     assert abs(out[3]["dup_coverage"] - 8 / 12) < 1e-6  # 6dp-rounded column
+
+
+def test_dup_span_removal_keeps_canonical_occurrence(spark):
+    """The canonical (min doc_id) holder of a duplicated span keeps it;
+    every other holder loses exactly the span tokens; untouched docs
+    pass through byte-identical."""
+    from cirro_annotation_spark.suites.text import docs_dup_span_removal
+    import os, tempfile
+
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 t0 t1"  # canonical holder of w0..w7
+    b = "x0 x1 w0 w1 w2 w3 w4 w5 w6 w7"  # loses the span, keeps x0 x1
+    c = "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9"  # untouched
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in docs_dup_span_removal(spark, td).collect()
+        }
+    assert out[0]["cleaned_text"] == a and out[0]["n_kept"] == 10
+    assert out[1]["cleaned_text"] == "x0 x1" and out[1]["n_kept"] == 2
+    assert out[2]["cleaned_text"] == c and out[2]["n_kept"] == 10
