@@ -83,3 +83,30 @@ def test_max_records_per_file_bounds_output_files(spark, sf_dir, tmp_path):
     assert len(files) >= n // 100  # one writer still splits into ≤100-row files
     for f in files:
         assert spark.read.parquet(f).count() <= 100
+
+
+def test_sniff_via_hadoop_fs_scheme_path(spark, tmp_path):
+    """A scheme-qualified path ('file://...') must sniff through the
+    Hadoop FileSystem API — the cloud-storage code path — and agree
+    with the local-open result."""
+    from cirro_annotation_spark.sources.dsv import sniff_separator
+
+    p = tmp_path / "t.tsv"
+    p.write_text("a\tb\tc\n1\t2\t3\n")
+    assert sniff_separator(str(p)) == "\t"
+    assert sniff_separator("file://" + str(p), spark) == "\t"
+
+
+def test_sniff_gz_truncation_tolerant(tmp_path):
+    """gz sniffing decompresses a HEAD slice tolerantly (no EOFError on
+    the truncated member) — pin with a file larger than the sniff
+    window."""
+    import gzip as _gzip
+
+    from cirro_annotation_spark.sources.dsv import sniff_separator
+
+    p = tmp_path / "big.csv.gz"
+    body = "x,y,z\n" + "\n".join(f"{i},{i},{i}" for i in range(200_000))
+    with _gzip.open(p, "wt") as f:
+        f.write(body)
+    assert sniff_separator(str(p)) == ","
