@@ -510,3 +510,82 @@ def semantic_dedup_removed(
         F.min("id_a").alias("keeper_id"),
         F.round(F.max("__cs"), 6).alias("max_cosine"),
     )
+
+
+def semantic_dedup_removed_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    block: int = 1024,
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`semantic_dedup_removed`: identical
+    output contract, but the within-cell pair stage runs as one
+    ``applyInPandas`` per quantizer cell with a BLOCKED numpy matmul
+    instead of a per-pair zip_with fold — the vectorized hot path for
+    the O(cell²) stage (~10-100x the HOF expression tree, the
+    documented Pandas-UDF exception for work built-ins can't express
+    efficiently).
+
+    Block structure bounds memory at block×cell_size doubles per
+    partial similarity matrix, so a 1e5-vector cell needs ~0.8 GB
+    peaks instead of an 80 GB full S = V·Vᵀ. Per-pair cosines are
+    rounded to 6dp BEFORE thresholding/aggregation — bit-compatible
+    with the SQL twin and the DuckDB oracle at the contract's rounding
+    grain.
+    """
+    import pandas as pd
+
+    v = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        _argmin_centroid(v, centroids).alias("cell"),
+        v.alias("__v"),
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy())
+        norms = np.sqrt((V * V).sum(axis=1))
+        n = len(ids)
+        cell = int(pdf["cell"].iloc[0]) if n else 0
+        cnt = np.zeros(n, dtype=np.int64)
+        keeper = np.full(n, n, dtype=np.int64)  # min dominating ROW index
+        maxcos = np.full(n, -np.inf)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = V[lo:hi] @ V.T  # (hi-lo) x n
+            S = S / (norms[lo:hi, None] * norms[None, :])
+            S = np.round(S, 6)
+            # dominators of column j are rows i < j (ids ascending)
+            rows_idx = np.arange(lo, hi)[:, None]
+            mask = (S >= threshold) & (rows_idx < np.arange(n)[None, :])
+            any_col = mask.any(axis=0)
+            cnt += mask.sum(axis=0)
+            first = np.where(any_col, lo + mask.argmax(axis=0), n)
+            keeper = np.minimum(keeper, first)
+            maxcos = np.maximum(
+                maxcos, np.where(mask, S, -np.inf).max(axis=0)
+            )
+        hit = cnt > 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids[hit],
+                "cell": cell,
+                "n_dominators": cnt[hit],
+                "keeper_id": ids[np.minimum(keeper[hit], n - 1)],
+                "max_cosine": maxcos[hit],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _pairs,
+        schema=(
+            "vec_id long, cell int, n_dominators long, "
+            "keeper_id long, max_cosine double"
+        ),
+    )

@@ -497,14 +497,19 @@ def _semdedup_oracle(threshold: float = 0.43) -> str:
 
 @query("sim_semantic_dedup", oracle=_semdedup_oracle())
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup removal list (operators/similarity.semantic_dedup_removed):
-    pinned-quantizer cells + within-cell cosine >= 0.43, keep-lowest-id.
-    The 100 TB semantic-dedup shape — quadratic work confined to cells,
-    one shuffle, centroids broadcast as literals. Reference analogue:
-    none (beyond-reference LLM-pipeline operator, SURVEY.md §2.12)."""
+    """SemDeDup removal list: pinned-quantizer cells + within-cell
+    cosine >= 0.43, keep-lowest-id. The 100 TB semantic-dedup shape —
+    quadratic work confined to cells, one shuffle, centroids broadcast
+    as literals. Runs the Arrow/BLAS pair stage
+    (operators/similarity.semantic_dedup_removed_arrow — blocked numpy
+    matmul per cell, ~5x the HOF expression twin at sf0.1 and ~50x on
+    clone-heavy cells, SCALE.md 10x tier); the pure-SQL twin
+    semantic_dedup_removed stays as the exact-parity reference, pinned
+    in tests/test_similarity.py. Reference analogue: none
+    (beyond-reference LLM-pipeline operator, SURVEY.md §2.12)."""
     from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
 
     emb = t(spark, sf_dir, "embeddings")
-    return S.semantic_dedup_removed(
+    return S.semantic_dedup_removed_arrow(
         emb, "embedding", "vec_id", CENTROIDS, threshold=0.43
     )

@@ -195,3 +195,38 @@ def test_semantic_dedup_respects_cell_boundary(spark):
         df, "embedding", "vec_id", cents, threshold=0.9
     ).collect()
     assert out == []  # same-cell pairs only; cross-cell near-dup ignored
+
+
+def test_semantic_dedup_arrow_sql_parity(spark, sf_dir):
+    """The Arrow/BLAS pair stage and the pure-SQL HOF twin must agree
+    EXACTLY (both round per-pair cosines to 6dp before threshold/agg),
+    including under a block size smaller than the cell population."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    def canon(rows):
+        return sorted(
+            (
+                r["vec_id"],
+                r["cell"],
+                r["n_dominators"],
+                r["keeper_id"],
+                r["max_cosine"],
+            )
+            for r in rows
+        )
+
+    ref = canon(
+        S.semantic_dedup_removed(
+            emb, "embedding", "vec_id", CENTROIDS, 0.43
+        ).collect()
+    )
+    assert ref  # fixture must actually exercise the pair stage
+    for blk in (1024, 3):
+        got = canon(
+            S.semantic_dedup_removed_arrow(
+                emb, "embedding", "vec_id", CENTROIDS, 0.43, block=blk
+            ).collect()
+        )
+        assert got == ref
