@@ -107,6 +107,7 @@ HEADLINE = [
     "sim_semantic_dedup",
     "docs_dup_span_coverage",
     "docs_dup_span_removal",
+    "docs_unigram_perplexity",
 ]
 
 

@@ -1298,3 +1298,65 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+_UNIGRAM_PPL_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_LT_SQL} AS lt FROM documents),
+    ex AS (SELECT doc_id, UNNEST(lt) AS tok FROM tk),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM ex GROUP BY tok),
+    tot AS (SELECT SUM(n) AS n_total, COUNT(*) AS v FROM vocab),
+    lp AS (SELECT v.tok, LN((v.n + 1.0) / (t.n_total + t.v)) AS logp
+           FROM vocab v CROSS JOIN tot t),
+    sc AS (SELECT e.doc_id, COUNT(*) AS n_tokens, SUM(l.logp) AS sum_logp
+           FROM ex e JOIN lp l ON e.tok = l.tok GROUP BY e.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(-sum_logp / n_tokens, 6) AS mean_nll,
+           ROUND(EXP(-sum_logp / n_tokens), 2) AS unigram_ppl
+    FROM sc
+"""
+
+
+@query("docs_unigram_perplexity", oracle=_UNIGRAM_PPL_ORACLE)
+def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter (Wenzek et al. 2020,
+    arXiv:1911.00359), approximated with a corpus-trained Laplace-
+    smoothed unigram LM — the model-free form of the KenLM scoring a
+    real pipeline runs: train token log-probs on the corpus itself,
+    score each document by mean negative log-likelihood. High-ppl docs
+    are gibberish/outliers; unusually LOW ppl flags boilerplate.
+
+    Scale shape: the "model" is the vocab aggregate (token, count) —
+    one token-keyed shuffle to train, one to score (explode join vocab,
+    then a doc_id-keyed rollup). The 1-row total broadcasts; the vocab
+    side of the scoring join is corpus-vocabulary-sized (Zipf: ≪
+    corpus), so Spark broadcast-joins it when it fits and sort-merges
+    on tok otherwise — both correct, neither moves document text.
+    """
+    d = t(spark, sf_dir, "documents")
+    lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
+    ex = d.select("doc_id", F.explode(lt).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = vocab.agg(
+        F.sum("n").alias("n_total"), F.count("*").alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log((F.col("n") + 1.0) / (F.col("n_total") + F.col("v"))).alias(
+            "logp"
+        ),
+    )
+    sc = (
+        ex.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp").alias("sum_logp"),
+        )
+    )
+    nll = -F.col("sum_logp") / F.col("n_tokens")
+    return sc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(nll, 6).alias("mean_nll"),
+        F.round(F.exp(nll), 2).alias("unigram_ppl"),
+    )

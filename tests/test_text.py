@@ -111,3 +111,23 @@ def test_dup_span_removal_keeps_canonical_occurrence(spark):
     assert out[0]["cleaned_text"] == a and out[0]["n_kept"] == 10
     assert out[1]["cleaned_text"] == "x0 x1" and out[1]["n_kept"] == 2
     assert out[2]["cleaned_text"] == c and out[2]["n_kept"] == 10
+
+
+def test_unigram_perplexity_flags_outlier_doc(spark):
+    """A doc of corpus-frequent tokens scores LOW ppl; a doc of
+    singleton gibberish tokens scores HIGH ppl — the filter's job."""
+    from cirro_annotation_spark.suites.text import docs_unigram_perplexity
+    import os, tempfile
+
+    common = "the cat sat on the mat " * 5
+    rows = [(i, common) for i in range(9)] + [
+        (9, "zqx9 vbn3 plm7 wkj2 hgf8 rty4")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["unigram_ppl"]
+            for r in docs_unigram_perplexity(spark, td).collect()
+        }
+    assert out[9] > 2 * out[0]
