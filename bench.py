@@ -108,6 +108,8 @@ HEADLINE = [
     "docs_dup_span_coverage",
     "docs_dup_span_removal",
     "docs_unigram_perplexity",
+    "events_psi_drift",
+    "profile_lineitem",
 ]
 
 

@@ -1339,3 +1339,57 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), MONEY).alias("totacctbal"),
         )
     )
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               ROUND(MIN({c}), 6) AS min_val,
+               ROUND(MAX({c}), 6) AS max_val,
+               ROUND(AVG({c}), 6) AS mean_val
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_lineitem", oracle=_PROFILE_ORACLE)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler — the dataset QA report every ingestion
+    snapshot needs (null rates, cardinalities, ranges, means) computed
+    for ALL columns in a SINGLE scan + aggregate, then unpivoted to a
+    row per column.
+
+    Scale shape: the multi-count-distinct expands (Spark's Expand for n
+    distinct aggregates is the one unavoidable data amplification — ×5
+    narrow rows here), but there is exactly ONE shuffle and the scan
+    reads only the profiled columns. At 100 TB you'd swap the exact
+    count_distinct for approx_count_distinct and keep the same plan;
+    exact is kept here so DuckDB hash-verifies the report. The unpivot
+    of the 1-row aggregate is driver-free (melt over a single row).
+    """
+    li = t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, "
+        f"{c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val)"
+    )

@@ -750,3 +750,93 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+_PSI_DRIFT_ORACLE = """
+    WITH ev AS (SELECT value, epoch_us(ts) AS us FROM events),
+    mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+    b AS (SELECT CASE WHEN ev.us * 2 < mm.lo + mm.hi THEN 'ref' ELSE 'cur' END
+                   AS half,
+                 LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS BIGINT), 0), 9)
+                   AS bucket
+          FROM ev CROSS JOIN mm),
+    x AS (SELECT half, bucket, COUNT(*) AS n FROM b GROUP BY half, bucket),
+    tot AS (SELECT half, SUM(n) AS t FROM x GROUP BY half),
+    spine AS (SELECT UNNEST(generate_series(0, 9)) AS bucket),
+    sh AS (SELECT s.bucket,
+                  (COALESCE(r.n, 0) + 0.5) / (rt.t + 5.0) AS ref_share,
+                  (COALESCE(c.n, 0) + 0.5) / (ct.t + 5.0) AS cur_share
+           FROM spine s
+           LEFT JOIN x r ON r.bucket = s.bucket AND r.half = 'ref'
+           LEFT JOIN x c ON c.bucket = s.bucket AND c.half = 'cur'
+           CROSS JOIN (SELECT t FROM tot WHERE half = 'ref') rt
+           CROSS JOIN (SELECT t FROM tot WHERE half = 'cur') ct)
+    SELECT bucket, ROUND(ref_share, 6) AS ref_share,
+           ROUND(cur_share, 6) AS cur_share,
+           ROUND((cur_share - ref_share) * LN(cur_share / ref_share), 6)
+             AS psi_contrib
+    FROM sh
+"""
+
+
+@query("events_psi_drift", oracle=_PSI_DRIFT_ORACLE)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: split the stream at its
+    temporal midpoint (integer-microsecond math — engine-exact), bucket
+    `value` into 10 fixed bands, compare smoothed shares between the
+    reference and current halves. PSI contribution per bucket =
+    (cur - ref)·ln(cur/ref); the consumer sums >0.2 ⇒ drifted. The
+    production data-quality gate a training pipeline runs between
+    ingestion snapshots.
+
+    Scale shape: two constant-size aggregates (10 buckets × 2 halves)
+    with map-side partial aggregation — the scan dominates; the
+    midpoint min/max is a 1-row broadcast, the bucket spine is a
+    10-row literal frame. Laplace smoothing (+0.5 per bucket) keeps
+    ln() defined on empty buckets without an engine-divergent epsilon.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    mm = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("us") * 2 < F.col("lo") + F.col("hi"), "ref")
+        .otherwise("cur")
+        .alias("half"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50.0).cast("long"), F.lit(0)),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    x = b.groupBy("half", "bucket").agg(F.count("*").alias("n"))
+    tot = x.groupBy("half").agg(F.sum("n").alias("t"))
+    rt = tot.filter(F.col("half") == "ref").select(F.col("t").alias("rt"))
+    ct = tot.filter(F.col("half") == "cur").select(F.col("t").alias("ct"))
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    r = x.filter(F.col("half") == "ref").select("bucket", F.col("n").alias("rn"))
+    c = x.filter(F.col("half") == "cur").select("bucket", F.col("n").alias("cn"))
+    sh = (
+        spine.join(F.broadcast(r), "bucket", "left")
+        .join(F.broadcast(c), "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "bucket",
+            ((F.coalesce("rn", F.lit(0)) + 0.5) / (F.col("rt") + 5.0)).alias(
+                "ref_share_raw"
+            ),
+            ((F.coalesce("cn", F.lit(0)) + 0.5) / (F.col("ct") + 5.0)).alias(
+                "cur_share_raw"
+            ),
+        )
+    )
+    return sh.select(
+        "bucket",
+        F.round("ref_share_raw", 6).alias("ref_share"),
+        F.round("cur_share_raw", 6).alias("cur_share"),
+        F.round(
+            (F.col("cur_share_raw") - F.col("ref_share_raw"))
+            * F.log(F.col("cur_share_raw") / F.col("ref_share_raw")),
+            6,
+        ).alias("psi_contrib"),
+    )

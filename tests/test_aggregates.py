@@ -36,3 +36,38 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_psi_drift_detects_planted_shift(spark, tmp_path):
+    """A distribution shift between the two temporal halves must produce
+    a large PSI sum; identical halves produce ~0 (smoothing noise only)."""
+    import os
+    from pyspark.sql import functions as F
+    from cirro_annotation_spark.suites.windows import events_psi_drift
+
+    base = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+        ).alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("a").alias("event_type"),
+        # first half ~ [0,50) bucket 0; second half ~ [200,250) bucket 4
+        F.when(F.col("id") < 1000, F.col("id") % 50.0)
+        .otherwise(200.0 + F.col("id") % 50.0)
+        .alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    td = str(tmp_path)
+    base.write.parquet(os.path.join(td, "events.parquet"))
+    rows = events_psi_drift(spark, td).collect()
+    psi = sum(r["psi_contrib"] for r in rows)
+    assert psi > 1.0, psi  # total swap of mass between buckets
+
+    flat = base.withColumn("value", F.col("event_id") % 50.0)
+    td2 = os.path.join(td, "flat")
+    os.makedirs(td2)
+    flat.write.parquet(os.path.join(td2, "events.parquet"))
+    rows2 = events_psi_drift(spark, td2).collect()
+    psi2 = sum(abs(r["psi_contrib"]) for r in rows2)
+    assert psi2 < 0.05, psi2
