@@ -121,17 +121,18 @@ def main() -> int:
     # the harness can hold; the composed exact→minhash path afterwards
     # is the 100× shape.
     queries = DOC_QUERIES + EMB_QUERIES + (
-        # N-clone corpora are the adversarial case for BOTH quadratic
-        # interiors: minhash verify pairs and SemDeDup's within-cell
-        # pairs scale as clones² (every clone lands in the same LSH
-        # bucket / quantizer cell). Same gate, same reasoning: the
+        # N-clone corpora are the adversarial case for the quadratic
+        # interiors: minhash verify pairs scale as clones² (every clone
+        # lands in the same LSH bucket) and docs_dup_span_coverage's
+        # dup-only x8 explode degenerates to 8×(all shingles) when
+        # EVERY shingle is duplicated — both gated to ≤10×; the
         # composed exact-first paths below are the 100× shape.
-        # docs_dup_span_coverage is gated with them — on an N-clone
-        # corpus EVERY shingle is duplicated, so its dup-only x8
-        # coverage explode degenerates to 8×(all shingles).
-        ["dedup_near_minhash", "sim_semantic_dedup", "docs_dup_span_coverage"]
-        if n <= 10
-        else []
+        # sim_semantic_dedup runs at EVERY tier since the Arrow/BLAS
+        # pair stage landed (98.6 s at 100× where the HOF twin took
+        # 344.8 s already at 10× — blocked matmul absorbs the
+        # clone-collapsed cells).
+        ["sim_semantic_dedup"]
+        + (["dedup_near_minhash", "docs_dup_span_coverage"] if n <= 10 else [])
     )
     for name in queries:
         t0 = time.perf_counter()
