@@ -110,6 +110,7 @@ HEADLINE = [
     "docs_unigram_perplexity",
     "events_psi_drift",
     "profile_lineitem",
+    "stream_histogram_stream",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.streaming import events as STRM
@@ -330,3 +331,53 @@ def stream_join_left_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         how="left_outer",
     )
+
+
+_WINDOW_HISTOGRAM_ORACLE = """
+    SELECT STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS BIGINT), 0), 9) AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _window_histogram(ev: DataFrame) -> DataFrame:
+    """Per-day 10-band value histogram — the windowed distribution feed a
+    drift monitor (events_psi_drift's streaming-side input) consumes.
+    Constant cells per window (10), map-side combine, one shuffle."""
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / 50.0).cast("long"), F.lit(0)
+                ),
+                F.lit(9),
+            ).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "bucket",
+            "n",
+        )
+    )
+
+
+@query("stream_histogram_batch", oracle=_WINDOW_HISTOGRAM_ORACLE)
+def stream_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _window_histogram(t(spark, sf_dir, "events"))
+
+
+@query("stream_histogram_stream", oracle=_WINDOW_HISTOGRAM_ORACLE)
+def stream_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream twin through a real drain (readStream → watermark →
+    windowed histogram → memory sink), held to the SAME oracle as the
+    batch twin — the streaming half of the data-quality monitor: each
+    completed window's shares diff against the previous window exactly
+    as events_psi_drift diffs the corpus halves."""
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.run_streaming_over_parquet(spark, path, _window_histogram)
