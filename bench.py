@@ -111,6 +111,7 @@ HEADLINE = [
     "events_psi_drift",
     "profile_lineitem",
     "stream_histogram_stream",
+    "dedup_incremental_batch",
 ]
 
 

@@ -396,3 +396,50 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(survivors), "doc_id").select(
         "doc_id", "cluster_id", "n_collapsed", "lang", "n_chars"
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    # Nightly-ingest shape: the top 20% of doc_ids play the "new batch",
+    # the rest the standing corpus. A new doc is ACCEPTED iff its
+    # normalized fingerprint matches no corpus doc AND it is the
+    # first-by-id holder of that fingerprint within the batch itself.
+    oracle="""
+    WITH fp AS (SELECT doc_id,
+                       REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')
+                         AS f
+                FROM documents),
+    split AS (SELECT (SELECT MAX(doc_id) FROM documents) * 4 / 5 AS cutoff),
+    corpus AS (SELECT f FROM fp CROSS JOIN split WHERE doc_id <= cutoff),
+    batch AS (SELECT doc_id, f FROM fp CROSS JOIN split WHERE doc_id > cutoff),
+    survivors AS (SELECT b.doc_id, b.f FROM batch b
+                  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)),
+    firsts AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f
+                                                 ORDER BY doc_id) AS rn
+               FROM survivors)
+    SELECT doc_id FROM firsts WHERE rn = 1
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape a standing 100 TB corpus
+    runs nightly: fingerprint the NEW batch only, LEFT ANTI join against
+    the corpus fingerprint index (which at scale is a bucketed/sorted
+    table keyed by fingerprint, so the join is shuffle-free on the
+    corpus side), then first-wins within the batch. The corpus text is
+    never read — only its fingerprint column — and the batch side is
+    the small relation, so Spark broadcasts it when it fits.
+    """
+    d = t(spark, sf_dir, "documents")
+    f = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = d.select("doc_id", f.alias("f"))
+    cutoff = fp.agg((F.max("doc_id") * 4 / 5).cast("long").alias("cutoff"))
+    withc = fp.crossJoin(F.broadcast(cutoff))
+    corpus = withc.filter(F.col("doc_id") <= F.col("cutoff")).select("f")
+    batch = withc.filter(F.col("doc_id") > F.col("cutoff")).select("doc_id", "f")
+    survivors = batch.join(corpus, "f", "left_anti")
+    w = Window.partitionBy("f").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
