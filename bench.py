@@ -112,6 +112,7 @@ HEADLINE = [
     "profile_lineitem",
     "stream_histogram_stream",
     "dedup_incremental_batch",
+    "sim_topk_pq",
 ]
 
 

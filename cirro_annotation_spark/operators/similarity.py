@@ -589,3 +589,66 @@ def semantic_dedup_removed_arrow(
             "keeper_id long, max_cosine double"
         ),
     )
+
+
+def _sq_l2(a: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 between an array column and a literal centroid, as one
+    fused fold — the same expression kernel _argmin_centroid builds on."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda p, q: (p - q) * (p - q),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk_adc(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_frame: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product quantization
+    for nearest neighbor search"): encode each vector as m subspace code
+    ids against pretrained codebooks, score candidates by ASYMMETRIC
+    distance — the query stays full-precision, each candidate costs m
+    table lookups instead of a d-dim dot product.
+
+    Scale shape: encoding is a map-side argmin per subspace against
+    broadcast codebook literals (no join, no shuffle) and compresses a
+    d×float vector to m bytes — the memory trick that lets a 1e9-vector
+    index fit a cluster's RAM. The query's m×k distance table derives
+    in-plan from the broadcast 1-row query frame (query construction
+    launches no job, same invariant as the cosine paths); top-k funnels
+    through TakeOrderedAndProject. At production dims the ADC lookup is
+    ~d/m times cheaper per candidate than exact scoring; a real deploy
+    composes it behind IVF cells (IVF-PQ) — both stages exist here.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    enc = df.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _argmin_centroid(F.slice(v, s * dsub + 1, dsub), cb).alias(f"__c{s}")
+            for s, cb in enumerate(codebooks)
+        ],
+    )
+    joined = enc.crossJoin(F.broadcast(query_frame))
+    qv = F.col("__qv")
+    adc = None
+    for s, cb in enumerate(codebooks):
+        qslice = F.slice(qv, s * dsub + 1, dsub)
+        table = F.array(*[_sq_l2(qslice, c) for c in cb])
+        term = F.element_at(table, F.col(f"__c{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        joined.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

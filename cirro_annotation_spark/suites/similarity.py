@@ -513,3 +513,65 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_removed_arrow(
         emb, "embedding", "vec_id", CENTROIDS, threshold=0.43
     )
+
+
+def _pq_oracle(k: int = 10) -> str:
+    """Full-arithmetic PQ/ADC oracle over the PINNED codebook literals
+    (suites/_pq_codebooks.py): DuckDB recomputes per-vector subspace
+    codes (argmin squared-L2, ties by code id), the query's m×16
+    distance table, and the ADC sum — same golden-model technique as
+    the IVF oracle. Code selection is discrete, so ulp noise flips a
+    row only on an exact distance tie."""
+    from cirro_annotation_spark.suites._pq_codebooks import CODEBOOKS
+
+    values = ",\n          ".join(
+        f"({s}, {c}, CAST([{', '.join(repr(x) for x in cb)}] AS DOUBLE[]))"
+        for s, book in enumerate(CODEBOOKS)
+        for c, cb in enumerate(book)
+    )
+    dsub = len(CODEBOOKS[0][0])
+    return f"""
+    WITH cb(s, code, cv) AS (VALUES {values}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    ed AS (SELECT vec_id, s, code, SUM((x - y) * (x - y)) AS d
+           FROM (SELECT e.vec_id, cb.s, cb.code,
+                        UNNEST(list_slice(e.ve, cb.s * {dsub} + 1,
+                                          cb.s * {dsub} + {dsub})) AS x,
+                        UNNEST(cb.cv) AS y
+                 FROM e CROSS JOIN cb)
+           GROUP BY vec_id, s, code),
+    enc AS (SELECT vec_id, s, code FROM
+              (SELECT vec_id, s, code,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, code) AS rn
+               FROM ed) WHERE rn = 1),
+    q AS (SELECT ve FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    qd AS (SELECT s, code, SUM((x - y) * (x - y)) AS d
+           FROM (SELECT cb.s, cb.code,
+                        UNNEST(list_slice(q.ve, cb.s * {dsub} + 1,
+                                          cb.s * {dsub} + {dsub})) AS x,
+                        UNNEST(cb.cv) AS y
+                 FROM q CROSS JOIN cb)
+           GROUP BY s, code),
+    adc AS (SELECT enc.vec_id, SUM(qd.d) AS dist
+            FROM enc JOIN qd ON enc.s = qd.s AND enc.code = qd.code
+            GROUP BY enc.vec_id)
+    SELECT vec_id, ROUND(dist, 6) AS adc_dist
+    FROM adc ORDER BY ROUND(dist, 6) ASC, vec_id ASC LIMIT {k}
+    """
+
+
+@query("sim_topk_pq", oracle=_pq_oracle())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk_adc) over
+    the pinned 8×16 codebooks — completes the ANN triad (hyperplane
+    LSH, IVF-Flat, PQ/ADC; a production deploy composes the last two as
+    IVF-PQ). Encoding is map-side argmin per subspace; candidates cost
+    m table lookups each; the query's distance table derives in-plan
+    from the broadcast 1-row query frame."""
+    from cirro_annotation_spark.suites._pq_codebooks import CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    return S.pq_topk_adc(
+        emb, "embedding", "vec_id", _query_frame(emb), CODEBOOKS, k=10
+    )

@@ -230,3 +230,48 @@ def test_semantic_dedup_arrow_sql_parity(spark, sf_dir):
             ).collect()
         )
         assert got == ref
+
+
+def test_pq_pinned_codebooks_not_stale(spark):
+    """Pinned PQ codebooks must equal a fresh per-subspace retrain on the
+    CURRENT sf0.01 fixture (the IVF-canary lesson: fixture or trainer
+    drift must fail a test before it fails the driver gate)."""
+    from pyspark.sql import functions as F
+    from cirro_annotation_spark.suites._pq_codebooks import CODEBOOKS
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    for s in (0, 7):  # first + last subspace bound the slice arithmetic
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"), s * 8 + 1, 8
+            ).alias("sub"),
+        )
+        fresh = S.train_centroids_kmeans(sub, "sub", "vec_id", k=16, iterations=2)
+        assert fresh == CODEBOOKS[s], f"subspace {s} drifted — REGENERATE"
+
+
+def test_pq_adc_query_first_and_overlaps_bruteforce(spark, sf_dir):
+    """The query itself must rank first (its ADC distance is pure
+    quantization error) and the PQ top-10 must overlap the exact
+    top-10 — 64-bit codes on random 64-dim data are coarse, so the
+    bound is deliberately loose; the ORDER itself is hash-checked by
+    the driver oracle."""
+    from cirro_annotation_spark.suites._pq_codebooks import CODEBOOKS
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    qf = S.query_vector_frame(emb, "embedding", "vec_id", 0)
+    pq = [
+        r["vec_id"]
+        for r in S.pq_topk_adc(
+            emb, "embedding", "vec_id", qf, CODEBOOKS, k=10
+        ).collect()
+    ]
+    bf = [
+        r["vec_id"]
+        for r in S.topk_cosine_bruteforce_q(
+            emb, "embedding", "vec_id", qf, k=10
+        ).collect()
+    ]
+    assert pq[0] == 0
+    assert len(set(pq) & set(bf)) >= 2
