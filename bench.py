@@ -113,6 +113,7 @@ HEADLINE = [
     "stream_histogram_stream",
     "dedup_incremental_batch",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
 ]
 
 

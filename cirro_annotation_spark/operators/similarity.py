@@ -652,3 +652,52 @@ def pq_topk_adc(
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ivfpq_topk_adc(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_frame: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ — the composition a production billion-vector index runs
+    (FAISS's default deploy shape): IVF cells prune WHICH vectors are
+    scored (nprobe/k_cells of the corpus, file-level partition pruning
+    when the cell id is a partition column), PQ codes prune WHAT a
+    score costs (m table lookups on m-byte codes instead of a d-dim
+    dot on d floats). Both models are broadcast literals; the query
+    frame carries its probe list and ADC table derives in-plan —
+    construction launches no job, the corpus never shuffles."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    enc = df.select(
+        F.col(id_col).alias("vec_id"),
+        _argmin_centroid(v, centroids).alias("__cell"),
+        *[
+            _argmin_centroid(F.slice(v, s * dsub + 1, dsub), cb).alias(f"__c{s}")
+            for s, cb in enumerate(codebooks)
+        ],
+    )
+    qf = query_frame.withColumn(
+        "__probe", nearest_cells(F.col("__qv"), centroids, nprobe)
+    )
+    joined = enc.join(
+        F.broadcast(qf), F.array_contains(F.col("__probe"), F.col("__cell"))
+    )
+    qv = F.col("__qv")
+    adc = None
+    for s, cb in enumerate(codebooks):
+        qslice = F.slice(qv, s * dsub + 1, dsub)
+        table = F.array(*[_sq_l2(qslice, c) for c in cb])
+        term = F.element_at(table, F.col(f"__c{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        joined.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -575,3 +575,85 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_adc(
         emb, "embedding", "vec_id", _query_frame(emb), CODEBOOKS, k=10
     )
+
+
+def _ivfpq_oracle(nprobe: int = 3, k: int = 10) -> str:
+    """IVF-PQ oracle: the IVF assign/probe CTEs (pinned coarse
+    centroids) composed with the PQ encode/ADC CTEs (pinned codebooks)
+    — both golden models as SQL literals, candidates restricted to the
+    probed cells before ADC scoring, exactly like the Spark plan."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+    from cirro_annotation_spark.suites._pq_codebooks import CODEBOOKS
+
+    cent_vals = ",\n          ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(CENTROIDS)
+    )
+    cb_vals = ",\n          ".join(
+        f"({s}, {c}, CAST([{', '.join(repr(x) for x in cb)}] AS DOUBLE[]))"
+        for s, book in enumerate(CODEBOOKS)
+        for c, cb in enumerate(book)
+    )
+    dsub = len(CODEBOOKS[0][0])
+    return f"""
+    WITH cent(cell, cv) AS (VALUES {cent_vals}),
+    cb(s, code, pv) AS (VALUES {cb_vals}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    qcd AS (SELECT cell, SUM((x - y) * (x - y)) AS d
+            FROM (SELECT c.cell, UNNEST(c.cv) AS x, UNNEST(q.qv) AS y
+                  FROM cent c CROSS JOIN q)
+            GROUP BY cell),
+    probe AS (SELECT cell FROM qcd ORDER BY d, cell LIMIT {nprobe}),
+    ecd AS (SELECT vec_id, cell, SUM((x - y) * (x - y)) AS d
+            FROM (SELECT e.vec_id, c.cell, UNNEST(e.ve) AS x, UNNEST(c.cv) AS y
+                  FROM e CROSS JOIN cent c)
+            GROUP BY vec_id, cell),
+    assign AS (SELECT vec_id, cell FROM
+                 (SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cell) AS rn
+                  FROM ecd) WHERE rn = 1),
+    cand AS (SELECT e.vec_id, e.ve FROM e
+             JOIN assign a ON e.vec_id = a.vec_id
+             JOIN probe p ON a.cell = p.cell),
+    ed AS (SELECT vec_id, s, code, SUM((x - y) * (x - y)) AS d
+           FROM (SELECT cand.vec_id, cb.s, cb.code,
+                        UNNEST(list_slice(cand.ve, cb.s * {dsub} + 1,
+                                          cb.s * {dsub} + {dsub})) AS x,
+                        UNNEST(cb.pv) AS y
+                 FROM cand CROSS JOIN cb)
+           GROUP BY vec_id, s, code),
+    enc AS (SELECT vec_id, s, code FROM
+              (SELECT vec_id, s, code,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, code) AS rn
+               FROM ed) WHERE rn = 1),
+    qd AS (SELECT s, code, SUM((x - y) * (x - y)) AS d
+           FROM (SELECT cb.s, cb.code,
+                        UNNEST(list_slice(q.qv, cb.s * {dsub} + 1,
+                                          cb.s * {dsub} + {dsub})) AS x,
+                        UNNEST(cb.pv) AS y
+                 FROM q CROSS JOIN cb)
+           GROUP BY s, code),
+    adc AS (SELECT enc.vec_id, SUM(qd.d) AS dist
+            FROM enc JOIN qd ON enc.s = qd.s AND enc.code = qd.code
+            GROUP BY enc.vec_id)
+    SELECT vec_id, ROUND(dist, 6) AS adc_dist
+    FROM adc ORDER BY ROUND(dist, 6) ASC, vec_id ASC LIMIT {k}
+    """
+
+
+@query("sim_topk_ivfpq", oracle=_ivfpq_oracle())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.ivfpq_topk_adc): coarse cells prune
+    WHICH candidates are scored, PQ codes prune WHAT a score costs —
+    the production billion-vector composition, both models pinned."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+    from cirro_annotation_spark.suites._pq_codebooks import CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk_adc(
+        emb, "embedding", "vec_id", _query_frame(emb),
+        CENTROIDS, CODEBOOKS, k=10, nprobe=3,
+    )
