@@ -630,28 +630,61 @@ def pq_topk_adc(
     composes it behind IVF cells (IVF-PQ) — both stages exist here.
     """
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    enc = df.select(
-        F.col(id_col).alias("vec_id"),
-        *[
-            _argmin_centroid(F.slice(v, s * dsub + 1, dsub), cb).alias(f"__c{s}")
-            for s, cb in enumerate(codebooks)
-        ],
-    )
-    joined = enc.crossJoin(F.broadcast(query_frame))
-    qv = F.col("__qv")
+    enc = _pq_encode_arrow(df, vec_col, id_col, codebooks)
+    joined = enc.crossJoin(F.broadcast(_with_adc_tables(query_frame, codebooks)))
     adc = None
-    for s, cb in enumerate(codebooks):
-        qslice = F.slice(qv, s * dsub + 1, dsub)
-        table = F.array(*[_sq_l2(qslice, c) for c in cb])
-        term = F.element_at(table, F.col(f"__c{s}") + 1)
+    for s in range(m):
+        term = F.element_at(F.col(f"__t{s}"), F.col(f"__c{s}") + 1)
         adc = term if adc is None else adc + term
     return (
         joined.select("vec_id", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def _with_adc_tables(
+    query_frame: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Attach the m ADC distance-table columns (__t0..__t{m-1}) to the
+    1-ROW query frame: the m×16 subspace-distance tables evaluate ONCE
+    on the broadcast side instead of once per corpus row — the per-row
+    cost drops to m element_at lookups, which is the whole point of
+    asymmetric scoring. Computed in a numpy mapInPandas rather than as
+    m×16 fold expressions: the work is trivial (1 row), but the
+    expression form put ~1000 literal nodes in the plan and cost ~4 s
+    of driver-side analysis/codegen PER QUERY BUILD (measured; the
+    executed job itself is 0.65 s). Stays lazy: no build-time job."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    # StructType.add MUTATES — copy the field list, never the frame's
+    # cached schema object (mutating it desyncs DataFrame.columns from
+    # the actual plan and poisons later resolution).
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(list(query_frame.schema.fields))
+    for s in range(m):
+        out_schema = StructType(
+            out_schema.fields + [StructField(f"__t{s}", ArrayType(DoubleType()))]
+        )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qv = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
+            for s, Cs in enumerate(books):
+                Qs = qv[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Qs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+                pdf = pdf.assign(**{f"__t{s}": list(d2)})
+            yield pdf
+
+    return query_frame.mapInPandas(fn, schema=out_schema)
 
 
 def ivfpq_topk_adc(
@@ -673,31 +706,67 @@ def ivfpq_topk_adc(
     frame carries its probe list and ADC table derives in-plan —
     construction launches no job, the corpus never shuffles."""
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    enc = df.select(
-        F.col(id_col).alias("vec_id"),
-        _argmin_centroid(v, centroids).alias("__cell"),
-        *[
-            _argmin_centroid(F.slice(v, s * dsub + 1, dsub), cb).alias(f"__c{s}")
-            for s, cb in enumerate(codebooks)
-        ],
-    )
-    qf = query_frame.withColumn(
-        "__probe", nearest_cells(F.col("__qv"), centroids, nprobe)
+    enc = _pq_encode_arrow(df, vec_col, id_col, codebooks, centroids=centroids)
+    qf = _with_adc_tables(
+        query_frame.withColumn(
+            "__probe", nearest_cells(F.col("__qv"), centroids, nprobe)
+        ),
+        codebooks,
     )
     joined = enc.join(
         F.broadcast(qf), F.array_contains(F.col("__probe"), F.col("__cell"))
     )
-    qv = F.col("__qv")
     adc = None
-    for s, cb in enumerate(codebooks):
-        qslice = F.slice(qv, s * dsub + 1, dsub)
-        table = F.array(*[_sq_l2(qslice, c) for c in cb])
-        term = F.element_at(table, F.col(f"__c{s}") + 1)
+    for s in range(m):
+        term = F.element_at(F.col(f"__t{s}"), F.col(f"__c{s}") + 1)
         adc = term if adc is None else adc + term
     return (
         joined.select("vec_id", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Arrow-vectorized PQ encoder: vec_id + __c0..__c{m-1} code columns
+    (+ __cell when IVF centroids are given), computed with numpy
+    broadcast arithmetic in one mapInPandas pass. The expression-tree
+    encoder builds m×16 = 128 fold nodes per row — correct but
+    Catalyst-heavy (1.5 MB codegen binaries); this is the same
+    BLAS-for-the-hot-kernel trade as semantic_dedup_removed_arrow, with
+    the expression twin kept for the parity test. Code selection is a
+    discrete argmin (first-minimum tie rule in BOTH paths), so results
+    are engine-identical. At production scale this pass runs ONCE at
+    ingest and the codes persist as tiny columns."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    cents = np.asarray(centroids, dtype=np.float64) if centroids else None
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf[id_col].to_numpy()}
+            if cents is not None:
+                d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                out["__cell"] = d2.argmin(1).astype(np.int32)
+            for s, Cs in enumerate(books):
+                Vs = V[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Vs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+                out[f"__c{s}"] = d2.argmin(1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long" + (", __cell int" if cents is not None else "") + \
+        "".join(f", __c{s} int" for s in range(m))
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=schema)
