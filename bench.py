@@ -139,6 +139,18 @@ def main() -> int:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # Between-query hygiene (NOT inside the timed window): the
+        # streaming drains register memory-sink temp views and the
+        # iterative queries localCheckpoint — with a large driver heap
+        # the JVM may not GC for the whole suite, so ContextCleaner
+        # never releases those blocks and the tail of a 60+-query run
+        # measures block-manager pressure instead of the plan (observed:
+        # 45 s suite degrading to 98 s, same queries fast in isolation).
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith("stream_out_"):
+                spark.catalog.dropTempView(tbl.name)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
