@@ -126,3 +126,36 @@ def rowgroup_overlap_fraction(path: str, col: str, lo, hi) -> float:
             elif not (st.max < lo or st.min > hi):
                 overlapping += 1
     return overlapping / max(total, 1)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction — the other half of the layout story at
+    100 TB: streaming sinks and over-parallel writers leave thousands
+    of KB-scale files whose per-file open/footer cost dominates reads.
+    Rewrite to ceil(rows / target) evenly-sized files; with ``sort_col``
+    the rewrite is a repartitionByRange + in-partition sort (one range
+    exchange, same cost shape as write_zordered) so the compacted files
+    also carry tight min/max stats on the sort key.
+
+    The row count comes from ``count()`` on the parquet source —
+    metadata-only (row-group counts from footers), no data scan.
+    Returns the number of files written."""
+    import math
+
+    df = spark.read.parquet(src)
+    n = df.count()
+    nfiles = max(1, math.ceil(n / max(target_rows_per_file, 1)))
+    if sort_col is not None:
+        out = df.repartitionByRange(nfiles, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(nfiles)
+    out.write.mode("overwrite").parquet(dst)
+    return nfiles
