@@ -1065,7 +1065,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class split, redacted preview) is then verified on real hits
     # rather than vacuously on zeros. One codegen'd scan, no shuffle;
     # swap the planted column for the raw text column in production.
-    oracle="""
+    oracle=r"""
     WITH planted AS (
       SELECT doc_id,
              text || ' contact user' || doc_id ||

@@ -842,3 +842,221 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_contrib"),
     )
+
+
+@query(
+    "events_interpolate_linear",
+    # Linear interpolation at daily grid points — the hypertable
+    # `interpolate()` twin of events_resample_ffill's locf. Same union
+    # trick: grid markers interleave with events in ONE per-user window
+    # pass; the bracketing event on each side comes from
+    # last/first IGNORE NULLS over the preceding/following frame, so
+    # there is no per-grid-point correlated lookup and no as-of join
+    # fan-out. An event at the exact grid instant sorts BEFORE the
+    # marker (is_grid ASC) and therefore brackets from the left with
+    # weight 0 — interior grid points whose bracket is one-sided
+    # (before the user's first event / after their last) are dropped,
+    # matching the SQL-standard interpolation gate. Scale: the grid is
+    # |users|x29 rows; the single user-keyed window shuffle carries
+    # (user_id, ts_us, value) only.
+    oracle="""
+    WITH grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                    TIMESTAMP '2024-01-30 00:00:00',
+                                    INTERVAL 1 DAY)) AS grid_ts
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), unioned AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, 0 AS is_grid, event_id,
+             epoch_us(ts) AS ev_us, value AS ev_val, NULL AS grid_ts
+      FROM events
+      UNION ALL
+      SELECT user_id, epoch_us(grid_ts) AS ts_us, 1 AS is_grid, -1 AS event_id,
+             NULL AS ev_us, NULL AS ev_val, grid_ts
+      FROM grid
+    ), br AS (
+      SELECT user_id, grid_ts, is_grid, ts_us,
+             LAST_VALUE(ev_us IGNORE NULLS) OVER w_prev AS prev_us,
+             LAST_VALUE(ev_val IGNORE NULLS) OVER w_prev AS prev_val,
+             FIRST_VALUE(ev_us IGNORE NULLS) OVER w_next AS next_us,
+             FIRST_VALUE(ev_val IGNORE NULLS) OVER w_next AS next_val
+      FROM unioned
+      WINDOW
+        w_prev AS (PARTITION BY user_id
+                   ORDER BY ts_us, is_grid ASC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id
+                   ORDER BY ts_us, is_grid ASC, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(grid_ts AS DATE) AS day,
+           ROUND(CASE WHEN next_us = prev_us THEN prev_val
+                      ELSE prev_val + (next_val - prev_val)
+                           * (ts_us - prev_us) / (next_us - prev_us) END,
+                 6) AS interp_value
+    FROM br
+    WHERE is_grid = 1 AND prev_us IS NOT NULL AND next_us IS NOT NULL
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(0).alias("is_grid"),
+        "event_id",
+        F.unix_micros("ts").alias("ev_us"),
+        F.col("value").alias("ev_val"),
+        F.lit(None).cast("timestamp").alias("grid_ts"),
+    )
+    grid = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 00:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("grid_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("grid_ts").alias("ts_us"),
+            F.lit(1).alias("is_grid"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("ev_us"),
+            F.lit(None).cast("double").alias("ev_val"),
+            "grid_ts",
+        )
+    )
+    order = [F.col("ts_us").asc(), F.col("is_grid").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    br = ev.unionByName(grid).select(
+        "user_id",
+        "grid_ts",
+        "is_grid",
+        "ts_us",
+        F.last("ev_us", ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.last("ev_val", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.first("ev_us", ignorenulls=True).over(w_next).alias("next_us"),
+        F.first("ev_val", ignorenulls=True).over(w_next).alias("next_val"),
+    )
+    interp = F.when(F.col("next_us") == F.col("prev_us"), F.col("prev_val")).otherwise(
+        F.col("prev_val")
+        + (F.col("next_val") - F.col("prev_val"))
+        * (F.col("ts_us") - F.col("prev_us"))
+        / (F.col("next_us") - F.col("prev_us"))
+    )
+    return (
+        br.filter(
+            (F.col("is_grid") == 1)
+            & F.col("prev_us").isNotNull()
+            & F.col("next_us").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("grid_ts").cast("date").alias("day"),
+            F.round(interp, 6).alias("interp_value"),
+        )
+    )
+
+
+@query(
+    "events_ks_drift",
+    # Two-sample Kolmogorov-Smirnov drift statistic per event_type —
+    # the nonparametric sibling of events_psi_drift (no binning model
+    # to pick). Same temporal-midpoint split in integer micros. The
+    # supremum |F_ref - F_cur| is computed EXACTLY in integers: per
+    # distinct value, cumulative counts (cum_ref, cum_cur) via one
+    # value-ordered window per event_type, and the max of
+    # |cum_ref*n_cur - cum_cur*n_ref| is a BIGINT — no float CDF, so
+    # no cross-engine rounding ties (the events_interarrival lesson).
+    # ks_stat divides the exact numerator once at the end. Scale: one
+    # (event_type, value)-grouped aggregate collapses 100 TB of rows to
+    # |distinct values| rows; one event_type-keyed window over that;
+    # final per-type max is a ~|types|-row aggregate.
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS us FROM events
+    ), mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+    tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ev.us * 2 < mm.lo + mm.hi THEN 1 ELSE 0 END AS is_ref
+      FROM ev CROSS JOIN mm
+    ), pervalue AS (
+      SELECT event_type, value,
+             SUM(is_ref) AS r, SUM(1 - is_ref) AS c
+      FROM tagged GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type,
+             SUM(r) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_ref,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cur,
+             SUM(r) OVER (PARTITION BY event_type) AS n_ref,
+             SUM(c) OVER (PARTITION BY event_type) AS n_cur
+      FROM pervalue
+    )
+    SELECT event_type,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT)
+             AS ks_numerator,
+           ROUND(CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS DOUBLE)
+                 / (MAX(n_ref) * MAX(n_cur)), 6) AS ks_stat
+    FROM cum GROUP BY event_type
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    mm = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        "value",
+        F.when(F.col("us") * 2 < F.col("lo") + F.col("hi"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    pervalue = tagged.groupBy("event_type", "value").agg(
+        F.sum("is_ref").alias("r"), F.sum(1 - F.col("is_ref")).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = pervalue.select(
+        "event_type",
+        F.sum("r").over(w_cum).alias("cum_ref"),
+        F.sum("c").over(w_cum).alias("cum_cur"),
+        F.sum("r").over(w_all).alias("n_ref"),
+        F.sum("c").over(w_all).alias("n_cur"),
+    )
+    num = F.abs(F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref"))
+    return (
+        cum.select("event_type", "n_ref", "n_cur", num.alias("num"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("num").alias("ks_numerator"),
+            F.round(
+                F.max("num").cast("double") / (F.max("n_ref") * F.max("n_cur")), 6
+            ).alias("ks_stat"),
+        )
+    )
