@@ -443,3 +443,133 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id")
     )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    # Same ACCEPT semantics as dedup_incremental_batch, different
+    # execution strategy: a Bloom-filter PRE-FILTER stands in front of
+    # the exact fingerprint join. The corpus side is collapsed to its
+    # set of k=3 hash positions modulo m=2^17 — bounded by m rows (a
+    # 16 KiB bitmap's worth of ints) NO MATTER how large the corpus
+    # grows, which is the whole point at 100 TB: the broadcast side is
+    # FIXED SIZE, unlike a fingerprint index that grows with the
+    # corpus. A batch doc with ANY position missing from the set is
+    # provably new (no false negatives) and skips the exact join
+    # entirely; only bloom-positive candidates (true dups + ~(nk/m)^k
+    # false positives) reach the exact anti-join verify, so the
+    # expensive join runs on a sliver of the batch. The final result is
+    # EXACT — the bloom only routes, never decides — hence the oracle
+    # is the plain exact SQL. tests/test_dedup.py pins the no-false-
+    # negative invariant and that the prefilter actually prunes.
+    oracle="""
+    WITH fp AS (SELECT doc_id,
+                       REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')
+                         AS f
+                FROM documents),
+    split AS (SELECT (SELECT MAX(doc_id) FROM documents) * 4 / 5 AS cutoff),
+    corpus AS (SELECT f FROM fp CROSS JOIN split WHERE doc_id <= cutoff),
+    batch AS (SELECT doc_id, f FROM fp CROSS JOIN split WHERE doc_id > cutoff),
+    survivors AS (SELECT b.doc_id, b.f FROM batch b
+                  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)),
+    firsts AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f
+                                                 ORDER BY doc_id) AS rn
+               FROM survivors)
+    SELECT doc_id FROM firsts WHERE rn = 1
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new_docs = bloom_prefilter_new_docs(spark, sf_dir)
+    w = Window.partitionBy("f").orderBy("doc_id")
+    return (
+        new_docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+BLOOM_M = 1 << 17  # bits in the filter
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions() -> list:
+    """k hash positions for the fingerprint column ``f`` — xxhash64 over
+    (f, seed_i), reduced mod m. Column expressions, evaluated identically
+    on the build (corpus) and probe (batch) sides."""
+    return [
+        F.pmod(F.xxhash64(F.col("f"), F.lit(i)), F.lit(BLOOM_M))
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_build_bitmap(corpus_fp: DataFrame) -> list[int]:
+    """Aggregate the corpus fingerprints into an m-bit Bloom bitmap,
+    returned as m/64 longs. The aggregate's output is bounded by m/64 =
+    2048 rows (16 KiB) NO MATTER the corpus row count — map-side partial
+    bit_or collapses each scan partition to <=2048 rows before the one
+    tiny shuffle. The ``.collect()`` is fixed-size model state, the same
+    contract as the IVF centroids (PLANS.md collect inventory)."""
+    words = (
+        corpus_fp.select(F.explode(F.array(*_bloom_positions())).alias("pos"))
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, int(pos % 64))")).alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (BLOOM_M >> 6)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(bitmap: list[int]):
+    """Pure-codegen membership predicate over ``f``: test all k bit
+    positions against the bitmap array literal. No join, no shuffle —
+    the 16 KiB bitmap constant-folds into the row predicate."""
+    bm = F.array(*[F.lit(v) for v in bitmap])
+    tests = [
+        (
+            F.expr(
+                f"element_at(__bloom_bm, int(__bloom_p{i} / 64) + 1) "
+                f"& shiftleft(1L, int(__bloom_p{i} % 64))"
+            )
+            != 0
+        )
+        for i in range(BLOOM_K)
+    ]
+    pred = tests[0]
+    for tst in tests[1:]:
+        pred = pred & tst
+    return bm, pred
+
+
+def bloom_route_new_docs(corpus_fp: DataFrame, batch_fp: DataFrame) -> DataFrame:
+    """(doc_id, f) batch rows NOT present in the corpus, resolved
+    bloom-first: rows with any unset bit are provably new (no false
+    negatives) and bypass the exact join entirely; only bloom-positive
+    candidates (true dups + ~(nk/m)^k false positives) reach the exact
+    anti-join verify. Both routes are FILTERS on the batch scan — the
+    routing itself does no join and no shuffle."""
+    bitmap = bloom_build_bitmap(corpus_fp)
+    bm, pred = bloom_might_contain(bitmap)
+    probe = batch_fp
+    for i, pos in enumerate(_bloom_positions()):
+        probe = probe.withColumn(f"__bloom_p{i}", pos)
+    probe = probe.withColumn("__bloom_bm", bm).withColumn("__bloom_pos", pred)
+    definite_new = probe.filter(~F.col("__bloom_pos")).select("doc_id", "f")
+    candidates = probe.filter(F.col("__bloom_pos")).select("doc_id", "f")
+    false_positives = candidates.join(corpus_fp.select("f"), "f", "left_anti")
+    return definite_new.unionByName(false_positives.select("doc_id", "f"))
+
+
+def bloom_prefilter_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture's 80/20 corpus/batch split routed through
+    bloom_route_new_docs. Exposed separately so tests can pin the
+    pruning invariants on planted-duplicate frames."""
+    d = t(spark, sf_dir, "documents")
+    f = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = d.select("doc_id", f.alias("f"))
+    cutoff = fp.agg((F.max("doc_id") * 4 / 5).cast("long").alias("cutoff"))
+    withc = fp.crossJoin(F.broadcast(cutoff))
+    corpus = withc.filter(F.col("doc_id") <= F.col("cutoff")).select("f")
+    batch = withc.filter(F.col("doc_id") > F.col("cutoff")).select("doc_id", "f")
+    return bloom_route_new_docs(corpus, batch)

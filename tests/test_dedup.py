@@ -269,3 +269,84 @@ def test_cc_auto_uses_propagation_on_small_diameter(spark):
     out = connected_components_auto(edges, propagation_rounds=8)
     labels = {r["vertex"]: r["component"] for r in out.collect()}
     assert labels == {v: 1 for v in (1, 2, 3, 4, 5)}
+
+
+def test_bloom_route_planted_duplicates(spark):
+    """Planted-dup frames: the bloom route must (a) drop every true
+    duplicate (no false negatives — guaranteed, not probabilistic),
+    (b) accept every genuinely-new doc (false positives are caught by
+    the exact verify), so the result equals the plain anti-join."""
+    from cirro_annotation_spark.suites.dedup import bloom_route_new_docs
+
+    corpus_rows = [(f"corpus text number {i} alpha beta",) for i in range(200)]
+    corpus = spark.createDataFrame(corpus_rows, "f string")
+    # batch: 50 dups of corpus docs + 50 new docs
+    batch_rows = [(1000 + i, f"corpus text number {i} alpha beta") for i in range(50)]
+    batch_rows += [(2000 + i, f"fresh text number {i} gamma delta") for i in range(50)]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, f string")
+
+    got = set(r.doc_id for r in bloom_route_new_docs(corpus, batch).collect())
+    assert got == {2000 + i for i in range(50)}
+
+
+def test_bloom_routing_prunes_and_bitmap_bounded(spark):
+    """The candidate set reaching the exact join must be tiny (the
+    bloom routes ~all new docs around it at fixture fpp), and the
+    bitmap is bounded by m/64 words regardless of corpus size."""
+    from cirro_annotation_spark.suites.dedup import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_build_bitmap,
+        bloom_might_contain,
+        _bloom_positions,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"corpus text number {i} alpha beta",) for i in range(500)], "f string"
+    )
+    bitmap = bloom_build_bitmap(corpus)
+    assert len(bitmap) == BLOOM_M >> 6
+    # set-bit count <= corpus * k (and > 0)
+    nbits = sum(bin(v & ((1 << 64) - 1)).count("1") for v in bitmap)
+    assert 0 < nbits <= 500 * BLOOM_K
+
+    batch = spark.createDataFrame(
+        [(i, f"fresh text number {i} gamma delta") for i in range(1000)],
+        "doc_id long, f string",
+    )
+    bm, pred = bloom_might_contain(bitmap)
+    probe = batch
+    for i, pos in enumerate(_bloom_positions()):
+        probe = probe.withColumn(f"__bloom_p{i}", pos)
+    n_candidates = (
+        probe.withColumn("__bloom_bm", bm).filter(pred).count()
+    )
+    # fpp ~ (500*3/131072)^3 ~ 1.5e-6 — essentially nothing may leak
+    assert n_candidates <= 2, f"bloom fpp too high: {n_candidates}/1000"
+
+
+def test_bloom_prefilter_matches_exact_on_fixture(spark):
+    """Fixture-level agreement with the plain anti-join (the oracle
+    path), through the registered query's own split."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("sf0.01 fixture not present")
+    from cirro_annotation_spark.suites.dedup import bloom_prefilter_new_docs
+    from cirro_annotation_spark.suites.util import t
+
+    d = t(spark, sf_dir, "documents")
+    f = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = d.select("doc_id", f.alias("f"))
+    cutoff = fp.agg((F.max("doc_id") * 4 / 5).cast("long")).collect()[0][0]
+    corpus = fp.filter(F.col("doc_id") <= cutoff).select("f")
+    batch = fp.filter(F.col("doc_id") > cutoff).select("doc_id", "f")
+
+    exact_new = set(
+        r.doc_id for r in batch.join(corpus, "f", "left_anti").collect()
+    )
+    bloom_new = set(r.doc_id for r in bloom_prefilter_new_docs(spark, sf_dir).collect())
+    assert bloom_new == exact_new
