@@ -7,7 +7,7 @@ arithmetic is verified, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cirro_annotation_spark.operators import text as X
@@ -1359,4 +1359,101 @@ def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(nll, 6).alias("mean_nll"),
         F.round(F.exp(nll), 2).alias("unigram_ppl"),
+    )
+
+
+@query(
+    "docs_per_source_cap",
+    # C4/RefinedWeb-style per-domain cap: keep at most 5 documents per
+    # source (the fixture's domain proxy), ranked best-first by length
+    # with a deterministic doc_id tie-break. One source-keyed window
+    # shuffle; at 100 TB the rank carries (source, n_chars, doc_id)
+    # only — text stays at the scan until the final semi-join-free
+    # filter (the rank IS computed on the full row here because the
+    # fixture row is narrow; production splits rank/hydrate exactly
+    # like dedup_survivor_corpus).
+    oracle="""
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS cap_rank
+      FROM documents) r
+    WHERE cap_rank <= 5
+    """,
+)
+def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= 5)
+        .select("doc_id", "source", "cap_rank")
+    )
+
+
+@query(
+    "docs_quality_classifier",
+    # A pinned-weight logistic quality classifier — the fasttext-style
+    # model-scoring shape without the model dependency: five cheap
+    # features (scaled token count, mean word length, digit/punct
+    # noise, EN-stopword density) dotted with PINNED weights, sigmoid,
+    # threshold at z>=0. Both engines evaluate the identical
+    # left-to-right double expression, so the hash verifies the full
+    # arithmetic. All codegen'd column expressions — one scan, zero
+    # shuffles; swap the literals for trained weights in production
+    # (they are model state exactly like the IVF centroids).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             LEN(toks) AS n_tok,
+             CASE WHEN LEN(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / LEN(toks)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END AS dr,
+             CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+             CASE WHEN LEN(toks) > 0
+                  THEN LEN(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','to'], LOWER(x)))) * 1.0 / LEN(toks)
+                  ELSE 0.0 END AS swr
+      FROM base
+    ), scored AS (
+      SELECT doc_id,
+             -1.5 + 0.8 * (n_tok / 100.0) + 0.35 * mwl - 6.0 * dr - 4.0 * pr
+                  + 2.0 * swr AS z
+      FROM feats
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-z)), {RATIO}) AS quality_prob,
+           CAST(z >= 0 AS INT) AS keep
+    FROM scored
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mwl = F.when(n_tok > 0, tok_chars * 1.0 / n_tok).otherwise(F.lit(0.0))
+    z = (
+        F.lit(-1.5)
+        + 0.8 * (n_tok / 100.0)
+        + 0.35 * mwl
+        - 6.0 * X.digit_ratio("text")
+        - 4.0 * X.punct_ratio("text")
+        + 2.0 * X.stopword_ratio("text", ["the", "a", "of", "and", "to"])
+    )
+    return d.select(
+        "doc_id",
+        F.round(1.0 / (1.0 + F.exp(-z)), RATIO).alias("quality_prob"),
+        (z >= 0).cast("int").alias("keep"),
     )
