@@ -1,0 +1,120 @@
+"""Iterative graph operators (PageRank) — the power-iteration sibling of
+the connected-components family in ``operators/dedup.py``.
+
+Reference parity note: the reference (CirroBio/Cirro-Annotation) has no
+graph operators; this module belongs to the large-scale-pipeline
+extension surface (link-graph ranking for crawl prioritization and
+source weighting). The design follows the public Pregel/GraphX
+formulation re-expressed as DataFrame joins.
+
+Determinism contract: ranks are BIGINT fixed-point (SCALE = 1e12
+units) and every division is FLOOR division, so each iteration is
+exact integer arithmetic — associative, engine-portable, and immune to
+the float-summation-order divergence that makes naive double PageRank
+unhashable across engines (the events_interarrival lesson, applied to
+an iterative op).
+
+Scale shape (100 TB link graph): each round is one shuffle — edges
+join ranks on src (both sides partitioned by the join key; Catalyst
+reuses the exchange across rounds when the partitioning matches), then
+a dst-keyed sum whose map-side partial combine collapses contributions
+before the shuffle. ``localCheckpoint`` truncates lineage per round
+exactly like connected_components (operators/dedup.py) so plan size
+stays O(1) in rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+PR_D_NUM = 85  # damping factor d = 85/100
+PR_D_DEN = 100
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list.
+
+    pr_0(v)    = SCALE // N
+    pr_{k+1}(v) = teleport + Σ_{u→v} (pr_k(u) * 85) // (outdeg(u) * 100)
+    teleport    = (15 * SCALE) // (100 * N)
+
+    Returns (node, pr) with pr in SCALE units as BIGINT. Nodes are the
+    union of src and dst endpoints. Dangling mass (nodes with no
+    out-edges) is dropped, as in the common simplified formulation —
+    both engines apply the identical rule so parity holds.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar model state: one number
+    teleport = (PR_SCALE - PR_D_NUM * PR_SCALE // PR_D_DEN) // n_nodes
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Pre-join outdeg once — it is static across rounds.
+    e_deg = e.join(outdeg, "src")
+
+    ranks = nodes.withColumn("pr", F.lit(PR_SCALE // n_nodes).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(pr * {PR_D_NUM}) div (outdeg * {PR_D_DEN})").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iterations: int = 5, scale: int = PR_SCALE
+) -> str:
+    """Unrolled-CTE DuckDB oracle for pagerank_fixed_point: one CTE per
+    power iteration, identical integer arithmetic. ``edges_cte`` is a
+    SQL query yielding (src, dst)."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"tele AS (SELECT ({scale} - {PR_D_NUM} * {scale} // {PR_D_DEN}) // n "
+        "AS t FROM nn),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),",
+        f"it0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS pr "
+        "FROM nodes CROSS JOIN nn),",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, "
+            f"SUM((it{k}.pr * {PR_D_NUM}) // (deg.outdeg * {PR_D_DEN})) AS inflow "
+            f"FROM e JOIN deg USING (src) JOIN it{k} ON it{k}.node = e.src "
+            "GROUP BY e.dst),"
+        )
+        parts.append(
+            f"it{k + 1} AS (SELECT nodes.node, "
+            f"CAST(tele.t + COALESCE(c{k}.inflow, 0) AS BIGINT) AS pr "
+            f"FROM nodes LEFT JOIN c{k} USING (node) CROSS JOIN tele),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return body + f"\nSELECT node, pr FROM it{iterations}"

@@ -145,6 +145,7 @@ def load_all_suites() -> None:
     """Import every suite module so their @query decorators run."""
     from cirro_annotation_spark.suites import (  # noqa: F401
         dedup,
+        graph_suite,
         manifest_suite,
         multimodal,
         relational,

@@ -1,0 +1,71 @@
+"""Graph query: PageRank over the customer–supplier trade graph.
+
+The edge list derives from orders ⋈ lineitem: an undirected trade link
+between customer c and supplier s for every distinct (c, s) pair that
+traded, encoded as two directed edges over disjoint node ids
+(customer → 2c, supplier → 2s+1). Five fixed-point power iterations
+(operators/graph.py) rank the best-connected parties — the
+crawl-prioritization / source-weighting shape over a link graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.graph import (
+    pagerank_fixed_point,
+    pagerank_oracle_sql,
+)
+from cirro_annotation_spark.registry import query
+from cirro_annotation_spark.suites.util import t
+
+_EDGES_CTE = """
+    SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+_PAGERANK_ORACLE = f"""
+    SELECT node, pr, pr_rank FROM (
+      SELECT node, pr,
+             ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS pr_rank
+      FROM ({pagerank_oracle_sql(_EDGES_CTE, iterations=5)})
+    ) ranked
+    WHERE pr_rank <= 50
+"""
+
+
+@query(
+    "graph_pagerank_trade",
+    # Five power iterations in exact BIGINT fixed-point (SCALE=1e12,
+    # floor division) — integer addition is associative, so the result
+    # hashes identically whatever the partial-aggregation order; a
+    # float formulation would drift in the last ulps across engines
+    # AND across Spark runs. The oracle unrolls the same five
+    # iterations as CTEs. Scale: each round = one src-keyed join + one
+    # dst-keyed partial-combined sum; lineage truncated per round via
+    # localCheckpoint (the connected_components discipline).
+    oracle=_PAGERANK_ORACLE,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=5)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("pr_rank", F.row_number().over(w))
+        .filter(F.col("pr_rank") <= 50)
+        .select("node", "pr", "pr_rank")
+    )

@@ -1,0 +1,46 @@
+"""Property tests for the fixed-point PageRank operator."""
+from __future__ import annotations
+
+from cirro_annotation_spark.operators.graph import PR_SCALE, pagerank_fixed_point
+
+
+def _ranks(spark, pairs, iterations=5):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r.node: r.pr
+        for r in pagerank_fixed_point(edges, iterations=iterations).collect()
+    }
+
+
+def test_two_node_cycle_symmetric(spark):
+    # a <-> b: perfect symmetry must give identical ranks, each ~SCALE/2.
+    pr = _ranks(spark, [(1, 2), (2, 1)])
+    assert pr[1] == pr[2]
+    assert abs(pr[1] - PR_SCALE // 2) < PR_SCALE // 100
+
+
+def test_star_hub_dominates(spark):
+    # spokes all point at the hub (and hub back, so no dangling sinks):
+    # the hub must outrank every spoke, spokes tie exactly.
+    spokes = list(range(1, 6))
+    pairs = [(s, 0) for s in spokes] + [(0, s) for s in spokes]
+    pr = _ranks(spark, pairs)
+    assert all(pr[0] > pr[s] for s in spokes)
+    assert len({pr[s] for s in spokes}) == 1
+
+
+def test_rank_mass_conserved_within_rounding(spark):
+    # Total mass stays ~SCALE: floor divisions only ever LOSE units,
+    # bounded by (#edges + #nodes) per iteration.
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+    pr = _ranks(spark, pairs)
+    total = sum(pr.values())
+    assert total <= PR_SCALE
+    assert total > PR_SCALE - 10_000
+
+
+def test_deterministic_across_runs(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(100)]
+    a = _ranks(spark, pairs, iterations=4)
+    b = _ranks(spark, pairs, iterations=4)
+    assert a == b
