@@ -114,3 +114,39 @@ def test_dynamic_partition_overwrite_refreshes_one_partition(spark, sf_dir, tmp_
     back = spark.read.parquet(target)
     assert back.filter(F.col("lang") == "en").count() == 10  # replaced
     assert back.filter(F.col("lang") == "de").count() == before["de"]  # intact
+
+
+def test_orc_sink_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is Spark-native (no extra package): round-trip the documents
+    table and confirm predicate pushdown reaches the ORC scan — the
+    columnar-format coverage beyond parquet. Schema and values must
+    survive exactly."""
+    target = str(tmp_path / "docs.orc")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    assert (
+        back.filter(F.col("lang") == "en").count()
+        == df.filter(F.col("lang") == "en").count()
+    )
+    plan = (
+        back.filter(F.col("n_chars") > 100)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the filter must reach the ORC scan as a pushed filter
+    assert "PushedFilters: [" in plan and "n_chars" in plan
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "docs_part.orc")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.write.mode("overwrite").partitionBy("lang").orc(target)
+    back = spark.read.orc(target).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == df.filter(F.col("lang") == "en").count()
