@@ -114,6 +114,17 @@ HEADLINE = [
     "dedup_incremental_batch",
     "sim_topk_pq",
     "sim_topk_ivfpq",
+    # round 6b additions: linear interpolation + exact-integer KS drift
+    # (time-series family), bloom-routed incremental dedup (its delta vs
+    # dedup_incremental_batch is the prefilter evidence), per-source
+    # cap + pinned-weight classifier (corpus curation), and 5-round
+    # fixed-point PageRank (the iterative-join family's bench number)
+    "events_interpolate_linear",
+    "events_ks_drift",
+    "dedup_bloom_prefilter",
+    "docs_per_source_cap",
+    "docs_quality_classifier",
+    "graph_pagerank_trade",
 ]
 
 

@@ -25,7 +25,7 @@ stays O(1) in rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
@@ -39,6 +39,7 @@ def pagerank_fixed_point(
     dst: str = "dst",
     iterations: int = 5,
     checkpoint: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
@@ -51,17 +52,31 @@ def pagerank_fixed_point(
     out-edges) is dropped, as in the common simplified formulation —
     both engines apply the identical rule so parity holds.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if checkpoint:
+        # Materialize the static frames ONCE — without this, every
+        # power iteration re-derives the upstream edge pipeline (joins,
+        # distincts) from scratch: 5 rounds cost 5x the input scan.
+        # e_deg is pre-partitioned on the per-round join key so the
+        # iteration's join reuses the partitioning instead of
+        # re-exchanging the (large) edge side each round.
+        nodes = nodes.repartition("node").localCheckpoint(eager=True)
     n_nodes = nodes.count()  # scalar model state: one number
     teleport = (PR_SCALE - PR_D_NUM * PR_SCALE // PR_D_DEN) // n_nodes
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Pre-join outdeg once — it is static across rounds.
-    e_deg = e.join(outdeg, "src")
+    # outdeg via a src-partitioned window: ONE exchange yields the
+    # degree-annotated edge list already partitioned on the per-round
+    # join key (a groupBy+join formulation costs two more).
+    w_src = Window.partitionBy("src")
+    e_deg = e.select("src", "dst", F.count("*").over(w_src).alias("outdeg"))
+    if checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("pr", F.lit(PR_SCALE // n_nodes).cast("long"))
     for _ in range(iterations):

@@ -53,19 +53,28 @@ _PAGERANK_ORACLE = f"""
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        (F.col("o_custkey") * 2).alias("cust_node"),
-        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()  # dedupe BEFORE mirroring: one join, half the rows
     )
     edges = pairs.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).unionByName(
         pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
     )
-    ranks = pagerank_fixed_point(edges, iterations=5)
+    # mirrored distinct pairs are distinct by construction (node-id
+    # parity separates the directions), so skip the interior distinct
+    ranks = pagerank_fixed_point(edges, iterations=5, assume_distinct=True)
+    # Top-50 via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heaps, no global single-partition window); the rank column is
+    # then assigned on the 50-row result — the global window is fine
+    # THERE because its input is already k rows.
+    top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(50)
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    return (
-        ranks.withColumn("pr_rank", F.row_number().over(w))
-        .filter(F.col("pr_rank") <= 50)
-        .select("node", "pr", "pr_rank")
+    return top.withColumn("pr_rank", F.row_number().over(w)).select(
+        "node", "pr", "pr_rank"
     )
