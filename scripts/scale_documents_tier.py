@@ -55,6 +55,14 @@ DOC_QUERIES = [
     # both corpus-wide scans
     "text_langid_confusion",
     "docs_pii_scan",
+    # round 6b: per-source cap (source-keyed rank window), pinned-weight
+    # logistic classifier (pure codegen scan), and the bloom-routed
+    # incremental dedup (the prefilter's value GROWS with corpus size:
+    # the bitmap stays 16 KiB while the corpus side here is 80% of the
+    # tier)
+    "docs_per_source_cap",
+    "docs_quality_classifier",
+    "dedup_bloom_prefilter",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

@@ -63,6 +63,11 @@ EVENT_QUERIES = [
     "events_value_histogram",
     "events_interarrival_stats",
     "stream_session_stream",
+    # round 6b: grid interpolation (union-trick window at 10M rows) and
+    # the exact-integer KS statistic (distinct-value aggregate + one
+    # type-keyed window)
+    "events_interpolate_linear",
+    "events_ks_drift",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
