@@ -125,6 +125,7 @@ HEADLINE = [
     "docs_per_source_cap",
     "docs_quality_classifier",
     "graph_pagerank_trade",
+    "events_heavy_hitters",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Frequency-sketch operators: guaranteed-superset heavy hitters.
+
+Reference parity note: the reference (CirroBio/Cirro-Annotation) has no
+sketch operators; this belongs to the large-scale-pipeline extension
+surface (hot-key detection for skew handling, abuse/rate monitoring).
+The algorithm is the public Misra-Gries summary (Misra & Gries 1982)
+with the weighted merge of Agarwal et al. 2013 ("Mergeable summaries").
+
+Two-phase exact heavy hitters, the shape a 100 TB stream needs:
+
+Phase 1 (map-side, no shuffle): each partition folds its rows into an
+M-counter Misra-Gries summary via Arrow-batched ``mapInPandas`` and
+emits only its counter KEYS — ≤ M rows per partition regardless of
+input size. Pigeonhole guarantee: any value with GLOBAL count
+> n/(M+1) exceeds the local threshold in at least one partition, so
+the union of partition summaries is a guaranteed superset of the true
+heavy hitters (no false negatives — false positives are fine, phase 2
+removes them).
+
+Phase 2 (one bounded shuffle): exact recount of candidate values only
+— the big table semi-joins the ≤ M×partitions candidate set
+(broadcast), then one partial-combined groupBy. The final filter
+``cnt * (M+1) > n`` is integer arithmetic, so the result is EXACT and
+independent of partitioning, batch boundaries, or which extra
+candidates phase 1 happened to emit. That independence is what makes
+the operator oracle-checkable against a plain GROUP BY ... HAVING.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition M-counter Misra-Gries summaries; returns the union
+    of summary keys (column name preserved) — a guaranteed superset of
+    every value with global frequency > n/(m+1)."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > m:
+                # weighted MG reduction: subtract the (m+1)-th largest
+                # count from everything, keep strictly-positive counters
+                # (Agarwal et al. 2013 — preserves the error bound and
+                # therefore the superset guarantee).
+                kth = counters.nlargest(m + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield counters.index.to_frame(index=False, name=col)
+
+    return df.select(col).mapInPandas(summarize, schema=df.select(col).schema)
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, m: int) -> DataFrame:
+    """All values of ``col`` with count > n/(m+1), with exact counts.
+
+    Output: (col, cnt) — exact, partitioning-independent.
+    """
+    candidates = misra_gries_candidates(df, col, m).distinct()
+    n_total = df.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (m + 1) > F.col("n_total"))
+        .select(col, "cnt")
+    )

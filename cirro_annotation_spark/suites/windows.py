@@ -1060,3 +1060,27 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+@query(
+    "events_heavy_hitters",
+    # Exact heavy hitters (count > n/1024) via the two-phase
+    # Misra-Gries shape (operators/sketches.py): map-side M-counter
+    # summaries emit <=M candidate keys per partition with a pigeonhole
+    # no-false-negative guarantee, then ONE bounded shuffle recounts
+    # candidates exactly. The integer filter cnt*(M+1) > n makes the
+    # result independent of partitioning and batch boundaries — which
+    # is why a plain GROUP BY ... HAVING oracle can hash-check a
+    # sketch-routed query.
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_total FROM events)
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events CROSS JOIN n
+    GROUP BY user_id, n.n_total
+    HAVING COUNT(*) * 1024 > n.n_total
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.sketches import heavy_hitters_exact
+
+    return heavy_hitters_exact(t(spark, sf_dir, "events"), "user_id", m=1023)

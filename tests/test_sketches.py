@@ -1,0 +1,71 @@
+"""Property tests for the Misra-Gries heavy-hitter operators."""
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.sketches import (
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+
+
+def _df(spark, values, partitions=8):
+    return spark.createDataFrame(
+        [(v,) for v in values], "v long"
+    ).repartition(partitions)
+
+
+def test_superset_guarantee_skewed(spark):
+    # 3 heavy values spread across partitions + uniform noise: every
+    # true heavy hitter MUST appear in the candidate union even with a
+    # tiny m and adversarial partitioning.
+    rng = random.Random(7)
+    values = [1] * 400 + [2] * 300 + [3] * 200 + [rng.randrange(100, 2000) for _ in range(1100)]
+    rng.shuffle(values)
+    df = _df(spark, values, partitions=16)
+    m = 8
+    cands = set(r.v for r in misra_gries_candidates(df, "v", m).collect())
+    n = len(values)
+    truth = {1, 2, 3} if min(400, 300, 200) * (m + 1) > n else set()
+    for v in (1, 2, 3):
+        count = {1: 400, 2: 300, 3: 200}[v]
+        if count * (m + 1) > n:
+            assert v in cands, f"heavy value {v} missing from candidates"
+
+
+def test_exact_result_matches_groupby(spark):
+    rng = random.Random(11)
+    values = [1] * 500 + [2] * 250 + [rng.randrange(10, 500) for _ in range(1250)]
+    rng.shuffle(values)
+    df = _df(spark, values, partitions=12)
+    m = 15
+    got = {
+        (r.v, r.cnt) for r in heavy_hitters_exact(df, "v", m).collect()
+    }
+    n = len(values)
+    exact = {
+        (r.v, r.cnt)
+        for r in df.groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * (m + 1) > n)
+        .collect()
+    }
+    assert got == exact and (1, 500) in got
+
+
+def test_candidates_bounded_per_partition(spark):
+    values = list(range(5000))  # all distinct — worst case for MG
+    df = _df(spark, values, partitions=4)
+    m = 10
+    n_cands = misra_gries_candidates(df, "v", m).count()
+    assert n_cands <= m * 4
+
+
+def test_partitioning_invariance(spark):
+    values = [1] * 300 + [2] * 200 + list(range(1000, 2000))
+    m = 20
+    a = {(r.v, r.cnt) for r in heavy_hitters_exact(_df(spark, values, 2), "v", m).collect()}
+    b = {(r.v, r.cnt) for r in heavy_hitters_exact(_df(spark, values, 32), "v", m).collect()}
+    assert a == b
