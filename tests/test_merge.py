@@ -1,0 +1,104 @@
+"""Copy-on-write MERGE with file-level pruning (operators/merge.py)."""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.merge import (
+    file_key_bounds,
+    merge_into_parquet,
+)
+
+
+def _build_base(spark, path, n=800, files=8):
+    df = spark.range(n).select(
+        F.col("id").alias("key"), (F.col("id") * 10).alias("val")
+    )
+    # key-clustered layout: repartitionByRange gives each file a
+    # disjoint key range — the precondition for write pruning to bite
+    df.repartitionByRange(files, "key").sortWithinPartitions("key").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _inodes(path):
+    return {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+
+
+def test_bounds_cover_disjoint_ranges(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base)
+    bounds = file_key_bounds(base, "key")
+    assert len(bounds) == 8
+    ranges = sorted((lo, hi) for _, lo, hi in bounds)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint and ordered
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base)
+    before = _inodes(base)
+    # updates confined to keys 0..49 (one file's range) + brand-new keys
+    src = spark.createDataFrame(
+        [(k, k * 1000) for k in range(50)] + [(10_000 + k, -1) for k in range(5)],
+        "key long, val long",
+    )
+    stats = merge_into_parquet(spark, base, src, "key")
+    assert stats["files_total"] == 8
+    assert stats["files_rewritten"] == 1
+    after = _inodes(base)
+    # untouched files are the SAME inodes (hard links, not copies)
+    shared = set(before.values()) & set(after.values())
+    assert len(shared) == 7
+
+    # semantics: source wins on matched keys, inserts present, rest intact
+    got = {r.key: r.val for r in spark.read.parquet(base).collect()}
+    assert len(got) == 805
+    assert got[10] == 10_000
+    assert got[10_003] == -1
+    assert got[400] == 4000
+
+
+def test_merge_full_overlap_rewrites_all(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base)
+    src = spark.range(0, 800, 100).select(
+        F.col("id").alias("key"), F.lit(-5).alias("val")
+    )  # one key in every file's range
+    stats = merge_into_parquet(spark, base, src, "key")
+    assert stats["files_rewritten"] == 8
+    got = {r.key: r.val for r in spark.read.parquet(base).collect()}
+    assert got[700] == -5 and got[701] == 7010
+
+
+def test_merge_equals_naive_merge(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base, n=300, files=4)
+    expected_base = {k: k * 10 for k in range(300)}
+    src_rows = [(k, k + 7) for k in range(90, 140)] + [(900, 1), (901, 2)]
+    for k, v in src_rows:
+        expected_base[k] = v
+    src = spark.createDataFrame(src_rows, "key long, val long")
+    merge_into_parquet(spark, base, src, "key")
+    got = {r.key: r.val for r in spark.read.parquet(base).collect()}
+    assert got == expected_base
+
+
+def test_merge_recovers_interrupted_swap(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base, n=100, files=2)
+    src = spark.createDataFrame([(0, -1)], "key long, val long")
+    merge_into_parquet(spark, base, src, "key")
+    # simulate a crash between the two renames: base gone, base.old left
+    os.rename(base, base + ".old")
+    merge_into_parquet(
+        spark, base := base, spark.createDataFrame([(1, -2)], "key long, val long"), "key"
+    )
+    got = {r.key: r.val for r in spark.read.parquet(base).collect()}
+    assert got[0] == -1 and got[1] == -2 and len(got) == 100
