@@ -63,12 +63,22 @@ def file_key_bounds(base_dir: str, key: str) -> list[tuple[str, int, int]]:
 
 
 def merge_into_parquet(
-    spark: SparkSession, base_dir: str, source: DataFrame, key: str
+    spark: SparkSession,
+    base_dir: str,
+    source: DataFrame,
+    key: str,
+    delete: bool = False,
 ) -> dict[str, int]:
     """Upsert ``source`` into the parquet table at ``base_dir`` on
     ``key``: matched base rows are replaced by the source row, new keys
     are appended. Files whose [min, max] key range contains no source
     key are HARD-LINKED into the next table version unmodified.
+
+    ``delete=True`` flips the merge into the right-to-erasure shape
+    (the GDPR/opt-out rewrite a training corpus must support): matched
+    keys are REMOVED instead of replaced — ``source`` needs only the
+    key column and nothing is appended. Same pruning: only files whose
+    range contains a deleted key are rewritten.
 
     Returns {"files_total": n, "files_rewritten": m} for observability
     (m is the pruning evidence the tests pin).
@@ -99,28 +109,29 @@ def merge_into_parquet(
     os.makedirs(staging)
     try:
         # Rewrite = affected base rows that DON'T match a source key,
-        # plus every source row (updates + inserts) — equivalent to a
+        # plus (upsert mode) every source row (updates + inserts) — a
         # source-wins full outer merge restricted to the affected files.
-        new_data = source
+        new_data = None if delete else source
         if affected:
             base_affected = spark.read.parquet(*sorted(affected))
             keep = base_affected.join(source.select(key), key, "left_anti")
-            new_data = keep.unionByName(source)
-        tmp = staging + ".write"
-        new_data.write.mode("overwrite").parquet(tmp)
-        # per-merge unique prefix: rewritten files from a PREVIOUS merge
-        # survive as untouched files in later merges, so plain ordinal
-        # names would collide with them in the staging dir
-        stamp = os.path.basename(staging).rsplit("-", 1)[-1]
-        n_out = 0
-        for name in sorted(os.listdir(tmp)):
-            if name.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, name),
-                    os.path.join(staging, f"merged-{stamp}-{n_out:05d}.parquet"),
-                )
-                n_out += 1
-        shutil.rmtree(tmp)
+            new_data = keep if delete else keep.unionByName(source)
+        if new_data is not None:
+            tmp = staging + ".write"
+            new_data.write.mode("overwrite").parquet(tmp)
+            # per-merge unique prefix: rewritten files from a PREVIOUS
+            # merge survive as untouched files in later merges, so plain
+            # ordinal names would collide with them in the staging dir
+            stamp = os.path.basename(staging).rsplit("-", 1)[-1]
+            n_out = 0
+            for name in sorted(os.listdir(tmp)):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, name),
+                        os.path.join(staging, f"merged-{stamp}-{n_out:05d}.parquet"),
+                    )
+                    n_out += 1
+            shutil.rmtree(tmp)
         for path in untouched:
             os.link(path, os.path.join(staging, os.path.basename(path)))
         open(os.path.join(staging, "_SUCCESS"), "w").close()

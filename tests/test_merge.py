@@ -102,3 +102,28 @@ def test_merge_recovers_interrupted_swap(spark, tmp_path):
     )
     got = {r.key: r.val for r in spark.read.parquet(base).collect()}
     assert got[0] == -1 and got[1] == -2 and len(got) == 100
+
+
+def test_delete_mode_erases_keys_with_pruned_rewrite(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base)
+    before = _inodes(base)
+    victims = spark.createDataFrame([(k,) for k in range(20, 30)], "key long")
+    stats = merge_into_parquet(spark, base, victims, "key", delete=True)
+    assert stats["files_rewritten"] == 1
+    after = _inodes(base)
+    assert len(set(before.values()) & set(after.values())) == 7
+    got = {r.key for r in spark.read.parquet(base).collect()}
+    assert len(got) == 790
+    assert got.isdisjoint(set(range(20, 30)))
+
+
+def test_delete_mode_no_matches_links_everything(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _build_base(spark, base, n=100, files=2)
+    before = _inodes(base)
+    victims = spark.createDataFrame([(10_000,)], "key long")
+    stats = merge_into_parquet(spark, base, victims, "key", delete=True)
+    assert stats["files_rewritten"] == 0
+    assert set(before.values()) == set(_inodes(base).values())
+    assert spark.read.parquet(base).count() == 100
