@@ -126,6 +126,8 @@ HEADLINE = [
     "docs_quality_classifier",
     "graph_pagerank_trade",
     "events_heavy_hitters",
+    "events_rolling_active_users",
+    "events_attribution_last_touch",
 ]
 
 

@@ -1084,3 +1084,105 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cirro_annotation_spark.operators.sketches import heavy_hitters_exact
 
     return heavy_hitters_exact(t(spark, sf_dir, "events"), "user_id", m=1023)
+
+
+@query(
+    "events_rolling_active_users",
+    # Rolling 7-day distinct actives per day (the WAU curve). The
+    # scalable shape: distinct (user, day) FIRST — one shuffle
+    # collapses the stream to at most |users|x|days| rows — then a
+    # bounded <=7-row fan-out against the day spine and one
+    # count-distinct per day. No per-day rescan of the stream, no
+    # set-carrying window state; at 100 TB swap the exact final
+    # count_distinct for an HLL merge with the identical plan.
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day_ts
+    )
+    SELECT CAST(s.day_ts AS DATE) AS day,
+           COUNT(DISTINCT ud.user_id) AS active_7d
+    FROM spine s JOIN ud
+      ON ud.d BETWEEN CAST(s.day_ts AS DATE) - INTERVAL 6 DAY
+                  AND CAST(s.day_ts AS DATE)
+    GROUP BY CAST(s.day_ts AS DATE)
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    spine = spark.range(30).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "day"
+        )
+    )
+    return (
+        spine.join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    # Marketing-style last-touch attribution: each purchase is credited
+    # to the user's most recent PRIOR click/view (the touch channel and
+    # its event_id). One user-keyed window pass over the interleaved
+    # stream — last_value IGNORE NULLS over a masked column, exactly
+    # the resample_ffill discipline — instead of a per-purchase as-of
+    # self-join fan-out. Purchases with no prior touch attribute NULL
+    # and are kept (the unattributed share is the datum analysts want).
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type IN ('click','view') THEN event_id END AS touch_id,
+             CASE WHEN event_type IN ('click','view') THEN event_type END AS touch_type,
+             event_type
+      FROM events
+    ), attributed AS (
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(touch_id IGNORE NULLS) OVER w AS touch_event_id,
+             LAST_VALUE(touch_type IGNORE NULLS) OVER w AS touch_channel
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, touch_event_id, touch_channel
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_touch, F.col("event_id")).alias("touch_id"),
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.last("touch_id", ignorenulls=True).over(w).alias("touch_event_id"),
+            F.last("touch_type", ignorenulls=True).over(w).alias("touch_channel"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "touch_event_id", "touch_channel")
+    )
