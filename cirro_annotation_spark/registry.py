@@ -66,7 +66,6 @@ PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_forecast",
     "q7_nation_volume",
     "q9_product_profit",
     "q10_returned_items",
@@ -125,6 +124,12 @@ PRIORITY: list[str] = [
     "scan_jsonl_typed",
     # multimodal member never scored (binary_stats/features green r05)
     "multimodal_frame_sample",
+    # round 6b: the new graph family's flagship (never scored — swapped
+    # in for q6_revenue_forecast, the simplest TPC-H shape, so the
+    # window stays 100% never-driver-scored AND every suite family
+    # keeps a representative; q6 rejoins the round-7 rotation with the
+    # other r6b additions)
+    "graph_pagerank_trade",
 ]
 
 
