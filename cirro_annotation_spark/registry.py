@@ -55,11 +55,24 @@ PRIORITY: list[str] = [
     # driver-green). The 97 previously-scored queries keep their green
     # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
     # full sweep (scripts/check_correctness.py, no args = all 159).
-    # The 12 still-unscored after this round (fuzzy_levenshtein, resize,
-    # string_concat_ordered, explode_outer, join_left_batch,
-    # mixture_weighted, redact_terms, token_entropy, cume_dist,
-    # interarrival, cosine_int8, norm_stats) rotate in next round —
-    # each family they belong to has >=2 representatives in THIS window.
+    # ROUND-7 ROTATION QUEUE (33 queries, fits one window): after this
+    # round's 50 score, the never-driver-scored set is exactly —
+    # dedup_fuzzy_levenshtein, dedup_cluster_auto,
+    # dedup_incremental_batch, dedup_bloom_prefilter, multimodal_resize,
+    # agg_string_concat_ordered, q6_revenue_forecast, profile_lineitem,
+    # scalar_explode_outer, sim_cosine_int8, embeddings_norm_stats,
+    # sim_semantic_dedup, sim_topk_pq, sim_topk_ivfpq,
+    # stream_join_left_batch, stream_histogram_batch,
+    # stream_histogram_stream, text_redact_terms,
+    # sample_mixture_weighted, docs_token_entropy,
+    # docs_dup_span_coverage, docs_dup_span_removal,
+    # docs_unigram_perplexity, docs_per_source_cap,
+    # docs_quality_classifier, window_cume_dist_pct_rank,
+    # events_interarrival_stats, events_psi_drift,
+    # events_interpolate_linear, events_ks_drift, events_heavy_hitters,
+    # events_rolling_active_users, events_attribution_last_touch.
+    # Rotating them in (plus 17 spot-checks of earlier rounds) closes
+    # the full 180-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",

@@ -98,7 +98,7 @@ def test_merge_recovers_interrupted_swap(spark, tmp_path):
     # simulate a crash between the two renames: base gone, base.old left
     os.rename(base, base + ".old")
     merge_into_parquet(
-        spark, base := base, spark.createDataFrame([(1, -2)], "key long, val long"), "key"
+        spark, base, spark.createDataFrame([(1, -2)], "key long, val long"), "key"
     )
     got = {r.key: r.val for r in spark.read.parquet(base).collect()}
     assert got[0] == -1 and got[1] == -2 and len(got) == 100
