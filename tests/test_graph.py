@@ -44,3 +44,39 @@ def test_deterministic_across_runs(spark):
     a = _ranks(spark, pairs, iterations=4)
     b = _ranks(spark, pairs, iterations=4)
     assert a == b
+
+
+def test_oracle_generator_matches_spark_on_random_graphs(spark):
+    """Engine-pair property: pagerank_fixed_point and the SQL emitted by
+    pagerank_oracle_sql must agree EXACTLY (integer fixed-point) on
+    arbitrary graphs — this validates the oracle generator itself, not
+    just the one registered fixture query."""
+    import random
+
+    import duckdb
+
+    from cirro_annotation_spark.operators.graph import pagerank_oracle_sql
+
+    rng = random.Random(123)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(n_nodes, n_nodes * 4)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        iters = rng.randint(1, 6)
+
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        got = {
+            r.node: r.pr
+            for r in pagerank_fixed_point(edges, iterations=iters).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE raw (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO raw VALUES (?, ?)", pairs)
+        sql = pagerank_oracle_sql("SELECT src, dst FROM raw", iterations=iters)
+        want = dict(con.execute(sql).fetchall())
+        assert got == want, f"trial {trial}: engines disagree"
