@@ -583,3 +583,45 @@ def bloom_prefilter_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = withc.filter(F.col("doc_id") <= F.col("cutoff")).select("f")
     batch = withc.filter(F.col("doc_id") > F.col("cutoff")).select("doc_id", "f")
     return bloom_route_new_docs(corpus, batch)
+
+
+@query(
+    "dedup_ngram_containment_sample",
+    # Asymmetric CONTAINMENT |A∩B|/|A| on the same id-slice as the
+    # Jaccard kernel — the metric that catches quote-inclusion and
+    # excerpt duplication, where a short doc lives inside a long one
+    # and symmetric Jaccard stays low. Directed pairs (a contained in
+    # b), exact arithmetic, deterministic slice; the verify-stage twin
+    # for an LSH bucketed at scale exactly like the Jaccard one.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 200)
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           ROUND(LEN(list_intersect(a.grams, b.grams)) * 1.0 /
+                 NULLIF(LEN(a.grams), 0), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE LEN(list_intersect(a.grams, b.grams)) * 1.0 /
+          NULLIF(LEN(a.grams), 0) >= 0.15
+    """,
+)
+def dedup_ngram_containment_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(F.col("doc_id"), D.shingles("text", 3).alias("grams"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    cont = F.round(inter / F.nullif(F.size(F.col("a.grams")), F.lit(0)), 6)
+    return (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_small"),
+            F.col("b.doc_id").alias("id_big"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.15)
+    )
