@@ -128,6 +128,7 @@ HEADLINE = [
     "events_heavy_hitters",
     "events_rolling_active_users",
     "events_attribution_last_touch",
+    "docs_table_diff",
 ]
 
 

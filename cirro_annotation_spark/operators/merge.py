@@ -144,3 +144,39 @@ def merge_into_parquet(
     os.rename(staging, base_dir)
     shutil.rmtree(old)
     return {"files_total": len(bounds), "files_rewritten": len(affected)}
+
+
+def table_diff(
+    a: DataFrame, b: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Reconciliation diff between two snapshots of a keyed table — the
+    validation twin of merge/CDC pipelines (does the replayed base equal
+    the source-of-truth?).
+
+    Returns one row per differing key: (key, status) with status in
+    {'added', 'removed', 'changed'} ('added' = in ``b`` only). Change
+    detection compares md5 over the concatenated compare columns —
+    portable across engines and, at 100 TB, the right shape anyway: the
+    full outer join carries (key, 16-byte digest) per side instead of
+    the payload, so the shuffle is fingerprint-sized. Matching keys
+    with equal digests produce no row — the common case costs no
+    output.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        digest = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])
+        )
+        return df.select(F.col(key), digest.alias("__fp"))
+
+    fa = fp(a).withColumnRenamed("__fp", "__fp_a")
+    fb = fp(b).withColumnRenamed("__fp", "__fp_b")
+    j = fa.join(fb, key, "full_outer")
+    status = (
+        F.when(F.col("__fp_a").isNull(), "added")
+        .when(F.col("__fp_b").isNull(), "removed")
+        .when(F.col("__fp_a") != F.col("__fp_b"), "changed")
+    )
+    return (
+        j.select(F.col(key), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -1393,3 +1393,43 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val)"
     )
+
+
+@query(
+    "docs_table_diff",
+    # Snapshot reconciliation (operators/merge.py:table_diff): the
+    # "current" snapshot is derived deterministically from documents
+    # (drop doc_id%20==0, edit text where doc_id%10==3, add new keys
+    # 1e6+doc_id where doc_id%50==1), then the diff operator — a full
+    # outer join over (key, md5 digest) pairs, payload never shuffles —
+    # must recover exactly that edit script. The oracle states the
+    # GROUND TRUTH set directly rather than re-running a diff, so the
+    # check validates the operator against an independent derivation.
+    oracle="""
+    SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id, 'changed' FROM documents
+    WHERE doc_id % 10 = 3 AND doc_id % 20 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 50 = 1
+    """,
+)
+def docs_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.merge import table_diff
+
+    prev = t(spark, sf_dir, "documents")
+    cur = (
+        prev.filter(F.col("doc_id") % 20 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            prev.filter(F.col("doc_id") % 50 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    return table_diff(prev, cur, "doc_id", ["text", "lang", "source", "n_chars"])
