@@ -129,6 +129,7 @@ HEADLINE = [
     "events_rolling_active_users",
     "events_attribution_last_touch",
     "docs_table_diff",
+    "pipeline_curation_report",
 ]
 
 

@@ -1457,3 +1457,99 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-z)), RATIO).alias("quality_prob"),
         (z >= 0).cast("int").alias("keep"),
     )
+
+
+@query(
+    "pipeline_curation_report",
+    # Capstone composition of the round-6b curation ops: classifier
+    # gate (pinned-weight logistic, keep iff z>=0) → exact dedup
+    # (first-wins on normalized fingerprint) → per-source cap (best-5
+    # by probability) → per-source report. Each stage reuses the
+    # EXACT arithmetic of its standalone query, so the composed oracle
+    # is their SQL composition — any drift in any stage breaks the
+    # hash. Plan: one scan computes features+fingerprint, one
+    # fingerprint window, one source window, one final agg — text
+    # never shuffles (fingerprint/probability only).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
+             REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS f
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, f,
+             -1.5 + 0.8 * (LEN(toks) / 100.0)
+                  + 0.35 * (CASE WHEN LEN(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / LEN(toks)
+                            ELSE 0.0 END)
+                  - 6.0 * (CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END)
+                  - 4.0 * (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END)
+                  + 2.0 * (CASE WHEN LEN(toks) > 0
+                           THEN LEN(list_filter(toks, x -> list_contains(
+                                  ['the','a','of','and','to'], LOWER(x)))) * 1.0 / LEN(toks)
+                           ELSE 0.0 END) AS z
+      FROM base
+    ), kept AS (
+      SELECT doc_id, source, f, 1.0 / (1.0 + EXP(-z)) AS prob
+      FROM scored WHERE z >= 0
+    ), deduped AS (
+      SELECT doc_id, source, prob,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      FROM kept
+    ), capped AS (
+      SELECT doc_id, source, prob,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY prob DESC, doc_id ASC) AS cap_rank
+      FROM deduped WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(SUM(prob), {RATIO}) AS sum_prob,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM capped WHERE cap_rank <= 5
+    GROUP BY source
+    """,
+)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mwl = F.when(n_tok > 0, tok_chars * 1.0 / n_tok).otherwise(F.lit(0.0))
+    z = (
+        F.lit(-1.5)
+        + 0.8 * (n_tok / 100.0)
+        + 0.35 * mwl
+        - 6.0 * X.digit_ratio("text")
+        - 4.0 * X.punct_ratio("text")
+        + 2.0 * X.stopword_ratio("text", ["the", "a", "of", "and", "to"])
+    )
+    f_norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    kept = (
+        d.select(
+            "doc_id",
+            "source",
+            f_norm.alias("f"),
+            z.alias("z"),
+        )
+        .filter(F.col("z") >= 0)
+        .select(
+            "doc_id", "source", "f", (1.0 / (1.0 + F.exp(-F.col("z")))).alias("prob")
+        )
+    )
+    w_fp = Window.partitionBy("f").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w_fp)).filter(F.col("rn") == 1)
+    w_cap = Window.partitionBy("source").orderBy(
+        F.col("prob").desc(), F.col("doc_id").asc()
+    )
+    capped = deduped.withColumn("cap_rank", F.row_number().over(w_cap)).filter(
+        F.col("cap_rank") <= 5
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("prob"), RATIO).alias("sum_prob"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -63,6 +63,7 @@ DOC_QUERIES = [
     "docs_per_source_cap",
     "docs_quality_classifier",
     "dedup_bloom_prefilter",
+    "pipeline_curation_report",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
