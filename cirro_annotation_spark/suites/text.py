@@ -1528,17 +1528,22 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 2.0 * X.stopword_ratio("text", ["the", "a", "of", "and", "to"])
     )
     f_norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    kept = (
-        d.select(
-            "doc_id",
-            "source",
-            f_norm.alias("f"),
-            z.alias("z"),
-        )
-        .filter(F.col("z") >= 0)
-        .select(
-            "doc_id", "source", "f", (1.0 / (1.0 + F.exp(-F.col("z")))).alias("prob")
-        )
+    scored = d.select(
+        "doc_id",
+        "source",
+        f_norm.alias("f"),
+        z.alias("z"),
+        # Stage barrier ABOVE the gate: PushDownPredicate would rewrite
+        # filter(z>=0) to re-derive z below the projection, and the
+        # HOF-lambda features are interpreted (not codegen'd), so no
+        # subexpression elimination rescues the duplicate — the
+        # tokenizer then runs TWICE (measured 60s vs 33s for the same
+        # projection unfiltered at the 100x tier). The materialized
+        # frame is the narrow (id, source, fingerprint, z) score
+        # output, exactly what a multi-stage pipeline persists anyway.
+    ).localCheckpoint(eager=False)
+    kept = scored.filter(F.col("z") >= 0).select(
+        "doc_id", "source", "f", (1.0 / (1.0 + F.exp(-F.col("z")))).alias("prob")
     )
     w_fp = Window.partitionBy("f").orderBy("doc_id")
     deduped = kept.withColumn("rn", F.row_number().over(w_fp)).filter(F.col("rn") == 1)
