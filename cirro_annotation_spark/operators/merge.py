@@ -68,6 +68,7 @@ def merge_into_parquet(
     source: DataFrame,
     key: str,
     delete: bool = False,
+    keep_old: bool = False,
 ) -> dict[str, int]:
     """Upsert ``source`` into the parquet table at ``base_dir`` on
     ``key``: matched base rows are replaced by the source row, new keys
@@ -79,6 +80,14 @@ def merge_into_parquet(
     keys are REMOVED instead of replaced — ``source`` needs only the
     key column and nothing is appended. Same pruning: only files whose
     range contains a deleted key are rewritten.
+
+    ``keep_old=True`` retains the pre-merge table as a time-travel
+    snapshot (``<base>.v<millis>``, see read_table_version) instead of
+    deleting it. Because untouched files are hard links, a retained
+    snapshot costs only the rewritten files' bytes. NOTE: a
+    right-to-erasure delete with ``keep_old=True`` retains the erased
+    rows in the snapshot — purge the snapshots (or run with
+    keep_old=False, the default) when the point is actual erasure.
 
     Returns {"files_total": n, "files_rewritten": m} for observability
     (m is the pruning evidence the tests pin).
@@ -142,7 +151,11 @@ def merge_into_parquet(
     old = base_dir + ".old"
     os.rename(base_dir, old)
     os.rename(staging, base_dir)
-    shutil.rmtree(old)
+    if keep_old:
+        # the millis stamp from the staging name orders the snapshots
+        os.rename(old, f"{base_dir}.v{os.path.basename(staging).rsplit('-', 1)[-1]}")
+    else:
+        shutil.rmtree(old)
     return {"files_total": len(bounds), "files_rewritten": len(affected)}
 
 
@@ -180,3 +193,35 @@ def table_diff(
         j.select(F.col(key), status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+def list_table_versions(base_dir: str) -> list[str]:
+    """Retained snapshot directories for ``base_dir``, oldest first.
+    Versions are created by ``merge_into_parquet(..., keep_old=True)``
+    as ``<base>.v<millis>`` siblings; the live table is ``base_dir``
+    itself. Hard links make retention near-free: an unchanged file is
+    one inode shared by every version that contains it — the same
+    economics as a table format's snapshot manifest."""
+    parent = os.path.dirname(base_dir) or "."
+    prefix = os.path.basename(base_dir) + ".v"
+    return sorted(
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(prefix) and d[len(prefix):].isdigit()
+    )
+
+
+def read_table_version(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: ``version=None`` → the live table; ``version=k``
+    → the k-th retained snapshot (0 = oldest)."""
+    if version is None:
+        return spark.read.parquet(base_dir)
+    versions = list_table_versions(base_dir)
+    if not 0 <= version < len(versions):
+        raise IndexError(
+            f"version {version} out of range: {len(versions)} retained "
+            f"snapshots at {base_dir}"
+        )
+    return spark.read.parquet(versions[version])

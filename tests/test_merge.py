@@ -127,3 +127,52 @@ def test_delete_mode_no_matches_links_everything(spark, tmp_path):
     assert stats["files_rewritten"] == 0
     assert set(before.values()) == set(_inodes(base).values())
     assert spark.read.parquet(base).count() == 100
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    from cirro_annotation_spark.operators.merge import (
+        list_table_versions,
+        read_table_version,
+    )
+
+    base = str(tmp_path / "base")
+    _build_base(spark, base, n=200, files=4)
+    v0 = {r.key: r.val for r in spark.read.parquet(base).collect()}
+
+    import time as _time
+
+    merge_into_parquet(
+        spark, base,
+        spark.createDataFrame([(5, -5)], "key long, val long"),
+        "key", keep_old=True,
+    )
+    _time.sleep(0.002)  # distinct millis stamps
+    merge_into_parquet(
+        spark, base,
+        spark.createDataFrame([(6, -6)], "key long, val long"),
+        "key", keep_old=True,
+    )
+
+    assert len(list_table_versions(base)) == 2
+    got_v0 = {r.key: r.val for r in read_table_version(spark, base, 0).collect()}
+    assert got_v0 == v0  # oldest snapshot is the original table
+    got_v1 = {r.key: r.val for r in read_table_version(spark, base, 1).collect()}
+    assert got_v1[5] == -5 and got_v1[6] == 60
+    live = {r.key: r.val for r in read_table_version(spark, base).collect()}
+    assert live[5] == -5 and live[6] == -6
+
+    # retention is hard-link cheap: the untouched files in snapshot v1
+    # share inodes with the live table
+    import os as _os
+
+    v1_dir = list_table_versions(base)[1]
+    live_inodes = {_os.stat(_os.path.join(base, f)).st_ino
+                   for f in _os.listdir(base) if f.endswith(".parquet")}
+    v1_inodes = {_os.stat(_os.path.join(v1_dir, f)).st_ino
+                 for f in _os.listdir(v1_dir) if f.endswith(".parquet")}
+    assert live_inodes & v1_inodes
+
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        read_table_version(spark, base, 2)
