@@ -379,3 +379,102 @@ def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).localCheckpoint(eager=True)
+
+
+def bloom_dedup_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    m_bits_per_bucket: int = 1 << 16,
+    n_buckets: int = 32,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: a per-bucket Bloom bitmap in
+    GroupState instead of the exact per-key set dropDuplicates keeps.
+
+    dropDuplicates-within-watermark (dedup_within_watermark above) holds
+    one state row PER KEY — exact, but state grows with key cardinality
+    and only a watermark bounds it. This operator's state is
+    n_buckets × m/8 bytes FOREVER (here 32 × 8 KiB = 256 KiB total),
+    whatever the cardinality — the production shape for "have I seen
+    this document hash" over an unbounded crawl. The trade is
+    approximation: no duplicate ever passes (a seen key's bits are all
+    set — no false negatives), but ~(nk/m)^k unique keys per bucket are
+    wrongly dropped. Rows route to buckets by key-hash, so each
+    bucket's bloom sees n/n_buckets keys and buckets scale horizontally
+    exactly like any keyed state.
+
+    Emits the first-seen rows (event_id, user_id, event_type). The
+    probabilistic interior makes this rows-only at the oracle gate
+    (like the MinHash banding interiors); tests/test_streaming_bloom.py
+    pins the no-duplicate-passes guarantee and measured unique
+    survival.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = m_bits_per_bucket
+    k = n_hashes
+    n_words = m >> 6
+
+    def fn(key, pdfs, state: GroupState):
+        words = list(state.get[0]) if state.exists else [0] * n_words
+        out_ids, out_users, out_types = [], [], []
+        for pdf in pdfs:
+            for eid, uid, etype, h in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["__h"]
+            ):
+                seen = True
+                # k positions derived from one 64-bit hash (Kirsch-
+                # Mitzenmacher double hashing: h1 + i*h2 mod m)
+                h1 = h & 0xFFFFFFFF
+                h2 = (h >> 32) | 1
+                pos = [(h1 + i * h2) % m for i in range(k)]
+                for p in pos:
+                    if not (words[p >> 6] >> (p & 63)) & 1:
+                        seen = False
+                        break
+                if not seen:
+                    for p in pos:
+                        # keep the Python int in signed-64 range for the
+                        # Arrow long[] state column
+                        w = words[p >> 6] | (1 << (p & 63))
+                        words[p >> 6] = w - (1 << 64) if w >= 1 << 63 else w
+                    out_ids.append(eid)
+                    out_users.append(uid)
+                    out_types.append(etype)
+        state.update((words,))
+        if out_ids:
+            yield pd.DataFrame(
+                {"event_id": out_ids, "user_id": out_users, "event_type": out_types}
+            )
+
+    name = "stream_bloom_" + uuid.uuid4().hex[:8]
+    src = _read_events_stream(spark, parquet_path)
+    # dedup key: the event's content identity (event_id in the fixture);
+    # the 64-bit hash and the bucket id are computed ENGINE-side
+    # (codegen) so the Python worker only does bit tests.
+    keyed = src.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.xxhash64("event_id").alias("__h"),
+        F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(n_buckets)).alias("__bucket"),
+    )
+    stream = keyed.groupBy("__bucket").applyInPandasWithState(
+        fn,
+        outputStructType="event_id long, user_id long, event_type string",
+        stateStructType=f"words array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)

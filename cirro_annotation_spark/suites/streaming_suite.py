@@ -381,3 +381,17 @@ def stream_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as events_psi_drift diffs the corpus halves."""
     path = os.path.join(sf_dir, "events.parquet")
     return STRM.run_streaming_over_parquet(spark, path, _window_histogram)
+
+
+@query("stream_dedup_bloom")  # probabilistic interior — rows-only, like
+# the MinHash banding interiors; tests/test_streaming_bloom.py pins the
+# no-duplicate-passes guarantee, sized-bloom exactness, and bounded state
+def stream_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: per-bucket Bloom bitmaps in
+    GroupState (256 KiB total FOREVER, any key cardinality) instead of
+    dropDuplicates' exact per-key state. No duplicate ever passes;
+    ~(nk/m)^k uniques per bucket are wrongly dropped — the trade an
+    unbounded crawl accepts. See streaming/events.py:bloom_dedup_stream."""
+    from cirro_annotation_spark.streaming.events import bloom_dedup_stream
+
+    return bloom_dedup_stream(spark, f"{sf_dir}/events.parquet")
