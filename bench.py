@@ -130,6 +130,7 @@ HEADLINE = [
     "events_attribution_last_touch",
     "docs_table_diff",
     "pipeline_curation_report",
+    "events_quantile_histogram",
 ]
 
 

@@ -55,7 +55,7 @@ PRIORITY: list[str] = [
     # driver-green). The 97 previously-scored queries keep their green
     # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
     # full sweep (scripts/check_correctness.py, no args = all 159).
-    # ROUND-7 ROTATION QUEUE (37 queries, fits one window): after this
+    # ROUND-7 ROTATION QUEUE (39 queries, fits one window): after this
     # round's 50 score, the never-driver-scored set is exactly —
     # dedup_fuzzy_levenshtein, dedup_cluster_auto,
     # dedup_incremental_batch, dedup_bloom_prefilter, multimodal_resize,
@@ -72,9 +72,10 @@ PRIORITY: list[str] = [
     # events_interpolate_linear, events_ks_drift, events_heavy_hitters,
     # events_rolling_active_users, events_attribution_last_touch,
     # dedup_ngram_containment_sample, docs_table_diff,
-    # pipeline_curation_report, stream_dedup_bloom (rows-only).
-    # Rotating them in (plus 13 spot-checks of earlier rounds) closes
-    # the full 184-query set: every operator ends driver-green.
+    # pipeline_curation_report, stream_dedup_bloom (rows-only),
+    # split_kfold_assign, events_quantile_histogram.
+    # Rotating them in (plus 11 spot-checks of earlier rounds) closes
+    # the full 186-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",

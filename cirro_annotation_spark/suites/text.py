@@ -1558,3 +1558,40 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("prob"), RATIO).alias("sum_prob"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "split_kfold_assign",
+    # k-fold cross-validation assignment (k=5) by the same md5-bucket
+    # discipline as split_train_eval: a doc's fold never changes under
+    # repartitioning, corpus growth, or engine choice. Emits the fold
+    # id plus per-fold counts as a sanity report — the reproducible
+    # alternative to randomSplit's RNG-state-dependent folds.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  % 5 AS BIGINT) AS fold
+      FROM documents
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM f GROUP BY fold
+    """,
+)
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5
+    )
+    return (
+        d.select(fold.alias("fold"), "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

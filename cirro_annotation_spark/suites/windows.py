@@ -1186,3 +1186,58 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "touch_event_id", "touch_channel")
     )
+
+
+@query(
+    "events_quantile_histogram",
+    # Mergeable approximate quantiles: p50/p90/p99 of `value` read off a
+    # FIXED 1000-bin histogram instead of a global sort. The estimate is
+    # deterministic (bin edges are constants, not data-dependent), so
+    # both engines agree bit-for-bit — unlike t-digest/GK sketches whose
+    # internals are implementation-defined. Scale story: the histogram
+    # is a constant-size map-side-combined aggregate; merging shards =
+    # adding vectors; the exact-percentile twin (agg_percentiles_exact)
+    # needs a full sort that a 100 TB column can't afford. Error is
+    # bounded by the bin width (0.5 here on a 0..500 domain).
+    oracle="""
+    WITH h AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value * 2) AS BIGINT), 0), 999) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER () AS total
+      FROM h
+    )
+    SELECT ROUND(MIN(CASE WHEN cum * 100 >= total * 50 THEN bin END) / 2.0, 6) AS p50,
+           ROUND(MIN(CASE WHEN cum * 100 >= total * 90 THEN bin END) / 2.0, 6) AS p90,
+           ROUND(MIN(CASE WHEN cum * 100 >= total * 99 THEN bin END) / 2.0, 6) AS p99,
+           CAST(MAX(total) AS BIGINT) AS n_rows
+    FROM c
+    """,
+)
+def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") * 2).cast("long"), F.lit(0)), F.lit(999)
+    )
+    h = ev.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = h.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    def q(pct):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * pct, F.col("bin"))
+        ) / 2.0
+    return c.agg(
+        F.round(q(50), 6).alias("p50"),
+        F.round(q(90), 6).alias("p90"),
+        F.round(q(99), 6).alias("p99"),
+        F.max("total").alias("n_rows"),
+    )
