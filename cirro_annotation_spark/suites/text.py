@@ -1595,3 +1595,56 @@ def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query("pipeline_pack_ffd")  # stateful greedy simulation — rows-only;
+# tests/test_pack_ffd.py pins capacity, completeness, determinism, and
+# that FFD never uses more bins than the sequential packer
+def pipeline_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-Fit-Decreasing sequence packing (the utilization-optimizing
+    twin of pipeline_pack_sequences' concat-and-chunk): within each
+    source shard, docs sorted by token count descending first-fit into
+    256-token bins; oversized docs get singleton bins. FFD is the
+    classic 11/9·OPT+1 bin-packing heuristic — fewer padded tokens per
+    batch than sequential concat when doc lengths vary.
+
+    Scale shape: packing groups (source shards) are independent, so the
+    operator is one groupBy + Arrow applyInPandas per shard — state is
+    the shard's bin list, never cross-shard. Shard sizing at 100 TB
+    bounds the per-group memory (a shard = what one training file
+    holds anyway). The first-fit scan here is O(docs x bins); swap the
+    linear probe for a best-fit segment tree if shards grow past ~1e5
+    docs. The greedy simulation is not SQL-expressible — rows-only at
+    the oracle gate, with pytest pinning the invariants.
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "source", X.token_count("text").cast("long").alias("n_tokens")
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        capacity = 256
+        remaining: list[int] = []
+        assign: list[int] = []
+        for nt in pdf["n_tokens"]:
+            placed = False
+            for i in range(len(remaining)):
+                if nt <= remaining[i]:
+                    remaining[i] -= nt
+                    assign.append(i)
+                    placed = True
+                    break
+            if not placed:
+                remaining.append(max(0, capacity - nt))
+                assign.append(len(remaining) - 1)
+        pdf["bin_id"] = pd.array(assign, dtype="int64")
+        return pdf
+
+    return counted.groupBy("source").applyInPandas(
+        ffd, schema="doc_id long, source string, n_tokens long, bin_id long"
+    )
