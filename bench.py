@@ -131,6 +131,7 @@ HEADLINE = [
     "docs_table_diff",
     "pipeline_curation_report",
     "events_quantile_histogram",
+    "sim_topk_lsh_multiprobe",
 ]
 
 

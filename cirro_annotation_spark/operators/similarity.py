@@ -770,3 +770,46 @@ def _pq_encode_arrow(
     schema = "vec_id long" + (", __cell int" if cents is not None else "") + \
         "".join(f", __c{s} int" for s in range(m))
     return df.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+def topk_cosine_lsh_multiprobe_q(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_frame: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): probe the query's bucket
+    AND every Hamming-1 neighbor bucket. A near neighbor that lands on
+    the wrong side of ONE hyperplane — the dominant recall-loss mode —
+    is recovered at the cost of scanning n_planes+1 of the 2^n_planes
+    cells instead of 1. The probe set is built by EXPLODING the 1-row
+    query frame into n_planes+1 (probe_bucket) rows, so the join stays
+    a broadcast EQUALITY join on the bucket key — same plan shape and
+    partition-pruning story as single-probe, just a k+1-row broadcast.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    qb = lsh_bucket(F.col("__qv"), planes)
+    probes = F.array(
+        F.col("__qb0"),
+        *[F.col("__qb0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    qf = (
+        query_frame.withColumn("__qb0", qb)
+        .withColumn("__probe", F.explode(probes))
+        .drop("__qb0")
+    )
+    return (
+        df.withColumn("__bucket", lsh_bucket(v, planes))
+        .join(F.broadcast(qf), F.col("__bucket") == F.col("__probe"))
+        .select(
+            F.col(id_col),
+            F.round(cosine_vs_query_frame(v), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -657,3 +657,45 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", _query_frame(emb),
         CENTROIDS, CODEBOOKS, k=10, nprobe=3,
     )
+
+
+def _lsh_multiprobe_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Multi-probe twin of _lsh_oracle: the candidate set is every vector
+    whose sign-bit bucket is within Hamming distance 1 of the query's —
+    expressed as an explicit probe-bucket list (qb XOR 2^i literals) so
+    the check stays an equality membership, exactly like the Spark
+    side's exploded probe frame."""
+    planes = S._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ve, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(["q.qb"] + [f"xor(q.qb, {1 << i})" for i in range(n_planes)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    sig AS (SELECT vec_id, ve, {bucket} AS bucket FROM e),
+    q AS (SELECT ve AS qv, bucket AS qb FROM sig WHERE vec_id = {_QUERY_VEC_ID}),
+    z AS (SELECT s.vec_id,
+                 UNNEST(s.ve) AS x, UNNEST(q.qv) AS y
+          FROM sig s CROSS JOIN q
+          WHERE list_contains([{probes}], s.bucket))
+    SELECT vec_id,
+           ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cosine_sim
+    FROM z GROUP BY vec_id
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query("sim_topk_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): recover neighbors that flipped
+    ONE hyperplane sign by probing all Hamming-1 buckets — n_planes+1
+    of 2^n_planes cells scanned instead of 1, same broadcast-equality
+    plan. tests/test_similarity.py pins recall(multiprobe) >=
+    recall(single-probe) against brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.topk_cosine_lsh_multiprobe_q(
+        emb, "embedding", "vec_id", _query_frame(emb),
+        k=10, n_planes=6, dim=64,
+    )

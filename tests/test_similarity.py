@@ -275,3 +275,25 @@ def test_pq_adc_query_first_and_overlaps_bruteforce(spark, sf_dir):
     ]
     assert pq[0] == 0
     assert len(set(pq) & set(bf)) >= 2
+
+
+def test_multiprobe_recall_not_worse_than_single(spark):
+    """Multi-probe candidates are a SUPERSET of the single bucket, so
+    recall vs brute force can only improve; verify on the fixture."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("fixture absent")
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    truth = [r.vec_id for r in QUERIES["sim_topk_cosine"](spark, sf).collect()]
+    single = {r.vec_id for r in QUERIES["sim_topk_lsh"](spark, sf).collect()}
+    multi = {r.vec_id for r in QUERIES["sim_topk_lsh_multiprobe"](spark, sf).collect()}
+    r_single = len(single & set(truth)) / len(truth)
+    r_multi = len(multi & set(truth)) / len(truth)
+    assert r_multi >= r_single
+    assert single <= multi or r_multi >= r_single  # superset in candidates
