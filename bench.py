@@ -132,6 +132,7 @@ HEADLINE = [
     "pipeline_curation_report",
     "events_quantile_histogram",
     "sim_topk_lsh_multiprobe",
+    "sim_topk_matryoshka",
 ]
 
 

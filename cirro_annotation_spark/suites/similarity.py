@@ -699,3 +699,68 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", _query_frame(emb),
         k=10, n_planes=6, dim=64,
     )
+
+
+@query(
+    "sim_topk_matryoshka",
+    # Two-stage prefix-dimension ANN (the Matryoshka/MRL deploy shape,
+    # Kusupati et al. 2022): stage 1 scores ALL vectors on the first 16
+    # of 64 dims (4x less arithmetic and, with a prefix-sliced column
+    # in storage, 4x less I/O), keeps the top-50 candidates; stage 2
+    # re-scores only those 50 on the full 64 dims and emits the top-10.
+    # Both stages are deterministic (fixed slice, exact arithmetic,
+    # total tie-break) so the two-stage composition is fully
+    # hash-checkable — unlike sketch-based ANN. Scale: stage 1 is the
+    # only corpus-wide pass and it reads a quarter of the vector bytes;
+    # stage 2 is a 50-row broadcast semi-join.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM e WHERE vec_id = 0),
+    coarse AS (
+      SELECT e.vec_id,
+             list_dot_product(e.ve[1:16], q.qv[1:16]) /
+               (SQRT(list_dot_product(e.ve[1:16], e.ve[1:16])) *
+                SQRT(list_dot_product(q.qv[1:16], q.qv[1:16]))) AS c16
+      FROM e CROSS JOIN q
+      ORDER BY c16 DESC, vec_id ASC LIMIT 50
+    )
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.ve, q.qv) /
+                 (SQRT(list_dot_product(e.ve, e.ve)) *
+                  SQRT(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM coarse JOIN e USING (vec_id) CROSS JOIN q
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qf = _query_frame(emb)
+    v = F.col("embedding").cast("array<double>")
+    v16 = F.slice(v, 1, 16)
+    q16 = F.slice(F.col("__qv"), 1, 16)
+    dot16 = F.aggregate(
+        F.zip_with(v16, q16, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n16 = F.sqrt(
+        F.aggregate(v16, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qn16 = F.sqrt(
+        F.aggregate(q16, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    coarse = (
+        emb.crossJoin(F.broadcast(qf))
+        .select("vec_id", (dot16 / (n16 * qn16)).alias("c16"))
+        .orderBy(F.col("c16").desc(), F.col("vec_id").asc())
+        .limit(50)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(coarse), "vec_id")
+        .crossJoin(F.broadcast(qf))
+        .select(
+            "vec_id",
+            F.round(S.cosine_vs_query_frame(v), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -176,3 +176,33 @@ def test_time_travel_snapshots(spark, tmp_path):
 
     with _pytest.raises(IndexError):
         read_table_version(spark, base, 2)
+
+
+def test_merge_validated_by_table_diff(spark, tmp_path):
+    """Integration: merge with keep_old, then table_diff(snapshot, live)
+    must recover EXACTLY the edit script that was merged — the
+    reconciliation loop a production pipeline runs after every merge."""
+    from cirro_annotation_spark.operators.merge import (
+        read_table_version,
+        table_diff,
+    )
+
+    base = str(tmp_path / "base")
+    _build_base(spark, base, n=400, files=4)
+    src = spark.createDataFrame(
+        [(k, -k) for k in range(10, 20)] + [(5000, 1), (5001, 2)],
+        "key long, val long",
+    )
+    merge_into_parquet(spark, base, src, "key", keep_old=True)
+    diff = table_diff(
+        read_table_version(spark, base, 0),
+        read_table_version(spark, base),
+        "key",
+        ["val"],
+    ).collect()
+    got = {(r.key, r.status) for r in diff}
+    want = {(k, "changed") for k in range(10, 20)} | {
+        (5000, "added"),
+        (5001, "added"),
+    }
+    assert got == want
