@@ -133,6 +133,8 @@ HEADLINE = [
     "events_quantile_histogram",
     "sim_topk_lsh_multiprobe",
     "sim_topk_matryoshka",
+    "events_mad_outliers",
+    "events_cusum_daily",
 ]
 
 

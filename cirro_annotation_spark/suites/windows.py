@@ -1241,3 +1241,128 @@ def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q(99), 6).alias("p99"),
         F.max("total").alias("n_rows"),
     )
+
+
+@query(
+    "events_mad_outliers",
+    # Robust outlier detection: median/MAD replaces mean/stddev (the
+    # zscore_anomaly twin that extreme values cannot poison — one huge
+    # value shifts a mean arbitrarily but moves a median one rank).
+    # Exact medians via percentile(0.5) on both engines (DuckDB's
+    # median/quantile_cont interpolates identically for 0.5); the
+    # robust score |x - med| / MAD with the 1.4826 normal consistency
+    # constant. Scale: two type-keyed aggregates (median needs a sort
+    # per group — at 100 TB swap for the histogram read-off of
+    # events_quantile_histogram, same downstream arithmetic) and one
+    # broadcast join back onto the scan.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(ABS(e.value - m.med), 0.5) AS mad_raw
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - m.med) / (1.4826 * d.mad_raw), 6) AS robust_z
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE ABS((e.value - m.med) / (1.4826 * d.mad_raw)) > 3.0
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad_raw"
+            )
+        )
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad_raw"))
+    # filter on the RAW score (matching the oracle's WHERE) and round
+    # only for output — filtering the rounded alias would diverge on
+    # knife-edge rows where raw > 3.0 rounds down to exactly 3.0
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.0)
+        .select("event_id", "event_type", F.round(rz, 6).alias("robust_z"))
+    )
+
+
+@query(
+    "events_cusum_daily",
+    # CUSUM change-point detection over the daily event-rate series —
+    # the sequential-drift member of the monitoring triad (PSI compares
+    # two snapshots, KS compares two samples, CUSUM watches a SERIES).
+    # S_i = max(0, S_{i-1} + (n_i - target)) on daily COUNTS, all
+    # integers, so the recursion is engine-exact (a float-mean CUSUM
+    # would accumulate summation-order ulps into the threshold). The
+    # target is the type's floor-mean daily count. Spark runs the
+    # 30-step recursion in Arrow applyInPandas per type (the series is
+    # days-long however big the stream — the daily aggregate collapsed
+    # it); the oracle replays the identical recursion as a recursive
+    # CTE. alarm = S exceeds 5x target/10 (h = 0.5 target).
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             CAST(SUM(n) OVER (PARTITION BY event_type) //
+                  COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS target
+      FROM daily
+    ), rec AS (
+      SELECT event_type, day, n, rn, target,
+             GREATEST(CAST(0 AS BIGINT), n - target) AS s
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.day, i.n, i.rn, i.target,
+             GREATEST(CAST(0 AS BIGINT), r.s + i.n - i.target) AS s
+      FROM idx i JOIN rec r
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS cusum,
+           CAST(s * 2 > target AS INT) AS alarm
+    FROM rec
+    """,
+)
+def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("sum(n) over (partition by event_type) div "
+               "count(*) over (partition by event_type)").alias("target"),
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = 0
+        out = []
+        for n, target in zip(pdf["n"], pdf["target"]):
+            s = max(0, s + int(n) - int(target))
+            out.append(s)
+        pdf["cusum"] = pd.array(out, dtype="int64")
+        pdf["alarm"] = (pdf["cusum"] * 2 > pdf["target"]).astype("int32")
+        return pdf[["event_type", "day", "n", "cusum", "alarm"]]
+
+    return idx.groupBy("event_type").applyInPandas(
+        cusum, schema="event_type string, day date, n long, cusum long, alarm int"
+    )

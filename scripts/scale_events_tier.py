@@ -72,6 +72,8 @@ EVENT_QUERIES = [
     "events_rolling_active_users",
     "events_attribution_last_touch",
     "events_quantile_histogram",
+    "events_mad_outliers",
+    "events_cusum_daily",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
