@@ -133,3 +133,111 @@ def pagerank_oracle_sql(
         )
     body = "\n".join(parts).rstrip(",")
     return body + f"\nSELECT node, pr FROM it{iterations}"
+
+
+def pagerank_personalized_fixed_point(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    checkpoint: bool = True,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED set
+    instead of spreading uniformly, so ranks measure proximity to the
+    seeds ("related to this customer"), not global centrality. Same
+    integer fixed-point contract as pagerank_fixed_point — the seed
+    list is driver-side model state (an id list, like the IVF
+    centroids), injected as a broadcast membership frame.
+
+    pr_0(v)     = SCALE // |seeds| if v in seeds else 0
+    pr_{k+1}(v) = tele(v) + Σ_{u→v} (pr_k(u) * 85) // (outdeg(u) * 100)
+    tele(v)     = (15 * SCALE // 100) // |seeds| if v in seeds else 0
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.repartition("node").localCheckpoint(eager=True)
+    n_seeds = len(seeds)
+    seed_tele = (PR_SCALE - PR_D_NUM * PR_SCALE // PR_D_DEN) // n_seeds
+    seed_frame = nodes.sparkSession.createDataFrame(
+        [(s,) for s in seeds], "node long"
+    )
+    nodes_t = nodes.join(F.broadcast(seed_frame), "node", "left_semi").select(
+        "node", F.lit(seed_tele).cast("long").alias("tele")
+    )
+    nodes_t = nodes.join(F.broadcast(nodes_t), "node", "left").select(
+        "node", F.coalesce("tele", F.lit(0)).cast("long").alias("tele")
+    )
+    if checkpoint:
+        nodes_t = nodes_t.localCheckpoint(eager=True)
+    w_src = Window.partitionBy("src")
+    e_deg = e.select("src", "dst", F.count("*").over(w_src).alias("outdeg"))
+    if checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=True)
+
+    ranks = nodes_t.select(
+        "node",
+        F.when(F.col("tele") > 0, F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(pr * {PR_D_NUM}) div (outdeg * {PR_D_DEN})").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes_t.join(contribs, "node", "left").select(
+            "node",
+            (F.col("tele") + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("pr"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_personalized_oracle_sql(
+    edges_cte: str, seeds: list[int], iterations: int = 5, scale: int = PR_SCALE
+) -> str:
+    """Unrolled-CTE oracle for the personalized variant."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    n_seeds = len(seeds)
+    tele = (scale - PR_D_NUM * scale // PR_D_DEN) // n_seeds
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"nt AS (SELECT node, CASE WHEN node IN ({seed_list}) "
+        f"THEN CAST({tele} AS BIGINT) ELSE 0 END AS tele FROM nodes),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),",
+        f"it0 AS (SELECT node, CASE WHEN node IN ({seed_list}) "
+        f"THEN CAST({scale // n_seeds} AS BIGINT) ELSE 0 END AS pr FROM nodes),",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, "
+            f"SUM((it{k}.pr * {PR_D_NUM}) // (deg.outdeg * {PR_D_DEN})) AS inflow "
+            f"FROM e JOIN deg USING (src) JOIN it{k} ON it{k}.node = e.src "
+            "GROUP BY e.dst),"
+        )
+        parts.append(
+            f"it{k + 1} AS (SELECT nt.node, "
+            f"CAST(nt.tele + COALESCE(c{k}.inflow, 0) AS BIGINT) AS pr "
+            f"FROM nt LEFT JOIN c{k} USING (node)),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return body + f"\nSELECT node, pr FROM it{iterations}"

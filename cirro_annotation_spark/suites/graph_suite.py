@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cirro_annotation_spark.operators.graph import (
     pagerank_fixed_point,
     pagerank_oracle_sql,
+    pagerank_personalized_oracle_sql,
 )
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.suites.util import t
@@ -73,6 +74,60 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heaps, no global single-partition window); the rank column is
     # then assigned on the 50-row result — the global window is fine
     # THERE because its input is already k rows.
+    top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(50)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.withColumn("pr_rank", F.row_number().over(w)).select(
+        "node", "pr", "pr_rank"
+    )
+
+
+# Seeds: customer nodes 2, 4, 6 (node ids = custkey*2) — fixed model
+# state, present at every sf (custkeys 1..N).
+_PPR_SEEDS = [2, 4, 6]
+
+_PPR_ORACLE = f"""
+    SELECT node, pr, pr_rank FROM (
+      SELECT node, pr,
+             ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS pr_rank
+      FROM ({pagerank_personalized_oracle_sql(_EDGES_CTE, _PPR_SEEDS, iterations=5)})
+      WHERE pr > 0
+    ) ranked
+    WHERE pr_rank <= 50
+"""
+
+
+@query(
+    "graph_pagerank_personalized",
+    # Personalized PageRank from three seed customers: ranks measure
+    # proximity to the seeds (the "suppliers related to THIS account"
+    # recommendation shape), not global centrality. Same exact-integer
+    # recursion/oracle discipline as graph_pagerank_trade; zero-mass
+    # nodes are dropped (they never received seed flow).
+    oracle=_PPR_ORACLE,
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.graph import (
+        pagerank_personalized_fixed_point,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    ranks = pagerank_personalized_fixed_point(
+        edges, _PPR_SEEDS, iterations=5, assume_distinct=True
+    ).filter(F.col("pr") > 0)
     top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(50)
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return top.withColumn("pr_rank", F.row_number().over(w)).select(

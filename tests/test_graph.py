@@ -80,3 +80,54 @@ def test_oracle_generator_matches_spark_on_random_graphs(spark):
         sql = pagerank_oracle_sql("SELECT src, dst FROM raw", iterations=iters)
         want = dict(con.execute(sql).fetchall())
         assert got == want, f"trial {trial}: engines disagree"
+
+
+def test_personalized_mass_stays_in_seed_component(spark):
+    """Two disconnected components; seeds in one — the other component
+    must end with exactly zero mass (proximity, not centrality)."""
+    from cirro_annotation_spark.operators.graph import (
+        pagerank_personalized_fixed_point,
+    )
+
+    pairs = [(1, 2), (2, 1), (3, 4), (4, 3)]  # components {1,2} and {3,4}
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    pr = {
+        r.node: r.pr
+        for r in pagerank_personalized_fixed_point(edges, seeds=[1]).collect()
+    }
+    assert pr[3] == 0 and pr[4] == 0
+    assert pr[1] > 0 and pr[2] > 0
+    # (no ordering assertion between 1 and 2: a 2-cycle is bipartite, so
+    # the mass oscillates between the sides per iteration — expected
+    # power-iteration behavior, damped only gradually by the teleport)
+
+
+def test_personalized_oracle_generator_matches_spark(spark):
+    import random
+
+    import duckdb
+
+    from cirro_annotation_spark.operators.graph import (
+        pagerank_personalized_fixed_point,
+        pagerank_personalized_oracle_sql,
+    )
+
+    rng = random.Random(99)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+    seeds = [0, 1]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.node: r.pr
+        for r in pagerank_personalized_fixed_point(
+            edges, seeds, iterations=4
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", pairs)
+    sql = pagerank_personalized_oracle_sql(
+        "SELECT src, dst FROM raw", seeds, iterations=4
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
