@@ -813,3 +813,73 @@ def topk_cosine_lsh_multiprobe_q(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank_q(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_frame: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    dim: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    from the top-``pool`` candidates by query relevance, greedily pick
+    ``k`` maximizing lam*sim(query, d) - (1-lam)*max_sim(d, selected) —
+    relevance MINUS redundancy, the diversity stage a RAG retriever
+    runs after ANN.
+
+    Scale shape: the only corpus-wide pass is the relevance top-pool
+    (TakeOrderedAndProject); the greedy runs on the pool×dim matrix —
+    k·pool dot products on ~pool rows, driver-side model-state math
+    exactly like the IVF centroid updates (collect() of a bounded
+    frame, justified per PLANS.md's collect inventory). Deterministic:
+    ties break on ascending id.
+    """
+    import numpy as np
+
+    cand = (
+        df.crossJoin(F.broadcast(query_frame))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.round(
+                cosine_vs_query_frame(F.col(vec_col).cast("array<double>")), 9
+            ).alias("__rel"),
+        )
+        .orderBy(F.col("__rel").desc(), F.col("__id").asc())
+        .limit(pool)
+        .collect()
+    )
+    ids = [r["__id"] for r in cand]
+    rel = np.array([r["__rel"] for r in cand])
+    vecs = np.array([r["__v"] for r in cand])
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = unit @ unit.T  # pool x pool cosine matrix
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        best_i, best_score = None, None
+        for i in remaining:
+            redundancy = max((sims[i][j] for j in selected), default=0.0)
+            score = lam * rel[i] - (1 - lam) * redundancy
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        remaining.remove(best_i)
+
+    spark = df.sparkSession
+    rows = [
+        (int(ids[i]), float(round(rel[i], 6)), rank + 1)
+        for rank, i in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, f"{id_col} long, relevance double, mmr_rank int")

@@ -764,3 +764,17 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query("rag_mmr_rerank")  # greedy argmax-per-step — rows-only;
+# tests/test_similarity.py pins NumPy-reference equality + diversity
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank after ANN retrieval (the RAG stack's last
+    stage): top-20 by relevance, greedy-select 5 maximizing
+    0.7*relevance - 0.3*max-similarity-to-selected. The corpus-wide
+    pass is only the relevance top-k; the greedy is pool-sized driver
+    math (bounded model state, like the IVF centroid updates). The
+    per-step argmax is not SQL-expressible — rows-only, with a NumPy
+    reference implementation pinned in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank_q(emb, "embedding", "vec_id", _query_frame(emb))

@@ -297,3 +297,61 @@ def test_multiprobe_recall_not_worse_than_single(spark):
     r_multi = len(multi & set(truth)) / len(truth)
     assert r_multi >= r_single
     assert single <= multi or r_multi >= r_single  # superset in candidates
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("fixture absent")
+    import numpy as np
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = QUERIES["rag_mmr_rerank"](spark, sf).collect()
+    assert len(out) == 5
+    assert [r.mmr_rank for r in out] == [1, 2, 3, 4, 5]
+
+    # reference: recompute MMR in pure NumPy from the raw parquet
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    q = vecs[ids == 0][0]
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-300)[:, None]
+    qu = q / np.linalg.norm(q)
+    rel_all = unit @ qu
+    order = np.lexsort((ids, -np.round(rel_all, 9)))[:20]
+    pool_ids, pool_rel, pool_unit = ids[order], np.round(rel_all[order], 9), unit[order]
+    sims = pool_unit @ pool_unit.T
+    sel = []
+    rem = list(range(20))
+    while rem and len(sel) < 5:
+        best, bs = None, None
+        for i in rem:
+            red = max((sims[i][j] for j in sel), default=0.0)
+            sc = 0.7 * pool_rel[i] - 0.3 * red
+            if bs is None or sc > bs or (sc == bs and pool_ids[i] < pool_ids[best]):
+                best, bs = i, sc
+        sel.append(best)
+        rem.remove(best)
+    want = [int(pool_ids[i]) for i in sel]
+    assert [r.vec_id for r in out] == want
+
+    # diversity: the MMR set's mean pairwise similarity must not exceed
+    # the plain top-5's
+    top5 = np.lexsort((ids, -rel_all))[:5]
+    def mean_pair(u):
+        s = u @ u.T
+        n = len(u)
+        return (s.sum() - np.trace(s)) / (n * (n - 1))
+    mmr_unit = unit[[int(np.where(ids == v)[0][0]) for v in want]]
+    assert mean_pair(mmr_unit) <= mean_pair(unit[top5]) + 1e-12
