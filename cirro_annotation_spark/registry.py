@@ -55,7 +55,7 @@ PRIORITY: list[str] = [
     # driver-green). The 97 previously-scored queries keep their green
     # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
     # full sweep (scripts/check_correctness.py, no args = all 159).
-    # ROUND-7 ROTATION QUEUE (46 queries, fits one window): after this
+    # ROUND-7 ROTATION QUEUE (47 queries, fits one window): after this
     # round's 50 score, the never-driver-scored set is exactly —
     # dedup_fuzzy_levenshtein, dedup_cluster_auto,
     # dedup_incremental_batch, dedup_bloom_prefilter, multimodal_resize,
@@ -76,9 +76,10 @@ PRIORITY: list[str] = [
     # split_kfold_assign, events_quantile_histogram,
     # pipeline_pack_ffd (rows-only), sim_topk_lsh_multiprobe,
     # sim_topk_matryoshka, events_mad_outliers, events_cusum_daily,
-    # graph_pagerank_personalized, rag_mmr_rerank (rows-only).
-    # Rotating them in (plus 4 spot-checks of earlier rounds) closes
-    # the full 193-query set: every operator ends driver-green.
+    # graph_pagerank_personalized, rag_mmr_rerank (rows-only),
+    # agg_hll_mergeable (rows-only).
+    # Rotating them in (plus 3 spot-checks of earlier rounds) closes
+    # the full 194-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",

@@ -1433,3 +1433,32 @@ def docs_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(prev, cur, "doc_id", ["text", "lang", "source", "n_chars"])
+
+
+@query("agg_hll_mergeable")  # Datasketches HLL internals — rows-only;
+# tests/test_sketch_hll.py pins the <2% error bound and that the merged
+# estimate EQUALS the all-at-once sketch (the mergeability contract)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-and-merge distinct-count pattern a 100 TB table
+    needs: per-source HLL sketches (Datasketches, via hll_sketch_agg)
+    union into a global estimate WITHOUT re-scanning — the shape of
+    incremental / per-partition distinct maintenance, where yesterday's
+    sketches merge with today's instead of recounting history. Emits
+    per-source estimates plus the merged global estimate and the exact
+    global count for reference (exactness of the sketch itself is
+    engine-specific — rows-only, with the error bound pinned in
+    pytest)."""
+    d = t(spark, sf_dir, "events")
+    per_source = d.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    out = per_source.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("estimate"),
+        "exact_distinct",
+    )
+    return out.crossJoin(F.broadcast(merged))
