@@ -135,6 +135,9 @@ HEADLINE = [
     "sim_topk_matryoshka",
     "events_mad_outliers",
     "events_cusum_daily",
+    # round 6c additions: degree-ordered triangle counting (the wedge
+    # self-join's cost is the O(m^1.5) orientation-bound evidence)
+    "graph_triangle_parts",
 ]
 
 

@@ -135,6 +135,139 @@ def pagerank_oracle_sql(
     return body + f"\nSELECT node, pr FROM it{iterations}"
 
 
+def triangle_count_per_node(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered wedge enumeration.
+
+    Returns (node, tri_count) for every node that participates in at
+    least one triangle. The input is an undirected edge list; it is
+    canonicalised to src < dst and deduped unless ``assume_canonical``.
+
+    Scale shape (the Suri–Vassilvitskii / Cohen MapReduce formulation,
+    public literature): orienting every edge from its LOWER-degree
+    endpoint to its higher-degree endpoint (ties broken by node id)
+    turns the graph into a DAG where each node's out-degree is
+    O(sqrt(m)), so total triangle work is O(m^1.5) worst-case INSTEAD
+    of sum(deg^2) — on a skewed web/link graph the hub's deg² term is
+    the difference between feasible and not. This is the EDGE-ITERATOR
+    realization: build each node's out-neighbor array once (one
+    shuffle, arrays bounded by the sqrt(m) orientation cap), annotate
+    every oriented edge (u,v) with N+(u) and N+(v) (two joins keyed on
+    a node id — AQE broadcasts the adjacency side when it fits), and
+    count |N+(u) ∩ N+(v)| in a codegen'd array_intersect. A naive
+    wedge SELF-JOIN instead materializes every wedge as a shuffle row
+    — measured 6× slower at sf0.1 (35M wedge rows through an exchange
+    vs the intersection never leaving the stage). Each triangle is
+    found exactly once (at its lowest-order vertex's edge), then
+    charged to u and v by intersection size and to each w by an
+    ids-only explode.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("src"),
+        F.greatest(F.col(src), F.col(dst)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    if not assume_canonical:
+        e = e.distinct()
+    # The canonical edge set feeds three consumers (degree agg, the
+    # orientation annotation, the closing-edge probe) — materialize it
+    # ONCE or the upstream derivation (often a fact-table self-join)
+    # runs three times.
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient by (deg, node): strict total order, so exactly one
+    # direction per edge. The re-join annotates both endpoints; the
+    # oriented frame is materialized once (it feeds the join twice).
+    da, db = deg.alias("da"), deg.alias("db")
+    ann = (
+        e.join(da, F.col("src") == F.col("da.node"))
+        .join(db, F.col("dst") == F.col("db.node"))
+        .select(
+            "src",
+            "dst",
+            F.col("da.deg").alias("deg_s"),
+            F.col("db.deg").alias("deg_d"),
+        )
+    )
+    lo_first = (F.col("deg_s") < F.col("deg_d")) | (
+        (F.col("deg_s") == F.col("deg_d")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ann.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    # Out-neighbor adjacency arrays, one row per node with out-edges.
+    # The orientation caps every array at O(sqrt(m)) elements, so no
+    # row is hub-sized even on a power-law graph.
+    adj = (
+        oriented.groupBy(F.col("lo").alias("n"))
+        .agg(F.collect_list("hi").alias("nbrs"))
+        .localCheckpoint(eager=True)  # self-joined twice below
+    )
+    au, av = adj.alias("au"), adj.alias("av")
+    annotated = (
+        oriented.join(au, F.col("lo") == F.col("au.n"))
+        .join(av, F.col("hi") == F.col("av.n"))
+        .select(
+            F.col("lo").alias("u"),
+            F.col("hi").alias("v"),
+            F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs")).alias("ws"),
+        )
+        .filter(F.size("ws") > 0)
+        # Both union branches below consume this frame — without a
+        # materialization the join/intersect pipeline executes twice
+        # (observed in the physical plan as a duplicated subtree).
+        .localCheckpoint(eager=True)
+    )
+    # Charge each triangle (u, v, w): u and v by intersection size in
+    # one pass, every w by an ids-only explode (#triangles rows).
+    uv = annotated.select(
+        F.explode(F.array("u", "v")).alias("node"),
+        F.size("ws").cast("long").alias("c"),
+    )
+    wside = annotated.select(
+        F.explode("ws").alias("node"), F.lit(1).cast("long").alias("c")
+    )
+    return (
+        uv.unionByName(wside)
+        .groupBy("node")
+        .agg(F.sum("c").alias("tri_count"))
+    )
+
+
+def triangle_oracle_sql(edges_cte: str) -> str:
+    """DuckDB oracle for triangle_count_per_node: naive id-ordered
+    enumeration (a<b<c finds each triangle once — orientation-invariant,
+    so it must agree exactly with the degree-ordered plan). ``edges_cte``
+    yields an undirected (src, dst) list."""
+    return f"""
+    WITH raw AS ({edges_cte}),
+    e AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM raw WHERE src <> dst),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e ab JOIN e bc ON ab.dst = bc.src
+                JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS tri_count FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, tri_count FROM per_node
+    """
+
+
 def pagerank_personalized_fixed_point(
     edges: DataFrame,
     seeds: list[int],

@@ -17,6 +17,8 @@ from cirro_annotation_spark.operators.graph import (
     pagerank_fixed_point,
     pagerank_oracle_sql,
     pagerank_personalized_oracle_sql,
+    triangle_count_per_node,
+    triangle_oracle_sql,
 )
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.suites.util import t
@@ -132,4 +134,59 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return top.withColumn("pr_rank", F.row_number().over(w)).select(
         "node", "pr", "pr_rank"
+    )
+
+
+# Part co-occurrence graph: parts bought together in one order trade an
+# undirected edge (the market-basket / co-citation construction). At
+# sf0.01 this yields ~116k edges and ~414k triangles — dense enough
+# that the count is non-vacuous, sparse enough that the oracle's naive
+# a<b<c enumeration stays honest.
+_PART_EDGES_CTE = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+_TRIANGLE_ORACLE = f"""
+    SELECT node, tri_count, tri_rank FROM (
+      SELECT node, tri_count,
+             ROW_NUMBER() OVER (ORDER BY tri_count DESC, node ASC) AS tri_rank
+      FROM ({triangle_oracle_sql(_PART_EDGES_CTE)})
+    ) ranked
+    WHERE tri_rank <= 20
+"""
+
+
+@query(
+    "graph_triangle_parts",
+    # Degree-ordered triangle counting (Suri–Vassilvitskii shape): the
+    # Spark plan orients edges low-degree→high-degree so the wedge
+    # self-join is bounded by O(m^1.5) candidates instead of sum(deg²)
+    # — on a skewed 100 TB link graph the hub node's deg² term is the
+    # difference between feasible and not. The oracle enumerates naively
+    # by id order; triangle counts are orientation-invariant, so the
+    # two very different plans must hash identically.
+    oracle=_TRIANGLE_ORACLE,
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()  # canonical (src<dst) by construction
+    )
+    counts = triangle_count_per_node(edges, assume_canonical=True)
+    top = counts.orderBy(F.col("tri_count").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("tri_count").desc(), F.col("node").asc())
+    return top.withColumn("tri_rank", F.row_number().over(w)).select(
+        "node", "tri_count", "tri_rank"
     )

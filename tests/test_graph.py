@@ -131,3 +131,60 @@ def test_personalized_oracle_generator_matches_spark(spark):
     )
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_per_node
+
+
+def _tri(spark, pairs):
+    from cirro_annotation_spark.operators.graph import triangle_count_per_node
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = triangle_count_per_node(edges).collect()
+    return {r["node"]: r["tri_count"] for r in rows}
+
+
+def test_triangle_k4_every_node_in_three(spark):
+    # K4 has C(4,3)=4 triangles; every vertex sits in exactly 3.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    assert _tri(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_path_graph_has_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_triangle_single_plus_pendant(spark):
+    # One triangle {1,2,3} plus a pendant edge 3-4: node 4 excluded.
+    got = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_input_canonicalised(spark):
+    # Reversed duplicates and self-loops must not inflate counts.
+    messy = [(2, 1), (1, 2), (2, 3), (3, 2), (1, 3), (1, 1)]
+    assert _tri(spark, messy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_matches_oracle_on_random_graph(spark):
+    """Degree-ordered plan vs the naive id-ordered oracle on a seeded
+    G(n, p) graph — the cross-engine generator-parity discipline."""
+    import random
+
+    import duckdb
+
+    from cirro_annotation_spark.operators.graph import triangle_oracle_sql
+
+    rng = random.Random(7)
+    pairs = [
+        (a, b) for a in range(1, 30) for b in range(1, 30)
+        if a < b and rng.random() < 0.25
+    ]
+    got = _tri(spark, pairs)
+    values = " UNION ALL ".join(f"SELECT {a} AS src, {b} AS dst" for a, b in pairs)
+    want = {
+        int(n): int(c)
+        for n, c in duckdb.sql(triangle_oracle_sql(values)).fetchall()
+    }
+    assert got == want and len(want) > 0
