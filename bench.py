@@ -136,8 +136,11 @@ HEADLINE = [
     "events_mad_outliers",
     "events_cusum_daily",
     # round 6c additions: degree-ordered triangle counting (the wedge
-    # self-join's cost is the O(m^1.5) orientation-bound evidence)
+    # self-join's cost is the O(m^1.5) orientation-bound evidence) and
+    # the exact prefix-filtered similarity join (candidate pruning vs
+    # its deliberately brute-force oracle)
     "graph_triangle_parts",
+    "dedup_jaccard_prefix_join",
 ]
 
 

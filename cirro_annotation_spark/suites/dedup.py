@@ -625,3 +625,34 @@ def dedup_ngram_containment_sample(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("containment") >= 0.15)
     )
+
+
+@query(
+    "dedup_jaccard_prefix_join",
+    # EXACT set-similarity self-join at τ = 0.9 — the AllPairs/PPJoin
+    # prefix-filter shape. The oracle is deliberately BRUTE FORCE
+    # (all-pairs on the slice): the Spark side generates candidates
+    # only from document-frequency-ordered prefix tokens plus the
+    # AllPairs length bound, so a hash match proves the pruning loses
+    # NO true pair — the exactness guarantee MinHash banding cannot
+    # make. Threshold test is integer cross-multiplied on both engines
+    # (10·|∩| >= 9·|∪|); jaccard is rounded for display only.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                       x -> x <> '')) AS toks
+      FROM documents WHERE doc_id < 1000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(list_intersect(a.toks, b.toks)) * 1.0 /
+                 NULLIF(LEN(list_distinct(list_concat(a.toks, b.toks))), 0), 6)
+             AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE 10 * LEN(list_intersect(a.toks, b.toks)) >=
+          9 * LEN(list_distinct(list_concat(a.toks, b.toks)))
+    """,
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return D.jaccard_prefix_join(d, "text", "doc_id", tau_num=9, tau_den=10)

@@ -350,3 +350,61 @@ def test_bloom_prefilter_matches_exact_on_fixture(spark):
     )
     bloom_new = set(r.doc_id for r in bloom_prefilter_new_docs(spark, sf_dir).collect())
     assert bloom_new == exact_new
+
+
+# ---------------------------------------------------------------------------
+# jaccard_prefix_join
+
+
+def _prefix_pairs(spark, docs, tau=(9, 10)):
+    from cirro_annotation_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = jaccard_prefix_join(df, "text", "doc_id", *tau).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_prefix_join_finds_identical_and_boundary_pair(spark):
+    # x: 10 tokens, y: 9 of them -> J = 9/10 = tau exactly (>= keeps it);
+    # z: 8 of them -> J = 8/10, below tau.
+    base = [f"w{i}" for i in range(10)]
+    docs = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:9])),
+        (3, " ".join(base[:8])),
+        (4, " ".join(base)),  # identical to 1
+    ]
+    got = _prefix_pairs(spark, docs)
+    assert got[(1, 4)] == 1.0
+    assert got[(1, 2)] == 0.9
+    assert (1, 3) not in got and (2, 3) not in got  # 8/10 and 8/9 < 0.9... 8/9 < 0.9? 0.888 yes
+    assert got[(2, 4)] == 0.9
+
+
+def test_prefix_join_single_token_docs(spark):
+    # n=1 -> prefix length 1; identical single-token docs must pair.
+    got = _prefix_pairs(spark, [(1, "only"), (2, "only"), (3, "other")])
+    assert got == {(1, 2): 1.0}
+
+
+def test_prefix_join_equals_brute_force_random(spark):
+    """No-false-negative guarantee: pruned join == brute force on a
+    seeded random corpus at two thresholds."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.sample(vocab, rng.randint(4, 10)))) for i in range(60)
+    ]
+    toksets = {i: frozenset(s.split()) for i, s in docs}
+    for tau_num, tau_den in [(9, 10), (7, 10)]:
+        got = set(_prefix_pairs(spark, docs, (tau_num, tau_den)))
+        want = set()
+        for a, b in itertools.combinations(sorted(toksets), 2):
+            inter = len(toksets[a] & toksets[b])
+            uni = len(toksets[a] | toksets[b])
+            if tau_den * inter >= tau_num * uni:
+                want.add((a, b))
+        assert got == want
