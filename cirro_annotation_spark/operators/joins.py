@@ -181,3 +181,73 @@ def interval_overlap_join(
         .drop("__bucket")
         .dropDuplicates()
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_ts: str,
+    right_ts: str,
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """For each left row, attach the CLOSEST right timestamp in either
+    direction (pandas ``merge_asof(direction='nearest')`` parity).
+
+    Tie rule: equal distance prefers the PAST match; a right row at
+    exactly left_ts counts as past with distance zero. Emits
+    ``ts<suffix>`` (the chosen right timestamp, null when the key has no
+    right rows at all) and ``direction<suffix>`` ('past' / 'future' /
+    null).
+
+    Scale design: same union-once discipline as ``asof_join`` — both the
+    backward carry (last right at-or-before, unbounded-preceding frame)
+    and the forward carry (first right strictly-after,
+    unbounded-following frame) run over the SAME partitioning and sort
+    order, so the plan has ONE exchange + one sort feeding a single
+    WindowExec with two frames. The naive nearest formulation is two
+    correlated non-equi subqueries per row.
+    """
+    lcols = left.columns
+    tagged_left = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    tagged_right = right.select(
+        F.col(partition_key),
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias("__rts"),
+    ).withColumn("__is_left", F.lit(0))
+    unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    # Right rows sort BEFORE left rows on ts ties: inclusive backward
+    # visibility, and the forward frame (which starts at the current
+    # row) then sees strictly-future rights only.
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    w_back = (
+        Window.partitionBy(partition_key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(partition_key)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    past = F.last("__rts", ignorenulls=True).over(w_back)
+    future = F.first("__rts", ignorenulls=True).over(w_fwd)
+    d_past = F.unix_micros(F.col("__ts")) - F.unix_micros(past)
+    d_future = F.unix_micros(future) - F.unix_micros(F.col("__ts"))
+    pick_past = past.isNotNull() & (future.isNull() | (d_past <= d_future))
+    nearest = F.when(pick_past, past).otherwise(future)
+    direction = F.when(pick_past, F.lit("past")).when(
+        future.isNotNull(), F.lit("future")
+    )
+    return (
+        unioned.select(
+            *lcols,
+            F.col("__is_left"),
+            nearest.alias("ts" + suffix),
+            direction.alias("direction" + suffix),
+        )
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )

@@ -1366,3 +1366,53 @@ def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.groupBy("event_type").applyInPandas(
         cusum, schema="event_type string, day date, n long, cusum long, alarm int"
     )
+
+
+@query(
+    "asof_join_nearest_purchase",
+    # Nearest-in-time as-of (merge_asof direction='nearest' parity):
+    # for each error event, the closest purchase by the same user in
+    # EITHER direction; equal distance prefers the past match. The
+    # oracle states it as two correlated non-equi subqueries + a CASE —
+    # O(n·m) per user; the engine unions once and resolves both
+    # directions in a single WindowExec (one exchange, two frames over
+    # the same sort). Distances compare at exact microsecond precision
+    # on both engines.
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_id, e.ts,
+             (SELECT MAX(p.ts) FROM events p
+              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                AND p.ts <= e.ts) AS past_ts,
+             (SELECT MIN(p.ts) FROM events p
+              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                AND p.ts > e.ts) AS future_ts
+      FROM events e WHERE e.event_type = 'error'
+    )
+    SELECT event_id,
+           CASE WHEN past_ts IS NOT NULL AND (future_ts IS NULL OR
+                     epoch_us(ts) - epoch_us(past_ts)
+                     <= epoch_us(future_ts) - epoch_us(ts))
+                THEN past_ts ELSE future_ts END AS ts_nearest,
+           CASE WHEN past_ts IS NOT NULL AND (future_ts IS NULL OR
+                     epoch_us(ts) - epoch_us(past_ts)
+                     <= epoch_us(future_ts) - epoch_us(ts))
+                THEN 'past'
+                WHEN future_ts IS NOT NULL THEN 'future'
+           END AS direction_nearest
+    FROM cand
+    """,
+)
+def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.joins import asof_join_nearest
+
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return asof_join_nearest(
+        errors, purchases, partition_key="user_id", left_ts="ts", right_ts="ts"
+    ).select("event_id", "ts_nearest", "direction_nearest")

@@ -168,3 +168,67 @@ def test_asof_null_value_row_is_the_match(spark):
         left, right, "k", "ts", "ts", ["px"], tolerance_seconds=3600
     ).collect()
     assert out_tol[0]["px_asof"] is None
+
+
+# ---------------------------------------------------------------------------
+# asof_join_nearest
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    from datetime import datetime
+
+    from cirro_annotation_spark.operators.joins import asof_join_nearest
+
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts(10)),  # past at 8 (d=2), future at 15 (d=5) -> past
+            (2, 10, ts(14)),  # past at 8 (d=6), future at 15 (d=1) -> future
+            (3, 10, ts(20)),  # no future; past 15 (d=5) -> past
+            (4, 20, ts(5)),   # key with no right rows -> nulls
+            (5, 30, ts(12)),  # tie: past at 10 (d=2), future at 14 (d=2) -> past
+            (6, 40, ts(7)),   # right row at SAME ts -> past, d=0
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts(8)), (10, ts(15)),
+            (30, ts(10)), (30, ts(14)),
+            (40, ts(7)), (40, ts(6)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {
+        r["event_id"]: (r["ts_nearest"], r["direction_nearest"])
+        for r in asof_join_nearest(
+            left, right, partition_key="user_id", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert rows[1] == (ts(8), "past")
+    assert rows[2] == (ts(15), "future")
+    assert rows[3] == (ts(15), "past")
+    assert rows[4] == (None, None)
+    assert rows[5] == (ts(10), "past")
+    assert rows[6] == (ts(7), "past")
+
+
+def test_asof_nearest_single_exchange_plan(spark):
+    """Both direction carries must share one WindowExec sort — the plan
+    may contain only ONE exchange for the union'd frame."""
+    from datetime import datetime
+
+    from cirro_annotation_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1))], "user_id long, ts timestamp"
+    )
+    out = asof_join_nearest(
+        left, right, partition_key="user_id", left_ts="ts", right_ts="ts"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
