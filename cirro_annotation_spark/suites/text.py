@@ -1648,3 +1648,52 @@ def pipeline_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.groupBy("source").applyInPandas(
         ffd, schema="doc_id long, source string, n_tokens long, bin_id long"
     )
+
+
+@query(
+    "docs_expectations_report",
+    # Deequ-style declarative quality gate: six expectations (null,
+    # uniqueness, range, value-set, regex, length) compiled into ONE
+    # aggregation pass — a 100 TB ingest check costs a single scan with
+    # map-side-combined conditional sums, not one job per rule. Rules
+    # are chosen so the fixture both passes AND fails some (a report of
+    # all-green rows would be a vacuous hash). The oracle restates each
+    # conditional count independently.
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN n_chars IS NULL OR NOT (n_chars BETWEEN 100 AND 400)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','fr','es','de')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        CAST(SUM(CASE WHEN source IS NULL OR NOT regexp_matches(source, '^src[0-9]$')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        CAST(SUM(CASE WHEN text IS NULL OR LENGTH(text) < 100
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      FROM documents)
+    SELECT 'not_null' AS rule, 'text' AS col_name, v0 AS violations,
+           n AS n_rows, v0 = 0 AS passed FROM agg
+    UNION ALL SELECT 'unique', 'doc_id', v1, n, v1 = 0 FROM agg
+    UNION ALL SELECT 'in_range[100,400]', 'n_chars', v2, n, v2 = 0 FROM agg
+    UNION ALL SELECT 'in_set[en,fr,es,de]', 'lang', v3, n, v3 = 0 FROM agg
+    UNION ALL SELECT 'matches_regex[^src[0-9]$]', 'source', v4, n, v4 = 0 FROM agg
+    UNION ALL SELECT 'min_length[100]', 'text', v5, n, v5 = 0 FROM agg
+    """,
+)
+def docs_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators import expectations as E
+
+    d = t(spark, sf_dir, "documents")
+    return E.expectations_report(
+        d,
+        [
+            E.not_null("text"),
+            E.unique("doc_id"),
+            E.in_range("n_chars", 100, 400),
+            E.in_set("lang", ["en", "fr", "es", "de"]),
+            E.matches_regex("source", "^src[0-9]$"),
+            E.min_length("text", 100),
+        ],
+    )

@@ -1,0 +1,55 @@
+"""expectations_report: one-scan declarative quality gate."""
+
+from cirro_annotation_spark.operators import expectations as E
+
+
+def _report(spark, rows, rules):
+    df = spark.createDataFrame(rows, "id long, name string, score long")
+    out = E.expectations_report(df, rules).collect()
+    return {r["rule"]: (r["violations"], r["passed"]) for r in out}
+
+
+def test_rules_count_violations_including_nulls(spark):
+    rows = [
+        (1, "alice", 10),
+        (2, "bob", 200),
+        (2, None, None),   # dup id, null name, null score
+        (3, "carol", -5),
+    ]
+    got = _report(
+        spark,
+        rows,
+        [
+            E.not_null("name"),
+            E.unique("id"),
+            E.in_range("score", 0, 100),
+            E.in_set("name", ["alice", "bob"]),
+            E.matches_regex("name", "^[ab]"),
+            E.min_length("name", 4),
+        ],
+    )
+    assert got["not_null"] == (1, False)
+    assert got["unique"] == (1, False)             # id=2 twice
+    assert got["in_range[0,100]"] == (3, False)    # 200, NULL, -5
+    assert got["in_set[alice,bob]"] == (2, False)  # carol + NULL
+    assert got["matches_regex[^[ab]]"] == (2, False)
+    assert got["min_length[4]"] == (2, False)      # bob(3) + NULL
+
+
+def test_all_green_on_clean_data(spark):
+    rows = [(1, "alice", 10), (2, "bobby", 20)]
+    got = _report(spark, rows, [E.not_null("name"), E.unique("id"),
+                                E.in_range("score", 0, 100)])
+    assert all(v == (0, True) for v in got.values())
+
+
+def test_single_scan_plan(spark):
+    """All rules must fold into one aggregation over one scan — no
+    per-rule jobs (the whole point at 100 TB)."""
+    df = spark.createDataFrame([(1, "a", 2)], "id long, name string, score long")
+    out = E.expectations_report(
+        df, [E.not_null("name"), E.in_range("score", 0, 10),
+             E.matches_regex("name", "a"), E.min_length("name", 1)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
