@@ -141,6 +141,10 @@ HEADLINE = [
     # its deliberately brute-force oracle)
     "graph_triangle_parts",
     "dedup_jaccard_prefix_join",
+    "asof_join_nearest_purchase",
+    "docs_expectations_report",
+    "sample_fixed_k_hash",
+    "text_bm25_topk",
 ]
 
 

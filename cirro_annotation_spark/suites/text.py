@@ -1697,3 +1697,118 @@ def docs_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             E.min_length("text", 100),
         ],
     )
+
+
+@query(
+    "sample_fixed_k_hash",
+    # Deterministic fixed-SIZE uniform sample: the k smallest md5 values
+    # over a seeded key — "give me exactly 200 eval docs" with the same
+    # answer on any engine, run, or partitioning (df.sample() and
+    # ORDER BY random() are neither). Spark plans orderBy+limit as
+    # TakeOrderedAndProject: per-partition top-k heaps + a k-row merge,
+    # NO global sort — at 100 TB each executor ships k candidate rows,
+    # not its partition. The md5 rank rides along so the result is
+    # self-describing.
+    oracle="""
+    SELECT doc_id, lang, source,
+           md5('fixk|' || CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key ASC
+    LIMIT 200
+    """,
+)
+def sample_fixed_k_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("fixk|"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").asc())
+        .limit(200)
+    )
+
+
+@query(
+    "text_bm25_topk",
+    # Okapi BM25 lexical retrieval (Robertson/Sparck-Jones, public
+    # literature; Lucene's non-negative idf variant) — the SPARSE
+    # retrieval member beside the dense ANN/RAG stack. Scale shape: the
+    # corpus-wide explode is filtered to the 3 query terms BEFORE any
+    # shuffle (posting-list semantics — at 100 TB only matching
+    # (doc, term) rows move); doc lengths are scan-local arithmetic;
+    # N/avgdl are a 1-row broadcast. Both engines evaluate the
+    # IDENTICAL left-to-right float formula on exact integer inputs
+    # (tf, df, dlen, N), the quality-classifier discipline; ordering
+    # uses the ROUNDED score so rank ties resolve identically.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE tok IN ('dup', 'vector', 'scan') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dlen / stats.avgdl))))
+               AS score
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, bm25_rank FROM (
+      SELECT doc_id, ROUND(score, 6) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+               AS bm25_rank
+      FROM scored
+    ) ranked WHERE bm25_rank <= 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.text import token_count, tokens
+
+    terms = ["dup", "vector", "scan"]
+    d = t(spark, sf_dir, "documents")
+    dl = d.select("doc_id", token_count("text").cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (1.2 + 1))
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * (F.col("dlen") / F.col("avgdl")))
+                )
+            ).alias("w"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(F.round(F.sum("w"), 6).alias("bm25"))
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("bm25_rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "bm25_rank"
+    )
