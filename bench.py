@@ -145,6 +145,8 @@ HEADLINE = [
     "docs_expectations_report",
     "sample_fixed_k_hash",
     "text_bm25_topk",
+    "events_scd2_history",
+    "events_type_transitions",
 ]
 
 

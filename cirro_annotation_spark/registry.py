@@ -77,9 +77,13 @@ PRIORITY: list[str] = [
     # pipeline_pack_ffd (rows-only), sim_topk_lsh_multiprobe,
     # sim_topk_matryoshka, events_mad_outliers, events_cusum_daily,
     # graph_pagerank_personalized, rag_mmr_rerank (rows-only),
-    # agg_hll_mergeable (rows-only).
-    # Rotating them in (plus 3 spot-checks of earlier rounds) closes
-    # the full 194-query set: every operator ends driver-green.
+    # agg_hll_mergeable (rows-only), and the round-6c additions:
+    # graph_triangle_parts, dedup_jaccard_prefix_join,
+    # asof_join_nearest_purchase, docs_expectations_report,
+    # sample_fixed_k_hash, text_bm25_topk, events_scd2_history,
+    # events_type_transitions.
+    # Rotating them in (plus spot-checks of earlier rounds) closes
+    # the full 202-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",

@@ -1416,3 +1416,89 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_nearest(
         errors, purchases, partition_key="user_id", left_ts="ts", right_ts="ts"
     ).select("event_id", "ts_nearest", "direction_nearest")
+
+
+@query(
+    "events_scd2_history",
+    # Slowly-changing-dimension type-2 build from an event changelog:
+    # each user's value history as (valid_from, valid_to, is_current)
+    # intervals — the warehouse dimension-history shape (Kimball SCD2,
+    # public literature). ONE user-keyed window pass: valid_to = lead(ts)
+    # over (user_id ORDER BY ts, event_id); no self-join, no per-key
+    # driver loop. At 100 TB the changelog shuffles once on user_id and
+    # every interval derives from adjacent rows in the sorted run.
+    # Value column rounded at 6 both sides (raw double carried, not
+    # aggregated). Deterministic tie order via event_id.
+    oracle="""
+    SELECT user_id, event_id,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) IS NULL
+                AS INT) AS is_current,
+           ROUND(value, 6) AS value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().cast("int").alias("is_current"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+@query(
+    "events_type_transitions",
+    # First-order Markov transition counts over each user's event-type
+    # sequence — the user-journey / clickstream-mining shape. One lag
+    # window on the user-keyed sort (shared exchange), then a count per
+    # (prev_type, type) cell: the output is |types|² however big the
+    # stream. Probability is integer-count division rounded at 6; row
+    # share uses the same window-free aggregate arithmetic both engines.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+             AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = t(spark, sf_dir, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w_row), 6).alias("p_next"),
+    )

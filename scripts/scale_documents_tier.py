@@ -64,6 +64,14 @@ DOC_QUERIES = [
     "docs_quality_classifier",
     "dedup_bloom_prefilter",
     "pipeline_curation_report",
+    # round 6c: one-scan expectations gate, fixed-k hash sample
+    # (TakeOrderedAndProject must stay k-row-bounded at any corpus
+    # size), and BM25 (posting-list prune: only query-term rows leave
+    # the scan stage). dedup_jaccard_prefix_join is a doc_id-slice
+    # kernel — excluded like the other slice kernels.
+    "docs_expectations_report",
+    "sample_fixed_k_hash",
+    "text_bm25_topk",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

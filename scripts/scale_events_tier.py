@@ -74,6 +74,13 @@ EVENT_QUERIES = [
     "events_quantile_histogram",
     "events_mad_outliers",
     "events_cusum_daily",
+    # round 6c: nearest-direction as-of (single WindowExec resolving
+    # both direction carries at 10M rows), SCD2 interval build (one
+    # lead window), Markov transition cells (|types|² output at any
+    # stream size)
+    "asof_join_nearest_purchase",
+    "events_scd2_history",
+    "events_type_transitions",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

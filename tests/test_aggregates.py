@@ -71,3 +71,35 @@ def test_psi_drift_detects_planted_shift(spark, tmp_path):
     rows2 = events_psi_drift(spark, td2).collect()
     psi2 = sum(abs(r["psi_contrib"]) for r in rows2)
     assert psi2 < 0.05, psi2
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    """SCD2 contract: per user, intervals chain exactly (valid_to of row
+    k == valid_from of row k+1) and exactly one open (is_current) row."""
+    import __spark_entry__ as se
+
+    out = se.queries()["events_scd2_history"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["valid_from"], r["event_id"]))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"] == 1
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    import __spark_entry__ as se
+
+    out = se.queries()["events_type_transitions"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    sums = {}
+    for r in out:
+        sums[r["prev_type"]] = sums.get(r["prev_type"], 0.0) + r["p_next"]
+    assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values())
