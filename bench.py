@@ -147,6 +147,7 @@ HEADLINE = [
     "text_bm25_topk",
     "events_scd2_history",
     "events_type_transitions",
+    "sample_weighted_k",
 ]
 
 

@@ -1812,3 +1812,44 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("bm25_rank", F.row_number().over(w)).select(
         "doc_id", "bm25", "bm25_rank"
     )
+
+
+@query(
+    "sample_weighted_k",
+    # Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES
+    # (public literature): each row draws key = ln(u)/w with u a
+    # deterministic seeded-md5 uniform and w = n_chars; the k LARGEST
+    # keys are the sample — inclusion probability rises with weight,
+    # yet the draw is reproducible across engines, runs, and
+    # partitionings (the property rand()-based weighted sampling lacks).
+    # One pass + TakeOrderedAndProject, no global sort. Keys are
+    # rounded at 6 on BOTH sides before ordering so a last-ulp ln()
+    # difference between libm and the JVM cannot flip membership.
+    oracle="""
+    SELECT doc_id, n_chars, sample_key FROM (
+      SELECT doc_id, n_chars,
+             ROUND(LN((CAST(('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) + 0.5) / 65536.0) / n_chars, 6) AS sample_key
+      FROM documents
+    ) keyed
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 200
+    """,
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    key = F.round(
+        F.log((bucket + 0.5) / 65536.0) / F.col("n_chars"), 6
+    )
+    return (
+        d.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(200)
+    )

@@ -72,6 +72,7 @@ DOC_QUERIES = [
     "docs_expectations_report",
     "sample_fixed_k_hash",
     "text_bm25_topk",
+    "sample_weighted_k",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

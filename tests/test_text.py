@@ -131,3 +131,22 @@ def test_unigram_perplexity_flags_outlier_doc(spark):
             for r in docs_unigram_perplexity(spark, td).collect()
         }
     assert out[9] > 2 * out[0]
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """A-ES property: the weighted sample's mean weight must exceed the
+    corpus mean (heavier rows are more likely in), and the draw must be
+    deterministic across invocations."""
+    import __spark_entry__ as se
+
+    q = se.queries()["sample_weighted_k"]
+    a = q(spark, "/root/testdata/sf0.01").collect()
+    b = q(spark, "/root/testdata/sf0.01").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    sample_mean = sum(r["n_chars"] for r in a) / len(a)
+    from cirro_annotation_spark.suites.util import t as read_t
+
+    corpus = read_t(spark, "/root/testdata/sf0.01", "documents").agg(
+        {"n_chars": "avg"}
+    ).collect()[0][0]
+    assert sample_mean > corpus
