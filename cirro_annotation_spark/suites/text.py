@@ -1816,23 +1816,27 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_weighted_k",
-    # Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES
-    # (public literature): each row draws key = ln(u)/w with u a
-    # deterministic seeded-md5 uniform and w = n_chars; the k LARGEST
-    # keys are the sample — inclusion probability rises with weight,
-    # yet the draw is reproducible across engines, runs, and
-    # partitionings (the property rand()-based weighted sampling lacks).
-    # One pass + TakeOrderedAndProject, no global sort. Keys are
-    # rounded at 6 on BOTH sides before ordering so a last-ulp ln()
-    # difference between libm and the JVM cannot flip membership.
+    # Weighted sampling WITHOUT replacement via sequential Poisson
+    # priorities (Ohlsson, public literature): each row draws priority
+    # q = w / u with u a deterministic seeded-md5 uniform and
+    # w = n_chars; the k LARGEST priorities are the sample — inclusion
+    # probability rises with weight, yet the draw is reproducible
+    # across engines, runs, and partitionings (the property rand()-
+    # based weighted sampling lacks). One pass + TakeOrderedAndProject,
+    # no global sort. Determinism is STRUCTURAL, not rounded-away:
+    # with u = (2b+1)/131072, q = w·131072/(2b+1) is one exact integer
+    # multiply + one correctly-rounded IEEE division — bit-identical on
+    # any IEEE-754 engine, no libm (an earlier ln()-based A-ES variant
+    # failed the 10x tier on a last-ulp log divergence).
     oracle="""
-    SELECT doc_id, n_chars, sample_key FROM (
+    SELECT doc_id, n_chars, priority FROM (
       SELECT doc_id, n_chars,
-             ROUND(LN((CAST(('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 4))
-                       AS BIGINT) + 0.5) / 65536.0) / n_chars, 6) AS sample_key
+             CAST(n_chars AS DOUBLE) * 131072 /
+             (2 * CAST(('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) + 1) AS priority
       FROM documents
     ) keyed
-    ORDER BY sample_key DESC, doc_id ASC
+    ORDER BY priority DESC, doc_id ASC
     LIMIT 200
     """,
 )
@@ -1845,11 +1849,9 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    key = F.round(
-        F.log((bucket + 0.5) / 65536.0) / F.col("n_chars"), 6
-    )
+    priority = F.col("n_chars").cast("double") * 131072 / (2 * bucket + 1)
     return (
-        d.select("doc_id", "n_chars", key.alias("sample_key"))
-        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        d.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
         .limit(200)
     )
