@@ -623,8 +623,8 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(STDDEV_SAMP(l_quantity), {RATIO})                    AS sd_qty,
            ROUND(VAR_SAMP(l_quantity), {RATIO})                       AS var_qty,
-           ROUND(CORR(l_quantity, l_extendedprice), {RATIO})          AS corr_qty_price,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), {MONEY})    AS covar_qty_price
+           ROUND(CORR(l_quantity, l_extendedprice), {RATIO}) + 0      AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), {MONEY}) + 0 AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -804,7 +804,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     )
     SELECT yr, qtr, revenue,
-           ROUND(revenue - LAG(revenue) OVER (ORDER BY yr, qtr), {MONEY}) AS qoq_delta
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY yr, qtr), {MONEY}) + 0 AS qoq_delta
     FROM q
     """,
 )

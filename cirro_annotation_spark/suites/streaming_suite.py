@@ -166,7 +166,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, dim.type_avg,
-           ROUND(e.value - dim.type_avg, 6) AS value_delta
+           ROUND(e.value - dim.type_avg, 6) + 0 AS value_delta
     FROM events e JOIN dim USING (event_type)
     """,
 )

@@ -72,7 +72,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            ROUND(value - LAG(value) OVER (PARTITION BY user_id
                                           ORDER BY ts ASC, event_id ASC),
-                 {RATIO}) AS delta
+                 {RATIO}) + 0 AS delta
     FROM events
     """,
 )
@@ -495,7 +495,7 @@ def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id, n_frame,
            CASE WHEN n_frame >= 3
-                THEN ROUND((value - mu) / NULLIF(sigma, 0), 6) END AS zscore
+                THEN ROUND((value - mu) / NULLIF(sigma, 0), 6) + 0 END AS zscore
     FROM w
     """,
 )
@@ -1265,7 +1265,7 @@ def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type,
-           ROUND((e.value - m.med) / (1.4826 * d.mad_raw), 6) AS robust_z
+           ROUND((e.value - m.med) / (1.4826 * d.mad_raw), 6) + 0 AS robust_z
     FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
     WHERE ABS((e.value - m.med) / (1.4826 * d.mad_raw)) > 3.0
     """,
