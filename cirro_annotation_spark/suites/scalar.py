@@ -161,8 +161,8 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id,
            LEN(embedding) AS dim,
-           ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), {RATIO}) AS max_val,
-           ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), {RATIO}) AS head_sum,
+           ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), {RATIO}) + 0 AS max_val,
+           ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), {RATIO}) + 0 AS head_sum,
            CASE WHEN list_contains(list_transform(CAST(embedding AS DOUBLE[]), x -> x > 0), true)
                 THEN 1 ELSE 0 END AS has_positive
     FROM embeddings

@@ -300,7 +300,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       UNNEST(CAST(embedding AS DOUBLE[])) AS x,
                       GENERATE_SUBSCRIPTS(embedding, 1) AS dim
                FROM embeddings)
-    SELECT label, dim, ROUND(AVG(x), 6) AS centroid_val
+    SELECT label, dim, ROUND(AVG(x), 6) + 0 AS centroid_val
     FROM z WHERE dim <= 4
     GROUP BY label, dim
     """,
@@ -380,7 +380,7 @@ def sim_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(a * b) AS BIGINT) AS qdot,
            ROUND(CAST(SUM(a * b) AS BIGINT) /
                  SQRT(CAST(SUM(a * a) AS BIGINT) * CAST(SUM(b * b) AS BIGINT)),
-                 6) AS cosine_q
+                 6) + 0 AS cosine_q
     FROM z GROUP BY vec_id
     """,
 )
