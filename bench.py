@@ -148,6 +148,9 @@ HEADLINE = [
     "events_scd2_history",
     "events_type_transitions",
     "sample_weighted_k",
+    "docs_chi_square_langs",
+    "events_ohlc_daily",
+    "basket_rules_lift",
 ]
 
 

@@ -12,7 +12,7 @@ the plan survives 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cirro_annotation_spark.registry import query
@@ -1462,3 +1462,89 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
     )
     return out.crossJoin(F.broadcast(merged))
+
+
+@query(
+    "basket_rules_lift",
+    # Market-basket association rules over order baskets (Agrawal
+    # support/confidence/lift, public literature): pairwise co-purchase
+    # counts at min-support 2, ranked by lift. Scale shape: baskets
+    # dedupe to (order, part) once; the pair space comes from the
+    # per-order self-join (fan-out bounded by basket size, never the
+    # catalog), pair counts shuffle (i, j) ids only, and item counts
+    # broadcast onto the pair frame. Lift and confidence are single
+    # correctly-rounded IEEE divisions of exact integer counts —
+    # bit-identical cross-engine, no rounding dependence (the
+    # sequential-Poisson discipline); ROUND is display-only.
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+      GROUP BY a.item, b.item HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, pair_cnt, lift, conf_ab, rule_rank FROM (
+      SELECT item_a, item_b, pair_cnt,
+             ROUND(CAST(n.n_baskets AS DOUBLE) * pair_cnt / (ia.cnt * ib.cnt), 6)
+               AS lift,
+             ROUND(CAST(pair_cnt AS DOUBLE) / ia.cnt, 6) AS conf_ab,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(n.n_baskets AS DOUBLE) * pair_cnt / (ia.cnt * ib.cnt)
+                        DESC, item_a ASC, item_b ASC) AS rule_rank
+      FROM pairs JOIN ic ia ON ia.item = pairs.item_a
+                 JOIN ic ib ON ib.item = pairs.item_b
+                 CROSS JOIN n
+    ) ranked WHERE rule_rank <= 20
+    """,
+)
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    )
+    items = li.distinct().localCheckpoint(eager=True)  # feeds N, ic, pairs
+    n_baskets = items.agg(
+        F.count_distinct("ok").cast("long").alias("n_baskets")
+    )
+    ic = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ia = ic.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    ib = ic.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    lift_raw = (
+        F.col("n_baskets").cast("double") * F.col("pair_cnt")
+        / (F.col("cnt_a") * F.col("cnt_b"))
+    )
+    scored = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            lift_raw.alias("lift_raw"),
+            F.round(lift_raw, 6).alias("lift"),
+            F.round(F.col("pair_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+                "conf_ab"
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift_raw").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("lift_raw").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return top.withColumn("rule_rank", F.row_number().over(w)).select(
+        "item_a", "item_b", "pair_cnt", "lift", "conf_ab", "rule_rank"
+    )

@@ -1855,3 +1855,59 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
         .limit(200)
     )
+
+
+@query(
+    "docs_chi_square_langs",
+    # Pearson chi-square independence cells for lang × source — the
+    # CATEGORICAL member of the drift-test family (PSI compares
+    # distributions, KS compares samples, CUSUM watches a series; chi²
+    # tests two categorical factors). One count aggregation; marginals
+    # come from share windows over the |langs|×|sources| CELL table —
+    # constant-size at any corpus scale (the langid-confusion
+    # discipline). expected = row_tot·col_tot/n and the contribution
+    # (o-e)²/e are the identical IEEE expression both engines, over
+    # exact integer counts.
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, observed,
+             SUM(observed) OVER (PARTITION BY lang) AS row_tot,
+             SUM(observed) OVER (PARTITION BY source) AS col_tot,
+             SUM(observed) OVER () AS n
+      FROM cells
+    )
+    SELECT lang, source, observed,
+           ROUND(CAST(row_tot AS DOUBLE) * col_tot / n, 6) AS expected,
+           ROUND(POW(observed - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS chi2_contrib
+    FROM m
+    """,
+)
+def docs_chi_square_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    w_row = Window.partitionBy("lang")
+    w_col = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    e = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    )
+    return (
+        cells.withColumn("row_tot", F.sum("observed").over(w_row))
+        .withColumn("col_tot", F.sum("observed").over(w_col))
+        .withColumn("n", F.sum("observed").over(w_all))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(F.pow(F.col("observed") - e, 2) / e, 6).alias("chi2_contrib"),
+        )
+    )

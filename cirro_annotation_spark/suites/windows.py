@@ -1502,3 +1502,57 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w_row), 6).alias("p_next"),
     )
+
+
+@query(
+    "events_ohlc_daily",
+    # Daily OHLC bars per event type — the time-series downsampling
+    # shape (market-data bars / metrics rollup). Open/close are
+    # first/last by the deterministic (ts, event_id) order, high/low
+    # are min/max: one (type, day)-keyed window pair (same partition
+    # keys, so ONE exchange feeds both sort orders) then the aggregate
+    # on the identical keys — no extra shuffle. O/H/L/C are raw stored
+    # doubles (no arithmetic, no rounding risk); volume sums round at
+    # 2 like every money-scale sum.
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS volume
+    FROM r GROUP BY event_type, day
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "ts", "event_id", "value"
+    )
+    w_a = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )

@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "sample_fixed_k_hash",
     "text_bm25_topk",
     "sample_weighted_k",
+    "docs_chi_square_langs",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
