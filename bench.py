@@ -151,6 +151,7 @@ HEADLINE = [
     "docs_chi_square_langs",
     "events_ohlc_daily",
     "basket_rules_lift",
+    "graph_kcore_parts",
 ]
 
 

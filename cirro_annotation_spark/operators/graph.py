@@ -374,3 +374,93 @@ def pagerank_personalized_oracle_sql(
         )
     body = "\n".join(parts).rstrip(",")
     return body + f"\nSELECT node, pr FROM it{iterations}"
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list: each
+    round removes every node whose CURRENT degree is < k (with all its
+    edges), simultaneously. Returns (node, deg) for the nodes surviving
+    ``rounds`` rounds, with their degree in the surviving subgraph.
+
+    FIXED-ROUND contract (the pagerank_oracle_sql discipline): the spec
+    is "exactly ``rounds`` peel steps", NOT "to convergence" — peeling
+    is monotone, so extra rounds past the fixpoint are no-ops, and a
+    fixed count keeps Spark and the unrolled-CTE oracle well-defined
+    and hash-equal on ANY fixture, including one whose cascade is
+    deeper than expected (run-to-convergence specs silently disagree
+    the day a regenerated fixture needs round N+1). Pair with
+    ``assert_kcore_converged`` when the caller needs the fixpoint
+    guarantee.
+
+    Scale shape: each round is a degree aggregation (map-side combined)
+    plus two broadcast-or-shuffle anti-joins removing the peeled nodes
+    from the edge list; lineage truncates per round via localCheckpoint
+    (the connected_components discipline). Work per round SHRINKS —
+    peeling only ever removes rows.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_canonical:
+        e = e.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        e = (
+            e.join(bad.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB oracle for kcore_peel: one degree+filter pair
+    per round, identical simultaneous-removal semantics."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous round several times — without
+    # materialization the expansion is exponential in rounds (observed
+    # as "Too many open files" from hundreds of thousands of re-opened
+    # parquet scans at rounds=8).
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_cte}),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src,"
+        " GREATEST(src, dst) AS dst FROM raw WHERE src <> dst),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM ("
+            f"SELECT src AS node FROM e{r} UNION ALL SELECT dst FROM e{r}"
+            f") GROUP BY node),"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT src, dst FROM e{r} "
+            f"WHERE src NOT IN (SELECT node FROM d{r} WHERE deg < {k}) "
+            f"AND dst NOT IN (SELECT node FROM d{r} WHERE deg < {k})),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        body
+        + f"\nSELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+        f"SELECT src AS node FROM e{rounds} UNION ALL SELECT dst FROM e{rounds}"
+        f") GROUP BY node"
+    )

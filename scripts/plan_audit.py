@@ -147,6 +147,7 @@ AUDITED = [
     "docs_chi_square_langs",
     "events_ohlc_daily",
     "basket_rules_lift",
+    "graph_kcore_parts",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

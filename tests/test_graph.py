@@ -188,3 +188,59 @@ def test_triangle_matches_oracle_on_random_graph(spark):
         for n, c in duckdb.sql(triangle_oracle_sql(values)).fetchall()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+
+
+def _core(spark, pairs, k, rounds):
+    from cirro_annotation_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = kcore_peel(edges, k=k, rounds=rounds).collect()
+    return {r["node"]: r["deg"] for r in rows}
+
+
+def test_kcore_k5_survives_pendant_path_peels(spark):
+    # K5 (every deg 4) + pendant path 5-6-7: 3-core = the K5 alone.
+    k5 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    got = _core(spark, k5 + [(5, 6), (6, 7)], k=3, rounds=5)
+    assert got == {n: 4 for n in range(1, 6)}
+
+
+def test_kcore_rounds_past_fixpoint_are_noops(spark):
+    k5 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    pairs = k5 + [(5, 6), (6, 7)]
+    assert _core(spark, pairs, k=3, rounds=2) == _core(spark, pairs, k=3, rounds=9)
+
+
+def test_kcore_cascade_is_simultaneous_per_round(spark):
+    # Path 1-2-3-4-5-6 at k=2: each round removes BOTH current endpoints
+    # simultaneously. rounds=1 leaves 2-3-4-5, rounds=2 leaves 3-4,
+    # rounds=3 empties (3-4 have deg 1 < 2).
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    assert set(_core(spark, path, k=2, rounds=1)) == {2, 3, 4, 5}
+    assert set(_core(spark, path, k=2, rounds=2)) == {3, 4}
+    assert _core(spark, path, k=2, rounds=3) == {}
+
+
+def test_kcore_matches_oracle_on_random_graph(spark):
+    import random
+
+    import duckdb
+
+    from cirro_annotation_spark.operators.graph import kcore_oracle_sql
+
+    rng = random.Random(3)
+    pairs = [
+        (a, b) for a in range(1, 25) for b in range(1, 25)
+        if a < b and rng.random() < 0.3
+    ]
+    got = _core(spark, pairs, k=5, rounds=6)
+    values = " UNION ALL ".join(f"SELECT {a} AS src, {b} AS dst" for a, b in pairs)
+    want = {
+        int(n): int(d)
+        for n, d in duckdb.sql(kcore_oracle_sql(values, k=5, rounds=6)).fetchall()
+    }
+    assert got == want and len(want) > 0
