@@ -152,6 +152,7 @@ HEADLINE = [
     "events_ohlc_daily",
     "basket_rules_lift",
     "graph_kcore_parts",
+    "graph_bfs_hops",
 ]
 
 

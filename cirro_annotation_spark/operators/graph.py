@@ -464,3 +464,72 @@ def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
         f"SELECT src AS node FROM e{rounds} UNION ALL SELECT dst FROM e{rounds}"
         f") GROUP BY node"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: list[int],
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first distances from a seed set, ``hops`` relaxation
+    rounds: returns (node, dist) for every node reachable within
+    ``hops`` edges (dist = minimum hop count, 0 for seeds).
+
+    The "within N hops" spec makes the round count part of the QUERY
+    semantics — no convergence ambiguity (the k-core lesson applied
+    at the spec level). Distances are small exact integers.
+
+    Scale shape: the frontier-join formulation — each round joins the
+    CURRENT frontier (nodes first reached last round, the small side)
+    against the edge list on src, then min-merges into the visited set.
+    Joining the frontier rather than the full visited set keeps the
+    per-round join input proportional to the expanding wave, not the
+    accumulated result; lineage truncates per round.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    visited = spark.createDataFrame(
+        [(s, 0) for s in sources], "node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, hops + 1):
+        reached = (
+            e.join(
+                frontier.withColumnRenamed("node", "src").select("src"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited, "node", "left_anti").withColumn(
+            "dist", F.lit(h).cast("int")
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+def bfs_oracle_sql(edges_cte: str, sources: list[int], hops: int) -> str:
+    """Unrolled-CTE DuckDB oracle for bfs_hops (MATERIALIZED — chained
+    CTE inlining is exponential otherwise, the k-core lesson)."""
+    seed_rows = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS node, 0 AS dist" for s in sources
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_cte})),",
+        f"v0 AS MATERIALIZED ({seed_rows}),",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"v{h} AS MATERIALIZED ("
+            f"SELECT node, dist FROM v{h - 1} "
+            f"UNION ALL "
+            f"SELECT DISTINCT e.dst AS node, {h} AS dist "
+            f"FROM e JOIN v{h - 1} f ON e.src = f.node AND f.dist = {h - 1} "
+            f"WHERE e.dst NOT IN (SELECT node FROM v{h - 1})),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return body + f"\nSELECT node, CAST(dist AS INT) AS dist FROM v{hops}"

@@ -83,9 +83,9 @@ PRIORITY: list[str] = [
     # sample_fixed_k_hash, text_bm25_topk, events_scd2_history,
     # events_type_transitions, sample_weighted_k,
     # docs_chi_square_langs, events_ohlc_daily, basket_rules_lift,
-    # graph_kcore_parts.
+    # graph_kcore_parts, graph_bfs_hops.
     # Rotating them in (plus spot-checks of earlier rounds) closes
-    # the full 207-query set: every operator ends driver-green.
+    # the full 208-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",

@@ -232,3 +232,46 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_peel(edges, k=80, rounds=8, assume_canonical=True)
+
+
+_BFS_SEEDS = [2, 4, 6]  # customer nodes (custkey*2), present at every sf
+
+_BFS_ORACLE = f"""
+    SELECT node, dist FROM ({
+        __import__("cirro_annotation_spark.operators.graph", fromlist=["bfs_oracle_sql"])
+        .bfs_oracle_sql(_EDGES_CTE, _BFS_SEEDS, hops=3)
+    }) d
+"""
+
+
+@query(
+    "graph_bfs_hops",
+    # 3-hop BFS neighborhood of three seed customers over the trade
+    # graph — the distance-propagation graph member (reachability /
+    # blast-radius queries). "Within 3 hops" makes the round count part
+    # of the query semantics, so there is no convergence ambiguity to
+    # drift between engines. Each round joins only the FRONTIER (the
+    # wave reached last round) against the edge list — per-round work
+    # tracks the expanding wave, not the accumulated visited set.
+    # Distances are exact small integers.
+    oracle=_BFS_ORACLE,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.graph import bfs_hops
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    return bfs_hops(edges, _BFS_SEEDS, hops=3)

@@ -148,6 +148,7 @@ AUDITED = [
     "events_ohlc_daily",
     "basket_rules_lift",
     "graph_kcore_parts",
+    "graph_bfs_hops",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -244,3 +244,54 @@ def test_kcore_matches_oracle_on_random_graph(spark):
         for n, d in duckdb.sql(kcore_oracle_sql(values, k=5, rounds=6)).fetchall()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+
+
+def _bfs(spark, pairs, sources, hops):
+    from cirro_annotation_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = bfs_hops(edges, sources, hops).collect()
+    return {r["node"]: r["dist"] for r in rows}
+
+
+def test_bfs_path_distances(spark):
+    # Directed path 1->2->3->4->5: 3 hops from node 1 reach 4.
+    path = [(i, i + 1) for i in range(1, 5)]
+    assert _bfs(spark, path, [1], 3) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_distance_wins_on_multiple_seeds(spark):
+    # Seeds at both ends of a path: middle node takes the nearer seed.
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)] + [(5, 4), (4, 3), (3, 2), (2, 1)]
+    got = _bfs(spark, path, [1, 5], 2)
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_cycle_does_not_revisit(spark):
+    cyc = [(1, 2), (2, 3), (3, 1)]
+    assert _bfs(spark, cyc, [1], 5) == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_matches_oracle_on_random_graph(spark):
+    import random
+
+    import duckdb
+
+    from cirro_annotation_spark.operators.graph import bfs_oracle_sql
+
+    rng = random.Random(5)
+    pairs = [
+        (a, b) for a in range(1, 30) for b in range(1, 30)
+        if a != b and rng.random() < 0.08
+    ]
+    got = _bfs(spark, pairs, [1, 2], 4)
+    values = " UNION ALL ".join(f"SELECT {a} AS src, {b} AS dst" for a, b in pairs)
+    want = {
+        int(n): int(d)
+        for n, d in duckdb.sql(bfs_oracle_sql(values, [1, 2], 4)).fetchall()
+    }
+    assert got == want and len(want) > 2
