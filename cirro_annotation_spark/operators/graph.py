@@ -418,7 +418,14 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        bad = deg.filter(F.col("deg") < k).select("node")
+        bad = (
+            deg.filter(F.col("deg") < k).select("node").localCheckpoint(eager=True)
+        )
+        # Early exit preserves the fixed-round SEMANTICS exactly: once a
+        # round removes nothing, every remaining round is a provable
+        # no-op (peeling is monotone) — skipping them changes only cost.
+        if bad.isEmpty():
+            break
         e = (
             e.join(bad.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")
@@ -504,9 +511,15 @@ def bfs_hops(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = reached.join(visited, "node", "left_anti").withColumn(
-            "dist", F.lit(h).cast("int")
+        new = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
         )
+        # Empty wave => every later round is a no-op; exit early (same
+        # semantics as running all hops, the k-core discipline).
+        if new.isEmpty():
+            break
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return visited
