@@ -55,7 +55,8 @@ PRIORITY: list[str] = [
     # driver-green). The 97 previously-scored queries keep their green
     # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
     # full sweep (scripts/check_correctness.py, no args = all 159).
-    # ROUND-7 ROTATION QUEUE (47 queries, fits one window): after this
+    # ROUND-7 ROTATION QUEUE (60 queries after the round-6c additions —
+    # one full 50-window plus a 10-query round-8 remainder): after this
     # round's 50 score, the never-driver-scored set is exactly —
     # dedup_fuzzy_levenshtein, dedup_cluster_auto,
     # dedup_incremental_batch, dedup_bloom_prefilter, multimodal_resize,
@@ -84,8 +85,8 @@ PRIORITY: list[str] = [
     # events_type_transitions, sample_weighted_k,
     # docs_chi_square_langs, events_ohlc_daily, basket_rules_lift,
     # graph_kcore_parts, graph_bfs_hops.
-    # Rotating them in (plus spot-checks of earlier rounds) closes
-    # the full 208-query set: every operator ends driver-green.
+    # Rotating 50 of them in next round and the remainder in round 8
+    # closes the full 208-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",
