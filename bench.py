@@ -153,6 +153,8 @@ HEADLINE = [
     "basket_rules_lift",
     "graph_kcore_parts",
     "graph_bfs_hops",
+    "embeddings_covariance",
+    "events_session_paths",
 ]
 
 

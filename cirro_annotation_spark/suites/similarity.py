@@ -778,3 +778,74 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation pinned in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return S.mmr_rerank_q(emb, "embedding", "vec_id", _query_frame(emb))
+
+
+@query(
+    "embeddings_covariance",
+    # Feature covariance matrix over the embedding column in ONE pass —
+    # the PCA/whitening prep op. cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j]
+    # from three aggregate families (pair sums via a double posexplode
+    # whose 4096-cell fan-out collapses map-side, per-dim sums, count).
+    # At 100 TB the shuffle carries 4096 partial cells per partition —
+    # constant — never the vectors. Restricted to the first 8 dims
+    # (64 cells) so the oracle's UNNEST² join stays honest; the Spark
+    # plan is dimension-generic. Both engines evaluate the identical
+    # (sum_ij/n − (sum_i/n)·(sum_j/n)) float expression on exact input
+    # floats; ROUND(6) absorbs partial-sum ordering ulps.
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, ri.i AS i, CAST(embedding[ri.i] AS DOUBLE) AS xi,
+             rj.j AS j, CAST(embedding[rj.j] AS DOUBLE) AS xj
+      FROM embeddings, range(1, 9) ri(i), range(1, 9) rj(j)
+      WHERE ri.i <= rj.j
+    ),
+    cells AS (
+      SELECT i, j, SUM(xi * xj) AS s_ij, COUNT(*) AS n FROM x GROUP BY i, j
+    ),
+    dims AS (
+      SELECT ri.i AS d, SUM(CAST(embedding[ri.i] AS DOUBLE)) AS s
+      FROM embeddings, range(1, 9) ri(i)
+      GROUP BY ri.i
+    )
+    SELECT CAST(cells.i AS INT) AS dim_i, CAST(cells.j AS INT) AS dim_j,
+           ROUND(s_ij / n - (di.s / n) * (dj.s / n), 6) + 0 AS cov
+    FROM cells JOIN dims di ON di.d = cells.i JOIN dims dj ON dj.d = cells.j
+    """,
+)
+def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("slice(cast(embedding as array<double>), 1, 8)").alias("v")
+    )
+    xi = e.select("vec_id", F.posexplode("v").alias("pi", "xi"), F.col("v"))
+    pairs = xi.select(
+        "vec_id",
+        (F.col("pi") + 1).alias("dim_i"),
+        "xi",
+        F.posexplode("v").alias("pj", "xj"),
+    ).filter(F.col("dim_i") <= F.col("pj") + 1)
+    cells = pairs.groupBy(
+        "dim_i", (F.col("pj") + 1).alias("dim_j")
+    ).agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("s_ij"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dims = (
+        e.select(F.posexplode("v").alias("p", "x"))
+        .groupBy((F.col("p") + 1).alias("d"))
+        .agg(F.sum("x").alias("s"))
+    )
+    di = dims.select(F.col("d").alias("dim_i"), F.col("s").alias("s_i"))
+    dj = dims.select(F.col("d").alias("dim_j"), F.col("s").alias("s_j"))
+    return (
+        cells.join(F.broadcast(di), "dim_i")
+        .join(F.broadcast(dj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                F.col("s_ij") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )

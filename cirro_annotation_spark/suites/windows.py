@@ -1556,3 +1556,96 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("volume"),
         )
     )
+
+
+@query(
+    "events_session_paths",
+    # Session path mining: the top-20 opening journeys (first three
+    # event types of each 1-hour-gap session) — the clickstream
+    # sequence-mining shape one level beyond the Markov transition
+    # matrix (paths, not pairs). Reuses the proven sessionize-gap
+    # arithmetic (microsecond-exact); the path string is built from a
+    # deterministically sorted (ts, event_id) struct array, so the
+    # ordered string_agg and the sorted-array join agree exactly.
+    # Output stays top-20 however large the stream.
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL '1 hour'
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flags
+    ),
+    first3 AS (
+      SELECT user_id, session_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+      FROM first3 WHERE rn <= 3 GROUP BY user_id, session_id
+    )
+    SELECT path, n_sessions, path_rank FROM (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS path_rank
+      FROM paths GROUP BY path
+    ) ranked WHERE path_rank <= 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 3_600_000_000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        t(spark, sf_dir, "events")
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    first3 = sess.withColumn("rn", F.row_number().over(w_sess)).filter(
+        F.col("rn") <= 3
+    )
+    paths = (
+        first3.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(20)
+    w_rank = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.withColumn("path_rank", F.row_number().over(w_rank)).select(
+        "path", "n_sessions", "path_rank"
+    )

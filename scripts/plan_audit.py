@@ -149,6 +149,8 @@ AUDITED = [
     "basket_rules_lift",
     "graph_kcore_parts",
     "graph_bfs_hops",
+    "embeddings_covariance",
+    "events_session_paths",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
