@@ -103,3 +103,41 @@ def test_transition_probabilities_sum_to_one(spark):
     for r in out:
         sums[r["prev_type"]] = sums.get(r["prev_type"], 0.0) + r["p_next"]
     assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_ohlc_bounds_contract(spark):
+    import __spark_entry__ as se
+
+    rows = se.queries()["events_ohlc_daily"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+
+
+def test_covariance_diag_nonnegative_and_present(spark):
+    import __spark_entry__ as se
+
+    rows = se.queries()["embeddings_covariance"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["dim_i"], r["dim_j"]): r["cov"] for r in rows}
+    assert len(got) == 36  # upper triangle of 8x8
+    for d in range(1, 9):
+        assert got[(d, d)] >= 0  # variances
+
+
+def test_basket_lift_definition_on_tiny_corpus(spark):
+    """lift > 1 for a planted always-together pair, and the rule table
+    honors min-support."""
+    from cirro_annotation_spark.registry import QUERIES
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = QUERIES["basket_rules_lift"](spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["pair_cnt"] >= 2 for r in rows)
+    ranks = [r["rule_rank"] for r in rows]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+    assert all(0 < r["conf_ab"] <= 1 for r in rows)
