@@ -155,6 +155,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "embeddings_covariance",
     "events_session_paths",
+    "orders_open_per_day",
 ]
 
 

@@ -1548,3 +1548,63 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rule_rank", F.row_number().over(w)).select(
         "item_a", "item_b", "pair_cnt", "lift", "conf_ab", "rule_rank"
     )
+
+
+@query(
+    "orders_open_per_day",
+    # Sweep-line interval counting: how many orders are OPEN (placed,
+    # not yet fully shipped) on each day. The naive form joins every
+    # day against every order interval (days × orders); the sweep-line
+    # form emits +1/−1 boundary events per order, aggregates to a
+    # per-day delta, and prefix-sums — two narrow shuffles, and the
+    # running-sum window runs over the DAY table (calendar-sized,
+    # constant at any order volume), so the single-partition window is
+    # a non-issue by construction. All-integer arithmetic.
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_day,
+             CAST(MAX(l_shipdate) AS DATE) AS end_day
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+    ),
+    deltas AS (
+      SELECT day, SUM(d) AS delta FROM (
+        SELECT start_day AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT end_day + INTERVAL 1 DAY, -1 FROM iv
+      ) GROUP BY day
+    )
+    SELECT CAST(day AS DATE) AS day,
+           CAST(SUM(delta) OVER (ORDER BY day ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM deltas
+    """,
+)
+def orders_open_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("start_day")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "start_day")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_day"))
+    )
+    deltas = (
+        iv.select(F.col("start_day").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(
+                F.date_add(F.col("end_day"), 1).alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        "day", F.sum("delta").over(w).cast("long").alias("open_orders")
+    )

@@ -151,6 +151,7 @@ AUDITED = [
     "graph_bfs_hops",
     "embeddings_covariance",
     "events_session_paths",
+    "orders_open_per_day",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
