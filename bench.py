@@ -156,6 +156,7 @@ HEADLINE = [
     "embeddings_covariance",
     "events_session_paths",
     "orders_open_per_day",
+    "sample_flatten_length_dist",
 ]
 
 

@@ -1919,3 +1919,52 @@ def docs_chi_square_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("observed") - e, 2) / e, 6).alias("chi2_contrib"),
         )
     )
+
+
+@query(
+    "sample_flatten_length_dist",
+    # Distribution-matching downsampler: flatten the corpus length
+    # distribution by accepting each document with probability
+    # min_band_count / its_band_count — every length band downsamples
+    # to the rarest band's size in expectation (the DoReMi-adjacent
+    # rebalancing shape, here with a uniform target). The acceptance
+    # test is INTEGER cross-multiplied against a seeded-md5 uniform
+    # (bucket·c_band < min_c·65536) — exact on both engines, no float
+    # rate anywhere (the mixture-weighted discipline). Scale: band
+    # counts are a 5-row broadcast model state; the corpus side is one
+    # scan + codegen'd accept, no shuffle of text.
+    oracle="""
+    WITH banded AS (
+      SELECT doc_id,
+             CAST(LEAST(n_chars // 100, 5) AS BIGINT) AS band
+      FROM documents
+    ),
+    bc AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS c FROM banded GROUP BY band),
+    mn AS (SELECT MIN(c) AS min_c FROM bc)
+    SELECT b.doc_id, b.band
+    FROM banded b JOIN bc USING (band) CROSS JOIN mn
+    WHERE CAST(('0x' || substring(md5('flat|' || CAST(b.doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) * bc.c < mn.min_c * 65536
+    """,
+)
+def sample_flatten_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    banded = d.select(
+        "doc_id",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(5)).cast("long").alias("band"),
+    )
+    bc = banded.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mn = bc.agg(F.min("c").alias("min_c"))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("flat|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        banded.join(F.broadcast(bc), "band")
+        .crossJoin(F.broadcast(mn))
+        .filter(bucket * F.col("c") < F.col("min_c") * 65536)
+        .select("doc_id", "band")
+    )

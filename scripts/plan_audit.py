@@ -152,6 +152,7 @@ AUDITED = [
     "embeddings_covariance",
     "events_session_paths",
     "orders_open_per_day",
+    "sample_flatten_length_dist",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

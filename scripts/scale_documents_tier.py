@@ -74,6 +74,7 @@ DOC_QUERIES = [
     "text_bm25_topk",
     "sample_weighted_k",
     "docs_chi_square_langs",
+    "sample_flatten_length_dist",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

@@ -150,3 +150,19 @@ def test_weighted_sample_favors_heavy_docs(spark):
         {"n_chars": "avg"}
     ).collect()[0][0]
     assert sample_mean > corpus
+
+
+def test_flatten_length_dist_equalizes_bands(spark):
+    """Every band's accepted count lands near the rarest band's size
+    (binomial spread), flattening the length distribution."""
+    import collections
+
+    import __spark_entry__ as se
+
+    rows = se.queries()["sample_flatten_length_dist"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    per_band = collections.Counter(r["band"] for r in rows)
+    assert len(per_band) >= 3
+    lo, hi = min(per_band.values()), max(per_band.values())
+    assert hi <= 2 * lo  # equalized within binomial noise
