@@ -157,6 +157,7 @@ HEADLINE = [
     "events_session_paths",
     "orders_open_per_day",
     "sample_flatten_length_dist",
+    "docs_top_mass_per_source",
 ]
 
 

@@ -1968,3 +1968,48 @@ def sample_flatten_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket * F.col("c") < F.col("min_c") * 65536)
         .select("doc_id", "band")
     )
+
+
+@query(
+    "docs_top_mass_per_source",
+    # Cumulative-mass truncation (the nucleus/top-p shape applied to
+    # corpus curation): per source, keep the highest-quality documents
+    # until they cover half the source's total token MASS — a budget
+    # in tokens, not documents (per-source cap keeps a COUNT; this
+    # keeps a share of volume, which is what a training-token budget
+    # actually is). One source-keyed rank window; the inclusion test
+    # is integer cross-multiplied (2·running_mass_before < total_mass)
+    # on exact n_chars sums — no float shares. Deterministic tie order
+    # by (n_chars desc, doc_id).
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS mass_before,
+             SUM(n_chars) OVER (PARTITION BY source) AS total_mass
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE 2 * mass_before < total_mass
+    """,
+)
+def docs_top_mass_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    d = t(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.sum("n_chars").over(w_run) - F.col("n_chars")).alias("mass_before"),
+        F.sum("n_chars").over(w_tot).alias("total_mass"),
+    )
+    return ranked.filter(
+        2 * F.col("mass_before") < F.col("total_mass")
+    ).select("source", "doc_id", "n_chars")

@@ -153,6 +153,7 @@ AUDITED = [
     "events_session_paths",
     "orders_open_per_day",
     "sample_flatten_length_dist",
+    "docs_top_mass_per_source",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "sample_weighted_k",
     "docs_chi_square_langs",
     "sample_flatten_length_dist",
+    "docs_top_mass_per_source",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
