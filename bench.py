@@ -158,6 +158,7 @@ HEADLINE = [
     "orders_open_per_day",
     "sample_flatten_length_dist",
     "docs_top_mass_per_source",
+    "events_daily_correlation",
 ]
 
 

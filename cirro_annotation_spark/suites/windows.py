@@ -1649,3 +1649,73 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("path_rank", F.row_number().over(w_rank)).select(
         "path", "n_sessions", "path_rank"
     )
+
+
+@query(
+    "events_daily_correlation",
+    # Cross-series correlation: Pearson r between the daily counts of
+    # every PAIR of event types — the metric-correlation matrix a
+    # monitoring stack computes. The interior is EXACT integer algebra
+    # (n·Σxy − Σx·Σy etc. over daily counts); floats appear only in
+    # the final one-division-one-sqrt step, evaluated as the identical
+    # expression on both engines — the deterministic-by-construction
+    # formulation of a statistic that naively accumulates float ulps.
+    # Scale: daily counts are a (types × days) cell table — constant
+    # for any stream volume; the pairing is a self-join of a 5-row
+    # aggregate frame.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_days,
+           ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                 SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+                      CAST(n_days * syy - sy * sy AS DOUBLE)), 6) + 0 AS pearson_r
+    FROM paired
+    """,
+)
+def events_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("n").alias("y")
+    )
+    paired = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return paired.select(
+        "type_a", "type_b", "n_days", F.round(num / den, 6).alias("pearson_r")
+    )

@@ -154,6 +154,7 @@ AUDITED = [
     "orders_open_per_day",
     "sample_flatten_length_dist",
     "docs_top_mass_per_source",
+    "events_daily_correlation",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
