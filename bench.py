@@ -159,6 +159,8 @@ HEADLINE = [
     "sample_flatten_length_dist",
     "docs_top_mass_per_source",
     "events_daily_correlation",
+    "events_daily_trend",
+    "dedup_fuzzy_blocked",
 ]
 
 

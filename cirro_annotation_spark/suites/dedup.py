@@ -656,3 +656,71 @@ def dedup_ngram_containment_sample(spark: SparkSession, sf_dir: str) -> DataFram
 def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return D.jaccard_prefix_join(d, "text", "doc_id", tau_num=9, tau_den=10)
+
+
+@query(
+    "dedup_fuzzy_blocked",
+    # Length-BLOCKED fuzzy matching over the WHOLE corpus — the scale
+    # form of the dedup_fuzzy_levenshtein slice kernel. The match
+    # predicate is |n_chars_a − n_chars_b| <= 2 AND edit-distance of
+    # the 40-char prefixes <= 22; blocking on floor(n_chars/3) buckets
+    # (each side probes its own and the two adjacent buckets, the
+    # Hamming-1-multiprobe discipline) implements the length condition
+    # as an EQUI-join, so candidates are banded neighbors, never the
+    # n² pair space. The oracle is deliberately unblocked brute force:
+    # a hash match proves the blocking loses no pair. Exact integer
+    # metric throughout.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars, SUBSTRING(text, 1, 40) AS prefix FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE ABS(a.n_chars - b.n_chars) <= 2
+      AND levenshtein(a.prefix, b.prefix) <= 22
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.substring("text", 1, 40).alias("prefix")
+    )
+    # Each row emits its own block plus both neighbors; joining on the
+    # PROBE block id finds every pair within +-2 chars exactly once
+    # after the (id_a < id_b) + exact-length filter dedupes.
+    blocked = d.select(
+        "doc_id",
+        "n_chars",
+        "prefix",
+        F.explode(
+            F.array(
+                (F.floor(F.col("n_chars") / 3) - 1),
+                F.floor(F.col("n_chars") / 3),
+                (F.floor(F.col("n_chars") / 3) + 1),
+            )
+        ).alias("blk"),
+    )
+    home = d.withColumn("blk", F.floor(F.col("n_chars") / 3))
+    a, b = blocked.alias("a"), home.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.prefix").alias("pa"),
+            F.col("b.prefix").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_distance", F.levenshtein("pa", "pb").cast("int"))
+        .filter(F.col("edit_distance") <= 22)
+        .select("id_a", "id_b", "edit_distance")
+    )

@@ -1719,3 +1719,70 @@ def events_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.select(
         "type_a", "type_b", "n_days", F.round(num / den, 6).alias("pearson_r")
     )
+
+
+@query(
+    "events_daily_trend",
+    # Per-series OLS trend: slope and intercept of daily event counts
+    # against the day index — the rate-trend monitor beside the
+    # correlation matrix (pairs) and CUSUM (change points). Same
+    # deterministic-by-construction discipline: x is an integer day
+    # index (days since the series' first day), y an integer count, so
+    # n·Σxy − Σx·Σy and its denominator are EXACT integers; the only
+    # floats are the two final divisions, identical expressions both
+    # engines. Slope is per-day change in events/day.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 AS slope,
+           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE) /
+                       CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n, 6) + 0
+             AS intercept
+    FROM s
+    """,
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("long").alias("x"),
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -155,6 +155,8 @@ AUDITED = [
     "sample_flatten_length_dist",
     "docs_top_mass_per_source",
     "events_daily_correlation",
+    "events_daily_trend",
+    "dedup_fuzzy_blocked",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
