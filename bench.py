@@ -161,6 +161,7 @@ HEADLINE = [
     "events_daily_correlation",
     "events_daily_trend",
     "dedup_fuzzy_blocked",
+    "events_ab_conversion_ztest",
 ]
 
 

@@ -1786,3 +1786,90 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "events_ab_conversion_ztest",
+    # Two-proportion z-test — the A/B experiment readout: users split
+    # into variants by user_id parity (the deterministic assignment a
+    # real experiment does by hashing), conversion = the user made at
+    # least 5 purchases ("ever purchased" is vacuous on this fixture —
+    # every user does, pooled variance collapses to 0 and ANSI mode
+    # correctly raises DIVIDE_BY_ZERO; the threshold keeps the test
+    # non-degenerate AND the denominator is NULLIF-guarded anyway).
+    # The interior (user counts, converter counts) is exact integers
+    # from one distinct-user aggregation; the pooled-variance z is a
+    # single final float expression identical on both engines. Output
+    # is the full contingency + statistic row — constant-size whatever
+    # the event volume.
+    oracle="""
+    WITH users AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 5
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM users GROUP BY variant
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+           ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+                 NULLIF(SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)), 0), 6) + 0 AS z_stat
+    FROM w
+    """,
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                >= 5
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    )
+    v = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (r0 - r1) / F.nullif(
+        F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+        F.lit(0.0),
+    )
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(r0, 6).alias("rate0"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+    )

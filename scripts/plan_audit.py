@@ -157,6 +157,7 @@ AUDITED = [
     "events_daily_correlation",
     "events_daily_trend",
     "dedup_fuzzy_blocked",
+    "events_ab_conversion_ztest",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
