@@ -162,6 +162,7 @@ HEADLINE = [
     "events_daily_trend",
     "dedup_fuzzy_blocked",
     "events_ab_conversion_ztest",
+    "events_cohort_ltv",
 ]
 
 

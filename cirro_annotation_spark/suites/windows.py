@@ -1873,3 +1873,81 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 6).alias("rate1"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    # Cohort LTV curves: users grouped by first-purchase DAY (the
+    # fixture spans ~one month, so month cohorts are a vacuous single
+    # cell), then cumulative purchase revenue per user as the cohort
+    # ages — the revenue companion to window_retention_cohorts (which
+    # counts presence). Ages are exact integer epoch-day arithmetic;
+    # per-cell revenue rounds at 2 BEFORE the cumulative window, and
+    # the running sum then adds the identical rounded values in the
+    # identical age order on both engines. Cohort-age cells are a
+    # days² table — constant at any event volume.
+    oracle="""
+    WITH p AS (
+      SELECT user_id, value,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS m
+      FROM events WHERE event_type = 'purchase'
+    ),
+    firstm AS (SELECT user_id, MIN(m) AS cohort_m FROM p GROUP BY user_id),
+    sizes AS (SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM firstm GROUP BY cohort_m),
+    cells AS (
+      SELECT f.cohort_m, CAST(p.m - f.cohort_m AS BIGINT) AS age_months,
+             ROUND(SUM(p.value), 2) AS rev
+      FROM p JOIN firstm f USING (user_id)
+      GROUP BY f.cohort_m, p.m - f.cohort_m
+    )
+    SELECT CAST(cohort_m AS BIGINT) AS cohort_m, age_months, n_users,
+           ROUND(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_months ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / n_users, 6) AS cum_rev_per_user
+    FROM cells JOIN sizes USING (cohort_m)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    firstm = p.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    sizes = firstm.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    cells = (
+        p.join(firstm, "user_id")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy(F.col("age_months").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_users",
+            # ROUND at 6, not 2: quotients of 2-decimal sums by small
+            # user counts land EXACTLY on .xx5 half-cent boundaries,
+            # where Spark (BigDecimal.valueOf shortest-repr, HALF_UP)
+            # and DuckDB (raw-binary scaling) disagree — observed as
+            # 311.775 -> .78 vs .77. At 6 decimals a terminating
+            # quotient never sits on a boundary.
+            F.round(F.sum("rev").over(w) / F.col("n_users"), 6).alias(
+                "cum_rev_per_user"
+            ),
+        )
+    )

@@ -158,6 +158,7 @@ AUDITED = [
     "events_daily_trend",
     "dedup_fuzzy_blocked",
     "events_ab_conversion_ztest",
+    "events_cohort_ltv",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
