@@ -163,6 +163,7 @@ HEADLINE = [
     "dedup_fuzzy_blocked",
     "events_ab_conversion_ztest",
     "events_cohort_ltv",
+    "embeddings_centroid_drift",
 ]
 
 

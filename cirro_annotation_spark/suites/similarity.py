@@ -849,3 +849,59 @@ def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@query(
+    "embeddings_centroid_drift",
+    # Embedding-space drift: per-label centroid shift between two
+    # corpus halves (vec_id parity standing in for the before/after
+    # snapshots) — the VECTOR member of the drift family (PSI/KS/chi²
+    # compare scalar or categorical distributions; this compares
+    # learned representations). Per-dim centroid cells round at 6
+    # BEFORE the distance so the partial-sum ordering ulps of each
+    # average cannot reach the comparison; the L2 shift over ROUNDED
+    # cells is then the identical expression both engines. Cells are
+    # labels × dims — constant at any corpus size.
+    oracle="""
+    WITH cells AS (
+      SELECT label, CAST(vec_id % 2 AS INT) AS half, r.d AS dim,
+             ROUND(AVG(CAST(embedding[r.d] AS DOUBLE)), 6) AS c
+      FROM embeddings, range(1, 9) r(d)
+      GROUP BY label, vec_id % 2, r.d
+    ),
+    sides AS (
+      SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+      FROM cells a JOIN cells b
+        ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           ROUND(SQRT(SUM((c0 - c1) * (c0 - c1))), 6) AS l2_shift
+    FROM sides GROUP BY label
+    """,
+)
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.expr("slice(cast(embedding as array<double>), 1, 8)").alias("v"),
+    )
+    cells = (
+        e.select("label", "half", F.posexplode("v").alias("p", "x"))
+        .groupBy("label", "half", (F.col("p") + 1).alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    a = cells.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    b = cells.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1")
+    )
+    d = F.col("c0") - F.col("c1")
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.round(F.sqrt(F.sum(d * d)), 6).alias("l2_shift"),
+        )
+    )

@@ -159,6 +159,7 @@ AUDITED = [
     "dedup_fuzzy_blocked",
     "events_ab_conversion_ztest",
     "events_cohort_ltv",
+    "embeddings_centroid_drift",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
