@@ -164,6 +164,7 @@ HEADLINE = [
     "events_ab_conversion_ztest",
     "events_cohort_ltv",
     "embeddings_centroid_drift",
+    "multimodal_phash_buckets",
 ]
 
 

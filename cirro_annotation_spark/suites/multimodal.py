@@ -7,7 +7,7 @@ codec is engine-side Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cirro_annotation_spark.operators import multimodal as M
@@ -122,4 +122,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "n_bytes",
         F.sha2("payload", 256).alias("resized_sha"),
+    )
+
+
+@query(
+    "multimodal_phash_buckets",
+    # Perceptual-hash near-dup bucketing — the multimodal→dedup bridge.
+    # The aHash shape (mean-threshold bit per block, public technique)
+    # over the payload's first 48 bytes (every fixture doc has >= 48):
+    # bit_i = byte_i > floor(mean), hash = Σ bit_i·2^i — EXACT integer
+    # arithmetic, so like the other fake-codec paths it gets a full
+    # oracle (ASCII text ⇒ char codes == UTF-8 bytes). n_same_hash is
+    # each payload's bucket size: the real-codec deployment swaps the
+    # byte reader for a pixel decoder and keeps this exact plan —
+    # hash shuffle only, payloads never move.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, 49),
+                            i -> ord(substring(text, CAST(i AS INT), 1))) AS bytes
+      FROM documents
+    ),
+    h AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(range(1, 49),
+                  i -> CASE WHEN bytes[CAST(i AS INT)] >
+                            list_sum(bytes) // 48
+                       THEN POWER(2, i - 1) ELSE 0 END)) AS BIGINT) AS phash
+      FROM b
+    )
+    SELECT media_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash
+    FROM h
+    """,
+)
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bytes_arr = F.expr(
+        "transform(sequence(1, 48), i -> ascii(substring(text, i, 1)))"
+    )
+    mean = F.expr(
+        "aggregate(transform(sequence(1, 48), i -> ascii(substring(text, i, 1))),"
+        " 0, (a, x) -> a + x) div 48"
+    )
+    phash = F.expr(
+        "aggregate(zip_with(transform(sequence(1, 48),"
+        " i -> ascii(substring(text, i, 1))),"
+        " sequence(0, 47), (b, i) -> if(b > (aggregate(transform(sequence(1, 48),"
+        " j -> ascii(substring(text, j, 1))), 0, (a, x) -> a + x) div 48),"
+        " shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+    h = d.select(F.col("doc_id").alias("media_id"), phash.alias("phash"))
+    w = Window.partitionBy("phash")
+    return h.select(
+        "media_id",
+        "phash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash"),
     )

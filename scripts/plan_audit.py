@@ -160,6 +160,7 @@ AUDITED = [
     "events_ab_conversion_ztest",
     "events_cohort_ltv",
     "embeddings_centroid_drift",
+    "multimodal_phash_buckets",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
