@@ -165,6 +165,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "embeddings_centroid_drift",
     "multimodal_phash_buckets",
+    "stream_distinct_users_hourly",
 ]
 
 

@@ -55,7 +55,7 @@ PRIORITY: list[str] = [
     # driver-green). The 97 previously-scored queries keep their green
     # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
     # full sweep (scripts/check_correctness.py, no args = all 159).
-    # ROUND-7 ROTATION QUEUE (72 queries after the round-6c additions —
+    # ROUND-7 ROTATION QUEUE (73 queries after the round-6c additions —
     # one full 50-window plus a 10-query round-8 remainder): after this
     # round's 50 score, the never-driver-scored set is exactly —
     # dedup_fuzzy_levenshtein, dedup_cluster_auto,
@@ -89,9 +89,10 @@ PRIORITY: list[str] = [
     # sample_flatten_length_dist, docs_top_mass_per_source,
     # events_daily_correlation, events_daily_trend, dedup_fuzzy_blocked,
     # events_ab_conversion_ztest, events_cohort_ltv,
-    # embeddings_centroid_drift, multimodal_phash_buckets.
+    # embeddings_centroid_drift, multimodal_phash_buckets,
+    # stream_distinct_users_hourly.
     # Rotating 50 of them in next round and the remainder in round 8
-    # closes the full 220-query set: every operator ends driver-green.
+    # closes the full 221-query set: every operator ends driver-green.
     # ------------------------------------------------------------------
     # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
     "q2_min_cost_supplier",

@@ -478,3 +478,43 @@ def bloom_dedup_stream(
     finally:
         q.stop()
     return spark.table(name).localCheckpoint(eager=True)
+
+
+def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """EXACT distinct users per hour window on a stream.
+
+    COUNT(DISTINCT x) is unsupported in streaming aggregations (and
+    approx_count_distinct trades exactness); the production-exact form
+    chains two stateful operators — dropDuplicatesWithinWatermark on
+    (user_id, hour_bucket) reduces the stream to one row per user per
+    window, then an ordinary windowed count is the distinct count.
+    State per operator stays bounded by the watermark horizon. Spark
+    supports this stateful-op chaining natively (4.x); the memory-sink
+    drain mirrors the other streaming twins.
+    """
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    stream = (
+        _read_events_stream(spark, parquet_path)
+        .withWatermark("ts", "1 day")
+        .withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "hour_bucket"])
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_users",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)

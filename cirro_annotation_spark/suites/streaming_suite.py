@@ -395,3 +395,24 @@ def stream_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cirro_annotation_spark.streaming.events import bloom_dedup_stream
 
     return bloom_dedup_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "stream_distinct_users_hourly",
+    # Exact distinct users per hour ON A STREAM: COUNT(DISTINCT) is
+    # unsupported in streaming aggregations, so the production-exact
+    # form chains dropDuplicatesWithinWatermark((user, hour)) with an
+    # ordinary windowed count — two bounded-state stateful operators.
+    # The batch oracle states the intended semantics directly; parity
+    # through a real drain IS the check (the dedup-watermark
+    # discipline, extended to the chained-stateful shape).
+    oracle="""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.windowed_distinct_users(spark, path)

@@ -86,6 +86,7 @@ EVENT_QUERIES = [
     "events_daily_correlation",
     "events_daily_trend",
     "events_cohort_ltv",
+    "stream_distinct_users_hourly",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
