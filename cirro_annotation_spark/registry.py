@@ -49,120 +49,93 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-6 WINDOW ROTATION (VERDICT r5 item 1): all 50 entries below
-    # were NEVER driver-scored in rounds 1-5 (97 of 159 had been; this
-    # window converts 50 of the remaining 62 from local-vanilla-green to
-    # driver-green). The 97 previously-scored queries keep their green
-    # CORRECTNESS rows from r01-r05 and stay hash-checked by the local
-    # full sweep (scripts/check_correctness.py, no args = all 159).
-    # ROUND-7 ROTATION QUEUE (73 queries after the round-6c additions —
-    # one full 50-window plus a 10-query round-8 remainder): after this
-    # round's 50 score, the never-driver-scored set is exactly —
-    # dedup_fuzzy_levenshtein, dedup_cluster_auto,
-    # dedup_incremental_batch, dedup_bloom_prefilter, multimodal_resize,
-    # agg_string_concat_ordered, q6_revenue_forecast, profile_lineitem,
-    # scalar_explode_outer, sim_cosine_int8, embeddings_norm_stats,
-    # sim_semantic_dedup, sim_topk_pq, sim_topk_ivfpq,
-    # stream_join_left_batch, stream_histogram_batch,
-    # stream_histogram_stream, text_redact_terms,
-    # sample_mixture_weighted, docs_token_entropy,
-    # docs_dup_span_coverage, docs_dup_span_removal,
-    # docs_unigram_perplexity, docs_per_source_cap,
-    # docs_quality_classifier, window_cume_dist_pct_rank,
-    # events_interarrival_stats, events_psi_drift,
-    # events_interpolate_linear, events_ks_drift, events_heavy_hitters,
-    # events_rolling_active_users, events_attribution_last_touch,
-    # dedup_ngram_containment_sample, docs_table_diff,
-    # pipeline_curation_report, stream_dedup_bloom (rows-only),
-    # split_kfold_assign, events_quantile_histogram,
-    # pipeline_pack_ffd (rows-only), sim_topk_lsh_multiprobe,
-    # sim_topk_matryoshka, events_mad_outliers, events_cusum_daily,
-    # graph_pagerank_personalized, rag_mmr_rerank (rows-only),
-    # agg_hll_mergeable (rows-only), and the round-6c additions:
-    # graph_triangle_parts, dedup_jaccard_prefix_join,
-    # asof_join_nearest_purchase, docs_expectations_report,
-    # sample_fixed_k_hash, text_bm25_topk, events_scd2_history,
-    # events_type_transitions, sample_weighted_k,
-    # docs_chi_square_langs, events_ohlc_daily, basket_rules_lift,
-    # graph_kcore_parts, graph_bfs_hops, embeddings_covariance,
-    # events_session_paths, orders_open_per_day,
-    # sample_flatten_length_dist, docs_top_mass_per_source,
-    # events_daily_correlation, events_daily_trend, dedup_fuzzy_blocked,
-    # events_ab_conversion_ztest, events_cohort_ltv,
-    # embeddings_centroid_drift, multimodal_phash_buckets,
-    # stream_distinct_users_hourly.
-    # Rotating 50 of them in next round and the remainder in round 8
-    # closes the full 221-query set: every operator ends driver-green.
+    # ROUND-7 WINDOW ROTATION (VERDICT r6 item 2): all 50 entries below
+    # were NEVER driver-scored in rounds 1-6 (147 of 221 had been; this
+    # window converts 50 of the remaining 70 oracle-backed queries from
+    # local-vanilla-green to driver-green). Selection favors the heavy /
+    # novel families (full dedup stack, PQ/IVF-PQ ANN, streaming twins,
+    # multimodal, graph, docs curation) so the riskiest shapes earn their
+    # driver row first; the 20 left for round 8 are simple SQL shapes:
+    # agg_string_concat_ordered, basket_rules_lift, docs_chi_square_langs,
+    # docs_token_entropy, docs_top_mass_per_source, embeddings_norm_stats,
+    # events_daily_trend, events_interarrival_stats, events_ohlc_daily,
+    # events_session_paths, events_type_transitions, orders_open_per_day,
+    # profile_lineitem, q6_revenue_forecast, sample_flatten_length_dist,
+    # sample_weighted_k, scalar_explode_outer, split_kfold_assign,
+    # text_redact_terms, window_cume_dist_pct_rank.
+    # The queue is now verified MECHANICALLY: tests/test_registry.py
+    # loads every CORRECTNESS_r*.json and asserts this window is a
+    # subset of (never-scored minus rows-only) — hand-list rot (the
+    # r6 verdict's 73-vs-74 comment drift) is a red test, not a doc nit.
+    # Round 8's remaining 20 closes the set: every oracle-backed query
+    # ends driver-green.
     # ------------------------------------------------------------------
-    # TPC-H: the 19 shapes never driver-scored (q1/q8/q21 green in r04/r05)
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q22_dormant_high_balance",
-    "sql_exists_subquery",
-    # aggregates never scored (grouped/rollup/cube green r03-r05)
-    "agg_stats_moments",
-    "agg_percentiles_exact",
-    "agg_quarter_over_quarter",
-    # scalar HOF/map family
-    "scalar_map_funcs",
-    "scalar_hof_exists_forall",
-    # window family members never scored
-    "window_lag_delta",
-    "window_moving_avg",
-    "window_retention_cohorts",
-    # events analytics (r5 additions, plan-audited but never scored)
-    "events_rollup_multigrain",
-    "events_value_histogram",
-    # streaming members never scored (tumbling/sliding/session/dedup/
-    # stateful/join_stream all green in r04/r05)
-    "stream_session_stream",
-    "stream_static_enrich",
-    "stream_cdc_apply",
-    "stream_join_batch",
-    # similarity members never scored
-    "sim_near_dup_lsh",
-    "sim_knn_join_batch",
-    "pipeline_embedding_centroids",
-    # sampling / split family (md5-bucket determinism)
-    "sample_stratified_hash",
-    "split_train_eval",
-    # text/docs members never scored
-    "text_zipf_histogram",
-    "text_decontaminate_ngram",
-    "docs_repetition_ratio",
-    "text_langid_confusion",
-    "docs_pii_scan",
-    "corpus_health_report",
-    # dedup members never scored (exact/minhash/ngram/components/
-    # survivor/assign-chain green in r04/r05)
-    "dedup_cluster_components_star",
-    "dedup_cluster_assign",
-    # sources / datasets never scored
-    "dataset_chooser_newest_first",
-    "scan_jsonl_typed",
-    # multimodal member never scored (binary_stats/features green r05)
-    "multimodal_frame_sample",
-    # round 6b: the new graph family's flagship (never scored — swapped
-    # in for q6_revenue_forecast, the simplest TPC-H shape, so the
-    # window stays 100% never-driver-scored AND every suite family
-    # keeps a representative; q6 rejoins the round-7 rotation with the
-    # other r6b additions)
-    "graph_pagerank_trade",
+    # dedup stack: fuzzy (levenshtein + composite-blocked), auto cluster
+    # selection, incremental anti-join, bloom prefilter, prefix-filtered
+    # exact jaccard join, containment sampling
+    "dedup_fuzzy_levenshtein",
+    "dedup_fuzzy_blocked",
+    "dedup_cluster_auto",
+    "dedup_incremental_batch",
+    "dedup_bloom_prefilter",
+    "dedup_jaccard_prefix_join",
+    "dedup_ngram_containment_sample",
+    # docs curation pipeline: ExactSubstr span coverage/removal, CCNet
+    # perplexity, C4 per-source cap, pinned-weight classifier,
+    # expectations report, snapshot diff, curation capstone
+    "docs_dup_span_coverage",
+    "docs_dup_span_removal",
+    "docs_unigram_perplexity",
+    "docs_per_source_cap",
+    "docs_quality_classifier",
+    "docs_expectations_report",
+    "docs_table_diff",
+    "pipeline_curation_report",
+    # ANN / embeddings: int8 quantized cosine, SemDeDup, PQ + IVF-PQ,
+    # multiprobe LSH, matryoshka two-stage, covariance, centroid drift
+    "sim_cosine_int8",
+    "sim_semantic_dedup",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sim_topk_lsh_multiprobe",
+    "sim_topk_matryoshka",
+    "embeddings_covariance",
+    "embeddings_centroid_drift",
+    # streaming twins never scored
+    "stream_join_left_batch",
+    "stream_histogram_batch",
+    "stream_histogram_stream",
+    "stream_distinct_users_hourly",
+    # multimodal: Arrow mapInPandas resize plumbing + phash bucketing
+    "multimodal_resize",
+    "multimodal_phash_buckets",
+    # graph family (iterative fixed-point vs unrolled-CTE oracles)
+    "graph_pagerank_personalized",
+    "graph_triangle_parts",
+    "graph_kcore_parts",
+    "graph_bfs_hops",
+    # events analytics: monitoring triad, robust stats, heavy hitters,
+    # histograms, interpolation, actives, attribution, SCD2, cohorts,
+    # correlation, A/B z-test
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_cusum_daily",
+    "events_mad_outliers",
+    "events_heavy_hitters",
+    "events_quantile_histogram",
+    "events_interpolate_linear",
+    "events_rolling_active_users",
+    "events_attribution_last_touch",
+    "events_scd2_history",
+    "events_cohort_ltv",
+    "events_daily_correlation",
+    "events_ab_conversion_ztest",
+    # remaining never-scored representatives: nearest as-of, BM25,
+    # seeded sampling, basket lift
+    "asof_join_nearest_purchase",
+    "text_bm25_topk",
+    "sample_fixed_k_hash",
+    "sample_mixture_weighted",
 ]
 
 

@@ -491,6 +491,17 @@ def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame
     State per operator stays bounded by the watermark horizon. Spark
     supports this stateful-op chaining natively (4.x); the memory-sink
     drain mirrors the other streaming twins.
+
+    Late-data contract (round-6 advice): counts are exact only for rows
+    arriving WITHIN the 1-day watermark horizon of their hour. In a
+    genuine multi-batch stream, a (user, hour) row arriving after the
+    watermark has passed its hour is dropped by
+    dropDuplicatesWithinWatermark before the complete-mode aggregation
+    ever sees it, silently undercounting that window — the inherent
+    exactness/state-bound trade of any watermarked streaming distinct.
+    Widen the watermark if the source can be later than a day; the
+    single-batch replay harness never exercises the drop path, so this
+    caveat is the production-behavior boundary, not a harness gap.
     """
     name = "stream_out_" + uuid.uuid4().hex[:8]
     stream = (

@@ -636,7 +636,11 @@ def dedup_ngram_containment_sample(spark: SparkSession, sf_dir: str) -> DataFram
     # AllPairs length bound, so a hash match proves the pruning loses
     # NO true pair — the exactness guarantee MinHash banding cannot
     # make. Threshold test is integer cross-multiplied on both engines
-    # (10·|∩| >= 9·|∪|); jaccard is rounded for display only.
+    # (10·|∩| >= 9·|∪|); jaccard is rounded for display only. The
+    # oracle excludes zero-token docs explicitly (10·0 >= 9·0 is true
+    # with NULL jaccard) because the prefix join can never emit them —
+    # empty token sets generate no prefix rows (round-6 advice: keeps
+    # the degenerate case agreed on both engines for any fixture).
     oracle="""
     WITH s AS (
       SELECT doc_id,
@@ -649,7 +653,8 @@ def dedup_ngram_containment_sample(spark: SparkSession, sf_dir: str) -> DataFram
                  NULLIF(LEN(list_distinct(list_concat(a.toks, b.toks))), 0), 6)
              AS jaccard
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE 10 * LEN(list_intersect(a.toks, b.toks)) >=
+    WHERE LEN(a.toks) > 0 AND LEN(b.toks) > 0
+      AND 10 * LEN(list_intersect(a.toks, b.toks)) >=
           9 * LEN(list_distinct(list_concat(a.toks, b.toks)))
     """,
 )
@@ -660,38 +665,66 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_fuzzy_blocked",
-    # Length-BLOCKED fuzzy matching over the WHOLE corpus — the scale
+    # COMPOSITE-blocked fuzzy matching over the WHOLE corpus — the scale
     # form of the dedup_fuzzy_levenshtein slice kernel. The match
-    # predicate is |n_chars_a − n_chars_b| <= 2 AND edit-distance of
-    # the 40-char prefixes <= 22; blocking on floor(n_chars/3) buckets
-    # (each side probes its own and the two adjacent buckets, the
-    # Hamming-1-multiprobe discipline) implements the length condition
-    # as an EQUI-join, so candidates are banded neighbors, never the
-    # n² pair space. The oracle is deliberately unblocked brute force:
-    # a hash match proves the blocking loses no pair. Exact integer
-    # metric throughout.
+    # predicate (the operator's record-linkage CONTRACT, both engines):
+    # same first token AND |n_chars_a − n_chars_b| <= 2 AND
+    # edit-distance of the 40-char prefixes <= 22. Blocking key is
+    # (first_token, floor(n_chars/3)) with each side probing its own
+    # and the two adjacent length buckets — the equi-join key carries
+    # BOTH predicate dimensions, so candidates are same-token banded
+    # neighbors, never the n² pair space. Round-7 change (VERDICT r6
+    # item 3): the previous length-ONLY key was the suite's one
+    # quadratic-blowup risk — real corpora skew hard on length, and one
+    # ±2-char band can hold millions of docs with an all-pairs join
+    # inside it. A content dimension in the key bounds block size by
+    # token frequency × length band (measured 30× candidate reduction
+    # at sf0.1: 123 706 → 4 136; skewed 10× tier in SCALE.md). An edit
+    # threshold of 22/40 is too loose for pigeonhole (PassJoin-style)
+    # content segments to be lossless, so the content condition lives
+    # in the CONTRACT — the standard blocking discipline in record
+    # linkage — rather than silently dropping pairs. The oracle is
+    # deliberately unblocked brute force over the same predicate: a
+    # hash match proves the blocking loses no pair the contract admits.
+    # Exact integer metric throughout.
     oracle="""
     WITH s AS (
-      SELECT doc_id, n_chars, SUBSTRING(text, 1, 40) AS prefix FROM documents
+      SELECT doc_id, n_chars, SUBSTRING(text, 1, 40) AS prefix,
+             COALESCE(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                  x -> x <> '')[1], '') AS tok0
+      FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE ABS(a.n_chars - b.n_chars) <= 2
+    WHERE a.tok0 = b.tok0
+      AND ABS(a.n_chars - b.n_chars) <= 2
       AND levenshtein(a.prefix, b.prefix) <= 22
     """,
 )
 def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.substring("text", 1, 40).alias("prefix")
+    tok0 = F.coalesce(
+        F.element_at(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
+            1,
+        ),
+        F.lit(""),
     )
-    # Each row emits its own block plus both neighbors; joining on the
-    # PROBE block id finds every pair within +-2 chars exactly once
-    # after the (id_a < id_b) + exact-length filter dedupes.
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.substring("text", 1, 40).alias("prefix"),
+        tok0.alias("tok0"),
+    )
+    # Each row emits its own length block plus both neighbors; joining
+    # on (tok0, PROBE block id) finds every same-token pair within
+    # +-2 chars exactly once after the (id_a < id_b) + exact-length
+    # filter dedupes. One shuffle, keyed by the composite block.
     blocked = d.select(
         "doc_id",
         "n_chars",
         "prefix",
+        "tok0",
         F.explode(
             F.array(
                 (F.floor(F.col("n_chars") / 3) - 1),
@@ -705,7 +738,8 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col("a.tok0") == F.col("b.tok0"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2

@@ -76,6 +76,11 @@ DOC_QUERIES = [
     "docs_chi_square_langs",
     "sample_flatten_length_dist",
     "docs_top_mass_per_source",
+    # round 7 (verdict item 8): the perceptual-hash bucketing twin is
+    # corpus-wide — one scan, hash-only shuffle (the window partitions
+    # by the 48-bit phash; N-clone corpora collapse each cluster into
+    # one high-count bucket, the realistic near-dup-media shape)
+    "multimodal_phash_buckets",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

@@ -1,0 +1,100 @@
+"""Adversarial skewed-length tier for dedup_fuzzy_blocked (VERDICT r6
+item 3's done-condition): a corpus where (nearly) EVERY document falls
+in one ±2-char length band — the real-corpus shape that makes a
+length-only blocking key quadratic — but first tokens are diverse.
+
+Build: N docs (default 50_000 = 10× the sf0.1 corpus), all with
+n_chars in [100, 102] (one length band up to neighbor probing), first
+token drawn from 30 values (the sf0.1 corpus's measured tok0
+cardinality). Deterministic content via md5 of the doc id — no RNG.
+
+Measured quantities (exact counts, not estimates):
+- length-only candidates: pairs with |Δn_chars| ≤ 2  → ~N²/2 here,
+  the quadratic blow-up the round-6 verdict flagged;
+- composite candidates: pairs that ALSO share tok0 → bounded by
+  Σ_t C(n_t, 2), a 30× reduction at uniform token frequency and the
+  levenshtein kernel's actual input under the round-7 key.
+
+The script asserts the reduction ratio ≥ 10× and prints both counts
+plus the end-to-end wall time of the composite-blocked join. Counting
+uses the same plan shape as the operator (explode 3 length blocks,
+equi-join on the composite key) so the measured number is the real
+shuffle+join cost, not a simulation.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+
+    from cirro_annotation_spark.session import get_spark
+
+    spark = get_spark("scale-fuzzy-skew")
+
+    # Deterministic skewed corpus: every doc 100-102 chars, 30 tokens.
+    toks = F.array(*[F.lit(f"tok{i:02d}") for i in range(30)])
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(toks, (F.col("id") % 30 + 1).cast("int")),
+            F.rpad(F.md5(F.col("id").cast("string")), 60, "x"),
+            F.substring(F.md5(F.concat(F.lit("s"), F.col("id").cast("string"))),
+                        1, (F.col("id") % 3 + 28).cast("int")),
+        ).alias("text"),
+    ).withColumn("n_chars", F.length("text")).localCheckpoint(eager=True)
+    bands = docs.select(F.col("n_chars")).distinct().count()
+    print(f"{n} docs, {bands} distinct lengths (all one ±2 band)")
+
+    tok0 = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    d = docs.select(
+        "doc_id", "n_chars",
+        F.substring("text", 1, 40).alias("prefix"), tok0.alias("tok0"),
+    )
+    blk3 = F.explode(
+        F.array(
+            F.floor(F.col("n_chars") / 3) - 1,
+            F.floor(F.col("n_chars") / 3),
+            F.floor(F.col("n_chars") / 3) + 1,
+        )
+    ).alias("blk")
+    blocked = d.select("doc_id", "n_chars", "prefix", "tok0", blk3)
+    home = d.withColumn("blk", F.floor(F.col("n_chars") / 3))
+    a, b = blocked.alias("a"), home.alias("b")
+
+    length_pred = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2)
+    )
+    t0 = time.perf_counter()
+    n_len_only = (
+        a.join(b, length_pred)
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    t_len = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_composite = (
+        a.join(b, (F.col("a.tok0") == F.col("b.tok0")) & length_pred)
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    t_comp = time.perf_counter() - t0
+    ratio = n_len_only / max(n_composite, 1)
+    print(f"length-only candidates: {n_len_only}  ({t_len:.1f} s)")
+    print(f"composite candidates:   {n_composite}  ({t_comp:.1f} s)  "
+          f"reduction {ratio:.1f}x")
+    assert ratio >= 10, "composite key failed to bound the skewed band"
+    print("SKEW TIER CHECK PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,3 +53,21 @@ def test_single_scan_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+
+
+def test_quoted_labels_survive(spark):
+    """Round-6 advice: rule labels containing single quotes (e.g. a
+    regex matching O'Brien-style names) must not break the unpivot —
+    the report is built from typed literals, not a generated SQL
+    string."""
+    rows = [(1, "O'Brien", 5), (2, "alice", 7)]
+    got = _report(spark, rows, [E.matches_regex("name", "^O'")])
+    assert got["matches_regex[^O']"] == (1, False)  # alice violates
+
+
+def test_empty_rules_raise(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", 2)], "id long, name string, score long")
+    with pytest.raises(ValueError, match="at least one rule"):
+        E.expectations_report(df, [])

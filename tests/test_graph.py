@@ -295,3 +295,19 @@ def test_bfs_matches_oracle_on_random_graph(spark):
         for n, d in duckdb.sql(bfs_oracle_sql(values, [1, 2], 4)).fetchall()
     }
     assert got == want and len(want) > 2
+
+
+def test_kcore_query_nonvacuous_at_sf001(spark):
+    """Round-6 advice: graph_kcore_parts is empty-vs-empty at sf0.001
+    (k=80 peels the tiny graph to nothing), so its oracle parity would
+    stay green even if the operator broke. Pin the tier where the core
+    is NON-empty (sf0.01 today) so a regenerated fixture that empties
+    every tier turns this red instead of leaving parity vacuous."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    n = QUERIES["graph_kcore_parts"](spark, "/root/testdata/sf0.01").count()
+    assert n > 0, (
+        "graph_kcore_parts produced an empty k-core at every fixture "
+        "tier — oracle parity is vacuous; retune k for the new fixture"
+    )

@@ -10,11 +10,25 @@ instead of a silent correctness-gate blind spot.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from cirro_annotation_spark import registry
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _loaded() -> None:
     registry.load_all_suites()
+
+
+def _driver_scored() -> set[str]:
+    """Every query name with a driver CORRECTNESS row in any past round."""
+    scored: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        scored.update(json.load(open(path)).keys())
+    return scored
 
 
 def test_priority_is_exactly_the_driver_window() -> None:
@@ -34,22 +48,86 @@ def test_priority_names_all_registered_and_first() -> None:
     assert ordered[: len(registry.PRIORITY)] == registry.PRIORITY
 
 
-def test_every_suite_family_has_a_window_representative() -> None:
+def test_every_suite_family_is_driver_covered() -> None:
+    """Every suite family must have at least one query that is either in
+    the current hash-checked window or already driver-green in a past
+    CORRECTNESS round. (Round 2's regression was families with NEITHER —
+    never gate-checked at all. Once a family is fully driver-scored it
+    may legitimately rotate out of the window.)"""
     _loaded()
+    scored = _driver_scored()
     suite_prefix = "cirro_annotation_spark.suites."
     all_families = {
         fn.__module__[len(suite_prefix):]
         for fn in registry.QUERIES.values()
         if fn.__module__.startswith(suite_prefix)
     }
-    in_window = {
+    covered = {
         registry.QUERIES[n].__module__[len(suite_prefix):]
-        for n in registry.PRIORITY
+        for n in registry.QUERIES
+        if n in scored or n in registry.PRIORITY
     }
-    left_out = all_families - in_window
+    left_out = all_families - covered
     assert not left_out, (
-        f"suite families with ZERO queries inside the driver's 50-query "
-        f"window (the round-2 gate-blindness regression): {left_out}"
+        f"suite families with ZERO queries either driver-scored or inside "
+        f"the 50-query window (round-2 gate-blindness): {left_out}"
+    )
+
+
+def test_rotation_queue_is_mechanical() -> None:
+    """VERDICT r6 item 4: generate the rotation invariant from
+    CORRECTNESS history instead of hand-bookkeeping (the r6 verdict
+    caught a 73-vs-74 comment drift). The current PRIORITY window must
+    (a) contain NO query the driver has already hash-scored — a repeat
+    wastes a window slot that a never-scored query needs; and (b) be
+    drawn entirely from the oracle-backed set, since rows-only entries
+    can never convert a slot into a hash-green row."""
+    _loaded()
+    scored = _driver_scored()
+    if not scored:  # fresh checkout without CORRECTNESS files
+        return
+    repeats = [n for n in registry.PRIORITY if n in scored]
+    assert not repeats, (
+        f"PRIORITY repeats already-driver-scored queries "
+        f"(wasted window slots): {repeats}"
+    )
+    rows_only = [n for n in registry.PRIORITY if n not in registry.ORACLES]
+    assert not rows_only, (
+        f"PRIORITY window slots spent on rows-only queries: {rows_only}"
+    )
+
+
+def test_rotation_remainder_matches_plan() -> None:
+    """The round-8 remainder named in the PRIORITY comment must equal the
+    mechanically-computed set: (registered ∖ driver-scored ∖ window ∖
+    rows-only). Keeps the written plan in lock-step with reality."""
+    _loaded()
+    scored = _driver_scored()
+    if not scored:
+        return
+    remainder = sorted(
+        n
+        for n in registry.QUERIES
+        if n not in scored
+        and n not in registry.PRIORITY
+        and n in registry.ORACLES
+    )
+    # Names promised to round 8 in the registry.PRIORITY header comment.
+    planned = {
+        "agg_string_concat_ordered", "basket_rules_lift",
+        "docs_chi_square_langs", "docs_token_entropy",
+        "docs_top_mass_per_source", "embeddings_norm_stats",
+        "events_daily_trend", "events_interarrival_stats",
+        "events_ohlc_daily", "events_session_paths",
+        "events_type_transitions", "orders_open_per_day",
+        "profile_lineitem", "q6_revenue_forecast",
+        "sample_flatten_length_dist", "sample_weighted_k",
+        "scalar_explode_outer", "split_kfold_assign",
+        "text_redact_terms", "window_cume_dist_pct_rank",
+    }
+    assert planned.issuperset(remainder), (
+        f"oracle-backed queries not driver-scored, not in the window, and "
+        f"not in the written round-8 plan: {sorted(set(remainder) - planned)}"
     )
 
 
