@@ -158,19 +158,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    bytes_arr = F.expr(
-        "transform(sequence(1, 48), i -> ascii(substring(text, i, 1)))"
-    )
-    mean = F.expr(
-        "aggregate(transform(sequence(1, 48), i -> ascii(substring(text, i, 1))),"
-        " 0, (a, x) -> a + x) div 48"
-    )
+    # Bind the byte array and its mean to lambda variables (the
+    # single-element-array + transform idiom) so each is computed ONCE
+    # per row. The round-6 form inlined the byte-array transform into
+    # every zip_with element and re-aggregated the mean per bit:
+    # ~2400 substring calls/row. Lambda-bound names are safe from
+    # CollapseProject duplication — projection aliases are not (the
+    # optimizer inlines multiply-referenced aliases back into every
+    # use site).
     phash = F.expr(
-        "aggregate(zip_with(transform(sequence(1, 48),"
-        " i -> ascii(substring(text, i, 1))),"
-        " sequence(0, 47), (b, i) -> if(b > (aggregate(transform(sequence(1, 48),"
-        " j -> ascii(substring(text, j, 1))), 0, (a, x) -> a + x) div 48),"
-        " shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+        "transform(array(transform(sequence(1, 48),"
+        "   i -> ascii(substring(text, i, 1)))),"
+        " bs -> transform(array(aggregate(bs, 0, (a, y) -> a + y) div 48),"
+        "   m -> aggregate(zip_with(bs, sequence(0, 47),"
+        "     (b, i) -> if(b > m, shiftleft(1L, i), 0L)),"
+        "     0L, (a, x) -> a + x))[0])[0]"
     )
     h = d.select(F.col("doc_id").alias("media_id"), phash.alias("phash"))
     w = Window.partitionBy("phash")
