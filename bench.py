@@ -174,6 +174,11 @@ HEADLINE = [
     "embeddings_centroid_drift",
     "multimodal_phash_buckets",
     "stream_distinct_users_hourly",
+    # round 7 additions: the entity-resolution capstone (composite
+    # blocking → levenshtein scoring → transitive closure → golden
+    # record, corpus-wide) and the zero-shuffle VAD segmentation fold
+    "pipeline_entity_resolution",
+    "multimodal_vad_segments",
 ]
 
 

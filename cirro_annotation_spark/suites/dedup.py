@@ -703,6 +703,14 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy_blocked_pairs(spark, sf_dir)
+
+
+def _fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-blocked fuzzy match pairs (the dedup_fuzzy_blocked
+    contract), shared with the entity-resolution capstone: returns
+    (id_a, id_b, edit_distance) for every pair with equal first token,
+    |Δn_chars| <= 2, and 40-char-prefix edit distance <= 22."""
     tok0 = F.coalesce(
         F.element_at(
             F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
@@ -757,4 +765,73 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("edit_distance", F.levenshtein("pa", "pb").cast("int"))
         .filter(F.col("edit_distance") <= 22)
         .select("id_a", "id_b", "edit_distance")
+    )
+
+
+# The brute-force match-pair CTE shared by the ER capstone oracle —
+# the same predicate as dedup_fuzzy_blocked's oracle, corpus-wide.
+_ER_EDGES_CTE = """
+    s AS (
+      SELECT doc_id, n_chars, SUBSTRING(text, 1, 40) AS prefix,
+             COALESCE(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                  x -> x <> '')[1], '') AS tok0
+      FROM documents
+    ),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE a.tok0 = b.tok0
+            AND ABS(a.n_chars - b.n_chars) <= 2
+            AND levenshtein(a.prefix, b.prefix) <= 22),
+    edges AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    reach(v, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT edges.v, reach.lbl FROM reach JOIN edges ON edges.u = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lbl) AS component FROM reach GROUP BY v)
+"""
+
+
+@query(
+    "pipeline_entity_resolution",
+    # The END-TO-END entity-resolution capstone (Fellegi–Sunter shape,
+    # public record-linkage literature): composite blocking
+    # (first_token × length band) → candidate scoring (exact integer
+    # levenshtein on 40-char prefixes) → transitive closure over match
+    # pairs (connected_components_auto — propagation with star-rewiring
+    # fallback) → golden-record summary, one row per resolved entity
+    # with its min-id as entity key. Singleton docs (no match edge) are
+    # their own entity via a left join against the component map.
+    # Corpus-wide, no doc_id slice: the round-7 composite blocking key
+    # is what makes that affordable (SCALE.md skew tier) — candidates
+    # are bounded by token-frequency × band occupancy, text never
+    # shuffles (only 40-char prefixes and ids move), and the closure
+    # runs on the match-pair graph, which is orders smaller than the
+    # corpus. Oracle: brute-force pairs + WITH RECURSIVE reachability —
+    # the hash match proves blocking, scoring, closure, and
+    # survivorship all at once.
+    oracle=f"""
+    WITH RECURSIVE {_ER_EDGES_CTE}
+    SELECT COALESCE(c.component, d.doc_id) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY 1
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _fuzzy_blocked_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = D.connected_components_auto(edges)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    resolved = docs.join(
+        comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("entity_id"),
+        "n_chars",
+    )
+    return resolved.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
     )

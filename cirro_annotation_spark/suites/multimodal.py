@@ -129,7 +129,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_phash_buckets",
     # Perceptual-hash near-dup bucketing — the multimodal→dedup bridge.
     # The aHash shape (mean-threshold bit per block, public technique)
-    # over the payload's first 48 bytes (every fixture doc has >= 48):
+    # over the payload's first 48 bytes (0-padded past EOF on both
+    # engines — sf0.1 has a 44-char doc):
     # bit_i = byte_i > floor(mean), hash = Σ bit_i·2^i — EXACT integer
     # arithmetic, so like the other fake-codec paths it gets a full
     # oracle (ASCII text ⇒ char codes == UTF-8 bytes). n_same_hash is
@@ -140,7 +141,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT doc_id AS media_id,
              list_transform(range(1, 49),
-                            i -> ord(substring(text, CAST(i AS INT), 1))) AS bytes
+                            i -> CASE WHEN i <= LENGTH(text)
+                                 THEN ord(substring(text, CAST(i AS INT), 1))
+                                 ELSE 0 END) AS bytes
       FROM documents
     ),
     h AS (
@@ -166,9 +169,13 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject duplication — projection aliases are not (the
     # optimizer inlines multiply-referenced aliases back into every
     # use site).
+    # Out-of-range guard on BOTH engines: Spark ascii('') is 0 but
+    # DuckDB ord('') is -1, so a doc shorter than 48 chars (sf0.1 has a
+    # 44-char one) would shift the mean differently per engine — pin
+    # the padding byte to 0 explicitly in each dialect.
     phash = F.expr(
         "transform(array(transform(sequence(1, 48),"
-        "   i -> ascii(substring(text, i, 1)))),"
+        "   i -> if(i <= length(text), ascii(substring(text, i, 1)), 0))),"
         " bs -> transform(array(aggregate(bs, 0, (a, y) -> a + y) div 48),"
         "   m -> aggregate(zip_with(bs, sequence(0, 47),"
         "     (b, i) -> if(b > m, shiftleft(1L, i), 0L)),"
@@ -180,4 +187,73 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "phash",
         F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash"),
+    )
+
+
+@query(
+    "multimodal_vad_segments",
+    # Voice-activity-style SEGMENTATION over the fake audio signal —
+    # the multimodal → time-segmentation bridge (silence removal, scene
+    # cut detection, speech turn splitting all reduce to this shape).
+    # Signal: 64 frames at stride 4 over the payload's first 256 bytes
+    # (0-padded past EOF on both engines — the phash discipline);
+    # active = energy > 100; output = maximal runs of active frames
+    # (seg_start, seg_end, n_frames). Exact integer arithmetic ⇒ full
+    # oracle; a real deployment swaps the byte reader for a PCM energy
+    # decode and keeps the plan.
+    #
+    # Scale shape: the run-detection is a single fold over the frame
+    # array INSIDE the scan stage (accumulator carries open-run state,
+    # finish flushes it) — ZERO shuffles; only the (id, start, end)
+    # segment rows leave via explode. The classic SQL form — explode
+    # all frames, then a gaps-and-islands window per media — shuffles
+    # 64× the corpus and pays a per-media sort; the oracle uses exactly
+    # that form, so the hash match also proves the fold ≡ the window
+    # formulation.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id, CAST(k AS INT) AS pos,
+             CASE WHEN k*4+1 <= LENGTH(text)
+                  THEN ord(substring(text, CAST(k*4+1 AS INT), 1))
+                  ELSE 0 END AS energy
+      FROM documents, range(0, 64) r(k)
+    ),
+    a AS (SELECT media_id, pos FROM f WHERE energy > 100),
+    g AS (SELECT media_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY pos)
+                   AS grp
+          FROM a)
+    SELECT media_id, CAST(MIN(pos) AS INT) AS seg_start,
+           CAST(MAX(pos) AS INT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM g GROUP BY media_id, grp
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    segs = F.expr(
+        "aggregate(sequence(0, 63),"
+        " named_struct('segs', array_repeat(named_struct('s', 0, 'e', 0), 0),"
+        "              'cur', -1, 'prev', -1),"
+        " (acc, k) -> if("
+        "   if(k * 4 + 1 <= length(text),"
+        "      ascii(substring(text, k * 4 + 1, 1)), 0) > 100,"
+        "   named_struct('segs', acc.segs,"
+        "                'cur', if(acc.cur = -1, k, acc.cur), 'prev', k),"
+        "   if(acc.cur = -1, acc,"
+        "      named_struct('segs', array_append(acc.segs,"
+        "                     named_struct('s', acc.cur, 'e', acc.prev)),"
+        "                   'cur', -1, 'prev', -1))),"
+        " acc -> if(acc.cur = -1, acc.segs,"
+        "           array_append(acc.segs,"
+        "                        named_struct('s', acc.cur, 'e', acc.prev))))"
+    )
+    return (
+        d.select(F.col("doc_id").alias("media_id"), F.explode(segs).alias("g"))
+        .select(
+            "media_id",
+            F.col("g.s").alias("seg_start"),
+            F.col("g.e").alias("seg_end"),
+            (F.col("g.e") - F.col("g.s") + 1).cast("long").alias("n_frames"),
+        )
     )

@@ -161,6 +161,9 @@ AUDITED = [
     "events_cohort_ltv",
     "embeddings_centroid_drift",
     "multimodal_phash_buckets",
+    # round 7
+    "pipeline_entity_resolution",
+    "multimodal_vad_segments",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -408,3 +408,34 @@ def test_prefix_join_equals_brute_force_random(spark):
             if tau_den * inter >= tau_num * uni:
                 want.add((a, b))
         assert got == want
+
+
+def test_entity_resolution_transitive_chain(spark):
+    """ER capstone semantics on a crafted corpus: A~B and B~C under the
+    blocking contract (same first token, |Δlen|<=2, prefix edit<=22)
+    must resolve into ONE entity even though A~C may not match
+    directly; an unrelated doc stays a singleton."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    base = "alpha " + "x" * 60
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [
+                (1, base),                      # len 66
+                (2, base + "yy"),               # len 68: matches 1 (Δ2)
+                (3, base + "yyzz"),             # len 70: matches 2, NOT 1
+                (4, "omega " + "q" * 60),       # different token: singleton
+            ],
+            "doc_id long, text string",
+        ).withColumn("n_chars", F.length("text")).toPandas().to_parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            (r["entity_id"], r["n_members"])
+            for r in QUERIES["pipeline_entity_resolution"](spark, tmp).collect()
+        }
+    assert got == {(1, 3), (4, 1)}

@@ -64,3 +64,60 @@ def test_resize_payloads_decimates_bytes(spark, sf_dir):
         assert r["resized_bytes"] == (r["n_bytes"] + 1) // 2  # every 2nd byte
     row = out.first()
     assert isinstance(row["payload"], (bytes, bytearray))
+
+
+def test_vad_segments_match_python_reference(spark, sf_dir):
+    """Independent re-derivation: compute the maximal active-frame runs
+    in plain Python from the raw text and require exact equality with
+    the zero-shuffle fold (the DuckDB oracle checks the window
+    formulation; this checks a third, imperative formulation)."""
+    import duckdb
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    want = set()
+    for doc_id, text in docs:
+        active = [
+            (ord(text[k * 4]) if k * 4 < len(text) else 0) > 100
+            for k in range(64)
+        ]
+        start = None
+        for k in range(65):
+            on = active[k] if k < 64 else False
+            if on and start is None:
+                start = k
+            elif not on and start is not None:
+                want.add((doc_id, start, k - 1, k - start))
+                start = None
+    got = {
+        (r["media_id"], r["seg_start"], r["seg_end"], r["n_frames"])
+        for r in QUERIES["multimodal_vad_segments"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_vad_segments_flushes_open_run_and_skips_silent(spark, sf_dir):
+    """A payload active through frame 63 must emit its final (open) run
+    via the finish lambda; an all-silent payload emits nothing."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, "z" * 256), (2, "A" * 256), (3, "zzzzAAAA" + "z" * 248)],
+            "doc_id long, text string",
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {
+            (r["media_id"], r["seg_start"], r["seg_end"])
+            for r in QUERIES["multimodal_vad_segments"](spark, tmp).collect()
+        }
+    # doc1: one run 0..63 (flushed at finish); doc2: silent; doc3:
+    # frame 0 ('z'), frame 1 ('A') silent, frames 2..63 active again.
+    assert rows == {(1, 0, 63), (3, 0, 0), (3, 2, 63)}

@@ -124,6 +124,9 @@ def test_rotation_remainder_matches_plan() -> None:
         "sample_flatten_length_dist", "sample_weighted_k",
         "scalar_explode_outer", "split_kfold_assign",
         "text_redact_terms", "window_cume_dist_pct_rank",
+        # round-7 additions (new queries are never-scored by
+        # construction; they queue behind the current window)
+        "pipeline_entity_resolution", "multimodal_vad_segments",
     }
     assert planned.issuperset(remainder), (
         f"oracle-backed queries not driver-scored, not in the window, and "
