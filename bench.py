@@ -179,6 +179,7 @@ HEADLINE = [
     # record, corpus-wide) and the zero-shuffle VAD segmentation fold
     "pipeline_entity_resolution",
     "multimodal_vad_segments",
+    "embeddings_kmeans_train",
 ]
 
 

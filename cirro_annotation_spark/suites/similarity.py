@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cirro_annotation_spark.operators import clustering as C
 from cirro_annotation_spark.operators import similarity as S
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.suites.util import RATIO, t
@@ -905,3 +906,28 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.sum(d * d)), 6).alias("l2_shift"),
         )
     )
+
+
+@query(
+    "embeddings_kmeans_train",
+    # In-engine k-means (Lloyd) TRAINING — the producer half of the
+    # centroid lifecycle whose consumers (sim_topk_ivf / ivfpq /
+    # semantic_dedup) run on pinned literals today, exactly what a
+    # production pipeline materializes from this job. Exact-integer
+    # discipline (operators/clustering.py): floor-lattice quantization,
+    # BIGINT squared distances, floor-division centroid updates,
+    # (dist, cid) tie-break, empty-cluster carry-forward — so the full
+    # 3-round iterative result (members, inertia, centroid checksums)
+    # hash-matches an unrolled-CTE DuckDB oracle, the graph-family
+    # standard applied to an ML fixed point.
+    #
+    # Scale shape (billions of vectors): per round the ONLY shuffle is
+    # the k x dim partial aggregate (map-side combine -> k rows per
+    # partition); assignment is a codegen'd expression in the scan
+    # stage; centroids are 4 KiB of driver model state re-broadcast as
+    # literals. Vectors never shuffle.
+    oracle=C.kmeans_oracle_sql(k=8, iters=3, dim=64),
+)
+def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return C.kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=3, dim=64)

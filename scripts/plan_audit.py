@@ -164,6 +164,7 @@ AUDITED = [
     # round 7
     "pipeline_entity_resolution",
     "multimodal_vad_segments",
+    "embeddings_kmeans_train",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -1,0 +1,118 @@
+"""k-means Lloyd training (operators/clustering.py) semantics tests —
+crafted fixtures pin the rules the oracle hash-match then proves at
+corpus scale: lattice quantization, argmin tie-break, floor-division
+update, empty-cluster carry-forward, and actual convergence."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cirro_annotation_spark.operators.clustering import (
+    kmeans_lloyd,
+    kmeans_oracle_sql,
+)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _write(tmp, df):
+    df.toPandas().to_parquet(os.path.join(tmp, "embeddings.parquet"))
+
+
+def test_two_obvious_clusters_resolve(spark):
+    # vec 0 and 1 seed the two centroids; points pile around 0.0 and 1.0.
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0])] + [
+        (i, [0.01 * (i % 3), 0.01 * (i % 3)]) for i in range(2, 8)
+    ] + [(i, [1.0 - 0.01 * (i % 3), 1.0] ) for i in range(8, 14)]
+    out = {
+        r["cluster_id"]: r["n_members"]
+        for r in kmeans_lloyd(_emb_df(spark, rows), k=2, iters=3, dim=2).collect()
+    }
+    assert out == {0: 7, 1: 7}
+
+
+def test_argmin_tie_breaks_to_lowest_cid(spark):
+    # Point at 0.5 is equidistant from centroids 0.0 and 1.0 on the
+    # lattice — the (dist, cid) struct ordering must pick cid 0.
+    rows = [(0, [0.0]), (1, [1.0]), (2, [0.5])]
+    out = kmeans_lloyd(_emb_df(spark, rows), k=2, iters=1, dim=1).collect()
+    got = {r["cluster_id"]: r["n_members"] for r in out}
+    # after round 1: c0 = mean(0.0, 0.5) on lattice = 2500, c1 = 10000;
+    # final assignment: vec0,vec2 -> c0, vec1 -> c1
+    assert got == {0: 2, 1: 1}
+
+
+def test_empty_cluster_keeps_coordinates(spark):
+    # Centroid 1 (at 100.0) attracts nothing once every point sits at
+    # ~0; its checksum must still reflect the INITIAL coordinates after
+    # 3 rounds (carry-forward), and it owns zero final members (absent
+    # from the summary — groupBy semantics, same as the oracle's join).
+    rows = [(0, [0.0]), (1, [100.0])] + [(i, [0.001 * i]) for i in range(2, 10)]
+    out = kmeans_lloyd(_emb_df(spark, rows), k=2, iters=3, dim=1).collect()
+    by_cid = {r["cluster_id"]: r for r in out}
+    assert by_cid[1]["n_members"] == 1  # only its own seed point
+    assert by_cid[1]["centroid_checksum"] == 100 * 10**4
+    assert by_cid[0]["n_members"] == 9
+
+
+def test_floor_lattice_handles_negatives(spark):
+    # Values chosen exactly representable in float32 (halves of powers
+    # of two) so the lattice points are hand-checkable: floor division
+    # of the NEGATIVE sum must floor toward -inf on BOTH the driver
+    # (Python //) and the oracle (FLOOR(sum/count)).
+    rows = [(0, [-0.125]), (1, [0.5]), (2, [-0.25]), (3, [-0.0625])]
+    out = kmeans_lloyd(_emb_df(spark, rows), k=2, iters=2, dim=1).collect()
+    by_cid = {r["cluster_id"]: r for r in out}
+    # cluster 0 collects lattice {-1250, -2500, -625}: sum = -4375,
+    # floor(-4375 / 3) = -1459 (toward -inf, NOT -1458)
+    assert by_cid[0]["centroid_checksum"] == -1459
+    assert by_cid[0]["n_members"] == 3
+
+
+def test_oracle_matches_engine_on_crafted_corpus(spark):
+    """Full engine-vs-oracle parity on a fixture with ties, negatives,
+    and an empty cluster — the degenerate cases sf fixtures may miss."""
+    import duckdb
+
+    rows = [(0, [0.0, 0.5]), (1, [100.0, -3.0]), (2, [0.5, 0.5]),
+            (3, [-0.25, 0.125]), (4, [0.0, 0.0]), (5, [0.1, 0.2])]
+    df = _emb_df(spark, rows)
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, df)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{os.path.join(tmp, 'embeddings.parquet')}'"
+        )
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH " + kmeans_oracle_sql(k=2, iters=3, dim=2).removeprefix("WITH ")
+            ).fetchall()
+        }
+        got = {
+            (r["cluster_id"], r["n_members"], r["inertia"], r["centroid_checksum"])
+            for r in kmeans_lloyd(df, k=2, iters=3, dim=2).collect()
+        }
+    assert got == want and len(got) == 2
+
+
+def test_inertia_non_increasing_across_rounds(spark):
+    """Lloyd's monotone-improvement property survives the lattice: on
+    the real sf0.001 fixture, total inertia after 3 rounds <= after 1
+    (floor-quantized centroids move by < 1 lattice unit from the true
+    mean, which cannot overcome a full round's improvement here)."""
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("sf0.001 fixtures absent")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    i1 = kmeans_lloyd(emb, k=8, iters=1, dim=64).agg(F.sum("inertia")).first()[0]
+    i3 = kmeans_lloyd(emb, k=8, iters=3, dim=64).agg(F.sum("inertia")).first()[0]
+    assert i3 <= i1
