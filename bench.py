@@ -180,6 +180,7 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "multimodal_vad_segments",
     "embeddings_kmeans_train",
+    "text_bpe_train_merges",
 ]
 
 

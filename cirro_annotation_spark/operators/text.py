@@ -119,3 +119,137 @@ def rolling_hash(col: str | Column, base: int = 257, mod: int = 2**61 - 1) -> Co
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: (acc * base + F.ascii(x)) % F.lit(mod).cast("decimal(38,0)"),
     ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016, arXiv:1508.07909) — the
+# canonical tokenizer-training loop, re-expressed Spark-first.
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "\x1f"  # unit separator between symbols; never occurs in fixtures
+
+
+def bpe_word_freq(df, text_col: str = "text"):
+    """(symbols, freq): distinct lowercased whitespace tokens with
+    corpus frequency, each rendered as its characters joined by
+    BPE_SEP. This is the ONLY corpus-scale shuffle in BPE training —
+    every merge round after it runs on the vocabulary table (Zipf: ≪
+    corpus), the same train-on-aggregate shape as the unigram LM."""
+    tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    sym = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok")),
+            lambda i: F.substring(F.col("tok"), i, F.lit(1)),
+        ),
+        BPE_SEP,
+    )
+    return (
+        df.select(tok)
+        .groupBy(sym.alias("symbols"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _pair_counts(words):
+    """Adjacent-symbol pair counts weighted by word frequency. slice
+    keeps length-0 arrays for 1-symbol words (sequence(1, 0) would
+    yield a DESCENDING [1, 0] — the Spark footgun this avoids)."""
+    pairs = F.expr(
+        f"arrays_zip(slice(split(symbols, '{BPE_SEP}'), 1,"
+        f"                  size(split(symbols, '{BPE_SEP}')) - 1),"
+        f"           slice(split(symbols, '{BPE_SEP}'), 2,"
+        f"                  size(split(symbols, '{BPE_SEP}')) - 1))"
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "freq")
+        .select(
+            F.col("p")["0"].alias("left_sym"),
+            F.col("p")["1"].alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_train(spark, df, text_col: str = "text", merges: int = 6):
+    """Learn ``merges`` BPE merge rules; returns one row per rule:
+    (merge_round, left_sym, right_sym, pair_count).
+
+    Each round: count adjacent pairs over the vocab (one vocab-keyed
+    shuffle with map-side combine), take the argmax under the pinned
+    (count DESC, left ASC, right ASC) tie-break — ONE row of driver
+    model state — and apply it with a literal string replace (leftmost
+    non-overlapping, the greedy BPE rule, identical in Java and
+    DuckDB). localCheckpoint truncates lineage per round (the
+    graph-family discipline) so plan size stays O(1) in rounds.
+
+    Exactness: integer frequencies, string equality, pinned ties —
+    no floats anywhere, so the full iterative result carries a full
+    DuckDB oracle (bpe_oracle_sql)."""
+    words = bpe_word_freq(df, text_col).localCheckpoint(eager=True)
+    out = []
+    for t in range(1, merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .first()
+        )
+        if top is None:
+            break
+        l, r = top["left_sym"], top["right_sym"]
+        out.append((t, l, r, int(top["pair_count"])))
+        words = words.select(
+            F.replace(
+                F.col("symbols"), F.lit(l + BPE_SEP + r), F.lit(l + r)
+            ).alias("symbols"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "merge_round int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_oracle_sql(
+    table: str = "documents", text_col: str = "text", merges: int = 6
+) -> str:
+    """Unrolled-CTE DuckDB oracle for bpe_train (MATERIALIZED — chained
+    CTE inlining is exponential otherwise, the k-core lesson)."""
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT symbols, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT array_to_string(
+             list_transform(range(1, LENGTH(tok) + 1), i -> tok[i]),
+             chr(31)) AS symbols
+    FROM (SELECT UNNEST(list_filter(
+                   string_split_regex(TRIM(LOWER({text_col})), '\\s+'),
+                   x -> x <> '')) AS tok
+          FROM {table}))
+  GROUP BY symbols),"""
+    ]
+    for t in range(1, merges + 1):
+        p = t - 1
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT p['l'] AS left_sym, p['r'] AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT UNNEST(list_transform(range(1, LEN(a)),
+                 i -> {{'l': a[i], 'r': a[i + 1]}})) AS p, freq
+        FROM (SELECT string_split(symbols, chr(31)) AS a, freq FROM w{p}))
+  GROUP BY 1, 2),
+m{t} AS MATERIALIZED (
+  SELECT left_sym, right_sym, pair_count FROM p{t}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+w{t} AS MATERIALIZED (
+  SELECT REPLACE(symbols,
+                 (SELECT left_sym || chr(31) || right_sym FROM m{t}),
+                 (SELECT left_sym || right_sym FROM m{t})) AS symbols, freq
+  FROM w{p}),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS merge_round, left_sym, right_sym,"
+        f" pair_count FROM m{t}"
+        for t in range(1, merges + 1)
+    )
+    return f"{body}\n{union}"

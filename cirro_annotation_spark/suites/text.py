@@ -2013,3 +2013,25 @@ def docs_top_mass_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         2 * F.col("mass_before") < F.col("total_mass")
     ).select("source", "doc_id", "n_chars")
+
+
+@query(
+    "text_bpe_train_merges",
+    # BPE tokenizer TRAINING (Sennrich et al. 2016) — with kmeans this
+    # round completes the "train the artifact in-engine" pair: the
+    # merge table this emits is what a token-count / pack_sequences
+    # consumer would apply. Exactness: integer frequencies, string
+    # equality, pinned (count DESC, left, right) tie-break — no floats,
+    # so the full 6-round iterative result carries a full unrolled-CTE
+    # oracle (operators/text.py: bpe_oracle_sql).
+    #
+    # Scale shape: ONE corpus-scale shuffle total (token -> word-freq
+    # aggregate); every merge round runs on the vocabulary table
+    # (Zipf: orders smaller than the corpus), one vocab-keyed
+    # pair-count shuffle + a literal replace per round, lineage
+    # truncated per round. The merge table itself is r rows of driver
+    # model state — the artifact a tokenizer ships.
+    oracle=X.bpe_oracle_sql(merges=6),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_train(spark, t(spark, sf_dir, "documents"), merges=6)

@@ -165,6 +165,7 @@ AUDITED = [
     "pipeline_entity_resolution",
     "multimodal_vad_segments",
     "embeddings_kmeans_train",
+    "text_bpe_train_merges",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

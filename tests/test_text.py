@@ -166,3 +166,49 @@ def test_flatten_length_dist_equalizes_bands(spark):
     assert len(per_band) >= 3
     lo, hi = min(per_band.values()), max(per_band.values())
     assert hi <= 2 * lo  # equalized within binomial noise
+
+
+def test_bpe_greedy_leftmost_overlap(spark):
+    """'aaaa' under merge (a,a): greedy leftmost yields 'aa','aa' —
+    pair counting before the merge sees 3 overlapping pairs (the
+    Sennrich counting rule), and round 2 merges ('aa','aa')."""
+    from cirro_annotation_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    rows = {
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(spark, df, merges=2).collect()
+    }
+    assert rows == {(1, "a", "a", 3), (2, "aa", "aa", 1)}
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    """Equal counts: ('ab' vs 'ba' each once) — the pinned tie-break
+    picks the lexicographically smallest (left, right) pair."""
+    from cirro_annotation_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("ab ba",)], "text string")
+    r1 = bpe_train(spark, df, merges=1).first()
+    assert (r1["left_sym"], r1["right_sym"], r1["pair_count"]) == ("a", "b", 1)
+
+
+def test_bpe_merged_symbol_compounds(spark):
+    """Learned symbols must participate in later rounds: with corpus
+    'er er er ver', round 1 merges (e,r) into 'er' and round 2 can
+    then merge (v,er) — a multi-char right-hand side."""
+    from cirro_annotation_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("er er er ver",)], "text string")
+    rows = bpe_train(spark, df, merges=2).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("e", "r")
+    assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("v", "er")
+    assert rows[1]["pair_count"] == 1
+
+
+def test_bpe_single_char_words_contribute_nothing(spark):
+    """1-symbol words generate no pairs (the slice-not-sequence
+    guard); a corpus of only single chars trains zero merges."""
+    from cirro_annotation_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("a b c a b",)], "text string")
+    assert bpe_train(spark, df, merges=3).count() == 0
