@@ -181,6 +181,7 @@ HEADLINE = [
     "multimodal_vad_segments",
     "embeddings_kmeans_train",
     "text_bpe_train_merges",
+    "docs_dsir_weights",
 ]
 
 

@@ -2035,3 +2035,95 @@ def docs_top_mass_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_train(spark, t(spark, sf_dir, "documents"), merges=6)
+
+
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || SUBSTRING(md5(feat), 1, 4)) AS BIGINT) % 256"
+)
+
+
+@query(
+    "docs_dsir_weights",
+    # DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    # every document by its hashed-n-gram importance log-weight
+    # log p_target(feats) - log p_raw(feats) under Laplace-smoothed
+    # bucket unigram+bigram distributions (target = the English slice,
+    # raw = the whole corpus). High weight = "looks like the target
+    # domain"; the paper resamples proportionally — the weight column
+    # here IS that sampling key. md5-bucket hashing is the repo's
+    # portable seeded-hash recipe (split_train_eval), B = 256.
+    #
+    # Scale shape: one explode of (unigram + bigram) features; the
+    # bucket model is a 256-row aggregate (map-side combine; the
+    # trained ARTIFACT a production run persists) crossJoined with its
+    # 1-row totals and broadcast back into the per-doc rollup — so the
+    # corpus-scale work is one feature-keyed 256-bucket shuffle plus
+    # one doc-keyed rollup; text never shuffles. ln sums round at 6dp
+    # (the perplexity discipline).
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, lang,
+             {_DSIR_BUCKET_SQL} AS bucket
+      FROM (
+        SELECT doc_id, lang, UNNEST(list_concat(toks,
+                 list_transform(range(1, LEN(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents))),
+    b AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM ex GROUP BY bucket),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM b),
+    lr AS (
+      SELECT bucket,
+             LN((ct + 1.0) / (nt + 256.0)) - LN((cr + 1.0) / (nr + 256.0))
+               AS logratio
+      FROM b CROSS JOIN tot)
+    SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(SUM(lr.logratio), 6) AS dsir_logweight
+    FROM ex JOIN lr USING (bucket)
+    GROUP BY ex.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda l, r: F.concat(l, F.lit(" "), r),
+    )
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("feat"), 1, 4), 16, 10).cast("long") % 256)
+        .alias("bucket"),
+    )
+    b = ex.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = b.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lr = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + 256.0))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + 256.0))
+        ).alias("logratio"),
+    )
+    return (
+        ex.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+        )
+    )

@@ -166,6 +166,7 @@ AUDITED = [
     "multimodal_vad_segments",
     "embeddings_kmeans_train",
     "text_bpe_train_merges",
+    "docs_dsir_weights",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

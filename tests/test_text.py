@@ -212,3 +212,27 @@ def test_bpe_single_char_words_contribute_nothing(spark):
 
     df = spark.createDataFrame([("a b c a b",)], "text string")
     assert bpe_train(spark, df, merges=3).count() == 0
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """The method's point: with target = the English slice, English
+    documents must average a strictly higher importance log-weight
+    than every non-English language's average (DSIR separates domains
+    through 256 hashed buckets even at fixture scale)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    w = QUERIES["docs_dsir_weights"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    by_lang = {
+        r["lang"]: r["avg_w"]
+        for r in w.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("dsir_logweight").alias("avg_w"))
+        .collect()
+    }
+    assert all(
+        by_lang["en"] > v for k, v in by_lang.items() if k != "en"
+    ), by_lang
