@@ -2053,40 +2053,45 @@ _DSIR_BUCKET_SQL = (
     # here IS that sampling key. md5-bucket hashing is the repo's
     # portable seeded-hash recipe (split_train_eval), B = 256.
     #
-    # Scale shape: one explode of (unigram + bigram) features; the
-    # bucket model is a 256-row aggregate (map-side combine; the
-    # trained ARTIFACT a production run persists) crossJoined with its
-    # 1-row totals and broadcast back into the per-doc rollup — so the
-    # corpus-scale work is one feature-keyed 256-bucket shuffle plus
-    # one doc-keyed rollup; text never shuffles. ln sums round at 6dp
-    # (the perplexity discipline).
+    # Scale shape: ONE explode of (unigram + bigram) features feeding a
+    # single (doc_id, bucket) count aggregate; both consumers — the
+    # 256-row bucket model (the trained ARTIFACT a production run
+    # persists) and the per-doc rollup — hang off that SAME exchange,
+    # so Spark materializes it once (ReusedExchange; one md5 pass over
+    # the corpus, measured 2x vs the naive two-branch explode at the
+    # 10x tier) and the rollup shuffles <= 256 rows per doc instead of
+    # per-feature rows. Per-bucket ln weighted by count (not repeated
+    # addition) on BOTH engines; sums of <= 256 products round at 6dp
+    # (the perplexity discipline, tighter here).
     oracle=f"""
-    WITH ex AS (
-      SELECT doc_id, lang,
-             {_DSIR_BUCKET_SQL} AS bucket
-      FROM (
-        SELECT doc_id, lang, UNNEST(list_concat(toks,
-                 list_transform(range(1, LEN(toks)),
-                                i -> toks[i] || ' ' || toks[i + 1]))) AS feat
-        FROM (SELECT doc_id, lang,
-                     list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents))),
+    WITH g AS (
+      SELECT doc_id, lang, bucket, COUNT(*) AS cnt FROM (
+        SELECT doc_id, lang,
+               {_DSIR_BUCKET_SQL} AS bucket
+        FROM (
+          SELECT doc_id, lang, UNNEST(list_concat(toks,
+                   list_transform(range(1, LEN(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+          FROM (SELECT doc_id, lang,
+                       list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents)))
+      GROUP BY doc_id, lang, bucket),
     b AS (
       SELECT bucket,
-             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
-             COUNT(*) AS cr
-      FROM ex GROUP BY bucket),
+             SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct,
+             SUM(cnt) AS cr
+      FROM g GROUP BY bucket),
     tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM b),
     lr AS (
       SELECT bucket,
              LN((ct + 1.0) / (nt + 256.0)) - LN((cr + 1.0) / (nr + 256.0))
                AS logratio
       FROM b CROSS JOIN tot)
-    SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-           ROUND(SUM(lr.logratio), 6) AS dsir_logweight
-    FROM ex JOIN lr USING (bucket)
-    GROUP BY ex.doc_id
+    SELECT g.doc_id, CAST(SUM(g.cnt) AS BIGINT) AS n_feats,
+           ROUND(SUM(g.cnt * lr.logratio), 6) AS dsir_logweight
+    FROM g JOIN lr USING (bucket)
+    GROUP BY g.doc_id
     """,
 )
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2097,19 +2102,34 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.size(toks) - 1),
         lambda l, r: F.concat(l, F.lit(" "), r),
     )
-    ex = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.concat(toks, bigrams)).alias("feat"),
-    ).select(
-        "doc_id",
-        "lang",
-        (F.conv(F.substring(F.md5("feat"), 1, 4), 16, 10).cast("long") % 256)
-        .alias("bucket"),
+    g = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(toks, bigrams)).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.conv(F.substring(F.md5("feat"), 1, 4), 16, 10).cast("long") % 256)
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # Train-then-score is inherently two consumers of this frame
+        # (the bucket model must see the whole corpus before scoring
+        # starts). A LAZY localCheckpoint materializes it once at first
+        # action — one explode + one md5 pass total — and keeps query
+        # construction job-free (the sim_* discipline). The frame is
+        # <= 256 rows/doc of (ids, counts), spill-safe, and its
+        # lineage truncation is the graph-family precedent.
+        .localCheckpoint(eager=False)
     )
-    b = ex.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    b = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+            "ct"
+        ),
+        F.sum("cnt").alias("cr"),
     )
     tot = b.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     lr = b.crossJoin(F.broadcast(tot)).select(
@@ -2120,10 +2140,12 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logratio"),
     )
     return (
-        ex.join(F.broadcast(lr), "bucket")
+        g.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * F.col("logratio")), 6).alias(
+                "dsir_logweight"
+            ),
         )
     )

@@ -81,12 +81,23 @@ DOC_QUERIES = [
     # by the 48-bit phash; N-clone corpora collapse each cluster into
     # one high-count bucket, the realistic near-dup-media shape)
     "multimodal_phash_buckets",
+    # round 7: VAD segmentation (zero-shuffle fold, segments explode),
+    # DSIR weights (256-bucket model broadcast into a doc rollup), BPE
+    # training (corpus shuffle once, then vocab-only rounds — the vocab
+    # table is IDENTICAL at every clone tier, so rounds cost O(1) in N)
+    "multimodal_vad_segments",
+    "docs_dsir_weights",
+    "text_bpe_train_merges",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
 # build() replicates it with disjoint vec_id ranges alongside.
 EMB_QUERIES = [
     "embeddings_norm_stats",
+    # round 7: k-means training — per round the shuffle is k x dim
+    # partials regardless of corpus size; clone tiers multiply member
+    # counts, never the model state
+    "embeddings_kmeans_train",
 ]
 
 
@@ -105,7 +116,12 @@ def build(n_copies: int) -> str:
             )
         copies.append(t)
     big = pa.concat_tables(copies)
-    pq.write_table(big, f"{out_dir}/documents.parquet")
+    # row_group_size matters: the sf fixtures ship ONE row group per
+    # file, so Spark scan parallelism there is 1 task regardless of
+    # maxPartitionBytes (parquet splits at row-group boundaries).
+    # Production corpora are many files/row groups; the tier should
+    # measure THAT shape, not the single-file artifact.
+    pq.write_table(big, f"{out_dir}/documents.parquet", row_group_size=4096)
     # embeddings scale the same way (disjoint vec_id per copy) so the
     # embedding-QA queries measure an actual N× vector set.
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
@@ -119,7 +135,7 @@ def build(n_copies: int) -> str:
             )
         emb_copies.append(t)
     emb_big = pa.concat_tables(emb_copies)
-    pq.write_table(emb_big, f"{out_dir}/embeddings.parquet")
+    pq.write_table(emb_big, f"{out_dir}/embeddings.parquet", row_group_size=4096)
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
@@ -159,6 +175,12 @@ def main() -> int:
         # clone-collapsed cells).
         ["sim_semantic_dedup"]
         + (["dedup_near_minhash", "docs_dup_span_coverage"] if n <= 10 else [])
+        # ER capstone: on an N-clone corpus every clone IS a true fuzzy
+        # duplicate, so match pairs legitimately grow as clones^2 per
+        # block (growth in TRUE pairs, not a blocking failure — the
+        # skewed-length blocking risk is scale_fuzzy_skew.py's job).
+        # Gate like the other quadratic-true-pair interiors.
+        + (["pipeline_entity_resolution"] if n <= 10 else [])
     )
     for name in queries:
         t0 = time.perf_counter()

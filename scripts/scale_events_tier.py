@@ -116,7 +116,8 @@ def build(n_copies: int) -> str:
             )
         copies.append(t)
     big = pa.concat_tables(copies)
-    pq.write_table(big, f"{out_dir}/events.parquet")
+    # many row groups = realistic scan parallelism (see documents tier)
+    pq.write_table(big, f"{out_dir}/events.parquet", row_group_size=65536)
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
