@@ -614,3 +614,102 @@ def jaccard_prefix_join(
             F.round(inter / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood method (Hernandez & Stolfo 1995) — the OTHER
+# classic record-linkage candidate generator beside key blocking: sort
+# the corpus by a discriminating key, compare each record only to its
+# w successors in sort order.
+# ---------------------------------------------------------------------------
+def global_rank(
+    df: DataFrame, order_cols: list[str], num_partitions: int = 32
+) -> DataFrame:
+    """Dense 1-based global rank under a TOTAL order, without the
+    single-partition global-window trap.
+
+    The scale-right two-pass shape: range-repartition on the order
+    columns (partition i holds keys <= partition i+1's — Spark's
+    RangePartitioner assigns ordered ranges to ordered partition ids),
+    row_number WITHIN each partition (32-way parallel sort), then add
+    per-partition offsets — n_partitions counts of driver model state.
+    The frame is materialized (eager localCheckpoint) BEFORE the size
+    pass so both passes see identical partition boundaries whatever
+    the range sampler did.
+
+    Correct for ANY boundary placement: rank = local row_number +
+    offset needs only (a) ranges ordered by pid and (b) a total order
+    within each partition; ``order_cols`` must therefore be a UNIQUE
+    key (include a tie-breaker id)."""
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.map_from_arrays(
+        F.array(*[F.lit(int(p)) for p in sorted(offsets)]),
+        F.array(*[F.lit(int(offsets[p])) for p in sorted(offsets)]),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return part.withColumn(
+        "rnk", (F.row_number().over(w) + off[F.col("__pid")]).cast("long")
+    ).drop("__pid")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_chars: int = 16,
+    window: int = 8,
+    prefix_chars: int = 40,
+    max_edit: int = 22,
+) -> DataFrame:
+    """Candidate pairs by sorted neighborhood + exact levenshtein
+    verification: sort key = lowercased first ``key_chars`` of trimmed
+    text (tie-broken by id into a total order), each record compared
+    to its ``window`` successors, kept when the ``prefix_chars``-prefix
+    edit distance is <= ``max_edit``.
+
+    Scale shape: ONE range-partitioned sort of (id, key, prefix) —
+    text never moves; candidate generation is an equi-join on
+    rank+offset (window x row amplification of id-sized rows only);
+    verification is codegen levenshtein on candidates. Complementary
+    to blocking (dedup_fuzzy_blocked): a window catches near-misses
+    that straddle a block boundary, blocking catches pairs whose sort
+    keys diverge early; production ER unions both candidate sets."""
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.substring(F.trim(F.col(text_col)), 1, key_chars)).alias(
+            "k"
+        ),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("prefix"),
+    )
+    r = global_rank(s, ["k", "id"])
+    a = r.select(
+        F.col("id").alias("id_a"),
+        F.col("prefix").alias("pa"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("j"),
+        "rnk",
+    ).select("id_a", "pa", (F.col("rnk") + F.col("j")).alias("rb"))
+    b = r.select(
+        F.col("id").alias("id_b"), F.col("prefix").alias("pb"),
+        F.col("rnk").alias("rb"),
+    )
+    return (
+        a.join(b, "rb")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_edit)
+    )

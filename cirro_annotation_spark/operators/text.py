@@ -172,9 +172,12 @@ def _pair_counts(words):
     )
 
 
-def bpe_train(spark, df, text_col: str = "text", merges: int = 6):
-    """Learn ``merges`` BPE merge rules; returns one row per rule:
-    (merge_round, left_sym, right_sym, pair_count).
+def bpe_fit(spark, df, text_col: str = "text", merges: int = 6):
+    """Learn ``merges`` BPE merge rules; returns (merge_rows, words)
+    where merge_rows is the [(round, left, right, count)] driver-state
+    merge table and ``words`` is the final vocabulary frame
+    (symbols, freq) with every learned merge applied — the encoder's
+    lookup table (a word's BPE token count is its symbol count here).
 
     Each round: count adjacent pairs over the vocab (one vocab-keyed
     shuffle with map-side combine), take the argmax under the pinned
@@ -205,16 +208,25 @@ def bpe_train(spark, df, text_col: str = "text", merges: int = 6):
             ).alias("symbols"),
             "freq",
         ).localCheckpoint(eager=True)
+    return out, words
+
+
+def bpe_train(spark, df, text_col: str = "text", merges: int = 6):
+    """The merge-table artifact of bpe_fit as a DataFrame: one row per
+    learned rule (merge_round, left_sym, right_sym, pair_count)."""
+    out, _ = bpe_fit(spark, df, text_col, merges)
     return spark.createDataFrame(
         out, "merge_round int, left_sym string, right_sym string, pair_count long"
     )
 
 
-def bpe_oracle_sql(
+def bpe_oracle_ctes(
     table: str = "documents", text_col: str = "text", merges: int = 6
 ) -> str:
-    """Unrolled-CTE DuckDB oracle for bpe_train (MATERIALIZED — chained
-    CTE inlining is exponential otherwise, the k-core lesson)."""
+    """The unrolled training CTE chain (w0..wN vocab states, m1..mN
+    merge picks) shared by the train and encode oracles
+    (MATERIALIZED — chained CTE inlining is exponential otherwise,
+    the k-core lesson)."""
     parts = [
         f"""WITH w0 AS MATERIALIZED (
   SELECT symbols, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -246,7 +258,14 @@ w{t} AS MATERIALIZED (
                  (SELECT left_sym || right_sym FROM m{t})) AS symbols, freq
   FROM w{p}),"""
         )
-    body = "\n".join(parts).rstrip(",")
+    return "\n".join(parts).rstrip(",")
+
+
+def bpe_oracle_sql(
+    table: str = "documents", text_col: str = "text", merges: int = 6
+) -> str:
+    """Unrolled-CTE DuckDB oracle for bpe_train."""
+    body = bpe_oracle_ctes(table, text_col, merges)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS INT) AS merge_round, left_sym, right_sym,"
         f" pair_count FROM m{t}"

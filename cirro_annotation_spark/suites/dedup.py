@@ -835,3 +835,44 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    # Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    # 1995) — the OTHER classic record-linkage candidate method beside
+    # key blocking, complementary to dedup_fuzzy_blocked: the sliding
+    # window catches near-pairs that straddle a block boundary;
+    # blocking catches pairs whose sort keys diverge in the first
+    # characters. Sort by the lowercased 16-char key (id tie-break =
+    # total order), compare each record to its 8 successors, keep
+    # 40-char-prefix edit distance <= 22.
+    #
+    # Scale shape: the global rank is the two-pass range-partition +
+    # local row_number + offset composition (operators/dedup.py:
+    # global_rank — NO single-partition global window); candidates are
+    # an equi-join on rank+offset moving only (id, 40-char prefix)
+    # rows; text never shuffles. The oracle re-derives the identical
+    # total order with ROW_NUMBER, proving the distributed rank
+    # equals the sequential one.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, LOWER(SUBSTRING(TRIM(text), 1, 16)) AS k,
+             SUBSTRING(text, 1, 40) AS prefix
+      FROM documents),
+    r AS (
+      SELECT doc_id, prefix,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk
+      FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+    FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 8
+    WHERE levenshtein(a.prefix, b.prefix) <= 22
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.sorted_neighborhood_pairs(
+        d, "text", "doc_id", key_chars=16, window=8, prefix_chars=40,
+        max_edit=22,
+    )

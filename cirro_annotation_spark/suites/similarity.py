@@ -7,7 +7,7 @@ The LSH paths depend on seeded hyperplanes → rows-only + pytest recall tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cirro_annotation_spark.operators import clustering as C
@@ -931,3 +931,163 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return C.kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=3, dim=64)
+
+
+# The sparse arm's oracle comes from the registered BM25 query —
+# importing the text suite here guarantees its @query decorator has
+# populated ORACLES before this module's f-strings read it (no
+# circularity: suites.text imports no suite module).
+from cirro_annotation_spark.registry import ORACLES  # noqa: E402
+from cirro_annotation_spark.suites import text as _text_suite  # noqa: E402,F401
+
+_DENSE_RANK_ORACLE = f"""
+    SELECT vec_id, cosine_sim,
+           ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS d_rank
+    FROM ({_COSINE_ALL_ORACLE})
+    ORDER BY d_rank LIMIT 20
+"""
+
+
+@query(
+    "rag_hybrid_rrf",
+    # Hybrid retrieval with Reciprocal-Rank Fusion (Cormack et al.
+    # 2009) — the standard production RAG pattern: fuse the DENSE
+    # top-20 (cosine vs the query vector) with the SPARSE top-20
+    # (Okapi BM25 over the query terms) by rrf = sum 1/(60 + rank),
+    # ranks only — RRF's point is immunity to the two scorers'
+    # incomparable scales. doc_id == vec_id is the corpus linkage
+    # (document embeddings).
+    #
+    # Scale shape: both arms are the already-audited retrieval plans
+    # (posting-list-pruned BM25; broadcast-query cosine with
+    # TakeOrderedAndProject); fusion is a full outer join of two
+    # 20-row frames — driver-scale work after corpus-scale arms.
+    # 1/(60+r) on INT ranks is the same double on both engines; sums
+    # of two such terms round at 6.
+    oracle=f"""
+    WITH dense AS ({_DENSE_RANK_ORACLE}),
+    sparse AS (
+      SELECT * FROM (
+        {ORACLES["text_bm25_topk"]}
+      )
+    )
+    SELECT COALESCE(d.vec_id, s.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + d.d_rank), 0)
+                 + COALESCE(1.0 / (60 + s.bm25_rank), 0), 6) AS rrf_score
+    FROM dense d FULL JOIN sparse s ON d.vec_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.suites.text import text_bm25_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dense = (
+        emb.crossJoin(F.broadcast(_query_frame(emb)))
+        .select(
+            "vec_id",
+            F.round(S.cosine_vs_query_frame(v), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine_sim"), "vec_id"))
+            .alias("d_rank"),
+        )
+    )
+    sparse = text_bm25_topk(spark, sf_dir).select("doc_id", "bm25_rank")
+    fused = dense.join(
+        sparse, dense["vec_id"] == sparse["doc_id"], "full_outer"
+    ).select(
+        F.coalesce(dense["vec_id"], sparse["doc_id"]).alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("d_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+@query(
+    "sim_hard_negatives",
+    # Hard-negative mining for contrastive training (the in-batch
+    # negatives literature, e.g. DPR / SimCSE): for each anchor
+    # vector, the top-5 most-similar vectors with a DIFFERENT label —
+    # near-duplicates across class boundaries are exactly the
+    # examples a contrastive objective learns most from.
+    #
+    # Scale shape: the anchor frame (3 rows) broadcasts into a
+    # codegen'd cosine against the corpus — the corpus never
+    # shuffles; per-anchor top-5 is a (tiny-cardinality anchor key)
+    # window over rounded scores with pinned vec_id tie-break.
+    oracle="""
+    WITH anch AS (
+      SELECT vec_id AS anchor_id, label AS a_label,
+             CAST(embedding AS DOUBLE[]) AS av
+      FROM embeddings WHERE vec_id < 3),
+    z AS (
+      SELECT anch.anchor_id, e.vec_id,
+             UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+             UNNEST(anch.av) AS y
+      FROM embeddings e CROSS JOIN anch
+      WHERE e.label <> anch.a_label),
+    cos AS (
+      SELECT anchor_id, vec_id,
+             ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6)
+               AS cosine_sim
+      FROM z GROUP BY anchor_id, vec_id)
+    SELECT anchor_id, vec_id, cosine_sim, neg_rank FROM (
+      SELECT anchor_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine_sim DESC, vec_id ASC)
+               AS neg_rank
+      FROM cos)
+    WHERE neg_rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    anch = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").cast("array<double>").alias("av"),
+    )
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, F.col("av"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("av"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(anch))
+        .filter(F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(dot / (n1 * n2), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        cos.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("anchor_id", "vec_id", "cosine_sim", "neg_rank")
+    )

@@ -2149,3 +2149,64 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_bpe_encode_fertility",
+    # The CONSUMER of text_bpe_train_merges: encode the corpus with the
+    # learned merges and report per-language tokenizer fertility (BPE
+    # tokens per word) — the metric tokenizer teams actually watch
+    # (high fertility on a language = the vocab underserves it). A
+    # word's BPE token count is its symbol count in the final trained
+    # vocabulary state, so encoding is a (token -> vocab) join: no
+    # re-segmentation pass, and the training CTE chain w0..wN IS the
+    # encoder table on both engines.
+    #
+    # Scale shape: bpe_fit's one corpus shuffle + vocab-only rounds,
+    # then ONE token-keyed join (vocab side is Zipf-small; Spark
+    # broadcasts when it fits, sort-merges otherwise) and a lang
+    # rollup. All-integer interiors; the single float is the final
+    # ratio, rounded at 6.
+    oracle=X.bpe_oracle_ctes(merges=6) + """,
+    enc AS (
+      SELECT REPLACE(symbols, chr(31), '') AS word,
+             CAST(LEN(string_split(symbols, chr(31))) AS BIGINT) AS n_sym
+      FROM w6),
+    ex AS (
+      SELECT doc_id, lang,
+             UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents)
+    SELECT ex.lang,
+           CAST(COUNT(DISTINCT ex.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_words,
+           CAST(SUM(enc.n_sym) AS BIGINT) AS total_bpe_tokens,
+           ROUND(CAST(SUM(enc.n_sym) AS DOUBLE) / COUNT(*), 6)
+             AS avg_tokens_per_word
+    FROM ex JOIN enc ON ex.tok = enc.word
+    GROUP BY ex.lang
+    """,
+)
+def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    _, vocab = X.bpe_fit(spark, d, "text", merges=6)
+    enc = vocab.select(
+        F.replace(F.col("symbols"), F.lit(X.BPE_SEP), F.lit("")).alias("word"),
+        F.size(F.split("symbols", X.BPE_SEP)).cast("long").alias("n_sym"),
+    )
+    ex = d.select(
+        "doc_id", "lang",
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    return (
+        ex.join(enc, ex["tok"] == enc["word"])
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("total_words"),
+            F.sum("n_sym").cast("long").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_sym").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens_per_word"),
+        )
+    )

@@ -167,6 +167,10 @@ AUDITED = [
     "embeddings_kmeans_train",
     "text_bpe_train_merges",
     "docs_dsir_weights",
+    "dedup_sorted_neighborhood",
+    "text_bpe_encode_fertility",
+    "rag_hybrid_rrf",
+    "sim_hard_negatives",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

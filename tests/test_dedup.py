@@ -439,3 +439,69 @@ def test_entity_resolution_transitive_chain(spark):
             for r in QUERIES["pipeline_entity_resolution"](spark, tmp).collect()
         }
     assert got == {(1, 3), (4, 1)}
+
+
+def test_global_rank_matches_sequential_order(spark):
+    """Distributed two-pass rank == sequential ROW_NUMBER on a random
+    frame with duplicate keys (id tie-break makes the order total),
+    across enough rows that every range partition is populated."""
+    import random
+
+    from cirro_annotation_spark.operators.dedup import global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice("abcdefgh") * rng.randint(1, 3)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        r["id"]: r["rnk"] for r in global_rank(df, ["k", "id"]).collect()
+    }
+    want = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_match_brute_window(spark):
+    """Engine pairs == an imperative re-derivation of 'each record vs
+    its w successors in (key, id) order' — including pairs that
+    straddle range-partition boundaries (5k rows over 32 partitions
+    forces ~31 boundary crossings)."""
+    import random
+
+    from cirro_annotation_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["alpha", "alpine", "beta", "betty", "gamma"]) +
+         " " + "x" * rng.randint(0, 30))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, window=4, key_chars=8, prefix_chars=20, max_edit=10
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    srt = sorted(rows, key=lambda t: (t[1].strip().lower()[:8], t[0]))
+    want = set()
+    for i, (ida, ta) in enumerate(srt):
+        for j in range(i + 1, min(i + 5, len(srt))):
+            idb, tb = srt[j]
+            if lev(ta[:20], tb[:20]) <= 10:
+                want.add((ida, idb))
+    assert got == want and len(want) > 500

@@ -128,7 +128,8 @@ def test_rotation_remainder_matches_plan() -> None:
         # construction; they queue behind the current window)
         "pipeline_entity_resolution", "multimodal_vad_segments",
         "embeddings_kmeans_train", "text_bpe_train_merges",
-        "docs_dsir_weights",
+        "docs_dsir_weights", "dedup_sorted_neighborhood",
+        "text_bpe_encode_fertility", "rag_hybrid_rrf", "sim_hard_negatives",
     }
     assert planned.issuperset(remainder), (
         f"oracle-backed queries not driver-scored, not in the window, and "

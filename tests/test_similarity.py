@@ -355,3 +355,35 @@ def test_mmr_matches_reference_and_diversifies(spark):
         return (s.sum() - np.trace(s)) / (n * (n - 1))
     mmr_unit = unit[[int(np.where(ids == v)[0][0]) for v in want]]
     assert mean_pair(mmr_unit) <= mean_pair(unit[top5]) + 1e-12
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    """Every mined negative carries a label different from its
+    anchor's, exactly 5 per anchor, ranks 1..5."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = QUERIES["sim_hard_negatives"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    per_anchor = {}
+    for r in out:
+        assert labels[r["vec_id"]] != labels[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["neg_rank"])
+    assert set(per_anchor) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_anchor.values())
+
+
+def test_rrf_fuses_both_arms(spark, sf_dir):
+    """The query vector's own document (vec 0, dense rank 1) must
+    appear in the fused top-10; scores must be non-increasing and the
+    max possible is 2/61 (rank 1 in BOTH arms)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = QUERIES["rag_hybrid_rrf"](spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    scores = [r["rrf_score"] for r in rows]
+    assert 0 in ids
+    assert scores == sorted(scores, reverse=True)
+    assert all(s <= round(2 / 61, 6) + 1e-9 for s in scores)

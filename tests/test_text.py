@@ -236,3 +236,24 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     assert all(
         by_lang["en"] > v for k, v in by_lang.items() if k != "en"
     ), by_lang
+
+
+def test_bpe_fertility_on_crafted_corpus(spark):
+    """1 merge on 'ab ab b': (a,b) merges, so 'ab' encodes to 1 symbol
+    and 'b' to 1 — fertility exactly 1.0; with 0 effective merges the
+    same corpus has fertility 5/3 (chars per word)."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.operators.text import bpe_fit
+    from cirro_annotation_spark.operators.text import BPE_SEP
+
+    df = spark.createDataFrame([(1, "ab ab b", "en")],
+                               "doc_id long, text string, lang string")
+    merges, vocab = bpe_fit(spark, df, merges=1)
+    assert merges == [(1, "a", "b", 2)]
+    enc = {
+        r["symbols"].replace(BPE_SEP, ""): len(r["symbols"].split(BPE_SEP))
+        for r in vocab.collect()
+    }
+    assert enc == {"ab": 1, "b": 1}
