@@ -95,7 +95,11 @@ def kmeans_lloyd(
     """
     q = df.select(
         F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("qv")
-    )
+    # Materialize the lattice ONCE: every Lloyd round (and the final
+    # summary) is an action over this frame — without the checkpoint
+    # each of the iters+2 jobs re-reads parquet and re-quantizes (the
+    # pagerank static-frame lesson, operators/graph.py).
+    ).localCheckpoint(eager=True)
     # Bounded driver model state: k x dim BIGINTs (the IVF-centroid /
     # MMR-pool budget), refreshed once per round.
     init = q.filter(F.col("vec_id") < k).collect()
