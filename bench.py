@@ -186,6 +186,8 @@ HEADLINE = [
     "text_bpe_encode_fertility",
     "rag_hybrid_rrf",
     "sim_hard_negatives",
+    "embeddings_pq_train",
+    "sim_ann_recall_report",
 ]
 
 

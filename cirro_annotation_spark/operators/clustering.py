@@ -214,3 +214,208 @@ SELECT af.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(ANY_VALUE(ck.centroid_checksum) AS BIGINT) AS centroid_checksum
 FROM af JOIN ck ON af.cid = ck.cid
 GROUP BY af.cid"""
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codebook training (Jegou et al. 2011) — m
+# independent k-means problems, one per subspace, trained TOGETHER.
+# ---------------------------------------------------------------------------
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Train the m x k PQ codebook on the shared integer lattice;
+    return one row per (subspace, cluster): n_members, inertia,
+    centroid_checksum under the final assignment.
+
+    The sim_topk_pq / sim_topk_ivfpq queries consume codebooks as
+    pinned literals (suites/_pq_codebooks.py) — this is their producer,
+    completing the IVF-PQ artifact lifecycle together with
+    kmeans_lloyd (the coarse cells). Exactness is the kmeans_lloyd
+    contract applied per subspace: floor-lattice, BIGINT distances,
+    (dist, cid) ties, floor-division updates, empty-cluster
+    carry-forward.
+
+    Scale shape: ALL m subspaces train in the SAME single aggregate
+    per round — m assignment expressions (codegen argmin over k
+    literal sub-centroids each) feed m*k*(subdim+1) conditional sums,
+    map-side combined to ONE row; driver model state is m*k*subdim
+    BIGINTs. One pass per round over vectors that never shuffle —
+    training the whole codebook costs the same passes as one subspace.
+    """
+    sub = dim // m
+    q = df.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("qv")
+    ).localCheckpoint(eager=True)
+    init = q.filter(F.col("vec_id") < k).collect()
+    if len(init) != k:
+        raise ValueError(f"need vec_id 0..{k - 1} to seed {k} sub-centroids")
+    # codebook[(s, c)] = the subvector of vec_id c in subspace s
+    book: dict[tuple[int, int], list[int]] = {}
+    for r in init:
+        full = [int(v) for v in r["qv"]]
+        for s in range(m):
+            book[(s, int(r["vec_id"]))] = full[s * sub : (s + 1) * sub]
+
+    def sub_assign(s: int) -> Column:
+        sv = F.slice(F.col("qv"), s * sub + 1, sub)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sv,
+                                F.array(*[F.lit(int(x)) for x in book[(s, c)]]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        F.lit(c).alias("cid"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        )
+
+    for _ in range(iters):
+        aggs = []
+        for s in range(m):
+            a = sub_assign(s)["cid"]
+            for c in range(k):
+                hit = a == c
+                aggs.append(
+                    F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
+                )
+                for d in range(sub):
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                hit, F.element_at("qv", s * sub + d + 1)
+                            ).otherwise(0)
+                        ).alias(f"s_{s}_{c}_{d}")
+                    )
+        row = q.agg(*aggs).first()
+        new = dict(book)  # empty cluster keeps previous coordinates
+        for s in range(m):
+            for c in range(k):
+                n = int(row[f"n_{s}_{c}"])
+                if n:
+                    new[(s, c)] = [
+                        int(row[f"s_{s}_{c}_{d}"]) // n for d in range(sub)
+                    ]
+        book = new
+
+    # Final assignment stats, still one aggregate: counts + inertia per
+    # (subspace, cluster); checksums are driver arithmetic on the book.
+    aggs = []
+    for s in range(m):
+        best = sub_assign(s)
+        for c in range(k):
+            hit = best["cid"] == c
+            aggs.append(
+                F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
+            )
+            aggs.append(
+                F.sum(F.when(hit, best["dist"]).otherwise(0)).alias(
+                    f"i_{s}_{c}"
+                )
+            )
+    row = q.agg(*aggs).first()
+    out = []
+    for s in range(m):
+        for c in range(k):
+            n = int(row[f"n_{s}_{c}"])
+            if n == 0:
+                continue  # absent from the summary, the kmeans rule
+            cks = sum(x * (d + 1) for d, x in enumerate(book[(s, c)]))
+            out.append((s, c, n, int(row[f"i_{s}_{c}"]), cks))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "subspace int, cluster_id int, n_members long, inertia long,"
+        " centroid_checksum long",
+    )
+
+
+def pq_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for pq_train: the kmeans_oracle_sql
+    round structure instantiated once per subspace over the shared
+    long-format lattice (qd restricted to each subspace's dim range)."""
+    sub = dim // m
+    parts = [
+        f"""WITH qd AS MATERIALIZED (
+  SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
+         CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
+              AS BIGINT) AS x
+  FROM {table}, range(1, {dim + 1}) r(d))"""
+    ]
+    finals = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""sq{s} AS MATERIALIZED (
+  SELECT vec_id, d - {lo - 1} AS d, x FROM qd
+  WHERE d BETWEEN {lo} AND {hi}),
+c{s}_0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM sq{s}
+  WHERE vec_id < {k})"""
+        )
+        for t_ in range(1, iters + 1):
+            p = t_ - 1
+            parts.append(
+                f"""a{s}_{t_} AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT sq{s}.vec_id, c.cid,
+                 SUM((sq{s}.x - c.m) * (sq{s}.x - c.m)) AS dist
+          FROM sq{s} JOIN c{s}_{p} c USING (d)
+          GROUP BY sq{s}.vec_id, c.cid))
+  WHERE rn = 1),
+c{s}_{t_} AS MATERIALIZED (
+  SELECT a.cid, sq{s}.d,
+         CAST(FLOOR(CAST(SUM(sq{s}.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{s}_{t_} a JOIN sq{s} USING (vec_id) GROUP BY a.cid, sq{s}.d
+  UNION ALL
+  SELECT cid, d, m FROM c{s}_{p}
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM a{s}_{t_}))"""
+            )
+        parts.append(
+            f"""af{s} AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT sq{s}.vec_id, c.cid,
+                 SUM((sq{s}.x - c.m) * (sq{s}.x - c.m)) AS dist
+          FROM sq{s} JOIN c{s}_{iters} c USING (d)
+          GROUP BY sq{s}.vec_id, c.cid))
+  WHERE rn = 1),
+ck{s} AS MATERIALIZED (
+  SELECT cid, SUM(m * d) AS centroid_checksum FROM c{s}_{iters} GROUP BY cid)"""
+        )
+        finals.append(
+            f"""SELECT CAST({s} AS INT) AS subspace, af{s}.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(af{s}.dist) AS BIGINT) AS inertia,
+       CAST(ANY_VALUE(ck{s}.centroid_checksum) AS BIGINT)
+         AS centroid_checksum
+FROM af{s} JOIN ck{s} ON af{s}.cid = ck{s}.cid
+GROUP BY af{s}.cid"""
+        )
+    body = ",\n".join(parts)
+    return body + "\n" + "\nUNION ALL\n".join(finals)

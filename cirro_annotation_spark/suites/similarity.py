@@ -1091,3 +1091,89 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 5)
         .select("anchor_id", "vec_id", "cosine_sim", "neg_rank")
     )
+
+
+@query(
+    "embeddings_pq_train",
+    # PQ codebook TRAINING (Jegou et al. 2011) — the producer of the
+    # codebooks sim_topk_pq / sim_topk_ivfpq consume as pinned
+    # literals; with embeddings_kmeans_train (the coarse cells) the
+    # full IVF-PQ artifact lifecycle is now trained in-engine. m=4
+    # subspaces x k=4 centroids, 2 rounds, the kmeans exact-integer
+    # contract per subspace — and ALL subspaces train in the SAME one
+    # aggregate per round (m*k*(subdim+1) conditional sums collapse
+    # map-side to one row), so the whole codebook costs the passes of
+    # one subspace. Oracle: the kmeans unrolled-CTE structure
+    # instantiated per subspace (operators/clustering.py:
+    # pq_oracle_sql).
+    oracle=C.pq_oracle_sql(m=4, k=4, iters=2, dim=64),
+)
+def embeddings_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return C.pq_train(emb, "embedding", "vec_id", m=4, k=4, iters=2, dim=64)
+
+
+@query(
+    "sim_ann_recall_report",
+    # The ANN QA gate a production vector pipeline runs before swapping
+    # an index in: recall@10 of each approximate method (IVF, multiprobe
+    # LSH, PQ-ADC) against the exact cosine top-10, in ONE report. The
+    # oracle embeds each method's already-green oracle as a CTE — the
+    # hash match proves the recall arithmetic AND re-proves all four
+    # rankings in one statement. Left join (not semi/groupBy) keeps a
+    # method visible at recall 0.
+    #
+    # Scale shape: the three approximate arms are the audited
+    # partition-pruned plans; the exact arm is the brute-force kernel;
+    # fusion is a 30-row x 10-row broadcast join. Recall is hits/10.0
+    # on integers — exact on both engines.
+    oracle=f"""
+    WITH exact10 AS (
+      SELECT vec_id, 1 AS hit FROM ({ORACLES["sim_topk_cosine"]})
+    ),
+    cands AS (
+      SELECT 'ivf' AS method, vec_id FROM ({ORACLES["sim_topk_ivf"]})
+      UNION ALL
+      SELECT 'lsh_multiprobe' AS method, vec_id
+      FROM ({ORACLES["sim_topk_lsh_multiprobe"]})
+      UNION ALL
+      SELECT 'pq_adc' AS method, vec_id FROM ({ORACLES["sim_topk_pq"]})
+    )
+    SELECT c.method, CAST(SUM(COALESCE(e.hit, 0)) AS BIGINT) AS hits,
+           ROUND(SUM(COALESCE(e.hit, 0)) / 10.0, 6) AS recall_at_10
+    FROM cands c LEFT JOIN exact10 e USING (vec_id)
+    GROUP BY c.method
+    """,
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.registry import QUERIES
+
+    exact = (
+        QUERIES["sim_topk_cosine"](spark, sf_dir)
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    cands = None
+    for method, qname in [
+        ("ivf", "sim_topk_ivf"),
+        ("lsh_multiprobe", "sim_topk_lsh_multiprobe"),
+        ("pq_adc", "sim_topk_pq"),
+    ]:
+        arm = (
+            QUERIES[qname](spark, sf_dir)
+            .select("vec_id")
+            .withColumn("method", F.lit(method))
+        )
+        cands = arm if cands is None else cands.unionByName(arm)
+    return (
+        cands.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 6
+            ).alias("recall_at_10"),
+        )
+    )

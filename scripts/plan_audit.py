@@ -171,6 +171,8 @@ AUDITED = [
     "text_bpe_encode_fertility",
     "rag_hybrid_rrf",
     "sim_hard_negatives",
+    "embeddings_pq_train",
+    "sim_ann_recall_report",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

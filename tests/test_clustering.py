@@ -116,3 +116,49 @@ def test_inertia_non_increasing_across_rounds(spark):
     i1 = kmeans_lloyd(emb, k=8, iters=1, dim=64).agg(F.sum("inertia")).first()[0]
     i3 = kmeans_lloyd(emb, k=8, iters=3, dim=64).agg(F.sum("inertia")).first()[0]
     assert i3 <= i1
+
+
+def test_pq_train_matches_oracle_on_crafted_corpus(spark):
+    """Engine-vs-oracle parity for PQ training on a toy table with an
+    empty sub-cluster and negative values; also pins that subspaces
+    train independently (subspace 1's clusters differ from 0's)."""
+    import duckdb
+
+    from cirro_annotation_spark.operators.clustering import (
+        pq_oracle_sql,
+        pq_train,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.1, 0.1, 1.1, 0.9]),
+        (3, [-0.5, 0.9, 0.0, 0.0]),
+        (4, [0.9, 1.1, 0.1, -0.1]),
+        (5, [0.0, 0.1, 1.0, 1.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, df)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{os.path.join(tmp, 'embeddings.parquet')}'"
+        )
+        want = set(map(tuple, con.execute(
+            pq_oracle_sql(m=2, k=2, iters=2, dim=4)
+        ).fetchall()))
+    got = {
+        (r["subspace"], r["cluster_id"], r["n_members"], r["inertia"],
+         r["centroid_checksum"])
+        for r in pq_train(df, m=2, k=2, iters=2, dim=4).collect()
+    }
+    assert got == want and len({s for s, *_ in got}) == 2
+    # different assignment structure per subspace on this fixture
+    n_by_sub = {}
+    for s, c, n, *_ in sorted(got):
+        n_by_sub.setdefault(s, []).append(n)
+    assert n_by_sub[0] != n_by_sub[1]
