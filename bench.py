@@ -188,6 +188,7 @@ HEADLINE = [
     "sim_hard_negatives",
     "embeddings_pq_train",
     "sim_ann_recall_report",
+    "embeddings_prototype_prune",
 ]
 
 

@@ -77,17 +77,19 @@ def _assign_expr(qvec: str, centroids: dict[int, list[int]]) -> Column:
     return best
 
 
-def kmeans_lloyd(
+def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 3,
     dim: int = 64,
-) -> DataFrame:
-    """Train k centroids by ``iters`` Lloyd rounds; return the golden
-    per-cluster summary (cluster_id, n_members, inertia,
-    centroid_checksum) under the final assignment.
+):
+    """Run the Lloyd rounds; return (centroids, q) — the trained
+    k x dim integer codebook (driver model state) and the materialized
+    quantized lattice frame (vec_id, qv). Consumers: kmeans_lloyd (the
+    golden summary) and the prototype-pruning query (per-vector
+    assignment ranks).
 
     Init: the quantized vectors of the k lowest ``id_col`` rows
     (cid = that id) — a pinned deterministic seeding, the k-means++
@@ -126,6 +128,21 @@ def kmeans_lloyd(
             # agrees; see module docstring magnitude audit).
             new[int(r["cid"])] = [int(r[f"s{d}"]) // c for d in range(dim)]
         centroids = new
+    return centroids, q
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Train k centroids by ``iters`` Lloyd rounds; return the golden
+    per-cluster summary (cluster_id, n_members, inertia,
+    centroid_checksum) under the final assignment."""
+    centroids, q = kmeans_fit(df, vec_col, id_col, k, iters, dim)
 
     checksum = {
         cid: sum(m * (d + 1) for d, m in enumerate(vec))
@@ -154,7 +171,7 @@ def kmeans_lloyd(
     )
 
 
-def kmeans_oracle_sql(
+def kmeans_oracle_ctes(
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -162,7 +179,9 @@ def kmeans_oracle_sql(
     iters: int = 3,
     dim: int = 64,
 ) -> str:
-    """Unrolled-CTE DuckDB oracle for kmeans_lloyd: one
+    """Unrolled-CTE chain for the Lloyd fixed point (through the final
+    assignment ``af`` and checksum table ``ck``), shared by the train
+    and prototype-prune oracles: one
     assignment+update CTE pair per round over the long-format lattice
     (MATERIALIZED — chained CTE inlining is exponential otherwise, the
     k-core lesson). Identical pinned rules: floor-lattice quantization,
@@ -207,7 +226,19 @@ c{t_} AS MATERIALIZED (
 ck AS MATERIALIZED (
   SELECT cid, SUM(m * d) AS centroid_checksum FROM c{iters} GROUP BY cid)"""
     )
-    body = "\n".join(parts)
+    return "\n".join(parts)
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Full DuckDB oracle for kmeans_lloyd's golden summary."""
+    body = kmeans_oracle_ctes(table, vec_col, id_col, k, iters, dim)
     return f"""{body}
 SELECT af.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(af.dist) AS BIGINT) AS inertia,

@@ -1177,3 +1177,52 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+@query(
+    "embeddings_prototype_prune",
+    # SSL-prototype data pruning (Sorscher et al. 2022 "Beyond neural
+    # scaling laws"; the D4 pipeline's second stage after SemDeDup):
+    # rank every vector by distance to its trained cluster centroid
+    # and mark the most PROTOTYPICAL 20% per cluster as prunable —
+    # easy, redundant examples near the prototype teach a model least
+    # on a big corpus. Training is the in-engine kmeans fixed point;
+    # pruning is one window over (cluster, dist) with integer
+    # cross-multiplied thresholding (5*rank <= n — no float
+    # percentile knife-edge) and pinned (dist, vec_id) tie-break.
+    #
+    # Scale shape: assignment stays a codegen expression in the scan
+    # stage; the ONLY shuffle is the cluster-keyed window (k
+    # partitions). Oracle: the kmeans unrolled-CTE chain + the same
+    # window — one hash match proves training AND the pruning rule.
+    oracle=C.kmeans_oracle_ctes(k=8, iters=3, dim=64)
+    + """
+    SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist,
+           CAST(proto_rank AS INT) AS proto_rank,
+           5 * proto_rank <= n_members AS pruned
+    FROM (
+      SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id)
+               AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cid) AS n_members
+      FROM af)
+    """,
+)
+def embeddings_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, q = C.kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3, dim=64)
+    best = C._assign_expr("qv", centroids)
+    assigned = q.select(
+        "vec_id", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+    w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    wc = Window.partitionBy("cid")
+    return assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("dist").cast("long").alias("dist"),
+        F.row_number().over(w).cast("int").alias("proto_rank"),
+        (
+            5 * F.row_number().over(w) <= F.count(F.lit(1)).over(wc)
+        ).alias("pruned"),
+    )

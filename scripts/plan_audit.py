@@ -173,6 +173,7 @@ AUDITED = [
     "sim_hard_negatives",
     "embeddings_pq_train",
     "sim_ann_recall_report",
+    "embeddings_prototype_prune",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -162,3 +162,31 @@ def test_pq_train_matches_oracle_on_crafted_corpus(spark):
     for s, c, n, *_ in sorted(got):
         n_by_sub.setdefault(s, []).append(n)
     assert n_by_sub[0] != n_by_sub[1]
+
+
+def test_prototype_prune_marks_20pct_per_cluster(spark):
+    """Pruning rule semantics on the sf0.001 fixture: per cluster,
+    exactly floor(n/5) vectors are pruned (5*rank <= n), they are the
+    LOWEST-distance ones, and cluster seeds (distance 0 to their own
+    init centroid is not guaranteed after 3 rounds) follow the same
+    rule as everyone else."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = QUERIES["embeddings_prototype_prune"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    n_vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert sum(len(v) for v in by_c.values()) == n_vecs
+    for c, members in by_c.items():
+        n = len(members)
+        pruned = [r for r in members if r["pruned"]]
+        assert len(pruned) == n // 5
+        max_pruned_dist = max((r["dist"] for r in pruned), default=-1)
+        kept_min = min(r["dist"] for r in members if not r["pruned"])
+        assert max_pruned_dist <= kept_min

@@ -131,6 +131,7 @@ def test_rotation_remainder_matches_plan() -> None:
         "docs_dsir_weights", "dedup_sorted_neighborhood",
         "text_bpe_encode_fertility", "rag_hybrid_rrf", "sim_hard_negatives",
         "embeddings_pq_train", "sim_ann_recall_report",
+        "embeddings_prototype_prune",
     }
     assert planned.issuperset(remainder), (
         f"oracle-backed queries not driver-scored, not in the window, and "
