@@ -650,6 +650,8 @@ def global_rank(
         r["__pid"]: r["n"]
         for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not sizes:  # empty input: typed empty result (no literal-map analysis)
+        return df.withColumn("rnk", F.lit(None).cast("long")).limit(0)
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
