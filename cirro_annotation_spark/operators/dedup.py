@@ -683,8 +683,12 @@ def sorted_neighborhood_pairs(
 
     Scale shape: ONE range-partitioned sort of (id, key, prefix) —
     text never moves; candidate generation is an equi-join on
-    rank+offset (window x row amplification of id-sized rows only);
-    verification is codegen levenshtein on candidates. Complementary
+    rank+offset. The exploded probe side carries its 40-char prefix on
+    each of the ``window`` probe rows (window x 40 bytes per record
+    through the rank join) — deliberate: re-attaching prefixes after an
+    id-only join would cost a second corpus-wide shuffle, which loses
+    to 320 bytes/record at any scale. Verification is codegen
+    levenshtein on candidates. Complementary
     to blocking (dedup_fuzzy_blocked): a window catches near-misses
     that straddle a block boundary, blocking catches pairs whose sort
     keys diverge early; production ER unions both candidate sets."""

@@ -203,12 +203,35 @@ def bpe_fit(spark, df, text_col: str = "text", merges: int = 6):
         l, r = top["left_sym"], top["right_sym"]
         out.append((t, l, r, int(top["pair_count"])))
         words = words.select(
-            F.replace(
-                F.col("symbols"), F.lit(l + BPE_SEP + r), F.lit(l + r)
-            ).alias("symbols"),
-            "freq",
+            _apply_merge_expr(l, r).alias("symbols"), "freq"
         ).localCheckpoint(eager=True)
     return out, words
+
+
+def _apply_merge_expr(l: str, r: str) -> Column:
+    """Apply ONE merge rule to a sep-joined symbol string with exact
+    canonical greedy left-to-right semantics: fold over the symbol
+    array, appending r's characters to the accumulator whenever its
+    LAST COMPLETE SYMBOL equals l and the next symbol equals r. The
+    accumulator keeps a leading separator so the last-symbol test is a
+    single anchored endswith — a plain string REPLACE is wrong here
+    (round-7 review finding: the unanchored pattern matched the SUFFIX
+    of a longer symbol, merging across symbol boundaries; e.g. with
+    symbols [ab, z] the rule (b, z) must NOT fire). A freshly merged
+    symbol can itself be the left of the next merge (l || r != l, so
+    the endswith test naturally allows exactly the canonical cases).
+    """
+    arr = F.split(F.col("symbols"), BPE_SEP)
+    rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    out = F.aggregate(
+        rest,
+        F.concat(F.lit(BPE_SEP), F.element_at(arr, 1)),
+        lambda acc, x: F.when(
+            F.endswith(acc, F.lit(BPE_SEP + l)) & (x == F.lit(r)),
+            F.concat(acc, F.lit(r)),
+        ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+    )
+    return F.substring(out, 2, F.length(out))
 
 
 def bpe_train(spark, df, text_col: str = "text", merges: int = 6):
@@ -227,8 +250,18 @@ def bpe_oracle_ctes(
     merge picks) shared by the train and encode oracles
     (MATERIALIZED — chained CTE inlining is exponential otherwise,
     the k-core lesson)."""
+    # WITH RECURSIVE: the per-round merge application is a recursive
+    # left-to-right scan over each word's symbol list — the EXACT
+    # canonical greedy (accumulator keeps a leading separator; the
+    # last-symbol test is one anchored ends_with; a merge appends the
+    # right symbol's characters). The previous REPLACE formulation
+    # shared the engine's boundary-crossing bug (round-7 review
+    # finding) — this one is independently derived from the rule. A
+    # round whose m{t} is empty (merges exhausted) yields NULL scalar
+    # subqueries, the CASE condition is NULL -> ELSE, and the vocab
+    # carries forward unchanged, matching bpe_fit's loop break.
     parts = [
-        f"""WITH w0 AS MATERIALIZED (
+        f"""WITH RECURSIVE w0 AS MATERIALIZED (
   SELECT symbols, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT array_to_string(
              list_transform(range(1, LENGTH(tok) + 1), i -> tok[i]),
@@ -252,11 +285,22 @@ def bpe_oracle_ctes(
 m{t} AS MATERIALIZED (
   SELECT left_sym, right_sym, pair_count FROM p{t}
   ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+s{t} AS MATERIALIZED (
+  SELECT symbols, string_split(symbols, chr(31)) AS a, freq FROM w{p}),
+r{t} AS (
+  SELECT symbols, 1 AS i, LEN(a) AS n, chr(31) || a[1] AS out, freq
+  FROM s{t}
+  UNION ALL
+  SELECT rr.symbols, rr.i + 1, rr.n,
+         CASE WHEN ends_with(rr.out,
+                             chr(31) || (SELECT left_sym FROM m{t}))
+                   AND ss.a[rr.i + 1] = (SELECT right_sym FROM m{t})
+              THEN rr.out || (SELECT right_sym FROM m{t})
+              ELSE rr.out || chr(31) || ss.a[rr.i + 1] END,
+         rr.freq
+  FROM r{t} rr JOIN s{t} ss USING (symbols) WHERE rr.i < rr.n),
 w{t} AS MATERIALIZED (
-  SELECT REPLACE(symbols,
-                 (SELECT left_sym || chr(31) || right_sym FROM m{t}),
-                 (SELECT left_sym || right_sym FROM m{t})) AS symbols, freq
-  FROM w{p}),"""
+  SELECT substring(out, 2) AS symbols, freq FROM r{t} WHERE i = n),"""
         )
     return "\n".join(parts).rstrip(",")
 

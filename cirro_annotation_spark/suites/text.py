@@ -2098,8 +2098,13 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = X.tokens(F.lower(F.col("text")))
     bigrams = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+        # greatest(..., 0): slice throws on negative length, so a
+        # zero-token (whitespace-only) document must clamp — the
+        # DuckDB side's range(1, 0) is empty and drops the doc
+        # gracefully; without the clamp the whole query dies on one
+        # degenerate row (round-7 review finding).
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda l, r: F.concat(l, F.lit(" "), r),
     )
     g = (

@@ -4,7 +4,8 @@ in one ±2-char length band — the real-corpus shape that makes a
 length-only blocking key quadratic — but first tokens are diverse.
 
 Build: N docs (default 50_000 = 10× the sf0.1 corpus), all with
-n_chars in [100, 102] (one length band up to neighbor probing), first
+n_chars in [95, 97] (one ±2-char band; home blocks floor(n/3) span
+31/32, covered by the operator's ±1 block probing), first
 token drawn from 30 values (the sf0.1 corpus's measured tok0
 cardinality). Deterministic content via md5 of the doc id — no RNG.
 
@@ -39,7 +40,8 @@ def main() -> int:
 
     spark = get_spark("scale-fuzzy-skew")
 
-    # Deterministic skewed corpus: every doc 100-102 chars, 30 tokens.
+    # Deterministic skewed corpus: every doc 95-97 chars (5-char token
+    # + space + 60-char rpad md5 + space + 28-30 char suffix), 30 tokens.
     toks = F.array(*[F.lit(f"tok{i:02d}") for i in range(30)])
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"),

@@ -133,9 +133,12 @@ def test_rotation_remainder_matches_plan() -> None:
         "embeddings_pq_train", "sim_ann_recall_report",
         "embeddings_prototype_prune",
     }
-    assert planned.issuperset(remainder), (
-        f"oracle-backed queries not driver-scored, not in the window, and "
-        f"not in the written round-8 plan: {sorted(set(remainder) - planned)}"
+    # EQUALITY, both directions (round-7 review): a superset check let
+    # stale names rot in the planned list — the exact drift class this
+    # test exists to catch.
+    assert planned == set(remainder), (
+        f"plan missing: {sorted(set(remainder) - planned)}; "
+        f"stale in plan: {sorted(planned - set(remainder))}"
     )
 
 

@@ -257,3 +257,39 @@ def test_bpe_fertility_on_crafted_corpus(spark):
         for r in vocab.collect()
     }
     assert enc == {"ab": 1, "b": 1}
+
+
+def test_bpe_merge_does_not_cross_symbol_boundaries(spark):
+    """Round-7 review regression: with corpus 'abz ab ab ab bz bz',
+    round 2's rule (b,z) must NOT fire inside word 'abz' whose symbols
+    are [ab, z] after round 1 (the old string-REPLACE matched the
+    suffix of symbol 'ab'); canonical BPE learns (ab,z) in round 3."""
+    from cirro_annotation_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("abz ab ab ab bz bz",)], "text string")
+    rows = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(spark, df, merges=3).collect()
+    ]
+    assert rows == [(1, "a", "b", 4), (2, "b", "z", 2), (3, "ab", "z", 1)]
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """Round-7 review regression: when pair counts run dry before the
+    configured rounds, the engine breaks its loop and the oracle's
+    later rounds must carry the vocab forward unchanged (NULL scalar
+    subqueries used to cascade the whole vocabulary to NULL, zeroing
+    the encode oracle)."""
+    import duckdb
+
+    from cirro_annotation_spark.registry import ORACLES, load_all_suites
+
+    load_all_suites()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'ab ab b' AS text,"
+        " 'en' AS lang"
+    )
+    assert con.execute(ORACLES["text_bpe_encode_fertility"]).fetchall() == [
+        ("en", 1, 3, 3, 1.0)
+    ]
