@@ -65,10 +65,16 @@ PRIORITY: list[str] = [
     # text_redact_terms, window_cume_dist_pct_rank.
     # The queue is now verified MECHANICALLY: tests/test_registry.py
     # loads every CORRECTNESS_r*.json and asserts this window is a
-    # subset of (never-scored minus rows-only) — hand-list rot (the
-    # r6 verdict's 73-vs-74 comment drift) is a red test, not a doc nit.
-    # Round 8's remaining 20 closes the set: every oracle-backed query
-    # ends driver-green.
+    # subset of (never-scored minus rows-only), and that the round-8
+    # plan below EQUALS the computed remainder (set equality both
+    # directions since r7 review) — hand-list rot (the r6 verdict's
+    # 73-vs-74 comment drift) is a red test, not a doc nit.
+    # Round 8's remainder = the 20 simple SQL shapes above + the 13
+    # round-7 additions (ER capstone, VAD, k-means/PQ training, BPE
+    # train/encode, DSIR, sorted-neighborhood, RRF, hard negatives,
+    # recall report, prototype prune), 33 in all — two more windows
+    # (33 + any r8 additions) end every oracle-backed query
+    # driver-green.
     # ------------------------------------------------------------------
     # dedup stack: fuzzy (levenshtein + composite-blocked), auto cluster
     # selection, incremental anti-join, bloom prefilter, prefix-filtered
