@@ -189,6 +189,8 @@ HEADLINE = [
     "embeddings_pq_train",
     "sim_ann_recall_report",
     "embeddings_prototype_prune",
+    "sim_ivf_cell_stats",
+    "pipeline_length_buckets",
 ]
 
 

@@ -226,6 +226,17 @@ def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cent_values() -> str:
+    """The pinned IVF centroids as a DuckDB VALUES list (shared by the
+    IVF search, cell-stats, and any future index oracle)."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    return ",\n          ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(CENTROIDS)
+    )
+
+
 def _ivf_oracle(nprobe: int = 3, k: int = 10) -> str:
     """Full-arithmetic IVF oracle over the PINNED centroid literals
     (suites/_ivf_centroids.py): DuckDB recomputes per-vector argmin cell
@@ -236,12 +247,7 @@ def _ivf_oracle(nprobe: int = 3, k: int = 10) -> str:
     summation-order ulp noise flips a result only when two distances
     tie within an ulp — negligible on random embeddings (the same
     argument as the LSH sign-bit oracles)."""
-    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
-
-    values = ",\n          ".join(
-        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
-        for i, c in enumerate(CENTROIDS)
-    )
+    values = _cent_values()
     return f"""
     WITH cent(cell, cv) AS (
       VALUES {values}),
@@ -1225,4 +1231,58 @@ def embeddings_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             5 * F.row_number().over(w) <= F.count(F.lit(1)).over(wc)
         ).alias("pruned"),
+    )
+
+
+@query(
+    "sim_ivf_cell_stats",
+    # The index-health half of the ANN QA pair (with
+    # sim_ann_recall_report): per-cell occupancy of the IVF coarse
+    # quantizer plus each cell's share of the corpus. Skewed cells are
+    # how IVF latency dies in production (a hot cell turns nprobe=3
+    # into a near-full scan) — this is the report that catches it
+    # before deploy, and at 100 TB it is also the input to the
+    # repartition/rebalance decision (cell id is the partition column).
+    #
+    # Scale shape: map-side argmin against broadcast centroid literals
+    # + ONE k-cardinality aggregate; share uses a broadcast 1-row
+    # total. Cell assignment is discrete (ROW_NUMBER over (d, cell) ==
+    # argmin-with-tie), so the hash check is ulp-robust — the
+    # sim_topk_ivf argument.
+    oracle=f"""
+    WITH cent(cell, cv) AS (
+      VALUES {_cent_values()}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    ed AS (SELECT vec_id, cell, SUM((x - y) * (x - y)) AS d
+           FROM (SELECT e.vec_id, c.cell, UNNEST(e.ve) AS x, UNNEST(c.cv) AS y
+                 FROM e CROSS JOIN cent c)
+           GROUP BY vec_id, cell),
+    assign AS (SELECT vec_id, cell FROM
+                 (SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cell) AS rn
+                  FROM ed)
+               WHERE rn = 1),
+    tot AS (SELECT COUNT(*) AS n FROM assign)
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(tot.n), 6) AS share
+    FROM assign CROSS JOIN tot
+    GROUP BY cell
+    """,
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.similarity import _argmin_centroid
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    assigned = emb.select(_argmin_centroid(v, CENTROIDS).alias("cell"))
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = counts.agg(F.sum("n_vectors").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("share"),
     )

@@ -2215,3 +2215,75 @@ def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens_per_word"),
         )
     )
+
+
+@query(
+    "pipeline_length_buckets",
+    # Length-grouped batching report — the padding-waste arithmetic
+    # behind every trainer's length-bucketed sampler (HF
+    # group_by_length, T5 pack-or-bucket): split the corpus into 8
+    # global token-length octiles and report per-bucket padding waste
+    # (docs padded to the bucket max) vs what a single global batch
+    # would pay. The waste column IS the justification for bucketing;
+    # the report is what you check before picking bucket count.
+    #
+    # Scale shape: the quantile_bucket_global pattern — one exact
+    # percentile aggregate (7 thresholds, broadcast), map-side bucket
+    # compare, one 8-key aggregate. No global sort, no single-task
+    # window anywhere. At 100 TB swap percentile -> approx_percentile,
+    # plan unchanged.
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents),
+    th AS (SELECT quantile_cont(n_tok,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+           FROM n),
+    b AS (
+      SELECT n_tok,
+             1 + CASE WHEN n_tok > q[1] THEN 1 ELSE 0 END
+               + CASE WHEN n_tok > q[2] THEN 1 ELSE 0 END
+               + CASE WHEN n_tok > q[3] THEN 1 ELSE 0 END
+               + CASE WHEN n_tok > q[4] THEN 1 ELSE 0 END
+               + CASE WHEN n_tok > q[5] THEN 1 ELSE 0 END
+               + CASE WHEN n_tok > q[6] THEN 1 ELSE 0 END
+               + CASE WHEN n_tok > q[7] THEN 1 ELSE 0 END AS bucket
+      FROM n, th)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+             AS padding_waste,
+           ROUND((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1.0 /
+                 (COUNT(*) * MAX(n_tok)), 6) AS waste_ratio
+    FROM b GROUP BY bucket
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = d.select("doc_id", X.token_count("text").alias("n_tok"))
+    th = n.agg(
+        F.expr(
+            "percentile(n_tok, array(0.125, 0.25, 0.375, 0.5,"
+            " 0.625, 0.75, 0.875))"
+        ).alias("q")
+    )
+    bucket = F.lit(1)
+    for i in range(7):
+        bucket = bucket + (F.col("n_tok") > F.col("q")[i]).cast("int")
+    b = n.crossJoin(F.broadcast(th)).select(
+        "n_tok", bucket.cast("int").alias("bucket")
+    )
+    waste = F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        waste.cast("long").alias("padding_waste"),
+        F.round(
+            waste * 1.0 / (F.count(F.lit(1)) * F.max("n_tok")), 6
+        ).alias("waste_ratio"),
+    )

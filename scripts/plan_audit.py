@@ -174,6 +174,8 @@ AUDITED = [
     "embeddings_pq_train",
     "sim_ann_recall_report",
     "embeddings_prototype_prune",
+    "sim_ivf_cell_stats",
+    "pipeline_length_buckets",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
