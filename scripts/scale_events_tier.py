@@ -128,6 +128,12 @@ def build(n_copies: int) -> str:
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    if n > 10:
+        # SCALE.md round 5b: the session-window stream twin's memory
+        # sink retains ~9.1M session rows at 10M events — the harness
+        # (not the operator) needs an executor-sized heap. Default it
+        # here so a bare 100x invocation doesn't OOM mid-suite.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out_dir = build(n)
 
     from cirro_annotation_spark.session import get_spark
