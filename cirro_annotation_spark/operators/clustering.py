@@ -279,19 +279,18 @@ def pq_train(
     BIGINTs. One pass per round over vectors that never shuffle —
     training the whole codebook costs the same passes as one subspace.
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    q = df.select(
-        F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("qv")
-    ).localCheckpoint(eager=True)
-    init = q.filter(F.col("vec_id") < k).collect()
-    if len(init) != k:
-        raise ValueError(f"need vec_id 0..{k - 1} to seed {k} sub-centroids")
-    # codebook[(s, c)] = the subvector of vec_id c in subspace s
+    # Same lattice + seeding contract as k-means, shared: seed
+    # centroids are the k lowest-id vectors (kmeans_fit with iters=0
+    # runs no Lloyd rounds and returns exactly that state).
+    seeds, q = kmeans_fit(df, vec_col, id_col, k=k, iters=0, dim=dim)
+    # codebook[(s, c)] = the subvector of seed c in subspace s
     book: dict[tuple[int, int], list[int]] = {}
-    for r in init:
-        full = [int(v) for v in r["qv"]]
+    for c, full in seeds.items():
         for s in range(m):
-            book[(s, int(r["vec_id"]))] = full[s * sub : (s + 1) * sub]
+            book[(s, c)] = full[s * sub : (s + 1) * sub]
 
     def sub_assign(s: int) -> Column:
         sv = F.slice(F.col("qv"), s * sub + 1, sub)
@@ -387,6 +386,8 @@ def pq_oracle_sql(
     """Unrolled-CTE DuckDB oracle for pq_train: the kmeans_oracle_sql
     round structure instantiated once per subspace over the shared
     long-format lattice (qd restricted to each subspace's dim range)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     parts = [
         f"""WITH qd AS MATERIALIZED (
