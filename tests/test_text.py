@@ -293,3 +293,67 @@ def test_bpe_oracle_survives_merge_exhaustion(spark):
     assert con.execute(ORACLES["text_bpe_encode_fertility"]).fetchall() == [
         ("en", 1, 3, 3, 1.0)
     ]
+
+
+def _bpe_reference(corpus: list[str], merges: int):
+    """Independent pure-Python canonical BPE (Sennrich): returns the
+    merge table [(round, l, r, count)] — the third implementation
+    beside the Spark fold and the recursive-CTE oracle."""
+    from collections import Counter
+
+    vocab = Counter()
+    for text in corpus:
+        for w in text.strip().lower().split():
+            if w:
+                vocab[tuple(w)] += 1
+    out = []
+    for t in range(1, merges + 1):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((t, l, r, cnt))
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] += freq
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_matches_python_reference_on_random_corpora(spark):
+    """Engine == independent canonical implementation on seeded random
+    corpora with adjacent repeats, shared prefixes/suffixes (the
+    boundary-crossing hazard class), multi-round compounding, and a
+    whitespace-only doc."""
+    import random
+
+    from cirro_annotation_spark.operators.text import bpe_train
+
+    rng = random.Random(13)
+    for trial in range(4):
+        corpus = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(10)
+        ] + ["   "]
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        got = [
+            (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_train(spark, df, merges=5).collect()
+        ]
+        assert got == _bpe_reference(corpus, 5), corpus
