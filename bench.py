@@ -191,6 +191,7 @@ HEADLINE = [
     "embeddings_prototype_prune",
     "sim_ivf_cell_stats",
     "pipeline_length_buckets",
+    "pipeline_entity_resolution_incremental",
 ]
 
 

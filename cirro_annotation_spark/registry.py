@@ -72,9 +72,9 @@ PRIORITY: list[str] = [
     # Round 8's remainder = the 20 simple SQL shapes above + the 13
     # round-7 additions (ER capstone, VAD, k-means/PQ training, BPE
     # train/encode, DSIR, sorted-neighborhood, RRF, hard negatives,
-    # recall report, prototype prune, IVF cell stats, length buckets),
-    # 35 in all — two more windows
-    # (35 + any r8 additions) end every oracle-backed query
+    # recall report, prototype prune, IVF cell stats, length buckets,
+    # incremental ER), 36 in all — two more windows
+    # (36 + any r8 additions) end every oracle-backed query
     # driver-green.
     # ------------------------------------------------------------------
     # dedup stack: fuzzy (levenshtein + composite-blocked), auto cluster

@@ -706,11 +706,23 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_blocked_pairs(spark, sf_dir)
 
 
-def _fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fuzzy_blocked_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_max: int | None = None,
+    home_max: int | None = None,
+    home_min: int | None = None,
+) -> DataFrame:
     """Composite-blocked fuzzy match pairs (the dedup_fuzzy_blocked
-    contract), shared with the entity-resolution capstone: returns
+    contract), shared with the entity-resolution capstones: returns
     (id_a, id_b, edit_distance) for every pair with equal first token,
-    |Δn_chars| <= 2, and 40-char-prefix edit distance <= 22."""
+    |Δn_chars| <= 2, and 40-char-prefix edit distance <= 22.
+
+    The optional id bounds restrict the probe (exploded, smaller-id)
+    and home (larger-id) sides — the incremental-ER decomposition:
+    old-old edges = (probe<=T, home<=T); edges touching a new doc =
+    (home>T) alone, because ids are assigned monotonically so the
+    LARGER endpoint of any pair with a new member is itself new."""
     tok0 = F.coalesce(
         F.element_at(
             F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
@@ -742,6 +754,12 @@ def _fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blk"),
     )
     home = d.withColumn("blk", F.floor(F.col("n_chars") / 3))
+    if probe_max is not None:
+        blocked = blocked.filter(F.col("doc_id") <= probe_max)
+    if home_max is not None:
+        home = home.filter(F.col("doc_id") <= home_max)
+    if home_min is not None:
+        home = home.filter(F.col("doc_id") >= home_min)
     a, b = blocked.alias("a"), home.alias("b")
     cand = (
         a.join(
@@ -792,6 +810,17 @@ _ER_EDGES_CTE = """
 """
 
 
+_ER_ORACLE = f"""
+WITH RECURSIVE {_ER_EDGES_CTE}
+SELECT COALESCE(c.component, d.doc_id) AS entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+GROUP BY 1
+"""
+
+
 @query(
     "pipeline_entity_resolution",
     # The END-TO-END entity-resolution capstone (Fellegi–Sunter shape,
@@ -810,15 +839,7 @@ _ER_EDGES_CTE = """
     # corpus. Oracle: brute-force pairs + WITH RECURSIVE reachability —
     # the hash match proves blocking, scoring, closure, and
     # survivorship all at once.
-    oracle=f"""
-    WITH RECURSIVE {_ER_EDGES_CTE}
-    SELECT COALESCE(c.component, d.doc_id) AS entity_id,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
-           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-    GROUP BY 1
-    """,
+    oracle=_ER_ORACLE,
 )
 def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _fuzzy_blocked_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -875,4 +896,78 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.sorted_neighborhood_pairs(
         d, "text", "doc_id", key_chars=16, window=8, prefix_chars=40,
         max_edit=22,
+    )
+
+
+@query(
+    "pipeline_entity_resolution_incremental",
+    # The MAINTENANCE path of the ER capstone — nightly-ingest shape:
+    # the standing corpus (doc_id <= 80% cutoff, the
+    # dedup_incremental_batch convention) has its entities resolved
+    # already; the new batch adds only (a) match edges touching a new
+    # doc (home side > cutoff — ids are monotone, so the larger
+    # endpoint of any pair with a new member is new) and (b) a
+    # connected-components pass over the CONTRACTED graph whose
+    # vertices are yesterday's entity labels + new doc ids. Because
+    # old labels are component MINIMA and new ids exceed the cutoff,
+    # contraction preserves the global min label — so the ORACLE IS
+    # THE FULL-RECOMPUTE CAPSTONE'S, verbatim: the hash match proves
+    # increment == recompute, the invariant that lets a 100 TB corpus
+    # resolve a daily batch without touching old-old pairs again.
+    #
+    # Scale shape: the blocking join's probe side stays corpus-wide
+    # but the HOME side is batch-sized (candidates ~ batch x block
+    # occupancy, not corpus²); the closure runs on supernodes (orders
+    # smaller than the corpus); the old component map at scale is a
+    # stored table, recomputed here only because the fixture has no
+    # persisted state.
+    oracle=_ER_ORACLE,
+)
+def pipeline_entity_resolution_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cutoff = int(
+        d.agg((F.max("doc_id") * 4 / 5).cast("long").alias("c")).first()["c"]
+    )
+    old_edges = _fuzzy_blocked_pairs(
+        spark, sf_dir, probe_max=cutoff, home_max=cutoff
+    ).select("id_a", "id_b")
+    old_comp = D.connected_components_auto(old_edges).withColumnRenamed(
+        "vertex", "doc_id"
+    )
+    inc_edges = _fuzzy_blocked_pairs(
+        spark, sf_dir, home_min=cutoff + 1
+    ).select("id_a", "id_b")
+    ca = old_comp.select(
+        F.col("doc_id").alias("id_a"), F.col("component").alias("comp_a")
+    )
+    cb = old_comp.select(
+        F.col("doc_id").alias("id_b"), F.col("component").alias("comp_b")
+    )
+    contracted = (
+        inc_edges.join(ca, "id_a", "left")
+        .join(cb, "id_b", "left")
+        .select(
+            F.coalesce("comp_a", "id_a").alias("id_a"),
+            F.coalesce("comp_b", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    comp2 = D.connected_components_auto(contracted).withColumnRenamed(
+        "vertex", "label"
+    )
+    docs = d.select("doc_id", "n_chars")
+    lab1 = docs.join(old_comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("label"),
+    )
+    final = lab1.join(comp2, "label", "left").select(
+        F.coalesce("component", "label").alias("entity_id"), "n_chars"
+    )
+    return final.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
     )

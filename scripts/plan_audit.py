@@ -176,6 +176,7 @@ AUDITED = [
     "embeddings_prototype_prune",
     "sim_ivf_cell_stats",
     "pipeline_length_buckets",
+    "pipeline_entity_resolution_incremental",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -505,3 +505,42 @@ def test_sorted_neighborhood_pairs_match_brute_window(spark):
             if lev(ta[:20], tb[:20]) <= 10:
                 want.add((ida, idb))
     assert got == want and len(want) > 500
+
+
+def test_incremental_er_equals_full_recompute(spark):
+    """The invariant the incremental oracle proves, also pinned
+    engine-vs-engine: on a corpus where a match CHAIN crosses the
+    80% cutoff (old 1~2, bridge 2~8, incremental 8~10), batch
+    increment and full recompute emit identical golden records."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    base = "alpha " + "x" * 60
+    rows = [
+        (1, base),                 # old
+        (2, base + "yy"),          # old: matches 1
+        (8, base + "yyzz"),        # old: matches 2 (chain)
+        (10, base + "yyzzww"),     # NEW (cutoff = 10*4//5 = 8): matches 8
+        (11, "omega " + "q" * 60), # NEW singleton
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).withColumn("n_chars", F.length("text")).toPandas().to_parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        full = {
+            tuple(r)
+            for r in QUERIES["pipeline_entity_resolution"](spark, tmp).collect()
+        }
+        inc = {
+            tuple(r)
+            for r in QUERIES["pipeline_entity_resolution_incremental"](
+                spark, tmp
+            ).collect()
+        }
+    assert inc == full
+    assert {(e, n) for e, n, *_ in inc} == {(1, 4), (11, 1)}

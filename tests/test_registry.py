@@ -132,7 +132,7 @@ def test_rotation_remainder_matches_plan() -> None:
         "text_bpe_encode_fertility", "rag_hybrid_rrf", "sim_hard_negatives",
         "embeddings_pq_train", "sim_ann_recall_report",
         "embeddings_prototype_prune", "sim_ivf_cell_stats",
-        "pipeline_length_buckets",
+        "pipeline_length_buckets", "pipeline_entity_resolution_incremental",
     }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this
