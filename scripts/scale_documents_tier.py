@@ -88,6 +88,10 @@ DOC_QUERIES = [
     "multimodal_vad_segments",
     "docs_dsir_weights",
     "text_bpe_train_merges",
+    # round 7b: encode join (vocab clone-invariant), octile padding
+    # report (two-pass percentile + map-side bucket)
+    "text_bpe_encode_fertility",
+    "pipeline_length_buckets",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
@@ -98,6 +102,12 @@ EMB_QUERIES = [
     # partials regardless of corpus size; clone tiers multiply member
     # counts, never the model state
     "embeddings_kmeans_train",
+    # round 7b: PQ codebook training (one aggregate per round trains
+    # all m subspaces), prototype pruning (cluster-keyed window), IVF
+    # occupancy (k-cardinality agg)
+    "embeddings_pq_train",
+    "embeddings_prototype_prune",
+    "sim_ivf_cell_stats",
 ]
 
 
