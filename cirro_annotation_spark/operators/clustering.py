@@ -103,13 +103,16 @@ def kmeans_fit(
     # pagerank static-frame lesson, operators/graph.py).
     ).localCheckpoint(eager=True)
     # Bounded driver model state: k x dim BIGINTs (the IVF-centroid /
-    # MMR-pool budget), refreshed once per round.
-    init = q.filter(F.col("vec_id") < k).collect()
+    # MMR-pool budget), refreshed once per round. Seeds are the k
+    # LOWEST ids PRESENT (not literally 0..k-1): deterministic for any
+    # fixture id-space — the kcore-vacuity lesson applied prophylactically
+    # (a regenerated corpus with shifted ids must not error out).
+    init = q.orderBy("vec_id").limit(k).collect()
     centroids: dict[int, list[int]] = {
         int(r["vec_id"]): [int(v) for v in r["qv"]] for r in init
     }
     if len(centroids) != k:
-        raise ValueError(f"need vec_id 0..{k - 1} present to seed {k} centroids")
+        raise ValueError(f"need >= {k} vectors to seed {k} centroids")
 
     sums = [F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dim)]
     for _ in range(iters):
@@ -194,7 +197,8 @@ def kmeans_oracle_ctes(
               AS BIGINT) AS x
   FROM {table}, range(1, {dim + 1}) r(d)),
 c0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM qd WHERE vec_id < {k}),"""
+  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM qd
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM qd ORDER BY vec_id LIMIT {k})),"""
     ]
     for t_ in range(1, iters + 1):
         p = t_ - 1
@@ -286,11 +290,14 @@ def pq_train(
     # centroids are the k lowest-id vectors (kmeans_fit with iters=0
     # runs no Lloyd rounds and returns exactly that state).
     seeds, q = kmeans_fit(df, vec_col, id_col, k=k, iters=0, dim=dim)
-    # codebook[(s, c)] = the subvector of seed c in subspace s
+    # codebook[(s, c)] = the subvector of seed c in subspace s; cids
+    # are the ACTUAL seed ids (k lowest present), not assumed 0..k-1 —
+    # the kmeans seeding contract.
     book: dict[tuple[int, int], list[int]] = {}
     for c, full in seeds.items():
         for s in range(m):
             book[(s, c)] = full[s * sub : (s + 1) * sub]
+    cids = sorted(seeds)
 
     def sub_assign(s: int) -> Column:
         sv = F.slice(F.col("qv"), s * sub + 1, sub)
@@ -309,7 +316,7 @@ def pq_train(
                         ).alias("dist"),
                         F.lit(c).alias("cid"),
                     )
-                    for c in range(k)
+                    for c in cids
                 ]
             )
         )
@@ -324,7 +331,7 @@ def pq_train(
         )
         aggs = []
         for s in range(m):
-            for c in range(k):
+            for c in cids:
                 hit = F.col(f"a{s}") == c
                 aggs.append(
                     F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
@@ -340,7 +347,7 @@ def pq_train(
         row = proj.agg(*aggs).first()
         new = dict(book)  # empty cluster keeps previous coordinates
         for s in range(m):
-            for c in range(k):
+            for c in cids:
                 n = int(row[f"n_{s}_{c}"])
                 if n:
                     new[(s, c)] = [
@@ -355,7 +362,7 @@ def pq_train(
     )
     aggs = []
     for s in range(m):
-        for c in range(k):
+        for c in cids:
             hit = F.col(f"b{s}.cid") == c
             aggs.append(
                 F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
@@ -368,7 +375,7 @@ def pq_train(
     row = proj.agg(*aggs).first()
     out = []
     for s in range(m):
-        for c in range(k):
+        for c in cids:
             n = int(row[f"n_{s}_{c}"])
             if n == 0:
                 continue  # absent from the summary, the kmeans rule
@@ -413,7 +420,7 @@ def pq_oracle_sql(
   WHERE d BETWEEN {lo} AND {hi}),
 c{s}_0 AS MATERIALIZED (
   SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM sq{s}
-  WHERE vec_id < {k})"""
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM sq{s} ORDER BY vec_id LIMIT {k}))"""
         )
         for t_ in range(1, iters + 1):
             p = t_ - 1

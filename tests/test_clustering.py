@@ -190,3 +190,46 @@ def test_prototype_prune_marks_20pct_per_cluster(spark):
         max_pruned_dist = max((r["dist"] for r in pruned), default=-1)
         kept_min = min(r["dist"] for r in members if not r["pruned"])
         assert max_pruned_dist <= kept_min
+
+
+def test_training_seeds_from_lowest_present_ids(spark):
+    """Regenerated-fixture resilience (the kcore-vacuity class,
+    prophylactically): a corpus whose vec_ids start at 1000 must train
+    identically to the same corpus with 0-based ids — for BOTH kmeans
+    and PQ, engine AND oracle."""
+    import duckdb
+
+    from cirro_annotation_spark.operators.clustering import (
+        kmeans_lloyd,
+        pq_oracle_sql,
+        pq_train,
+    )
+
+    rows = [(i, [0.25 * (i % 4), -0.5 * (i % 3), 1.0, 0.125 * i])
+            for i in range(10)]
+    base = _emb_df(spark, rows)
+    shifted = _emb_df(spark, [(i + 1000, v) for i, v in rows])
+
+    km0 = {(r["n_members"], r["inertia"], r["centroid_checksum"])
+           for r in kmeans_lloyd(base, k=2, iters=2, dim=4).collect()}
+    km1 = {(r["n_members"], r["inertia"], r["centroid_checksum"])
+           for r in kmeans_lloyd(shifted, k=2, iters=2, dim=4).collect()}
+    assert km0 == km1  # ids shift, geometry (members/inertia/centroids) doesn't
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, shifted)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{os.path.join(tmp, 'embeddings.parquet')}'"
+        )
+        want = set(map(tuple, con.execute(
+            pq_oracle_sql(m=2, k=2, iters=2, dim=4)
+        ).fetchall()))
+    got = {
+        (r["subspace"], r["cluster_id"], r["n_members"], r["inertia"],
+         r["centroid_checksum"])
+        for r in pq_train(shifted, m=2, k=2, iters=2, dim=4).collect()
+    }
+    assert got == want and len(got) >= 2
+    assert all(c >= 1000 for _, c, *_ in got)  # cids are ACTUAL ids
