@@ -325,7 +325,7 @@ def pq_train(
         # Project each subspace's argmin ONCE, then aggregate over the
         # plain columns — embedding the argmin tree inside every one of
         # the m*k*(subdim+1) conditional sums made Catalyst analyze a
-        # ~70x larger expression tree (measured 14 s -> ~4 s at sf0.1).
+        # ~70x larger expression tree (measured 14 s -> ~6 s at sf0.1).
         proj = q.select(
             "qv", *[sub_assign(s)["cid"].alias(f"a{s}") for s in range(m)]
         )

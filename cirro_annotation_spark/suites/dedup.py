@@ -810,6 +810,27 @@ _ER_EDGES_CTE = """
 """
 
 
+def _golden_records(docs: DataFrame, labeled: DataFrame) -> DataFrame:
+    """The shared ER survivorship rollup: docs (doc_id, n_chars) x a
+    (doc_id, entity_id) label frame -> one golden record per entity.
+    Both the full-recompute capstone and the incremental path MUST
+    emit byte-identical golden records (they share _ER_ORACLE
+    verbatim) — keeping the rollup structural makes that contract a
+    compile-time fact, not a convention."""
+    return (
+        docs.join(labeled, "doc_id", "left")
+        .select(
+            F.coalesce("entity_id", "doc_id").alias("entity_id"), "n_chars"
+        )
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 _ER_ORACLE = f"""
 WITH RECURSIVE {_ER_EDGES_CTE}
 SELECT COALESCE(c.component, d.doc_id) AS entity_id,
@@ -845,17 +866,10 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _fuzzy_blocked_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = D.connected_components_auto(edges)
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    resolved = docs.join(
-        comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left"
-    ).select(
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("entity_id"),
-        "n_chars",
+    labeled = comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("entity_id")
     )
-    return resolved.groupBy("entity_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.min("n_chars").cast("long").alias("min_chars"),
-        F.max("n_chars").cast("long").alias("max_chars"),
-    )
+    return _golden_records(docs, labeled)
 
 
 @query(
@@ -927,9 +941,13 @@ def pipeline_entity_resolution_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cutoff = int(
-        d.agg((F.max("doc_id") * 4 / 5).cast("long").alias("c")).first()["c"]
-    )
+    cut_row = d.agg(
+        (F.max("doc_id") * 4 / 5).cast("long").alias("c")
+    ).first()["c"]
+    # Empty corpus: MAX is NULL; cutoff 0 degrades gracefully (no old
+    # side, everything "new") and keeps parity with the capstone's
+    # empty result rather than raising.
+    cutoff = int(cut_row) if cut_row is not None else 0
     old_edges = _fuzzy_blocked_pairs(
         spark, sf_dir, probe_max=cutoff, home_max=cutoff
     ).select("id_a", "id_b")
@@ -939,20 +957,16 @@ def pipeline_entity_resolution_incremental(
     inc_edges = _fuzzy_blocked_pairs(
         spark, sf_dir, home_min=cutoff + 1
     ).select("id_a", "id_b")
+    # Only the id_a endpoint can be OLD (home side is all-new by the
+    # decomposition and old_comp holds vertices <= cutoff only), so a
+    # single left join contracts the graph; id_b keeps its own id and
+    # coalesce(comp_a, id_a) != id_b always holds (labels <= cutoff <
+    # id_b).
     ca = old_comp.select(
         F.col("doc_id").alias("id_a"), F.col("component").alias("comp_a")
     )
-    cb = old_comp.select(
-        F.col("doc_id").alias("id_b"), F.col("component").alias("comp_b")
-    )
-    contracted = (
-        inc_edges.join(ca, "id_a", "left")
-        .join(cb, "id_b", "left")
-        .select(
-            F.coalesce("comp_a", "id_a").alias("id_a"),
-            F.coalesce("comp_b", "id_b").alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
+    contracted = inc_edges.join(ca, "id_a", "left").select(
+        F.coalesce("comp_a", "id_a").alias("id_a"), "id_b"
     )
     comp2 = D.connected_components_auto(contracted).withColumnRenamed(
         "vertex", "label"
@@ -963,11 +977,8 @@ def pipeline_entity_resolution_incremental(
         "n_chars",
         F.coalesce("component", "doc_id").alias("label"),
     )
-    final = lab1.join(comp2, "label", "left").select(
-        F.coalesce("component", "label").alias("entity_id"), "n_chars"
+    labeled = lab1.join(comp2, "label", "left").select(
+        "doc_id",
+        F.coalesce("component", "label").alias("entity_id"),
     )
-    return final.groupBy("entity_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.min("n_chars").cast("long").alias("min_chars"),
-        F.max("n_chars").cast("long").alias("max_chars"),
-    )
+    return _golden_records(docs, labeled)

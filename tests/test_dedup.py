@@ -523,7 +523,7 @@ def test_incremental_er_equals_full_recompute(spark):
         (1, base),                 # old
         (2, base + "yy"),          # old: matches 1
         (8, base + "yyzz"),        # old: matches 2 (chain)
-        (10, base + "yyzzww"),     # NEW (cutoff = 10*4//5 = 8): matches 8
+        (10, base + "yyzzww"),     # NEW (cutoff = MAX(id)*4//5 = 11*4//5 = 8): matches 8
         (11, "omega " + "q" * 60), # NEW singleton
     ]
     with tempfile.TemporaryDirectory() as tmp:
