@@ -192,6 +192,7 @@ HEADLINE = [
     "sim_ivf_cell_stats",
     "pipeline_length_buckets",
     "pipeline_entity_resolution_incremental",
+    "events_cms_user_counts",
 ]
 
 

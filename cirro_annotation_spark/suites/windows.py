@@ -1951,3 +1951,97 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_cms_user_counts",
+    # Count-Min sketch (Cormode & Muthukrishnan 2005) — the approximate
+    # COUNTS member completing the sketch family (Misra-Gries = exact
+    # heavy hitters, HLL = mergeable distinct, CMS = mergeable
+    # frequencies). d=4 hash rows x w=256 columns; per-key estimate =
+    # min over rows of its counter, an OVERESTIMATE by construction
+    # (collisions only add). Hashing is the repo's portable md5-bucket
+    # recipe, which makes this sketch FULLY DETERMINISTIC — so unlike
+    # typical sketch interiors it earns a complete value-hash oracle:
+    # cells, estimates, and the overcount column all re-derive in SQL.
+    # Probes are the 5 lowest user_ids (computed in-plan — no pinned
+    # literals to go stale on a regenerated fixture).
+    #
+    # Scale shape: the sketch is a CONSTANT 1024-cell aggregate from
+    # ANY stream volume (map-side combine collapses each partition to
+    # <= 1024 partials) — the 100 TB alternative to a full user-count
+    # table when only point lookups are needed; cells and the 5-row
+    # probe frame broadcast.
+    oracle="""
+    WITH cells AS (
+      SELECT r, CAST(('0x' || SUBSTRING(md5(r || ':' ||
+                      CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 256
+               AS col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, (VALUES (0), (1), (2), (3)) h(r)
+      GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS cms_estimate
+      FROM probe p, (VALUES (0), (1), (2), (3)) h(r)
+      JOIN cells c
+        ON c.r = h.r
+       AND c.col = CAST(('0x' || SUBSTRING(md5(h.r || ':' ||
+                         CAST(p.user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 256
+      GROUP BY p.user_id),
+    truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events WHERE user_id IN (SELECT user_id FROM probe)
+      GROUP BY user_id)
+    SELECT t.user_id, t.true_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - t.true_count AS BIGINT) AS overcount
+    FROM truth t JOIN est e USING (user_id)
+    """,
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+
+    def bucket(r, uid):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r.cast("string"), F.lit(":"),
+                                   uid.cast("string"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("long") % 256
+        )
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    cells = (
+        e.select(F.col("user_id"), rows)
+        .select("r", bucket(F.col("r"), F.col("user_id")).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    probe = (
+        e.select("user_id").distinct().orderBy("user_id").limit(5)
+    )
+    pr = probe.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    ).select("user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("col"))
+    est = (
+        pr.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    truth = (
+        e.join(F.broadcast(probe), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "true_count",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count"))
+        .cast("long")
+        .alias("overcount"),
+    )

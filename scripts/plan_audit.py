@@ -177,6 +177,7 @@ AUDITED = [
     "sim_ivf_cell_stats",
     "pipeline_length_buckets",
     "pipeline_entity_resolution_incremental",
+    "events_cms_user_counts",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
