@@ -193,6 +193,7 @@ HEADLINE = [
     "pipeline_length_buckets",
     "pipeline_entity_resolution_incremental",
     "events_cms_user_counts",
+    "pipeline_corpus_funnel",
 ]
 
 

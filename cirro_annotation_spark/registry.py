@@ -69,12 +69,12 @@ PRIORITY: list[str] = [
     # plan below EQUALS the computed remainder (set equality both
     # directions since r7 review) — hand-list rot (the r6 verdict's
     # 73-vs-74 comment drift) is a red test, not a doc nit.
-    # Round 8's remainder = the 20 simple SQL shapes above + the 16
+    # Round 8's remainder = the 20 simple SQL shapes above + the 17
     # round-7 additions (ER capstone, VAD, k-means/PQ training, BPE
     # train/encode, DSIR, sorted-neighborhood, RRF, hard negatives,
     # recall report, prototype prune, IVF cell stats, length buckets,
-    # incremental ER, CMS counts), 36 in all — two more windows
-    # (36 + any r8 additions) end every oracle-backed query
+    # incremental ER, CMS counts, curation funnel), 37 in all — two more windows
+    # (37 + any r8 additions) end every oracle-backed query
     # driver-green.
     # ------------------------------------------------------------------
     # dedup stack: fuzzy (levenshtein + composite-blocked), auto cluster

@@ -2287,3 +2287,128 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             waste * 1.0 / (F.count(F.lit(1)) * F.max("n_tok")), 6
         ).alias("waste_ratio"),
     )
+
+
+@query(
+    "pipeline_corpus_funnel",
+    # The curation FUNNEL report — the stage-by-stage docs/tokens table
+    # every pipeline paper publishes (RefinedWeb/FineWeb style), as ONE
+    # query over four chained stages:
+    #   0 raw -> 1 quality (Gopher bands: >=40 tokens, mean word len
+    #   2..12) -> 2 exact dedup (first-by-id per normalized text) ->
+    #   3 per-source cap (lowest-id 12 docs/source, the C4-style
+    #   rebalance) -> 4 stopword evidence (>=5% known-stopword tokens,
+    #   integer cross-multiplied — the Gopher stopword rule).
+    # Bands chosen so stages 1, 3, 4 all BITE on every sf fixture
+    # (vacuous-parity is the kcore lesson); stage 2 is vacuous on the
+    # duplicate-free sf fixtures by construction and bites hard on the
+    # N-clone tier (scale_documents_tier) plus a crafted pytest.
+    # Every stage predicate is exact integer arithmetic or an identical
+    # IEEE compare, so the whole funnel carries one value-hash oracle.
+    #
+    # Scale shape: ONE tokenizer pass feeds every stage (lazy
+    # checkpoint, the bm25 discipline); stages 2 and 3 are each one
+    # keyed window (fingerprint, source); the five stage rows aggregate
+    # via a 5-branch union of count/sum pairs over frames that shrink
+    # monotonically. No text column ever shuffles — the fingerprint is
+    # the normalized text itself only WITHIN a hash-partitioned window
+    # key, exactly the dedup_exact trade at fixture scale (production
+    # swaps in the sha256 fingerprint; equality semantics identical).
+    oracle="""
+    WITH n0 AS (
+      SELECT doc_id, source,
+             REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS fp,
+             toks,
+             LEN(toks) AS n_tok,
+             LEN(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to'], LOWER(x))))
+               AS sw_hits,
+             list_sum(list_transform(toks, x -> LENGTH(x))) AS tok_chars
+      FROM (SELECT doc_id, source, text,
+                   list_filter(string_split_regex(TRIM(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)),
+    s1 AS (
+      SELECT * FROM n0
+      WHERE n_tok >= 40
+        AND tok_chars * 1.0 / n_tok >= 2.0
+        AND tok_chars * 1.0 / n_tok <= 12.0),
+    s2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM s1) WHERE rn = 1),
+    s3 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+          AS srn
+        FROM s2) WHERE srn <= 12),
+    s4 AS (SELECT * FROM s3 WHERE sw_hits * 20 >= n_tok)
+    SELECT stage, stage_name, n_docs, n_tokens FROM (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM n0
+      UNION ALL
+      SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'source_cap', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'stopword_evidence', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4)
+    """,
+)
+def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    sw = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    n0 = d.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "fp"
+        ),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(sw, F.lower(x)))
+        ).cast("long").alias("sw_hits"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("tok_chars"),
+    ).localCheckpoint(eager=False)
+    mwl = F.col("tok_chars") * 1.0 / F.col("n_tok")
+    s1 = n0.filter(
+        (F.col("n_tok") >= 40) & (mwl >= 2.0) & (mwl <= 12.0)
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    s2 = s1.withColumn("rn", F.row_number().over(w_fp)).filter(
+        F.col("rn") == 1
+    )
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    s3 = s2.withColumn("srn", F.row_number().over(w_src)).filter(
+        F.col("srn") <= 12
+    )
+    s4 = s3.filter(F.col("sw_hits") * 20 >= F.col("n_tok"))
+
+    def row(stage, name, frame):
+        return frame.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+
+    out = row(0, "raw", n0)
+    for stage, name, frame in [
+        (1, "quality", s1),
+        (2, "exact_dedup", s2),
+        (3, "source_cap", s3),
+        (4, "stopword_evidence", s4),
+    ]:
+        out = out.unionByName(row(stage, name, frame))
+    return out

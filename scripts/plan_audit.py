@@ -178,6 +178,7 @@ AUDITED = [
     "pipeline_length_buckets",
     "pipeline_entity_resolution_incremental",
     "events_cms_user_counts",
+    "pipeline_corpus_funnel",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written

@@ -133,7 +133,7 @@ def test_rotation_remainder_matches_plan() -> None:
         "embeddings_pq_train", "sim_ann_recall_report",
         "embeddings_prototype_prune", "sim_ivf_cell_stats",
         "pipeline_length_buckets", "pipeline_entity_resolution_incremental",
-        "events_cms_user_counts",
+        "events_cms_user_counts", "pipeline_corpus_funnel",
     }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this

@@ -357,3 +357,38 @@ def test_bpe_matches_python_reference_on_random_corpora(spark):
             for r in bpe_train(spark, df, merges=5).collect()
         ]
         assert got == _bpe_reference(corpus, 5), corpus
+
+
+def test_corpus_funnel_every_stage_bites(spark, sf_dir):
+    """Vacuous-parity guard (the kcore lesson): on the real fixture,
+    stages 1 (quality), 3 (source cap), and 4 (stopwords) must each
+    strictly shrink docs; stage 2 is duplicate-free-by-construction
+    there, so a crafted corpus pins the dedup stage biting too."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in QUERIES["pipeline_corpus_funnel"](spark, sf_dir).collect()
+    }
+    assert rows[0] > rows[1] >= rows[2] > rows[3] > rows[4] > 0
+
+    body = "the of and to " + "lorem ipsum " * 20  # passes quality+stopwords
+    crafted = (
+        [(i, body, "s1") for i in range(3)]           # 3 exact copies
+        + [(10 + i, body + f"tail{i} " + "the of and to " * 3, "s1")
+           for i in range(20)]                        # unique, one source
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            crafted, "doc_id long, text string, source string"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        c = {
+            r["stage"]: r["n_docs"]
+            for r in QUERIES["pipeline_corpus_funnel"](spark, tmp).collect()
+        }
+    # 23 raw -> 23 quality -> 21 after dedup (3 copies -> 1) -> 12 cap
+    assert (c[0], c[1], c[2], c[3]) == (23, 23, 21, 12)
