@@ -2331,8 +2331,8 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 AS (
       SELECT * FROM n0
       WHERE n_tok >= 40
-        AND tok_chars * 1.0 / n_tok >= 2.0
-        AND tok_chars * 1.0 / n_tok <= 12.0),
+        AND tok_chars * 1.0 / GREATEST(n_tok, 1) >= 2.0
+        AND tok_chars * 1.0 / GREATEST(n_tok, 1) <= 12.0),
     s2 AS (
       SELECT * FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -2379,7 +2379,11 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("tok_chars"),
     ).localCheckpoint(eager=False)
-    mwl = F.col("tok_chars") * 1.0 / F.col("n_tok")
+    # GREATEST(n_tok, 1): WHERE conjuncts evaluate in no guaranteed
+    # order, so a zero-token doc must not hand either engine a zero
+    # denominator before the n_tok band drops it (no-op for any doc
+    # the band keeps).
+    mwl = F.col("tok_chars") * 1.0 / F.greatest(F.col("n_tok"), F.lit(1))
     s1 = n0.filter(
         (F.col("n_tok") >= 40) & (mwl >= 2.0) & (mwl <= 12.0)
     )
