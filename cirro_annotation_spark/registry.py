@@ -49,100 +49,61 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-7 WINDOW ROTATION (VERDICT r6 item 2): all 50 entries below
-    # were NEVER driver-scored in rounds 1-6 (147 of 221 had been; this
-    # window converts 50 of the remaining 70 oracle-backed queries from
-    # local-vanilla-green to driver-green). Selection favors the heavy /
-    # novel families (full dedup stack, PQ/IVF-PQ ANN, streaming twins,
-    # multimodal, graph, docs curation) so the riskiest shapes earn their
-    # driver row first; the 20 left for round 8 are simple SQL shapes:
-    # agg_string_concat_ordered, basket_rules_lift, docs_chi_square_langs,
-    # docs_token_entropy, docs_top_mass_per_source, embeddings_norm_stats,
-    # events_daily_trend, events_interarrival_stats, events_ohlc_daily,
-    # events_session_paths, events_type_transitions, orders_open_per_day,
-    # profile_lineitem, q6_revenue_forecast, sample_flatten_length_dist,
-    # sample_weighted_k, scalar_explode_outer, split_kfold_assign,
-    # text_redact_terms, window_cume_dist_pct_rank.
-    # The queue is now verified MECHANICALLY: tests/test_registry.py
-    # loads every CORRECTNESS_r*.json and asserts this window is a
-    # subset of (never-scored minus rows-only), and that the round-8
-    # plan below EQUALS the computed remainder (set equality both
-    # directions since r7 review) — hand-list rot (the r6 verdict's
-    # 73-vs-74 comment drift) is a red test, not a doc nit.
-    # Round 8's remainder = the 20 simple SQL shapes above + the 17
-    # round-7 additions (ER capstone, VAD, k-means/PQ training, BPE
-    # train/encode, DSIR, sorted-neighborhood, RRF, hard negatives,
-    # recall report, prototype prune, IVF cell stats, length buckets,
-    # incremental ER, CMS counts, curation funnel), 37 in all — two more windows
-    # (37 + any r8 additions) end every oracle-backed query
-    # driver-green.
+    # ROUND-8 WINDOW ROTATION (VERDICT r7 item 1): every entry below has
+    # NEVER been hash-scored by the driver. The list is the FULL
+    # mechanically-computed remainder — all counts, membership, and the
+    # next-round plan are enforced by tests/test_registry.py (rotation
+    # tests compute the remainder from CORRECTNESS_r*.json history; no
+    # hand-maintained totals here, per VERDICT r7 item 5). The window
+    # may hold fewer than 50 names exactly when the remainder is smaller
+    # than the window; round-8 additions are appended as they land until
+    # the window is full again, overflow queues in the plan-set test.
+    # sim_topk_lsh is in the remainder mechanically: its only driver row
+    # (r1) predates its oracle (err=no_oracle), so it has a row but has
+    # never been hash-scored — _driver_hash_scored() in the test counts
+    # hash-green rows plus rows-only-by-design rows, not raw keys.
     # ------------------------------------------------------------------
-    # dedup stack: fuzzy (levenshtein + composite-blocked), auto cluster
-    # selection, incremental anti-join, bloom prefilter, prefix-filtered
-    # exact jaccard join, containment sampling
-    "dedup_fuzzy_levenshtein",
-    "dedup_fuzzy_blocked",
-    "dedup_cluster_auto",
-    "dedup_incremental_batch",
-    "dedup_bloom_prefilter",
-    "dedup_jaccard_prefix_join",
-    "dedup_ngram_containment_sample",
-    # docs curation pipeline: ExactSubstr span coverage/removal, CCNet
-    # perplexity, C4 per-source cap, pinned-weight classifier,
-    # expectations report, snapshot diff, curation capstone
-    "docs_dup_span_coverage",
-    "docs_dup_span_removal",
-    "docs_unigram_perplexity",
-    "docs_per_source_cap",
-    "docs_quality_classifier",
-    "docs_expectations_report",
-    "docs_table_diff",
-    "pipeline_curation_report",
-    # ANN / embeddings: int8 quantized cosine, SemDeDup, PQ + IVF-PQ,
-    # multiprobe LSH, matryoshka two-stage, covariance, centroid drift
-    "sim_cosine_int8",
-    "sim_semantic_dedup",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
-    "sim_topk_lsh_multiprobe",
-    "sim_topk_matryoshka",
-    "embeddings_covariance",
-    "embeddings_centroid_drift",
-    # streaming twins never scored
-    "stream_join_left_batch",
-    "stream_histogram_batch",
-    "stream_histogram_stream",
-    "stream_distinct_users_hourly",
-    # multimodal: Arrow mapInPandas resize plumbing + phash bucketing
-    "multimodal_resize",
-    "multimodal_phash_buckets",
-    # graph family (iterative fixed-point vs unrolled-CTE oracles)
-    "graph_pagerank_personalized",
-    "graph_triangle_parts",
-    "graph_kcore_parts",
-    "graph_bfs_hops",
-    # events analytics: monitoring triad, robust stats, heavy hitters,
-    # histograms, interpolation, actives, attribution, SCD2, cohorts,
-    # correlation, A/B z-test
-    "events_psi_drift",
-    "events_ks_drift",
-    "events_cusum_daily",
-    "events_mad_outliers",
-    "events_heavy_hitters",
-    "events_quantile_histogram",
-    "events_interpolate_linear",
-    "events_rolling_active_users",
-    "events_attribution_last_touch",
-    "events_scd2_history",
-    "events_cohort_ltv",
-    "events_daily_correlation",
-    "events_ab_conversion_ztest",
-    # remaining never-scored representatives: nearest as-of, BM25,
-    # seeded sampling, basket lift
-    "asof_join_nearest_purchase",
-    "text_bm25_topk",
-    "sample_fixed_k_hash",
-    "sample_mixture_weighted",
+    # the 20 simple SQL shapes deferred from the round-7 window
+    "agg_string_concat_ordered",
+    "basket_rules_lift",
+    "docs_chi_square_langs",
+    "docs_token_entropy",
+    "docs_top_mass_per_source",
+    "embeddings_norm_stats",
+    "events_daily_trend",
+    "events_interarrival_stats",
+    "events_ohlc_daily",
+    "events_session_paths",
+    "events_type_transitions",
+    "orders_open_per_day",
+    "profile_lineitem",
+    "q6_revenue_forecast",
+    "sample_flatten_length_dist",
+    "sample_weighted_k",
+    "scalar_explode_outer",
+    "split_kfold_assign",
+    "text_redact_terms",
+    "window_cume_dist_pct_rank",
+    # the 17 round-7 additions (queued behind the r7 window by design)
+    "pipeline_entity_resolution",
+    "pipeline_entity_resolution_incremental",
+    "multimodal_vad_segments",
+    "embeddings_kmeans_train",
+    "embeddings_pq_train",
+    "embeddings_prototype_prune",
+    "text_bpe_train_merges",
+    "text_bpe_encode_fertility",
+    "docs_dsir_weights",
+    "dedup_sorted_neighborhood",
+    "rag_hybrid_rrf",
+    "sim_hard_negatives",
+    "sim_ann_recall_report",
+    "sim_ivf_cell_stats",
+    "pipeline_length_buckets",
+    "events_cms_user_counts",
+    "pipeline_corpus_funnel",
+    # scored rows-only in r1 before its oracle existed; never hash-scored
+    "sim_topk_lsh",
 ]
 
 
