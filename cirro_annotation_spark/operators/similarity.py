@@ -15,7 +15,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -588,6 +588,193 @@ def semantic_dedup_removed_arrow(
             "vec_id long, cell int, n_dominators long, "
             "keeper_id long, max_cosine double"
         ),
+    )
+
+
+def semantic_dedup_removed_capped(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    cap: int = 1024,
+    block: int = 1024,
+) -> DataFrame:
+    """Occupancy-bounded SemDeDup: identical output contract to
+    :func:`semantic_dedup_removed`, but within-cell pair work is capped
+    at O(cell_size · cap) instead of O(cell_size²) — the fix for the
+    hot-cell quadratic (one skewed quantizer cell holding millions of
+    near-identical vectors makes the exact pair stage all-pairs).
+
+    Bounding rule (deterministic, id-rank chunking): rank each cell's
+    members by ascending id, band them into chunks of ``cap``; a pair
+    (a < b) is compared iff a and b share a chunk, OR a sits in the
+    cell's chunk 0 (the ``cap`` lowest ids). Chunk-0 chaining is what
+    makes the bound safe on the degenerate case that motivates it: in a
+    clone cloud every member is still scored against the earliest
+    survivors, so keeper_id stays the cell-global minimum — unlike
+    geometric sub-quantization (a second hyperplane band CANNOT split
+    near-identical vectors: clones share every sign bit by definition,
+    so the hot cell would survive banding intact). The trade is that a
+    vector whose ONLY dominators live in a different nonzero chunk is
+    kept — the paper's own semantics are already approximate (it keeps
+    a random cluster member; SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540), and when no cell exceeds ``cap`` the output is
+    EXACTLY semantic_dedup_removed's (single chunk per cell — pinned by
+    tests/test_similarity.py parity).
+
+    Scale shape: cell assignment stays a map-side argmin against
+    broadcast centroid literals; ONE shuffle keys the cell window +
+    chunked group stages; chunk-0 members replicate once per nonzero
+    chunk of their cell (≤ original cell size rows total, so shuffle
+    volume is linear); each Arrow task holds ≤ 2·cap vectors and runs a
+    blocked BLAS matmul ≤ cap² — no task, matrix, or pair list grows
+    with hot-cell occupancy. The per-cell id-rank window sorts (never
+    squares); for cells beyond a single task's sort budget compose with
+    operators.dedup.global_rank keyed by cell. Detection of cells that
+    need the cap at all is sim_ivf_cell_stats' job (ships since r7).
+    """
+    import pandas as pd
+
+    v = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        _argmin_centroid(v, centroids).alias("cell"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    ranked = assigned.withColumn(
+        "chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(cap)).cast("int")
+    ).localCheckpoint(eager=False)
+
+    out_schema = (
+        "vec_id long, cell int, n_dominators long, "
+        "keeper_id long, max_cosine double"
+    )
+
+    def _within(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy())
+        norms = np.sqrt((V * V).sum(axis=1))
+        n = len(ids)
+        cell = int(pdf["cell"].iloc[0]) if n else 0
+        cnt = np.zeros(n, dtype=np.int64)
+        keeper = np.full(n, n, dtype=np.int64)
+        maxcos = np.full(n, -np.inf)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = V[lo:hi] @ V.T
+            S = S / (norms[lo:hi, None] * norms[None, :])
+            S = np.round(S, 6)
+            rows_idx = np.arange(lo, hi)[:, None]
+            mask = (S >= threshold) & (rows_idx < np.arange(n)[None, :])
+            any_col = mask.any(axis=0)
+            cnt += mask.sum(axis=0)
+            first = np.where(any_col, lo + mask.argmax(axis=0), n)
+            keeper = np.minimum(keeper, first)
+            maxcos = np.maximum(maxcos, np.where(mask, S, -np.inf).max(axis=0))
+        hit = cnt > 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids[hit],
+                "cell": cell,
+                "n_dominators": cnt[hit],
+                "keeper_id": ids[np.minimum(keeper[hit], n - 1)],
+                "max_cosine": maxcos[hit],
+            }
+        )
+
+    within = ranked.groupBy("cell", "chunk").applyInPandas(_within, out_schema)
+
+    # Cross stage: every chunk>0 member vs its cell's FULL chunk 0. All
+    # chunk-0 ids are strictly below every chunk>0 id (rank ordering),
+    # so no per-pair id predicate is needed. chunk0 replicates via a
+    # broadcast of the (cell, chunk) key list — tiny: one row per chunk.
+    nonzero = ranked.filter(F.col("chunk") > 0)
+    chunk_keys = nonzero.groupBy(F.col("cell").alias("__kcell")).agg(
+        F.collect_set("chunk").alias("__chunks")
+    )
+    chunk0_rep = (
+        ranked.filter(F.col("chunk") == 0)
+        .drop("chunk")
+        .join(F.broadcast(chunk_keys), F.col("cell") == F.col("__kcell"))
+        .select(
+            "cell",
+            "vec_id",
+            "__v",
+            F.explode("__chunks").alias("chunk"),
+        )
+    )
+    # cogroup sides both descend from `ranked`; re-alias every column to
+    # mint fresh attribute ids, or the ambiguous-self-join check rejects
+    # the flatMapCoGroupsInPandas plan.
+    chunk0_rep = chunk0_rep.toDF(*chunk0_rep.columns)
+
+    def _cross(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int32"),
+                    "n_dominators": pd.Series(dtype="int64"),
+                    "keeper_id": pd.Series(dtype="int64"),
+                    "max_cosine": pd.Series(dtype="float64"),
+                }
+            )
+        left = left.sort_values("vec_id").reset_index(drop=True)
+        right = right.sort_values("vec_id").reset_index(drop=True)
+        ids = left["vec_id"].to_numpy()
+        ids0 = right["vec_id"].to_numpy()
+        V = np.stack(left["__v"].to_numpy())
+        V0 = np.stack(right["__v"].to_numpy())
+        n = len(ids)
+        cell = int(left["cell"].iloc[0])
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms0 = np.sqrt((V0 * V0).sum(axis=1))
+        cnt = np.zeros(n, dtype=np.int64)
+        keeper = np.full(n, len(ids0), dtype=np.int64)
+        maxcos = np.full(n, -np.inf)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = V[lo:hi] @ V0.T
+            S = S / (norms[lo:hi, None] * norms0[None, :])
+            S = np.round(S, 6)
+            mask = S >= threshold
+            any_row = mask.any(axis=1)
+            cnt[lo:hi] = mask.sum(axis=1)
+            first = np.where(any_row, mask.argmax(axis=1), len(ids0))
+            keeper[lo:hi] = first
+            maxcos[lo:hi] = np.where(mask, S, -np.inf).max(axis=1)
+        hit = cnt > 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids[hit],
+                "cell": cell,
+                "n_dominators": cnt[hit],
+                "keeper_id": ids0[np.minimum(keeper[hit], len(ids0) - 1)],
+                "max_cosine": maxcos[hit],
+            }
+        )
+
+    cross = (
+        nonzero.groupBy("cell", "chunk")
+        .cogroup(chunk0_rep.groupBy("cell", "chunk"))
+        .applyInPandas(_cross, out_schema)
+    )
+
+    return (
+        within.unionByName(cross)
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum("n_dominators").alias("n_dominators"),
+            F.min("keeper_id").alias("keeper_id"),
+            F.round(F.max("max_cosine"), 6).alias("max_cosine"),
+        )
     )
 
 

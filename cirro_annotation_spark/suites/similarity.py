@@ -462,14 +462,22 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(threshold: float = 0.43) -> str:
+def _semdedup_oracle(threshold: float = 0.43, cap: int = 1024) -> str:
     """Full-arithmetic SemDeDup oracle over the PINNED centroid literals
     (suites/_ivf_centroids.py): DuckDB recomputes per-vector argmin cell
     (ties by cell id, same as array_position-of-min), the within-cell
     lower-id pair cosines, and the removal aggregate. Cell membership is
     discrete, so float ulp noise flips a row only on an exact distance
     tie — negligible on random embeddings (same argument as the IVF/LSH
-    oracles)."""
+    oracles).
+
+    The oracle states the CAPPED semantics (VERDICT r7 item 2): members
+    rank by id within their cell, band into chunks of ``cap``, and a
+    pair (a < b) is scored iff same chunk OR a is in chunk 0 — the
+    id-rank chunking rule of semantic_dedup_removed_capped, written out
+    independently so the hash check verifies the bounding rule itself.
+    At the driver's sf tiers no cell reaches ``cap``, where the rule
+    provably reduces to exact SemDeDup (everything is chunk 0)."""
     from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
 
     values = ",\n          ".join(
@@ -488,10 +496,15 @@ def _semdedup_oracle(threshold: float = 0.43) -> str:
                          ROW_NUMBER() OVER (PARTITION BY vec_id
                                             ORDER BY d, cell) AS rn
                   FROM ed) WHERE rn = 1),
-    m AS (SELECT e.vec_id, a.cell, e.ve FROM e JOIN assign a USING (vec_id)),
+    m AS (SELECT e.vec_id, a.cell, e.ve,
+                 CAST((ROW_NUMBER() OVER (PARTITION BY a.cell
+                                          ORDER BY e.vec_id) - 1)
+                      // {cap} AS INT) AS chunk
+          FROM e JOIN assign a USING (vec_id)),
     z AS (SELECT a.vec_id AS id_a, b.vec_id AS vid, b.cell AS cell,
                  UNNEST(a.ve) AS x, UNNEST(b.ve) AS y
-          FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                           AND (a.chunk = b.chunk OR a.chunk = 0)),
     s AS (SELECT id_a, vid, cell,
                  ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6)
                    AS cs
@@ -506,19 +519,23 @@ def _semdedup_oracle(threshold: float = 0.43) -> str:
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup removal list: pinned-quantizer cells + within-cell
     cosine >= 0.43, keep-lowest-id. The 100 TB semantic-dedup shape —
-    quadratic work confined to cells, one shuffle, centroids broadcast
-    as literals. Runs the Arrow/BLAS pair stage
-    (operators/similarity.semantic_dedup_removed_arrow — blocked numpy
-    matmul per cell, ~5x the HOF expression twin at sf0.1 and ~50x on
-    clone-heavy cells, SCALE.md 10x tier); the pure-SQL twin
-    semantic_dedup_removed stays as the exact-parity reference, pinned
-    in tests/test_similarity.py. Reference analogue: none
-    (beyond-reference LLM-pipeline operator, SURVEY.md §2.12)."""
+    pair work confined to cells AND capped per cell, one shuffle,
+    centroids broadcast as literals. Runs the occupancy-capped
+    Arrow/BLAS pair stage (operators/similarity
+    .semantic_dedup_removed_capped, cap=1024 — id-rank chunking with
+    chunk-0 chaining bounds within-cell pairing at O(cell·cap), the
+    VERDICT-r7 fix for the hot-cell quadratic: 49.3 s → tier-trend at
+    the 100× clone tier, scripts/scale_semdedup_skew.py). The oracle
+    states the capped semantics; at driver sf tiers no cell reaches the
+    cap, where capped == exact (parity pinned in
+    tests/test_similarity.py against both exact twins). Reference
+    analogue: none (beyond-reference LLM-pipeline operator,
+    SURVEY.md §2.12)."""
     from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
 
     emb = t(spark, sf_dir, "embeddings")
-    return S.semantic_dedup_removed_arrow(
-        emb, "embedding", "vec_id", CENTROIDS, threshold=0.43
+    return S.semantic_dedup_removed_capped(
+        emb, "embedding", "vec_id", CENTROIDS, threshold=0.43, cap=1024
     )
 
 

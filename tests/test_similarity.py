@@ -232,6 +232,71 @@ def test_semantic_dedup_arrow_sql_parity(spark, sf_dir):
         assert got == ref
 
 
+def _canon_removed(rows):
+    return sorted(
+        (
+            r["vec_id"],
+            r["cell"],
+            r["n_dominators"],
+            r["keeper_id"],
+            r["max_cosine"],
+        )
+        for r in rows
+    )
+
+
+def test_semantic_dedup_capped_exact_when_under_cap(spark, sf_dir):
+    """With no cell at the cap, the occupancy-capped operator must equal
+    the exact twin bit-for-bit — the degrades-gracefully half of the
+    VERDICT-r7 hot-cell fix (every member lands in chunk 0, the cross
+    stage is empty, within-chunk pairing IS exact pairing)."""
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    ref = _canon_removed(
+        S.semantic_dedup_removed(
+            emb, "embedding", "vec_id", CENTROIDS, 0.43
+        ).collect()
+    )
+    assert ref
+    got = _canon_removed(
+        S.semantic_dedup_removed_capped(
+            emb, "embedding", "vec_id", CENTROIDS, 0.43, cap=1024
+        ).collect()
+    )
+    assert got == ref
+
+
+def test_semantic_dedup_capped_matches_capped_oracle(spark, sf_dir):
+    """Small caps force multi-chunk cells (both the within-chunk and the
+    chunk-0 cross stage execute); the result must match an independent
+    DuckDB statement of the id-rank-chunking semantics — the bounding
+    rule itself is hash-verified, not just its no-op fixture case. Also
+    pins the blocked-matmul path (block smaller than the chunk)."""
+    import duckdb
+
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+    from cirro_annotation_spark.suites.similarity import _semdedup_oracle
+
+    emb = t(spark, sf_dir, "embeddings")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for cap, blk in ((7, 1024), (16, 5), (3, 1024)):
+        got = _canon_removed(
+            S.semantic_dedup_removed_capped(
+                emb, "embedding", "vec_id", CENTROIDS, 0.43, cap=cap,
+                block=blk,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(_semdedup_oracle(0.43, cap=cap)).fetchall()
+        )
+        assert got == want, f"cap={cap} block={blk}"
+
+
 def test_pq_pinned_codebooks_not_stale(spark):
     """Pinned PQ codebooks must equal a fresh per-subspace retrain on the
     CURRENT sf0.01 fixture (the IVF-canary lesson: fixture or trainer
