@@ -124,8 +124,16 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         # cluster this knob goes back UP (task count is already huge
         # there; the default exists for exactly that shape) — split
         # sizing follows bytes-per-core of actual compute, documented
-        # in SCALE.md.
-        ("spark.sql.files.maxPartitionBytes", str(1024 * 1024)),
+        # in SCALE.md. Overridable without a code change (ADVICE r7):
+        # SPARK_GRAFT_MAX_PARTITION_BYTES takes any Spark byte string
+        # ("128m", "1048576"), for big inputs where 1 MB splits would
+        # mean pathological task counts.
+        (
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+            ),
+        ),
         ("spark.sql.files.openCostInBytes", str(64 * 1024)),
     ):
         try:
