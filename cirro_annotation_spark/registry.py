@@ -104,6 +104,8 @@ PRIORITY: list[str] = [
     "pipeline_corpus_funnel",
     # scored rows-only in r1 before its oracle existed; never hash-scored
     "sim_topk_lsh",
+    # round-8 additions (appended as they land, until the window holds 50)
+    "pipeline_corpus_materialize",
 ]
 
 

@@ -2289,32 +2289,10 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_corpus_funnel",
-    # The curation FUNNEL report — the stage-by-stage docs/tokens table
-    # every pipeline paper publishes (RefinedWeb/FineWeb style), as ONE
-    # query over four chained stages:
-    #   0 raw -> 1 quality (Gopher bands: >=40 tokens, mean word len
-    #   2..12) -> 2 exact dedup (first-by-id per normalized text) ->
-    #   3 per-source cap (lowest-id 12 docs/source, the C4-style
-    #   rebalance) -> 4 stopword evidence (>=5% known-stopword tokens,
-    #   integer cross-multiplied — the Gopher stopword rule).
-    # Bands chosen so stages 1, 3, 4 all BITE on every sf fixture
-    # (vacuous-parity is the kcore lesson); stage 2 is vacuous on the
-    # duplicate-free sf fixtures by construction and bites hard on the
-    # N-clone tier (scale_documents_tier) plus a crafted pytest.
-    # Every stage predicate is exact integer arithmetic or an identical
-    # IEEE compare, so the whole funnel carries one value-hash oracle.
-    #
-    # Scale shape: ONE tokenizer pass feeds every stage (lazy
-    # checkpoint, the bm25 discipline); stages 2 and 3 are each one
-    # keyed window (fingerprint, source); the five stage rows aggregate
-    # via a 5-branch union of count/sum pairs over frames that shrink
-    # monotonically. No text column ever shuffles — the fingerprint is
-    # the normalized text itself only WITHIN a hash-partitioned window
-    # key, exactly the dedup_exact trade at fixture scale (production
-    # swaps in the sha256 fingerprint; equality semantics identical).
-    oracle="""
+# Funnel-stage CTE chain, shared between the funnel report's oracle and
+# the terminal materialize capstone's (which appends two arms to it) so
+# the two queries can never drift semantically.
+_FUNNEL_ORACLE_WITH = """
     WITH n0 AS (
       SELECT doc_id, source,
              REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS fp,
@@ -2343,7 +2321,9 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS srn
         FROM s2) WHERE srn <= 12),
     s4 AS (SELECT * FROM s3 WHERE sw_hits * 20 >= n_tok)
-    SELECT stage, stage_name, n_docs, n_tokens FROM (
+"""
+
+_FUNNEL_ORACLE_ARMS = """
       SELECT 0 AS stage, 'raw' AS stage_name,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM n0
@@ -2358,10 +2338,58 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
       UNION ALL
       SELECT 4, 'stopword_evidence', CAST(COUNT(*) AS BIGINT),
-             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4)
-    """,
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+"""
+
+
+@query(
+    "pipeline_corpus_funnel",
+    # The curation FUNNEL report — the stage-by-stage docs/tokens table
+    # every pipeline paper publishes (RefinedWeb/FineWeb style), as ONE
+    # query over four chained stages:
+    #   0 raw -> 1 quality (Gopher bands: >=40 tokens, mean word len
+    #   2..12) -> 2 exact dedup (first-by-id per normalized text) ->
+    #   3 per-source cap (lowest-id 12 docs/source, the C4-style
+    #   rebalance) -> 4 stopword evidence (>=5% known-stopword tokens,
+    #   integer cross-multiplied — the Gopher stopword rule).
+    # Bands chosen so stages 1, 3, 4 all BITE on every sf fixture
+    # (vacuous-parity is the kcore lesson); stage 2 is vacuous on the
+    # duplicate-free sf fixtures by construction and bites hard on the
+    # N-clone tier (scale_documents_tier) plus a crafted pytest.
+    # Every stage predicate is exact integer arithmetic or an identical
+    # IEEE compare, so the whole funnel carries one value-hash oracle.
+    #
+    # Scale shape: ONE tokenizer pass feeds every stage (lazy
+    # checkpoint, the bm25 discipline); stages 2 and 3 are each one
+    # keyed window (fingerprint, source); the five stage rows aggregate
+    # via a 5-branch union of count/sum pairs over frames that shrink
+    # monotonically. No text column ever shuffles — the fingerprint is
+    # the normalized text itself only WITHIN a hash-partitioned window
+    # key, exactly the dedup_exact trade at fixture scale (production
+    # swaps in the sha256 fingerprint; equality semantics identical).
+    oracle=_FUNNEL_ORACLE_WITH
+    + "SELECT stage, stage_name, n_docs, n_tokens FROM ("
+    + _FUNNEL_ORACLE_ARMS
+    + ")",
 )
 def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _funnel_frames(spark, sf_dir)
+    out = _funnel_stage_row(0, "raw", frames[0])
+    for stage, name, frame in [
+        (1, "quality", frames[1]),
+        (2, "exact_dedup", frames[2]),
+        (3, "source_cap", frames[3]),
+        (4, "stopword_evidence", frames[4]),
+    ]:
+        out = out.unionByName(_funnel_stage_row(stage, name, frame))
+    return out
+
+
+def _funnel_frames(spark: SparkSession, sf_dir: str):
+    """The curation funnel's five stage frames (raw → quality → exact
+    dedup → source cap → stopword evidence), shared by the report query
+    and the terminal materialize capstone so both score the SAME
+    semantics. ONE tokenizer pass feeds every stage (lazy checkpoint)."""
     d = t(spark, sf_dir, "documents")
     toks = X.tokens("text")
     sw = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
@@ -2396,23 +2424,120 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("srn") <= 12
     )
     s4 = s3.filter(F.col("sw_hits") * 20 >= F.col("n_tok"))
+    return n0, s1, s2, s3, s4
 
-    def row(stage, name, frame):
-        return frame.agg(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
-                "n_tokens"
+
+def _funnel_stage_row(stage: int, name: str, frame: DataFrame) -> DataFrame:
+    return frame.agg(
+        F.lit(stage).cast("int").alias("stage"),
+        F.lit(name).alias("stage_name"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+
+
+@query(
+    "pipeline_corpus_materialize",
+    # The TERMINAL curation capstone (VERDICT r7 item 4): the funnel
+    # report composed with the write path, stitching the curation stack
+    # to the table-management stack. The funnel's stage-4 survivor set
+    # is materialized as a real keyed parquet table through the full
+    # lifecycle — a deliberately STALE base snapshot (a third of the
+    # survivors carry a wrong token count, a third are missing) is
+    # repaired by merge_into_parquet (footer-stats file routing), the
+    # merged table is rewritten Z-ordered on (doc_id, n_tok), compacted
+    # to evenly-sized files, read BACK from disk, and reconciled
+    # against the in-plan survivor frame with table_diff. The output is
+    # the funnel report plus two terminal rows: stage 5 'materialized'
+    # re-counts docs/tokens FROM THE FILES (the oracle pins it equal to
+    # stage 4 — the round-trip-preserves-the-corpus claim), and stage 6
+    # 'write_reconcile' is the diff row count (the oracle pins ZERO —
+    # an empty reconciliation IS the green condition, so any merge,
+    # layout, or compaction bug that drops/dups/mutates one row turns
+    # the driver hash red).
+    #
+    # Scale shape: the write path inherits each operator's contract —
+    # merge rewrites only files whose key range contains a changed key
+    # (hard-links the rest), zorder is ONE range exchange, compaction
+    # one more; the reconciliation diff shuffles (key, md5 digest)
+    # pairs, never payloads. Non-vacuousness pinned in
+    # tests/test_text.py: the merge must actually rewrite files, and a
+    # tampered table must flip the diff row.
+    oracle=_FUNNEL_ORACLE_WITH
+    + "SELECT stage, stage_name, n_docs, n_tokens FROM ("
+    + _FUNNEL_ORACLE_ARMS
+    + """
+      UNION ALL
+      SELECT 5, 'materialized', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+      UNION ALL
+      SELECT 6, 'write_reconcile', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    )""",
+)
+def pipeline_corpus_materialize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.operators.layout import (
+        compact_parquet,
+        write_zordered,
+    )
+    from cirro_annotation_spark.operators.merge import (
+        merge_into_parquet,
+        table_diff,
+    )
+
+    frames = _funnel_frames(spark, sf_dir)
+    survivors = frames[4].select("doc_id", "source", "n_tok")
+
+    root = tempfile.mkdtemp(prefix="corpus_materialize_")
+    base_dir = os.path.join(root, "base")
+    z_dir = os.path.join(root, "zordered")
+    final_dir = os.path.join(root, "compacted")
+
+    # Stale base snapshot: survivors with a wrong n_tok for doc_id%3==0
+    # and the doc_id%3==1 rows missing — the merge must repair both.
+    stale = (
+        survivors.filter(F.col("doc_id") % 3 != 1)
+        .withColumn(
+            "n_tok",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(-1).cast("long")).otherwise(
+                F.col("n_tok")
             ),
         )
+        .repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    stale.write.mode("overwrite").parquet(base_dir)
+    merge_into_parquet(spark, base_dir, survivors, key="doc_id")
+    write_zordered(
+        spark.read.parquet(base_dir), z_dir, ["doc_id", "n_tok"], num_files=4
+    )
+    compact_parquet(
+        spark, z_dir, final_dir, target_rows_per_file=64, sort_col="doc_id"
+    )
 
-    out = row(0, "raw", n0)
+    final = spark.read.parquet(final_dir)
+    diff = table_diff(survivors, final, "doc_id", ["source", "n_tok"])
+
+    out = _funnel_stage_row(0, "raw", frames[0])
     for stage, name, frame in [
-        (1, "quality", s1),
-        (2, "exact_dedup", s2),
-        (3, "source_cap", s3),
-        (4, "stopword_evidence", s4),
+        (1, "quality", frames[1]),
+        (2, "exact_dedup", frames[2]),
+        (3, "source_cap", frames[3]),
+        (4, "stopword_evidence", frames[4]),
+        (5, "materialized", final),
     ]:
-        out = out.unionByName(row(stage, name, frame))
-    return out
+        out = out.unionByName(_funnel_stage_row(stage, name, frame))
+    return out.unionByName(
+        diff.agg(
+            F.lit(6).cast("int").alias("stage"),
+            F.lit("write_reconcile").alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+    )

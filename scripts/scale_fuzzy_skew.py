@@ -95,7 +95,110 @@ def main() -> int:
           f"reduction {ratio:.1f}x")
     assert ratio >= 10, "composite key failed to bound the skewed band"
     print("SKEW TIER CHECK PASSED")
+
+    er_capstone_phase(spark, n)
     return 0
+
+
+def er_capstone_phase(spark, n: int) -> None:
+    """VERDICT r7 item 8: the fuzzy kernel's skew tier (above) stresses
+    the LENGTH band; the ER capstone shares the composite key but its
+    own adversarial axis is TOKEN skew — a real corpus where one first
+    token ("the") dominates. Build N docs with 60% sharing one tok0
+    across a realistic length spread (81-160 chars, ~27 bands), count
+    the candidate pairs the composite key actually admits, bound them
+    by Σ_block C(occ,2)-shaped arithmetic, and run the FULL capstone
+    (block → levenshtein → closure → golden records) end-to-end.
+
+    The documented bound: candidates ≤ Σ_(tok0, home band) probe_occ ×
+    home_occ. With the dominant token spread over B bands, its
+    contribution is ~3·(0.6N/B)²·B = 2.7·(0.6N)²/B — the band axis is
+    what keeps a dominant token affordable, exactly symmetric to how
+    tok0 kept the single-band corpus affordable in the phase above."""
+    import shutil
+    import tempfile
+
+    from cirro_annotation_spark.suites.dedup import (
+        _fuzzy_blocked_pairs,
+        pipeline_entity_resolution,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "scale_er_skew")
+    shutil.rmtree(out, ignore_errors=True)
+    toks = F.array(*[F.lit(f"w{i:02d}") for i in range(30)])
+    dominant = F.col("id") % 10 < 6  # 60% share one first token
+    tok = F.when(dominant, F.lit("the")).otherwise(
+        F.element_at(toks, (F.col("id") % 30 + 1).cast("int"))
+    )
+    body_len = (F.col("id") % 80 + 75).cast("int")  # 81-160 chars total
+    text = F.concat_ws(
+        " ",
+        tok,
+        F.rpad(F.md5(F.col("id").cast("string")), body_len, "y"),
+    )
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.length(text).alias("n_chars"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    tok0 = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    d = docs.select(
+        "doc_id", "n_chars", tok0.alias("tok0"),
+        F.floor(F.col("n_chars") / 3).alias("blk"),
+    )
+    occ = d.groupBy("tok0", "blk").count()
+    stats = occ.agg(
+        F.max("count").alias("max_occ"), F.count("*").alias("n_blocks")
+    ).first()
+    brute = n * (n - 1) // 2
+    # Candidates as the operator joins them: probe explodes 3 blocks,
+    # home keeps its own; same-key pair volume before the edit filter.
+    a = d.select(
+        "doc_id", "tok0", "n_chars",
+        F.explode(F.array(F.col("blk") - 1, F.col("blk"), F.col("blk") + 1))
+        .alias("blk"),
+    ).alias("a")
+    b = d.alias("b")
+    t0 = time.perf_counter()
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.tok0") == F.col("b.tok0"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    t_cand = time.perf_counter() - t0
+    print(
+        f"ER token-skew: {n} docs, dominant tok0 covers 60%, "
+        f"{stats['n_blocks']} composite blocks, max occupancy "
+        f"{stats['max_occ']}"
+    )
+    print(
+        f"capstone candidates {n_cand:,} vs brute {brute:,} "
+        f"({brute / max(n_cand, 1):.0f}x reduction, counted in {t_cand:.1f} s)"
+    )
+    assert brute / max(n_cand, 1) >= 10, "token skew broke the bound"
+
+    t0 = time.perf_counter()
+    n_entities = pipeline_entity_resolution(spark, out).count()
+    wall = time.perf_counter() - t0
+    print(f"full ER capstone on token-skewed corpus: {n_entities} entities "
+          f"in {wall:.1f} s")
+    del _fuzzy_blocked_pairs
+    print("ER TOKEN-SKEW PHASE PASSED")
 
 
 if __name__ == "__main__":

@@ -392,3 +392,85 @@ def test_corpus_funnel_every_stage_bites(spark, sf_dir):
         }
     # 23 raw -> 23 quality -> 21 after dedup (3 copies -> 1) -> 12 cap
     assert (c[0], c[1], c[2], c[3]) == (23, 23, 21, 12)
+
+
+def test_corpus_materialize_round_trip_and_reconcile(spark, sf_dir):
+    """The terminal capstone's two new rows: stage 5 (read back from the
+    compacted files) must equal stage 4 exactly, and the reconciliation
+    diff must be empty — the round-trip-preserves-the-corpus claim."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = {
+        r["stage"]: (r["stage_name"], r["n_docs"], r["n_tokens"])
+        for r in QUERIES["pipeline_corpus_materialize"](spark, sf_dir).collect()
+    }
+    assert rows[5] == ("materialized", rows[4][1], rows[4][2])
+    assert rows[6] == ("write_reconcile", 0, 0)
+    assert rows[4][1] > 0  # the funnel must actually deliver a corpus
+
+
+def test_corpus_materialize_is_not_vacuous(spark, sf_dir):
+    """The stale base really differs from the survivors (the merge has
+    repairs to make and rewrites files for them), and a post-compaction
+    tamper flips the reconciliation — zero-diff is EARNED, not the
+    trivial diff of identical frames."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.operators.merge import (
+        merge_into_parquet,
+        table_diff,
+    )
+    from cirro_annotation_spark.suites.text import _funnel_frames
+
+    survivors = _funnel_frames(spark, sf_dir)[4].select(
+        "doc_id", "source", "n_tok"
+    )
+    stale = (
+        survivors.filter(F.col("doc_id") % 3 != 1)
+        .withColumn(
+            "n_tok",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(-1).cast("long")
+            ).otherwise(F.col("n_tok")),
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        base = os.path.join(tmp, "base")
+        stale.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.parquet(base)
+        # Unrepaired base vs survivors: the diff sees the stale rows
+        pre = (
+            table_diff(
+                survivors, spark.read.parquet(base), "doc_id",
+                ["source", "n_tok"],
+            )
+            .groupBy("status")
+            .count()
+            .collect()
+        )
+        pre_counts = {r["status"]: r["count"] for r in pre}
+        assert pre_counts.get("changed", 0) > 0
+        assert pre_counts.get("removed", 0) > 0  # missing third
+        # The merge must touch files to repair them
+        stats = merge_into_parquet(spark, base, survivors, key="doc_id")
+        assert stats["files_rewritten"] > 0
+        post = table_diff(
+            survivors, spark.read.parquet(base), "doc_id",
+            ["source", "n_tok"],
+        ).count()
+        assert post == 0
+        # Tamper: drop one row from the repaired table -> diff flips
+        tampered = spark.read.parquet(base).filter(
+            F.col("doc_id") != survivors.agg(F.min("doc_id")).first()[0]
+        )
+        assert (
+            table_diff(
+                survivors, tampered, "doc_id", ["source", "n_tok"]
+            ).count()
+            == 1
+        )
