@@ -194,6 +194,49 @@ HEADLINE = [
     "pipeline_entity_resolution_incremental",
     "events_cms_user_counts",
     "pipeline_corpus_funnel",
+    # round 8 (append-only, r7 verdict item 7 — representatives for every
+    # family still outside the bench): heavy TPC-H shapes (q9 profit,
+    # q18 group-filter join, q4/q12/q20 semi-join family), relational
+    # interiors (cube, exact percentiles, range-band join, EXISTS),
+    # manifest/scalar/multimodal/window/streaming coverage, the LSH and
+    # int8/kNN similarity paths, minhash verify + levenshtein kernels,
+    # tfidf/decontaminate text shapes, FFD packing, and the terminal
+    # materialize capstone (funnel + write path + reconcile)
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "q4_order_priority",
+    "q12_priority_by_returnflag",
+    "q20_excess_suppliers",
+    "agg_cube",
+    "agg_percentiles_exact",
+    "join_range_band",
+    "sql_exists_subquery",
+    "set_except",
+    "dedup_cluster_auto",
+    "dedup_minhash_verify",
+    "dedup_fuzzy_levenshtein",
+    "graph_pagerank_personalized",
+    "manifest_melt_standard",
+    "manifest_harvest_columns",
+    "scan_jsonl_typed",
+    "multimodal_binary_stats",
+    "multimodal_resize",
+    "scalar_from_json_struct",
+    "scalar_regex_extract",
+    "sim_cosine_int8",
+    "sim_knn_join_batch",
+    "sim_near_dup_lsh",
+    "stream_stateful_counts",
+    "stream_sliding_stream",
+    "stream_dedup_watermark",
+    "stream_session_stream",
+    "text_tfidf_top",
+    "text_decontaminate_ngram",
+    "pipeline_pack_ffd",
+    "pipeline_corpus_materialize",
+    "window_zscore_anomaly",
+    "window_moving_avg",
+    "window_rank_topk_per_group",
 ]
 
 

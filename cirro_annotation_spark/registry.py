@@ -106,6 +106,8 @@ PRIORITY: list[str] = [
     "sim_topk_lsh",
     # round-8 additions (appended as they land, until the window holds 50)
     "pipeline_corpus_materialize",
+    "pipeline_funnel_incremental",
+    "sample_unimax_budget",
 ]
 
 

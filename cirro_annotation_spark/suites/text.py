@@ -914,6 +914,125 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_unimax_budget",
+    # UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    # More Effective Language Sampling for Large-Scale Multilingual
+    # Pretraining", arXiv:2304.09151): distribute a total token budget
+    # (half the corpus) across (source, lang) strata by waterfilling —
+    # visit strata SMALLEST-FIRST; a stratum under the running fair
+    # share (remaining_budget floor-div remaining_strata) contributes
+    # everything it has and its unused share redistributes to the rest;
+    # larger strata are capped at their recomputed fair share. The
+    # integer floor-division recurrence is exactly reproducible, so the
+    # allocation itself is hash-checked (DuckDB recursive CTE walks the
+    # same recurrence). Docs are then hash-downsampled to their
+    # stratum's rate with the cross-multiplied BIGINT gate
+    # (bucket·tok < budget·10000 — no float rate, same discipline as
+    # sample_mixture_weighted), and the report shows target vs achieved
+    # per stratum.
+    #
+    # Scale shape: the stratum stats are one small aggregate; the
+    # waterfill runs over that bounded frame (strata count, not corpus
+    # size — collected as model state like centroids); the per-doc gate
+    # is scan-local behind a broadcast join. The corpus never shuffles.
+    oracle="""
+    WITH RECURSIVE per AS (
+      SELECT source, lang,
+             SUM(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                 x -> x <> ''))) AS tok
+      FROM documents GROUP BY source, lang),
+    ord AS (
+      SELECT source, lang, tok,
+             ROW_NUMBER() OVER (ORDER BY tok, source, lang) AS rn
+      FROM per),
+    alloc AS (
+      SELECT 0 AS rn,
+             (SELECT SUM(tok) // 2 FROM per) AS rem_b,
+             (SELECT COUNT(*) FROM per) AS rem_n,
+             CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS lang,
+             CAST(0 AS BIGINT) AS tok, CAST(0 AS BIGINT) AS budget
+      UNION ALL
+      SELECT o.rn,
+             a.rem_b - LEAST(o.tok, a.rem_b // a.rem_n),
+             a.rem_n - 1,
+             o.source, o.lang, o.tok,
+             LEAST(o.tok, a.rem_b // a.rem_n)
+      FROM alloc a JOIN ord o ON o.rn = a.rn + 1
+      WHERE a.rem_n > 0),
+    d AS (
+      SELECT doc_id, source, lang,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents),
+    kept AS (
+      SELECT d.source, d.lang, d.n_tok
+      FROM d JOIN alloc a ON d.source = a.source AND d.lang = a.lang
+      WHERE d.bucket * a.tok < a.budget * 10000)
+    SELECT a.source, a.lang, a.tok AS n_tokens, a.budget,
+           CAST(COUNT(k.n_tok) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(k.n_tok), 0) AS BIGINT) AS n_tokens_kept
+    FROM alloc a LEFT JOIN kept k
+      ON a.source = k.source AND a.lang = k.lang
+    WHERE a.rn > 0
+    GROUP BY a.source, a.lang, a.tok, a.budget
+    """,
+)
+def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", X.token_count("text").alias("n_tok")
+    )
+    per = (
+        d.groupBy("source", "lang")
+        .agg(F.sum("n_tok").cast("long").alias("tok"))
+        .collect()
+    )  # bounded model state: one row per stratum, like centroids
+    strata = sorted(per, key=lambda r: (r["tok"], r["source"], r["lang"]))
+    rem_b = sum(r["tok"] for r in strata) // 2
+    rem_n = len(strata)
+    rows = []
+    for r in strata:
+        fair = rem_b // rem_n
+        budget = min(r["tok"], fair)
+        rows.append((r["source"], r["lang"], r["tok"], budget))
+        rem_b -= budget
+        rem_n -= 1
+    alloc = spark.createDataFrame(
+        rows, "source string, lang string, tok long, budget long"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+    kept = (
+        d.withColumn("bucket", bucket)
+        .join(F.broadcast(alloc), ["source", "lang"])
+        .filter(F.col("bucket") * F.col("tok") < F.col("budget") * 10000)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("n_tokens_kept"),
+        )
+    )
+    return (
+        alloc.join(kept, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.col("tok").alias("n_tokens"),
+            "budget",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias(
+                "n_docs_kept"
+            ),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
+@query(
     "docs_chunk_overlap",
     # RAG/context-window chunking: split each document into fixed-size
     # character windows with overlap (size 400, stride 300 → 100-char
@@ -2390,7 +2509,12 @@ def _funnel_frames(spark: SparkSession, sf_dir: str):
     dedup → source cap → stopword evidence), shared by the report query
     and the terminal materialize capstone so both score the SAME
     semantics. ONE tokenizer pass feeds every stage (lazy checkpoint)."""
-    d = t(spark, sf_dir, "documents")
+    n0 = _funnel_tokenized(t(spark, sf_dir, "documents"))
+    return (n0, *_funnel_stages(n0))
+
+
+def _funnel_tokenized(d: DataFrame) -> DataFrame:
+    """The funnel's single tokenizer pass (stage-0 frame)."""
     toks = X.tokens("text")
     sw = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
     n0 = d.select(
@@ -2407,14 +2531,23 @@ def _funnel_frames(spark: SparkSession, sf_dir: str):
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("tok_chars"),
     ).localCheckpoint(eager=False)
+    return n0
+
+
+def _funnel_quality(frame: DataFrame) -> DataFrame:
     # GREATEST(n_tok, 1): WHERE conjuncts evaluate in no guaranteed
     # order, so a zero-token doc must not hand either engine a zero
     # denominator before the n_tok band drops it (no-op for any doc
     # the band keeps).
     mwl = F.col("tok_chars") * 1.0 / F.greatest(F.col("n_tok"), F.lit(1))
-    s1 = n0.filter(
+    return frame.filter(
         (F.col("n_tok") >= 40) & (mwl >= 2.0) & (mwl <= 12.0)
     )
+
+
+def _funnel_stages(n0: DataFrame):
+    """Stages 1-4 over a tokenized stage-0 frame."""
+    s1 = _funnel_quality(n0)
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
     s2 = s1.withColumn("rn", F.row_number().over(w_fp)).filter(
         F.col("rn") == 1
@@ -2424,7 +2557,7 @@ def _funnel_frames(spark: SparkSession, sf_dir: str):
         F.col("srn") <= 12
     )
     s4 = s3.filter(F.col("sw_hits") * 20 >= F.col("n_tok"))
-    return n0, s1, s2, s3, s4
+    return s1, s2, s3, s4
 
 
 def _funnel_stage_row(stage: int, name: str, frame: DataFrame) -> DataFrame:
@@ -2541,3 +2674,79 @@ def pipeline_corpus_materialize(
             F.lit(0).cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "pipeline_funnel_incremental",
+    # The MAINTENANCE path of the curation funnel — nightly-ingest
+    # shape, mirroring pipeline_entity_resolution_incremental: the
+    # standing corpus (doc_id <= 80% cutoff) has been curated already;
+    # the new batch flows through quality per-doc, dedups against the
+    # STANDING fingerprint set (an anti-join — at scale that set is a
+    # stored table of fps, not a recompute) plus a within-batch
+    # first-wins window, and fills each source's REMAINING cap quota
+    # (12 minus the standing survivors' count, a broadcast-joined
+    # n_sources-row frame). The report is the funnel over the union,
+    # computed as standing + batch-delta per stage.
+    #
+    # Increment == recompute holds by the same monotone-id argument as
+    # incremental ER: ids only grow, so (a) every standing first-wins
+    # fp winner beats any batch row with that fp — batch survivors are
+    # exactly the quality rows whose fp is unseen, then lowest-id within
+    # batch; (b) the per-source lowest-12 of the union is the standing
+    # lowest-12 plus batch rows filling leftover quota. So the ORACLE IS
+    # THE FULL-RECOMPUTE FUNNEL'S, verbatim — the hash proves a 100 TB
+    # corpus can curate a daily batch without re-tokenizing the
+    # standing side (the only standing inputs are its fp set and its
+    # per-source counts, both stored artifacts of yesterday's run).
+    oracle=_FUNNEL_ORACLE_WITH
+    + "SELECT stage, stage_name, n_docs, n_tokens FROM ("
+    + _FUNNEL_ORACLE_ARMS
+    + ")",
+)
+def pipeline_funnel_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cut = int(
+        d.agg((F.max("doc_id") * 4 / 5).cast("long").alias("c")).first()["c"]
+    )
+    n0 = _funnel_tokenized(d)
+    standing = n0.filter(F.col("doc_id") <= cut)
+    batch = n0.filter(F.col("doc_id") > cut)
+    s1_st, s2_st, s3_st, s4_st = _funnel_stages(standing)
+
+    s1_b = _funnel_quality(batch)
+    # dedup vs the standing fp set (stored artifact at scale), then
+    # first-wins WITHIN the batch
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    s2_b = (
+        s1_b.join(s2_st.select("fp"), "fp", "left_anti")
+        .withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+    )
+    # fill each source's remaining quota (cap 12 minus standing usage)
+    used = s3_st.groupBy(F.col("source").alias("__src")).agg(
+        F.count(F.lit(1)).alias("__used")
+    )
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    s3_b = (
+        s2_b.withColumn("srn", F.row_number().over(w_src))
+        .join(F.broadcast(used), F.col("source") == F.col("__src"), "left")
+        .filter(
+            F.col("srn") + F.coalesce(F.col("__used"), F.lit(0)) <= 12
+        )
+    )
+    s4_b = s3_b.filter(F.col("sw_hits") * 20 >= F.col("n_tok"))
+
+    cols = ["doc_id", "source", "fp", "n_tok", "sw_hits"]
+    out = _funnel_stage_row(0, "raw", n0)
+    for stage, name, st, b in [
+        (1, "quality", s1_st, s1_b),
+        (2, "exact_dedup", s2_st, s2_b),
+        (3, "source_cap", s3_st, s3_b),
+        (4, "stopword_evidence", s4_st, s4_b),
+    ]:
+        union = st.select(*cols).unionByName(b.select(*cols))
+        out = out.unionByName(_funnel_stage_row(stage, name, union))
+    return out
