@@ -546,3 +546,88 @@ def bfs_oracle_sql(edges_cte: str, sources: list[int], hops: int) -> str:
         )
     body = "\n".join(parts).rstrip(",")
     return body + f"\nSELECT node, CAST(dist AS INT) AS dist FROM v{hops}"
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    checkpoint: bool = True,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    time algorithm to detect community structures in large-scale
+    networks") with a DETERMINISTIC tie rule: every node starts labeled
+    with its own id; each round it adopts the label most frequent among
+    its neighbors, ties broken by smallest label. The classic LPA
+    visits nodes in random order and breaks ties randomly — the
+    synchronized min-tie form trades a little convergence speed for a
+    result two engines can hash-compare (the same discipline as the
+    integer PageRank fixed point).
+
+    Returns (node, label) after ``rounds`` synchronous updates.
+
+    Scale shape: per round exactly one join of the mirrored edge list
+    (pre-partitioned on the join key, checkpointed once) against the
+    (node, label) frame, one (node, label) count aggregate
+    (partial-combined map-side), and one node-keyed max-by window;
+    lineage truncates per round via localCheckpoint so round k's plan
+    never re-derives rounds 1..k-1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    if checkpoint:
+        e = e.repartition("dst").localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        labels = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def lpa_oracle_sql(edges_cte: str, rounds: int = 3) -> str:
+    """Unrolled-CTE oracle for :func:`label_propagation`: each round is
+    one join + count + ROW_NUMBER argmax with the identical
+    (count DESC, label ASC) tie rule."""
+    parts = [
+        # DISTINCT matches the operator's edge dedup: votes are per
+        # neighbor, not per trade multiplicity
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_cte}) raw_edges)",
+        "l0 AS (SELECT node, node AS label FROM ("
+        "SELECT src AS node FROM e UNION SELECT dst FROM e))",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT e.src AS node, l.label, COUNT(*) AS c "
+            f"FROM e JOIN l{r - 1} l ON e.dst = l.node "
+            f"GROUP BY e.src, l.label)"
+        )
+        parts.append(
+            f"l{r} AS (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\nSELECT node, label FROM l{rounds}"
+    )

@@ -108,6 +108,15 @@ PRIORITY: list[str] = [
     "pipeline_corpus_materialize",
     "pipeline_funnel_incremental",
     "sample_unimax_budget",
+    "docs_ccnet_buckets",
+    "graph_label_propagation",
+    "embeddings_dim_clip_report",
+    "pipeline_dataset_card",
+    "docs_ngram_novelty",
+    "stream_top_types_batch",
+    "stream_top_types_stream",
+    "text_lexical_diversity",
+    "events_daily_quantiles",
 ]
 
 

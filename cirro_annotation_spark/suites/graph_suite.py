@@ -275,3 +275,48 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
     )
     return bfs_hops(edges, _BFS_SEEDS, hops=3)
+
+
+_LPA_ORACLE = (
+    __import__(
+        "cirro_annotation_spark.operators.graph", fromlist=["lpa_oracle_sql"]
+    ).lpa_oracle_sql(_EDGES_CTE, rounds=3)
+)
+
+
+@query(
+    "graph_label_propagation",
+    # Community detection over the trade graph via synchronous label
+    # propagation (Raghavan 2007) with the deterministic min-label tie
+    # rule — the clustering member of the graph family beside the
+    # connectivity (CC), centrality (PageRank), density (k-core), and
+    # reachability (BFS) members. Three synchronous rounds are part of
+    # the query semantics (no convergence ambiguity, the BFS
+    # discipline); the oracle unrolls the identical join + count +
+    # argmax per round. Scale: per round ONE dst-keyed join against the
+    # checkpointed mirrored edge list + one (node, label) partial-
+    # combined count + one node-keyed window; labels are 2-int rows,
+    # the graph itself never re-shuffles after the first repartition.
+    oracle=_LPA_ORACLE,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.graph import label_propagation
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    return label_propagation(edges, rounds=3, assume_distinct=True)

@@ -1303,3 +1303,69 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("share"),
     )
+
+
+@query(
+    "embeddings_dim_clip_report",
+    # Per-dimension outlier-clip QA — the check run before int8
+    # quantization or norm-sensitive training: for every embedding
+    # dimension, the exact p1/p99 band and how many values fall outside
+    # it (the values a clip-to-band preprocessor would touch). A
+    # per-dim band that clips far more than ~2% flags a heavy-tailed
+    # dimension that will dominate quantization error (the sibling
+    # check to embeddings_norm_stats' zero-norm scan).
+    #
+    # Scale shape: the explode is scan-local (zip-unnest of value +
+    # position), the percentile aggregate is one dim-keyed shuffle with
+    # 64 groups, the 64-row threshold frame broadcasts back onto the
+    # SAME checkpointed exploded frame (one explode, two consumers),
+    # and the final count is a second 64-group aggregate. Raw parquet
+    # floats compare against identically-interpolated thresholds (both
+    # engines: lower + frac*(upper-lower) on sorted doubles — the
+    # pipeline_length_buckets precedent); outputs round at 6.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+               FROM embeddings),
+    ex AS (SELECT vec_id, UNNEST(ve) AS x,
+                  UNNEST(range(LEN(ve))) AS dim FROM e),
+    q AS (SELECT dim, quantile_cont(x, 0.01) AS p01,
+                 quantile_cont(x, 0.99) AS p99
+          FROM ex GROUP BY dim)
+    SELECT ex.dim AS dim,
+           ROUND(q.p01, 6) AS p01, ROUND(q.p99, 6) AS p99,
+           CAST(COUNT(*) FILTER (WHERE ex.x < q.p01) AS BIGINT) AS n_below,
+           CAST(COUNT(*) FILTER (WHERE ex.x > q.p99) AS BIGINT) AS n_above,
+           CAST(COUNT(*) AS BIGINT) AS n_vals
+    FROM ex JOIN q USING (dim)
+    GROUP BY ex.dim, q.p01, q.p99
+    """,
+)
+def embeddings_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).localCheckpoint(eager=False)
+    q = ex.groupBy("dim").agg(
+        F.expr("percentile(x, 0.01)").alias("p01"),
+        F.expr("percentile(x, 0.99)").alias("p99"),
+    )
+    return (
+        ex.join(F.broadcast(q), "dim")
+        .groupBy("dim", "p01", "p99")
+        .agg(
+            F.sum((F.col("x") < F.col("p01")).cast("long")).alias("n_below"),
+            F.sum((F.col("x") > F.col("p99")).cast("long")).alias("n_above"),
+            F.count(F.lit(1)).cast("long").alias("n_vals"),
+        )
+        .select(
+            "dim",
+            F.round("p01", 6).alias("p01"),
+            F.round("p99", 6).alias("p99"),
+            "n_below",
+            "n_above",
+            "n_vals",
+        )
+    )

@@ -383,6 +383,73 @@ def stream_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STRM.run_streaming_over_parquet(spark, path, _window_histogram)
 
 
+_TOP_TYPES_ORACLE = """
+    WITH c AS (
+      SELECT STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type ASC) AS rnk
+      FROM c) r
+    WHERE rnk <= 3
+"""
+
+
+def _window_type_counts(ev: DataFrame) -> DataFrame:
+    """Per-day per-type event counts — the streamable half of the
+    top-k monitor (a plain windowed aggregation; constant cells per
+    window at bounded type cardinality)."""
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def _rank_top3(counts: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query("stream_top_types_batch", oracle=_TOP_TYPES_ORACLE)
+def stream_top_types_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day window (count desc, deterministic type
+    tie) — the exact windowed top-k the ops dashboard shows. The
+    window-keyed rank runs on the tiny (windows × types) count frame,
+    never on raw events."""
+    return _rank_top3(_window_type_counts(t(spark, sf_dir, "events")))
+
+
+@query("stream_top_types_stream", oracle=_TOP_TYPES_ORACLE)
+def stream_top_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream twin through a real drain, held to the SAME oracle as the
+    batch twin. Window functions are unsupported inside streaming
+    aggregations, so the production shape is exactly this split: the
+    STREAM maintains the windowed per-type counts (bounded state:
+    windows × types cells); the top-k rank runs on the sink's completed
+    windows — here applied to the drained memory-sink table."""
+    path = os.path.join(sf_dir, "events.parquet")
+    counts = STRM.run_streaming_over_parquet(
+        spark, path, _window_type_counts
+    )
+    return _rank_top3(counts)
+
+
 @query("stream_dedup_bloom")  # probabilistic interior — rows-only, like
 # the MinHash banding interiors; tests/test_streaming_bloom.py pins the
 # no-duplicate-passes guarantee, sized-bloom exactness, and bounded state

@@ -467,6 +467,79 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_ngram_novelty",
+    # Batch novelty curve — the "how much NEW text does this crawl
+    # snapshot add" report behind dataset growth accounting (the
+    # complement of decontamination's shared-gram flagging): for each
+    # doc in the incoming batch (doc_id > the 80% cutoff, the standing
+    # incremental convention), count its distinct 8-grams and how many
+    # appear NOWHERE in the standing corpus. A batch whose novel share
+    # collapses is re-crawling what the corpus already holds — the
+    # signal dataset teams watch per snapshot. Integer columns only.
+    #
+    # Scale shape: tokenize → 8-gram explode (scan-local) → per-side
+    # (gram, doc) distinct → LEFT ANTI hash join on gram (grams travel,
+    # text does not — the decontaminate exchange discipline) → per-doc
+    # rollup joined against the total-gram rollup.
+    oracle="""
+    WITH cut AS (SELECT CAST(MAX(doc_id) * 4 / 5 AS BIGINT) AS c
+                 FROM documents),
+    s AS (SELECT doc_id,
+                 list_filter(string_split_regex(TRIM(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+    g AS (SELECT doc_id,
+                 array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+          FROM s, UNNEST(range(1, len(w) - 6)) AS t(i)),
+    ref AS (SELECT DISTINCT gram FROM g, cut WHERE doc_id <= c),
+    new_g AS (SELECT DISTINCT doc_id, gram FROM g, cut WHERE doc_id > c),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM new_g GROUP BY doc_id),
+    nov AS (SELECT n.doc_id, COUNT(*) AS n_novel
+            FROM new_g n LEFT JOIN ref r ON n.gram = r.gram
+            WHERE r.gram IS NULL GROUP BY n.doc_id)
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel
+    FROM tot t LEFT JOIN nov v ON t.doc_id = v.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cut = int(
+        d.agg((F.max("doc_id") * 4 / 5).cast("long").alias("c")).first()["c"]
+    )
+    # sequence(1, n-7) is DESCENDING when n < 8 (Spark generates
+    # backwards sequences) — guard short docs to an empty gram list,
+    # the text_decontaminate_ngram discipline
+    g = d.select("doc_id", X.tokens("text").alias("__w")).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__w") >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 7),
+                    lambda i: F.array_join(F.slice("__w", i, 8), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    ref = g.filter(F.col("doc_id") <= cut).select("gram").distinct()
+    new_g = g.filter(F.col("doc_id") > cut).distinct()
+    tot = new_g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    nov = (
+        new_g.join(ref, "gram", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return tot.join(nov, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+
+
+@query(
     "text_decontaminate_ngram",
     # Train/eval decontamination — the training-data hygiene staple: an
     # eval document is contaminated if it shares any 8-gram with any
@@ -1478,6 +1551,78 @@ def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(nll, 6).alias("mean_nll"),
         F.round(F.exp(nll), 2).alias("unigram_ppl"),
+    )
+
+
+@query(
+    "docs_ccnet_buckets",
+    # CCNet's head/middle/tail routing (Wenzek et al. 2020,
+    # arXiv:1911.00359 §4.4): within each source, rank documents by LM
+    # perplexity and cut into terciles — "head" (lowest ppl) trains
+    # high-quality models, "tail" is usually dropped. Reuses the
+    # corpus-trained Laplace unigram NLL (docs_unigram_perplexity's
+    # arithmetic verbatim); the tercile is NTILE(3) over (ROUNDED nll,
+    # doc_id) so bucket boundaries are decided on the 6dp grain both
+    # engines share, never on raw-float ulps. Report per (source,
+    # bucket): doc count and the nll range — min/max of already-rounded
+    # values are order statistics, exact across engines.
+    #
+    # Scale shape: adds ONE source-keyed window over the narrow
+    # (doc_id, source, nll) frame on top of the perplexity plan's two
+    # token shuffles; text never shuffles.
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_LT_SQL} AS lt FROM documents),
+    ex AS (SELECT doc_id, UNNEST(lt) AS tok FROM tk),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM ex GROUP BY tok),
+    tot AS (SELECT SUM(n) AS n_total, COUNT(*) AS v FROM vocab),
+    lp AS (SELECT v.tok, LN((v.n + 1.0) / (t.n_total + t.v)) AS logp
+           FROM vocab v CROSS JOIN tot t),
+    sc AS (SELECT e.doc_id, COUNT(*) AS n_tokens, SUM(l.logp) AS sum_logp
+           FROM ex e JOIN lp l ON e.tok = l.tok GROUP BY e.doc_id),
+    nll AS (SELECT s.doc_id, d.source,
+                   ROUND(-s.sum_logp / s.n_tokens, 6) AS mean_nll
+            FROM sc s JOIN documents d USING (doc_id)),
+    b AS (SELECT source, mean_nll,
+                 NTILE(3) OVER (PARTITION BY source
+                                ORDER BY mean_nll, doc_id) AS ppl_bucket
+          FROM nll)
+    SELECT source, CAST(ppl_bucket AS INT) AS ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(mean_nll) AS min_nll, MAX(mean_nll) AS max_nll
+    FROM b GROUP BY source, ppl_bucket
+    """,
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
+    ex = d.select("doc_id", F.explode(lt).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("n_total"), F.count("*").alias("v"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log((F.col("n") + 1.0) / (F.col("n_total") + F.col("v"))).alias(
+            "logp"
+        ),
+    )
+    sc = (
+        ex.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("logp").alias("sum_logp"))
+    )
+    nll = sc.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.round(-F.col("sum_logp") / F.col("n_tokens"), 6).alias("mean_nll"),
+    )
+    w = Window.partitionBy("source").orderBy("mean_nll", "doc_id")
+    return (
+        nll.withColumn("ppl_bucket", F.ntile(3).over(w))
+        .groupBy("source", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("mean_nll").alias("min_nll"),
+            F.max("mean_nll").alias("max_nll"),
+        )
     )
 
 
@@ -2677,6 +2822,107 @@ def pipeline_corpus_materialize(
 
 
 @query(
+    "pipeline_dataset_card",
+    # The DATASHEET the corpus ships with (Gebru et al. 2021,
+    # "Datasheets for Datasets" — the per-source summary block): one
+    # row per source with doc/token counts, language spread, the
+    # dominant language (mode, deterministic min-lang tie), how many of
+    # its docs exact-dedup away corpus-wide (first-wins by normalized
+    # fingerprint — a doc is a dup if a LOWER-id doc anywhere in the
+    # corpus shares its fp), and how many pass the funnel's quality
+    # band. Every column is an integer or string — no float column, no
+    # rounding surface at all; the hash is exact by construction.
+    #
+    # Scale shape: one tokenizer scan (shared lazy checkpoint), one
+    # fp-keyed window (the dedup rank), one (source, lang) count + mode
+    # window over the tiny per-source-lang frame, one final source
+    # rollup. Text never shuffles — fp ranks move (fp, ids) only.
+    oracle="""
+    WITH n0 AS (
+      SELECT doc_id, source, lang,
+             REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS fp,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             list_sum(list_transform(
+                 list_filter(string_split_regex(TRIM(text), '\\s+'),
+                             x -> x <> ''), x -> LENGTH(x))) AS tok_chars
+      FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                 AS fp_rn FROM n0),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM n0 GROUP BY source, lang),
+    top AS (SELECT source, lang AS top_lang FROM (
+              SELECT source, lang,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY c DESC, lang ASC) AS rn
+              FROM lc) WHERE rn = 1),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) FILTER (WHERE fp_rn > 1) AS BIGINT) AS n_dup_docs,
+             CAST(COUNT(*) FILTER (
+               WHERE n_tok >= 40
+                 AND tok_chars * 1.0 / GREATEST(n_tok, 1) >= 2.0
+                 AND tok_chars * 1.0 / GREATEST(n_tok, 1) <= 12.0
+             ) AS BIGINT) AS n_quality
+      FROM r GROUP BY source)
+    SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, t.top_lang,
+           a.n_dup_docs, a.n_quality
+    FROM agg a JOIN top t USING (source)
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n0 = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "fp"
+        ),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("tok_chars"),
+    ).localCheckpoint(eager=False)
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    r = n0.withColumn("fp_rn", F.row_number().over(w_fp))
+    w_mode = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    top = (
+        n0.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    mwl = F.col("tok_chars") * 1.0 / F.greatest(F.col("n_tok"), F.lit(1))
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum((F.col("fp_rn") > 1).cast("long")).alias("n_dup_docs"),
+        F.sum(
+            (
+                (F.col("n_tok") >= 40) & (mwl >= 2.0) & (mwl <= 12.0)
+            ).cast("long")
+        ).alias("n_quality"),
+    )
+    return agg.join(F.broadcast(top), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "top_lang",
+        "n_dup_docs",
+        "n_quality",
+    )
+
+
+@query(
     "pipeline_funnel_incremental",
     # The MAINTENANCE path of the curation funnel — nightly-ingest
     # shape, mirroring pipeline_entity_resolution_incremental: the
@@ -2750,3 +2996,50 @@ def pipeline_funnel_incremental(
         union = st.select(*cols).unionByName(b.select(*cols))
         out = out.unionByName(_funnel_stage_row(stage, name, union))
     return out
+
+
+@query(
+    "text_lexical_diversity",
+    # Type-token lexical diversity — the vocabulary-richness member of
+    # the quality family (low TTR + high hapax collapse flags generated
+    # or templated text; used alongside the Gopher bands and repetition
+    # ratio): per doc, total tokens, distinct lowercased types, and
+    # hapax legomena (types occurring exactly once). All integers — the
+    # TTR itself is left to the consumer (derivable, and a float column
+    # would only add a rounding surface).
+    #
+    # Scale shape: everything computes INSIDE the scan stage as
+    # higher-order functions over the token array (distinct via
+    # array_distinct, hapax via a filtered count of single-occurrence
+    # types) — zero shuffles, zero explode; the corpus never leaves its
+    # input partitioning.
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_LT_SQL} AS lt FROM documents)
+    SELECT doc_id,
+           CAST(LEN(lt) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct(lt)) AS BIGINT) AS n_types,
+           CAST(LEN(list_filter(list_distinct(lt),
+                x -> LEN(list_filter(lt, y -> y = x)) = 1)) AS BIGINT)
+             AS n_hapax
+    FROM tk
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
+    base = d.select("doc_id", lt.alias("__lt"))
+    types = F.array_distinct(F.col("__lt"))
+    hapax = F.size(
+        F.filter(
+            types,
+            lambda x: F.size(
+                F.filter(F.col("__lt"), lambda y: y == x)
+            ) == 1,
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("__lt").cast("long").alias("n_tokens"),
+        F.size(types).cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+    )

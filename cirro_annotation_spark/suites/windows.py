@@ -2045,3 +2045,36 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overcount"),
     )
+
+
+@query(
+    "events_daily_quantiles",
+    # Daily latency-style percentile rollup (p50/p95 per day) — the
+    # other axis of the quantile family: events_quantile_histogram is
+    # ONE global estimate from a mergeable fixed-bin sketch; this is
+    # the per-window EXACT percentile feed an SLO dashboard reads.
+    # Exact interpolation (lower + frac·(upper−lower) on sorted
+    # doubles) is computed identically by Spark's percentile and
+    # DuckDB's quantile_cont — the pipeline_length_buckets precedent —
+    # and outputs round at 6. One day-keyed aggregate; per-group state
+    # is the day's value list, which is why the HISTOGRAM twin, not
+    # this, is the 100 TB default (documented there) — the exact form
+    # stays affordable per-day because day cardinality bounds groups
+    # and AQE splits any skewed day.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    return e.groupBy("day").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
