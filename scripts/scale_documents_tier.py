@@ -92,6 +92,19 @@ DOC_QUERIES = [
     # report (two-pass percentile + map-side bucket)
     "text_bpe_encode_fertility",
     "pipeline_length_buckets",
+    # round 8: the funnel family (report, incremental decomposition,
+    # terminal materialize with write-path reconcile), the datasheet
+    # rollup, CCNet terciles, UniMax waterfill (strata frame stays
+    # bounded at any tier), batch novelty (gram anti-join), and the
+    # scan-local lexical-diversity fold
+    "pipeline_corpus_funnel",
+    "pipeline_funnel_incremental",
+    "pipeline_corpus_materialize",
+    "pipeline_dataset_card",
+    "docs_ccnet_buckets",
+    "sample_unimax_budget",
+    "docs_ngram_novelty",
+    "text_lexical_diversity",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
@@ -108,6 +121,8 @@ EMB_QUERIES = [
     "embeddings_pq_train",
     "embeddings_prototype_prune",
     "sim_ivf_cell_stats",
+    # round 8: per-dimension clip QA (explode + two 64-group aggs)
+    "embeddings_dim_clip_report",
 ]
 
 

@@ -87,6 +87,14 @@ EVENT_QUERIES = [
     "events_daily_trend",
     "events_cohort_ltv",
     "stream_distinct_users_hourly",
+    # round 8: per-day exact percentile rollup (day-keyed agg; group
+    # state = one day's values) and the windowed top-k twins (stream
+    # maintains per-type counts, rank runs on completed windows —
+    # bounded state at any stream volume, through the real drain)
+    "events_daily_quantiles",
+    "stream_top_types_batch",
+    "stream_top_types_stream",
+    "events_cms_user_counts",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

@@ -124,6 +124,50 @@ def main() -> int:
     print(f"pagerank: {n_nodes} ring nodes, {n_scores} distinct score(s), "
           f"{dt:.1f} s")
     assert n_scores == 1 and n_nodes == n_rings * ring_s
+    # ---- LPA (round 8): K disjoint cliques are perfectly symmetric, so
+    # every clique must produce the IDENTICAL (node_offset -> label_offset)
+    # pattern, and that pattern must equal a sequential Python LPA on one
+    # 10-node clique+pendant — closed-form-by-symmetry, no oracle run ----
+    from cirro_annotation_spark.operators.graph import label_propagation
+
+    t0 = time.perf_counter()
+    lpa = label_propagation(undirected, rounds=3, assume_distinct=True)
+    pat = (
+        lpa.select(
+            (F.col("node") % 10).alias("off"),
+            (F.col("label") - (F.col("node") - F.col("node") % 10)).alias(
+                "lab_off"
+            ),
+        )
+        .distinct()
+        .collect()
+    )
+    dt = time.perf_counter() - t0
+    got = {r["off"]: r["lab_off"] for r in pat}
+    assert len(pat) == 10, (
+        f"cliques disagree (or labels crossed cliques): {sorted(pat)}"
+    )
+
+    # sequential reference on one clique: nodes 0-7 complete, 0-8-9 chain
+    adj = {i: [j for j in range(8) if j != i] for i in range(8)}
+    adj[0] = adj[0] + [8]
+    adj[8], adj[9] = [0, 9], [8]
+    labels = {i: i for i in range(10)}
+    for _ in range(3):
+        labels = {
+            v: min(
+                sorted(
+                    {labels[u] for u in adj[v]},
+                    key=lambda lab: (-[labels[u] for u in adj[v]].count(lab),
+                                     lab),
+                )[:1]
+            )
+            for v in adj
+        }
+    assert got == labels, f"LPA pattern {got} != reference {labels}"
+    print(f"lpa: {k_cliques}-clique symmetry pattern == sequential "
+          f"reference over {2*m} directed edges, {dt:.1f} s")
+
     print("ALL GRAPH TIER CHECKS PASSED")
     return 0
 
