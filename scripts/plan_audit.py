@@ -179,6 +179,17 @@ AUDITED = [
     "pipeline_entity_resolution_incremental",
     "events_cms_user_counts",
     "pipeline_corpus_funnel",
+    # round 8
+    "pipeline_funnel_incremental",
+    "sample_unimax_budget",
+    "docs_ccnet_buckets",
+    "graph_label_propagation",
+    "embeddings_dim_clip_report",
+    "pipeline_dataset_card",
+    "docs_ngram_novelty",
+    "stream_top_types_batch",
+    "text_lexical_diversity",
+    "events_daily_quantiles",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
