@@ -194,10 +194,11 @@ def main() -> int:
         # dup-only x8 explode degenerates to 8×(all shingles) when
         # EVERY shingle is duplicated — both gated to ≤10×; the
         # composed exact-first paths below are the 100× shape.
-        # sim_semantic_dedup runs at EVERY tier since the Arrow/BLAS
-        # pair stage landed (98.6 s at 100× where the HOF twin took
-        # 344.8 s already at 10× — blocked matmul absorbs the
-        # clone-collapsed cells).
+        # sim_semantic_dedup runs at EVERY tier: since round 8 it is the
+        # occupancy-CAPPED pair stage (id-rank chunking, cap=1024 —
+        # 9.2 s at 100× where the exact Arrow stage took 49.3 s and the
+        # HOF twin 344.8 s already at 10×; the adversarial one-hot-cell
+        # proof lives in scripts/scale_semdedup_skew.py).
         ["sim_semantic_dedup"]
         + (["dedup_near_minhash", "docs_dup_span_coverage"] if n <= 10 else [])
         # ER capstone: on an N-clone corpus every clone IS a true fuzzy
