@@ -237,6 +237,20 @@ HEADLINE = [
     "window_zscore_anomaly",
     "window_moving_avg",
     "window_rank_topk_per_group",
+    # round 8b: the r8 query wave itself (funnel incremental + UniMax +
+    # CCNet terciles + LPA + dim-clip QA + dataset card + novelty +
+    # top-k twins + lexical fold + daily quantiles)
+    "pipeline_funnel_incremental",
+    "sample_unimax_budget",
+    "docs_ccnet_buckets",
+    "graph_label_propagation",
+    "embeddings_dim_clip_report",
+    "pipeline_dataset_card",
+    "docs_ngram_novelty",
+    "stream_top_types_batch",
+    "stream_top_types_stream",
+    "text_lexical_diversity",
+    "events_daily_quantiles",
 ]
 
 

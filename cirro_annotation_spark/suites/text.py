@@ -986,6 +986,28 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unimax_waterfill(
+    strata: list[tuple[tuple, int]], budget: int
+) -> list[tuple[tuple, int, int]]:
+    """The UniMax allocation recurrence, standalone for property tests:
+    visit strata smallest-first (ties by key); each takes
+    min(its tokens, remaining_budget // remaining_strata). Returns
+    (key, tokens, allocation) in visit order. Invariants (pinned in
+    tests/test_text.py): Σ alloc == min(budget, Σ tokens); alloc ≤
+    tokens everywhere; any stratum not at its cap got ≥ every
+    smaller-or-equal stratum's allocation (fairness)."""
+    ordered = sorted(strata, key=lambda kv: (kv[1], kv[0]))
+    rem_b, rem_n = budget, len(ordered)
+    out = []
+    for key, tok in ordered:
+        fair = rem_b // rem_n
+        alloc = min(tok, fair)
+        out.append((key, tok, alloc))
+        rem_b -= alloc
+        rem_n -= 1
+    return out
+
+
 @query(
     "sample_unimax_budget",
     # UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
@@ -1061,16 +1083,12 @@ def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tok").cast("long").alias("tok"))
         .collect()
     )  # bounded model state: one row per stratum, like centroids
-    strata = sorted(per, key=lambda r: (r["tok"], r["source"], r["lang"]))
-    rem_b = sum(r["tok"] for r in strata) // 2
-    rem_n = len(strata)
-    rows = []
-    for r in strata:
-        fair = rem_b // rem_n
-        budget = min(r["tok"], fair)
-        rows.append((r["source"], r["lang"], r["tok"], budget))
-        rem_b -= budget
-        rem_n -= 1
+    strata = [((r["source"], r["lang"]), r["tok"]) for r in per]
+    total = sum(tok for _, tok in strata)
+    rows = [
+        (key[0], key[1], tok, alloc)
+        for key, tok, alloc in unimax_waterfill(strata, total // 2)
+    ]
     alloc = spark.createDataFrame(
         rows, "source string, lang string, tok long, budget long"
     )

@@ -311,3 +311,42 @@ def test_kcore_query_nonvacuous_at_sf001(spark):
         "graph_kcore_parts produced an empty k-core at every fixture "
         "tier — oracle parity is vacuous; retune k for the new fixture"
     )
+
+
+def test_label_propagation_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 min-tie rounds
+    every node must carry its own clique's minimum id — the bridge must
+    NOT merge the communities (each endpoint's 3 intra-clique votes
+    outvote the single cross-edge vote). Checked against a sequential
+    reference LPA of the same tie rule."""
+    from cirro_annotation_spark.operators.graph import label_propagation
+
+    cliques = [[0, 1, 2, 3], [10, 11, 12, 13]]
+    edges = [
+        (a, b)
+        for cl in cliques
+        for i, a in enumerate(cl)
+        for b in cl[i + 1:]
+    ] + [(3, 10)]
+    undirected = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(undirected, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=3, checkpoint=False).collect()
+    }
+
+    adj = {}
+    for a, b in undirected:
+        adj.setdefault(a, []).append(b)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, nbrs in adj.items():
+            votes = [labels[u] for u in nbrs]
+            nxt[v] = min(
+                sorted(set(votes), key=lambda lab: (-votes.count(lab), lab))[:1]
+            )
+        labels = nxt
+    assert got == labels
+    assert all(got[v] == 0 for v in cliques[0])
+    assert all(got[v] == 10 for v in cliques[1])

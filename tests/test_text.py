@@ -474,3 +474,44 @@ def test_corpus_materialize_is_not_vacuous(spark, sf_dir):
             ).count()
             == 1
         )
+
+
+def test_unimax_waterfill_properties():
+    """UniMax allocation invariants under randomized strata (hypothesis):
+    exact budget conservation when the corpus can absorb it, per-stratum
+    caps, and smallest-first fairness — the recurrence the scored query
+    and its recursive-CTE oracle both walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cirro_annotation_spark.suites.text import unimax_waterfill
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=10**7),
+                      min_size=1, max_size=40),
+        frac=st.integers(min_value=0, max_value=200),
+    )
+    def check(toks, frac):
+        strata = [((f"s{i}",), tok) for i, tok in enumerate(toks)]
+        total = sum(toks)
+        budget = total * frac // 100
+        out = unimax_waterfill(strata, budget)
+        allocs = {key: alloc for key, _, alloc in out}
+        assert all(alloc <= tok for _, tok, alloc in out)
+        got = sum(allocs.values())
+        if budget <= total:
+            # exact conservation: floor-division remainders cascade to
+            # later (larger) strata, nothing is lost
+            assert got == budget, (toks, frac, got)
+        else:
+            assert got == total
+        # fairness: a capped stratum's allocation never exceeds the
+        # allocation of any LARGER stratum (smallest-first monotone)
+        ordered = sorted(out, key=lambda row: (row[1], row[0]))
+        for i in range(len(ordered) - 1):
+            _, tok_i, alloc_i = ordered[i]
+            _, _, alloc_j = ordered[i + 1]
+            assert alloc_i <= alloc_j or alloc_i == tok_i
+
+    check()
