@@ -580,26 +580,38 @@ def label_propagation(
         e = e.distinct()
     if checkpoint:
         e = e.repartition("dst").localCheckpoint(eager=True)
-    labels = (
+    nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .select("node", F.col("node").alias("label"))
     )
     if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
     for _ in range(rounds):
-        labels = (
+        votes = (
             e.join(labels.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("__new"))
+        )
+        # A node with no out-edges receives no votes and keeps its
+        # label (directed-graph sinks; on a mirrored list every node
+        # votes, so this join is a no-op there). Without the outer
+        # join, non-src nodes silently vanish after round 1 — review
+        # catch, round 8.
+        labels = (
+            labels.join(votes, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
@@ -624,9 +636,14 @@ def lpa_oracle_sql(edges_cte: str, rounds: int = 3) -> str:
             f"GROUP BY e.src, l.label)"
         )
         parts.append(
-            f"l{r} AS (SELECT node, label FROM ("
+            f"w{r} AS (SELECT node, label FROM ("
             f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
             f"ORDER BY c DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+        # sinks (no out-edges) receive no votes and keep their label
+        parts.append(
+            f"l{r} AS (SELECT p.node, COALESCE(w.label, p.label) AS label "
+            f"FROM l{r - 1} p LEFT JOIN w{r} w ON p.node = w.node)"
         )
     return (
         "WITH " + ",\n    ".join(parts) + f"\nSELECT node, label FROM l{rounds}"

@@ -482,8 +482,11 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text does not — the decontaminate exchange discipline) → per-doc
     # rollup joined against the total-gram rollup.
     oracle="""
-    WITH cut AS (SELECT CAST(MAX(doc_id) * 4 / 5 AS BIGINT) AS c
-                 FROM documents),
+    WITH cut AS (SELECT MAX(doc_id) * 4 / 5 AS c FROM documents),
+    -- uncast float cutoff: integer doc_id comparisons against it are
+    -- truncation-equivalent to Spark's cast('long') (the dedup.py:412
+    -- convention); CAST AS BIGINT would ROUND in DuckDB and diverge
+    -- whenever max(doc_id) % 5 is 1 or 2 (review catch, round 8)
     s AS (SELECT doc_id,
                  list_filter(string_split_regex(TRIM(text), '\\s+'),
                              x -> x <> '') AS w
@@ -523,7 +526,14 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     ref = g.filter(F.col("doc_id") <= cut).select("gram").distinct()
-    new_g = g.filter(F.col("doc_id") > cut).distinct()
+    # tot and nov both consume the batch grams — checkpoint so the
+    # tokenize+explode+distinct runs once, not per consumer (the
+    # dim-clip one-explode-two-consumers discipline)
+    new_g = (
+        g.filter(F.col("doc_id") > cut)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     tot = new_g.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )
@@ -2790,6 +2800,17 @@ def pipeline_corpus_materialize(
     frames = _funnel_frames(spark, sf_dir)
     survivors = frames[4].select("doc_id", "source", "n_tok")
 
+    # Sweep prior runs' working trees (best effort) — the CURRENT run's
+    # tree must outlive this function because the returned plan reads
+    # the compacted files lazily, so the leak is bounded at one run.
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "corpus_materialize_*")
+    ):
+        _shutil.rmtree(old, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix="corpus_materialize_")
     base_dir = os.path.join(root, "base")
     z_dir = os.path.join(root, "zordered")
@@ -3027,17 +3048,23 @@ def pipeline_funnel_incremental(
     # would only add a rounding surface).
     #
     # Scale shape: everything computes INSIDE the scan stage as
-    # higher-order functions over the token array (distinct via
-    # array_distinct, hapax via a filtered count of single-occurrence
-    # types) — zero shuffles, zero explode; the corpus never leaves its
-    # input partitioning.
+    # higher-order functions over the token array — zero shuffles, zero
+    # explode; the corpus never leaves its input partitioning. Hapax is
+    # LINEAR in doc length: sort the tokens once and count runs of
+    # length 1 (an element differing from both sorted neighbors). The
+    # first cut filtered the distinct array against the full token
+    # array — O(types × tokens) per doc, a CPU blow-up on long
+    # documents (review catch, round 8); the count is sort-order-
+    # independent (equal elements are adjacent under ANY total order),
+    # so engine collation differences cannot flip it.
     oracle=f"""
-    WITH tk AS (SELECT doc_id, {_LT_SQL} AS lt FROM documents)
+    WITH tk AS (SELECT doc_id, list_sort({_LT_SQL}) AS ls FROM documents)
     SELECT doc_id,
-           CAST(LEN(lt) AS BIGINT) AS n_tokens,
-           CAST(LEN(list_distinct(lt)) AS BIGINT) AS n_types,
-           CAST(LEN(list_filter(list_distinct(lt),
-                x -> LEN(list_filter(lt, y -> y = x)) = 1)) AS BIGINT)
+           CAST(LEN(ls) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct(ls)) AS BIGINT) AS n_types,
+           CAST(LEN(list_filter(ls, (x, i) ->
+                (i = 1 OR ls[i - 1] <> x)
+                AND (i = LEN(ls) OR ls[i + 1] <> x))) AS BIGINT)
              AS n_hapax
     FROM tk
     """,
@@ -3045,19 +3072,24 @@ def pipeline_funnel_incremental(
 def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
-    base = d.select("doc_id", lt.alias("__lt"))
-    types = F.array_distinct(F.col("__lt"))
-    hapax = F.size(
-        F.filter(
-            types,
-            lambda x: F.size(
-                F.filter(F.col("__lt"), lambda y: y == x)
-            ) == 1,
+    base = d.select("doc_id", F.array_sort(lt).alias("__ls"))
+    s = F.col("__ls")
+
+    def _is_hapax(x, i):
+        # PySpark 2-arg HOF lambdas receive (element, 0-based index);
+        # element_at is 1-based, so the predecessor of position i+1 is
+        # element_at(s, i). CASE WHEN guards keep element_at off index 0.
+        prev_diff = F.when(i == 0, F.lit(True)).otherwise(
+            F.element_at(s, i.cast("int")) != x
         )
-    )
+        next_diff = F.when(i == F.size(s) - 1, F.lit(True)).otherwise(
+            F.element_at(s, (i + 2).cast("int")) != x
+        )
+        return prev_diff & next_diff
+
     return base.select(
         "doc_id",
-        F.size("__lt").cast("long").alias("n_tokens"),
-        F.size(types).cast("long").alias("n_types"),
-        hapax.cast("long").alias("n_hapax"),
+        F.size("__ls").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(s)).cast("long").alias("n_types"),
+        F.size(F.filter(s, _is_hapax)).cast("long").alias("n_hapax"),
     )

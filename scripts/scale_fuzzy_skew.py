@@ -119,7 +119,6 @@ def er_capstone_phase(spark, n: int) -> None:
     import tempfile
 
     from cirro_annotation_spark.suites.dedup import (
-        _fuzzy_blocked_pairs,
         pipeline_entity_resolution,
     )
 
@@ -197,7 +196,6 @@ def er_capstone_phase(spark, n: int) -> None:
     wall = time.perf_counter() - t0
     print(f"full ER capstone on token-skewed corpus: {n_entities} entities "
           f"in {wall:.1f} s")
-    del _fuzzy_blocked_pairs
     print("ER TOKEN-SKEW PHASE PASSED")
 
 

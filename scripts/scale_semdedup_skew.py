@@ -98,11 +98,9 @@ def main() -> int:
     exact_pairs = sum(c * (c - 1) // 2 for c in occs.values())
     capped_pairs = 0
     for c in occs.values():
-        chunks = (c + CAP - 1) // CAP
         full, rem = divmod(c, CAP)
         capped_pairs += full * (CAP * (CAP - 1) // 2) + rem * (rem - 1) // 2
         capped_pairs += CAP * (c - CAP) if c > CAP else 0
-        del chunks
     ratio = exact_pairs / max(capped_pairs, 1)
     print(
         f"pair-stage candidates: exact {exact_pairs:,} vs capped "

@@ -350,3 +350,20 @@ def test_label_propagation_two_communities(spark):
     assert got == labels
     assert all(got[v] == 0 for v in cliques[0])
     assert all(got[v] == 10 for v in cliques[1])
+
+
+def test_label_propagation_directed_sinks_keep_labels(spark):
+    """Round-8 review catch: on a DIRECTED edge list a sink node (never
+    a src) used to vanish after round 1. Chain 1 -> 2 -> 3: node 3 is a
+    pure sink and must survive with its own label; 1 and 2 adopt their
+    successor's (unchanging) initial labels transitively."""
+    from cirro_annotation_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=2, checkpoint=False).collect()
+    }
+    # round 1: 1<-label(2)=2, 2<-label(3)=3, 3 keeps 3
+    # round 2: 1<-label(2)=3, 2<-3, 3 keeps 3
+    assert got == {1: 3, 2: 3, 3: 3}
