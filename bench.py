@@ -251,6 +251,11 @@ HEADLINE = [
     "stream_top_types_stream",
     "text_lexical_diversity",
     "events_daily_quantiles",
+    # round 8c: the bucketized interval-overlap join (scored form of the
+    # operators/joins.py kernel) and the two-stage residual-quantizer
+    # trainer (stage-2 kmeans over exact integer residuals)
+    "join_interval_overlap",
+    "embeddings_rq_train",
 ]
 
 

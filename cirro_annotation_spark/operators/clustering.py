@@ -102,6 +102,14 @@ def kmeans_fit(
     # each of the iters+2 jobs re-reads parquet and re-quantizes (the
     # pagerank static-frame lesson, operators/graph.py).
     ).localCheckpoint(eager=True)
+    return fit_lattice(q, k, iters, dim), q
+
+
+def fit_lattice(q: DataFrame, k: int, iters: int, dim: int):
+    """Lloyd rounds over an ALREADY-integer (vec_id, qv) lattice frame
+    (callers checkpoint it). Factored from kmeans_fit so the residual
+    quantizer can train its second stage on integer residual vectors
+    under the identical determinism contract."""
     # Bounded driver model state: k x dim BIGINTs (the IVF-centroid /
     # MMR-pool budget), refreshed once per round. Seeds are the k
     # LOWEST ids PRESENT (not literally 0..k-1): deterministic for any
@@ -131,7 +139,7 @@ def kmeans_fit(
             # agrees; see module docstring magnitude audit).
             new[int(r["cid"])] = [int(r[f"s{d}"]) // c for d in range(dim)]
         centroids = new
-    return centroids, q
+    return centroids
 
 
 def kmeans_lloyd(
@@ -466,3 +474,147 @@ GROUP BY af{s}.cid"""
         )
     body = ",\n".join(parts)
     return body + "\n" + "\nUNION ALL\n".join(finals)
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization (Chen et al. 2010, "Approximate nearest neighbor
+# search by residual vector quantization") — stage 2 trains on the
+# INTEGER residuals of stage 1, so the whole two-stage artifact stays on
+# the exact lattice and hash-checks end to end.
+# ---------------------------------------------------------------------------
+def rq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Train a two-stage residual quantizer: coarse k-means (k1), then
+    k-means (k2) over the exact integer residuals ``qv − centroid1``.
+    Returns the stage-2 golden summary (cluster_id, n_members, inertia,
+    centroid_checksum) under the final residual assignment — inertia
+    here IS the quantization error the second stage leaves, the number
+    an RQ deployment watches against its PQ/IVF-PQ alternatives.
+
+    Determinism: residual subtraction is exact BIGINT arithmetic on the
+    shared lattice (no re-quantization between stages — the property
+    that makes a two-stage integer fixed point possible at all); both
+    stages inherit kmeans_fit's pinned tie/empty-cluster/floor rules.
+
+    Scale shape: two kmeans trainings back to back — per round one
+    k×dim partial aggregate; the residual frame derives map-side from
+    the checkpointed lattice (centroid map broadcast as a literal) and
+    is checkpointed once, so stage 2 never re-reads parquet. Vectors
+    never shuffle in either stage.
+    """
+    cent1, q = kmeans_fit(df, vec_col, id_col, k1, iters, dim)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(cent1)]),
+        F.array(
+            *[
+                F.array(*[F.lit(int(m)) for m in cent1[c]])
+                for c in sorted(cent1)
+            ]
+        ),
+    )
+    assign = _assign_expr("qv", cent1)
+    resid = q.select(
+        "vec_id",
+        F.zip_with(
+            F.col("qv"),
+            cmap[assign["cid"]],
+            lambda a, b: a - b,
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+    cent2 = fit_lattice(resid, k2, iters, dim)
+
+    checksum = {
+        cid: sum(m * (d + 1) for d, m in enumerate(vec))
+        for cid, vec in cent2.items()
+    }
+    cks = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(checksum)]),
+        F.array(*[F.lit(int(checksum[c])) for c in sorted(checksum)]),
+    )
+    best = _assign_expr("qv", cent2)
+    return (
+        resid.select(best["cid"].alias("cluster_id"), best["dist"].alias("dist"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            cks[F.col("cluster_id")].cast("long").alias("centroid_checksum"),
+        )
+    )
+
+
+def rq_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Unrolled-CTE oracle for rq_train: the stage-1 kmeans chain
+    (through its final assignment ``af``), an exact integer residual
+    CTE, then a second chain with identical pinned rules over the
+    residual lattice."""
+    stage1 = kmeans_oracle_ctes(table, vec_col, id_col, k1, iters, dim)
+    parts = [
+        stage1,
+        f""",
+rd AS MATERIALIZED (
+  SELECT qd.vec_id, qd.d, qd.x - cm.m AS x
+  FROM qd JOIN af USING (vec_id)
+  JOIN c{iters} cm ON af.cid = cm.cid AND qd.d = cm.d),
+rc0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM rd
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM rd ORDER BY vec_id
+                   LIMIT {k2}))""",
+    ]
+    for t_ in range(1, iters + 1):
+        p = t_ - 1
+        parts.append(
+            f""",
+ra{t_} AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT rd.vec_id, c.cid, SUM((rd.x - c.m) * (rd.x - c.m)) AS dist
+          FROM rd JOIN rc{p} c USING (d) GROUP BY rd.vec_id, c.cid))
+  WHERE rn = 1),
+rc{t_} AS MATERIALIZED (
+  SELECT a.cid, rd.d,
+         CAST(FLOOR(CAST(SUM(rd.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM ra{t_} a JOIN rd USING (vec_id) GROUP BY a.cid, rd.d
+  UNION ALL
+  SELECT cid, d, m FROM rc{p}
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM ra{t_}))"""
+        )
+    parts.append(
+        f""",
+raf AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT rd.vec_id, c.cid, SUM((rd.x - c.m) * (rd.x - c.m)) AS dist
+          FROM rd JOIN rc{iters} c USING (d) GROUP BY rd.vec_id, c.cid))
+  WHERE rn = 1),
+rck AS MATERIALIZED (
+  SELECT cid, SUM(m * d) AS centroid_checksum FROM rc{iters} GROUP BY cid)
+SELECT raf.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(raf.dist) AS BIGINT) AS inertia,
+       CAST(ANY_VALUE(rck.centroid_checksum) AS BIGINT) AS centroid_checksum
+FROM raf JOIN rck ON raf.cid = rck.cid
+GROUP BY raf.cid"""
+    )
+    return "".join(parts)

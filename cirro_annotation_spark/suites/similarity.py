@@ -956,6 +956,30 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=3, dim=64)
 
 
+@query(
+    "embeddings_rq_train",
+    # Residual-quantizer training (Chen 2010) — the THIRD codebook
+    # family beside flat k-means cells and PQ subspaces: stage 1 is a
+    # coarse k-means, stage 2 trains on the exact integer RESIDUALS
+    # qv − centroid1, so the reported stage-2 inertia IS the
+    # quantization error an RQ deployment compares against PQ. The
+    # residual subtraction stays on the shared lattice (no float
+    # round-trip between stages — what makes a TWO-stage iterative
+    # fixed point hash-checkable at all); both stages inherit the
+    # pinned tie/empty-cluster/floor rules, and the oracle chains two
+    # unrolled Lloyd CTE sequences through an exact residual CTE.
+    #
+    # Scale shape: two trainings back to back — per round one k×dim
+    # partial aggregate; the residual frame derives map-side from the
+    # checkpointed lattice (stage-1 centroid map broadcast as a
+    # literal) and is checkpointed once. Vectors never shuffle.
+    oracle=C.rq_oracle_sql(k1=8, k2=8, iters=2, dim=64),
+)
+def embeddings_rq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return C.rq_train(emb, "embedding", "vec_id", k1=8, k2=8, iters=2, dim=64)
+
+
 # The sparse arm's oracle comes from the registered BM25 query —
 # importing the text suite here guarantees its @query decorator has
 # populated ORACLES before this module's f-strings read it (no

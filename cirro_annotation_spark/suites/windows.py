@@ -2078,3 +2078,55 @@ def events_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    # The bucketized interval-overlap join, SCORED (it was pytest-only —
+    # operators/joins.py:interval_overlap_join): attribute every click
+    # to the purchases whose 1-hour lead-up window contains it, per
+    # user. The operator explodes each interval into coarse time
+    # buckets so the O(n·m) inequality join becomes an equi-join on
+    # (user, bucket) + exact overlap filter + dedup — the shape that
+    # shuffles instead of crossing at 100 TB, with fan-out bounded by
+    # interval/width (≤ 2 buckets here). The oracle states the
+    # inequality-join semantics directly, so the hash proves the
+    # bucketization loses and invents nothing.
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id,
+                      ts - INTERVAL 1 HOUR AS s, ts AS e
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.pid) AS BIGINT) AS n_purchases_hit,
+           CAST(COUNT(DISTINCT c.cid) AS BIGINT) AS n_clicks_used
+    FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.s AND c.ts <= p.e
+    GROUP BY p.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.joins import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("s"),
+        F.col("ts").alias("e"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.col("ts").alias("cs"),
+        F.col("ts").alias("ce"),
+    )
+    pairs = interval_overlap_join(
+        p, c, "user_id", "s", "e", "cs", "ce", bucket_width_expr="3600"
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("pid").cast("long").alias("n_purchases_hit"),
+        F.count_distinct("cid").cast("long").alias("n_clicks_used"),
+    )

@@ -161,7 +161,11 @@ def test_rotation_remainder_matches_plan() -> None:
         and n in registry.ORACLES
     )
     # Names queued for the NEXT rotation (overflow past the 50 slots).
-    planned: set[str] = set()
+    planned: set[str] = {
+        # round-8 additions that landed after the window filled
+        "join_interval_overlap",
+        "embeddings_rq_train",
+    }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this
     # test exists to catch.
