@@ -256,6 +256,7 @@ HEADLINE = [
     # trainer (stage-2 kmeans over exact integer residuals)
     "join_interval_overlap",
     "embeddings_rq_train",
+    "sim_topk_rq",
 ]
 
 

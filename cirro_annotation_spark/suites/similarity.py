@@ -980,6 +980,139 @@ def embeddings_rq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.rq_train(emb, "embedding", "vec_id", k1=8, k2=8, iters=2, dim=64)
 
 
+def _rq_topk_oracle(k: int = 10) -> str:
+    """Full-arithmetic RQ search oracle over the PINNED integer
+    codebooks (suites/_rq_codebooks.py): DuckDB recomputes the lattice,
+    both argmin assignments (ties by cid), the exact integer
+    reconstruction c1+c2, and the BIGINT distance to the query's
+    lattice vector. Everything is integer, so there is no rounding
+    surface anywhere in this oracle."""
+    from cirro_annotation_spark.suites._rq_codebooks import CENT1, CENT2
+
+    def values(cb):
+        return ",\n        ".join(
+            f"({cid}, CAST([{', '.join(str(int(m)) for m in mv)}] AS BIGINT[]))"
+            for cid, mv in sorted(cb.items())
+        )
+
+    return f"""
+    WITH c1(cid, mv) AS (VALUES {values(CENT1)}),
+    c2(cid, mv) AS (VALUES {values(CENT2)}),
+    qd AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(FLOOR(x * 10000.0) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+    d1 AS (SELECT vec_id, cid, SUM((x - y) * (x - y)) AS dist
+           FROM (SELECT qd.vec_id, c.cid, UNNEST(qd.qv) AS x,
+                        UNNEST(c.mv) AS y
+                 FROM qd CROSS JOIN c1 c)
+           GROUP BY vec_id, cid),
+    a1 AS (SELECT vec_id, cid AS k1 FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    rv AS (SELECT qd.vec_id,
+                  list_transform(qd.qv, (x, i) -> x - c.mv[i]) AS qv
+           FROM qd JOIN a1 USING (vec_id) JOIN c1 c ON a1.k1 = c.cid),
+    d2 AS (SELECT vec_id, cid, SUM((x - y) * (x - y)) AS dist
+           FROM (SELECT rv.vec_id, c.cid, UNNEST(rv.qv) AS x,
+                        UNNEST(c.mv) AS y
+                 FROM rv CROSS JOIN c2 c)
+           GROUP BY vec_id, cid),
+    a2 AS (SELECT vec_id, cid AS k2 FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1),
+    q0 AS (SELECT qv FROM qd WHERE vec_id = {_QUERY_VEC_ID}),
+    adc AS (SELECT vec_id, SUM((qx - m1 - m2) * (qx - m1 - m2)) AS rq_dist
+            FROM (SELECT a1.vec_id, UNNEST(q0.qv) AS qx,
+                         UNNEST(cc1.mv) AS m1, UNNEST(cc2.mv) AS m2
+                  FROM a1 JOIN a2 USING (vec_id)
+                  JOIN c1 cc1 ON a1.k1 = cc1.cid
+                  JOIN c2 cc2 ON a2.k2 = cc2.cid
+                  CROSS JOIN q0)
+            GROUP BY vec_id)
+    SELECT vec_id, CAST(rq_dist AS BIGINT) AS rq_dist,
+           CAST(ROW_NUMBER() OVER (ORDER BY rq_dist, vec_id) AS INT) AS rnk
+    FROM (SELECT * FROM adc ORDER BY rq_dist, vec_id LIMIT {k}) topk
+    """
+
+
+@query("sim_topk_rq", oracle=_rq_topk_oracle())
+def sim_topk_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-quantization ANN search — the consumer of the artifact
+    embeddings_rq_train produces, completing the RQ lifecycle the way
+    sim_topk_pq completes PQ's: encode each vector as (coarse cell,
+    residual code) against the PINNED integer codebooks, score by exact
+    BIGINT distance between the query's lattice vector and the integer
+    reconstruction c1 + c2 (64 possible reconstructions — the RQ
+    analogue of the ADC table), top-10 by (dist, vec_id).
+
+    Scale shape: both assignments are map-side argmins against
+    broadcast codebook literals (no join, no shuffle); the 2-byte
+    (cell, code) pair is the stored index — the reconstruction lookup
+    is a 64-entry literal map, and top-k funnels through
+    TakeOrderedAndProject; the window ranks 10 rows AFTER the limit.
+    All arithmetic is integer end to end, so the full search result
+    carries a value-hash oracle with zero rounding surface."""
+    from cirro_annotation_spark.suites._rq_codebooks import CENT1, CENT2
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", C.quantize_expr("embedding").alias("qv"))
+    a1 = C._assign_expr("qv", CENT1)["cid"]
+    c1map = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(CENT1)]),
+        F.array(
+            *[F.array(*[F.lit(int(m)) for m in CENT1[c]]) for c in sorted(CENT1)]
+        ),
+    )
+    q = q.select(
+        "vec_id",
+        a1.alias("k1"),
+        F.zip_with(F.col("qv"), c1map[a1], lambda a, b: a - b).alias("qv2"),
+    )
+    a2 = C._assign_expr("qv2", CENT2)["cid"]
+    q = q.select("vec_id", "k1", a2.alias("k2"))
+
+    recon = {
+        (c1, c2): [m1 + m2 for m1, m2 in zip(CENT1[c1], CENT2[c2])]
+        for c1 in CENT1
+        for c2 in CENT2
+    }
+    rmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c1 * 1000 + c2)) for c1, c2 in sorted(recon)]),
+        F.array(
+            *[
+                F.array(*[F.lit(int(m)) for m in recon[key]])
+                for key in sorted(recon)
+            ]
+        ),
+    )
+    qframe = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        C.quantize_expr("embedding").alias("__qq")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qq"),
+            rmap[F.col("k1") * 1000 + F.col("k2")],
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(qframe)).select(
+        "vec_id", dist.alias("rq_dist")
+    )
+    top = scored.orderBy(F.col("rq_dist").asc(), F.col("vec_id").asc()).limit(
+        10
+    )
+    w = Window.orderBy(F.col("rq_dist").asc(), F.col("vec_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 # The sparse arm's oracle comes from the registered BM25 query —
 # importing the text suite here guarantees its @query decorator has
 # populated ORACLES before this module's f-strings read it (no

@@ -165,6 +165,7 @@ def test_rotation_remainder_matches_plan() -> None:
         # round-8 additions that landed after the window filled
         "join_interval_overlap",
         "embeddings_rq_train",
+        "sim_topk_rq",
     }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this

@@ -452,3 +452,36 @@ def test_rrf_fuses_both_arms(spark, sf_dir):
     assert 0 in ids
     assert scores == sorted(scores, reverse=True)
     assert all(s <= round(2 / 61, 6) + 1e-9 for s in scores)
+
+
+def test_rq_pinned_codebooks_not_stale(spark):
+    """Pinned RQ codebooks must equal a fresh two-stage retrain on the
+    CURRENT sf0.01 fixture (the IVF-canary lesson: fixture or trainer
+    drift must fail a test before it fails the driver gate). Exact
+    integer equality — the pinned values are lattice BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.operators import clustering as C
+    from cirro_annotation_spark.suites._rq_codebooks import CENT1, CENT2
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    cent1, q = C.kmeans_fit(emb, "embedding", "vec_id", k=8, iters=2, dim=64)
+    assert {k: [int(x) for x in v] for k, v in cent1.items()} == CENT1
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(cent1)]),
+        F.array(
+            *[
+                F.array(*[F.lit(int(m)) for m in cent1[c]])
+                for c in sorted(cent1)
+            ]
+        ),
+    )
+    assign = C._assign_expr("qv", cent1)
+    resid = q.select(
+        "vec_id",
+        F.zip_with(F.col("qv"), cmap[assign["cid"]], lambda a, b: a - b).alias(
+            "qv"
+        ),
+    ).localCheckpoint(eager=True)
+    cent2 = C.fit_lattice(resid, 8, 2, 64)
+    assert {k: [int(x) for x in v] for k, v in cent2.items()} == CENT2
