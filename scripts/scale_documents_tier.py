@@ -121,8 +121,11 @@ EMB_QUERIES = [
     "embeddings_pq_train",
     "embeddings_prototype_prune",
     "sim_ivf_cell_stats",
-    # round 8: per-dimension clip QA (explode + two 64-group aggs)
+    # round 8: per-dimension clip QA (explode + two 64-group aggs),
+    # two-stage residual-quantizer training + its integer ADC search
     "embeddings_dim_clip_report",
+    "embeddings_rq_train",
+    "sim_topk_rq",
 ]
 
 
