@@ -190,6 +190,8 @@ AUDITED = [
     "stream_top_types_batch",
     "text_lexical_diversity",
     "events_daily_quantiles",
+    "join_interval_overlap",
+    "sim_topk_rq",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
