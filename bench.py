@@ -257,6 +257,9 @@ HEADLINE = [
     "join_interval_overlap",
     "embeddings_rq_train",
     "sim_topk_rq",
+    "docs_classifier_train_perceptron",
+    "stream_psi_daily_batch",
+    "stream_psi_daily_stream",
 ]
 
 

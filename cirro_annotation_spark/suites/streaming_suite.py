@@ -426,6 +426,90 @@ def _rank_top3(counts: DataFrame) -> DataFrame:
     )
 
 
+_DAILY_PSI_ORACLE = """
+    WITH c AS (
+      SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+             LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS BIGINT), 0), 9)
+               AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM c),
+    spine AS (SELECT day, UNNEST(generate_series(0, 9)) AS bucket FROM days),
+    s AS (SELECT spine.day, spine.bucket, COALESCE(c.n, 0) AS n
+          FROM spine LEFT JOIN c ON c.day = spine.day
+                                AND c.bucket = spine.bucket),
+    tot AS (SELECT day, SUM(n) AS t FROM s GROUP BY day),
+    sh AS (SELECT s.day, s.bucket, (s.n + 0.5) / (tot.t + 5.0) AS share
+           FROM s JOIN tot USING (day))
+    SELECT cur.day AS day, CAST(cur.bucket AS BIGINT) AS bucket,
+           ROUND((cur.share - ref.share) * LN(cur.share / ref.share), 6)
+             AS psi_contrib
+    FROM sh cur JOIN sh ref
+      ON ref.day = cur.day - 1 AND ref.bucket = cur.bucket
+"""
+
+
+def _daily_psi(counts: DataFrame, spark: SparkSession) -> DataFrame:
+    """Day-over-day PSI contributions from a (window_start, bucket, n)
+    daily-histogram frame — per (day, bucket), Laplace-smoothed shares
+    vs the PREVIOUS day. Per-bucket contributions are emitted unsummed
+    (the events_psi_drift discipline: no cross-bucket float sum to
+    carry association-order ulps into the hash)."""
+    c = counts.select(
+        F.to_date("window_start").alias("day"), "bucket", "n"
+    )
+    days = c.select("day").distinct()
+    spine = days.crossJoin(
+        F.broadcast(spark.range(10).select(F.col("id").alias("bucket")))
+    )
+    s = spine.join(c, ["day", "bucket"], "left").select(
+        "day", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = s.groupBy("day").agg(F.sum("n").alias("t"))
+    sh = s.join(tot, "day").select(
+        "day",
+        "bucket",
+        ((F.col("n") + 0.5) / (F.col("t") + 5.0)).alias("share"),
+    )
+    cur, ref = sh.alias("cur"), sh.alias("ref")
+    return cur.join(
+        ref,
+        (F.col("ref.day") == F.date_sub(F.col("cur.day"), 1))
+        & (F.col("ref.bucket") == F.col("cur.bucket")),
+    ).select(
+        F.col("cur.day").alias("day"),
+        F.col("cur.bucket").alias("bucket"),
+        F.round(
+            (F.col("cur.share") - F.col("ref.share"))
+            * F.log(F.col("cur.share") / F.col("ref.share")),
+            6,
+        ).alias("psi_contrib"),
+    )
+
+
+@query("stream_psi_daily_batch", oracle=_DAILY_PSI_ORACLE)
+def stream_psi_daily_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day drift monitor, batch twin: the windowed value
+    histogram (stream_histogram_batch's frame) feeding PSI between
+    consecutive days — the continuous form of events_psi_drift's
+    two-half split (this is the report a streaming data-quality gate
+    appends to every midnight). Constant cells per day; the PSI stage
+    touches only the days × 10 count frame, never raw events."""
+    return _daily_psi(_window_histogram(t(spark, sf_dir, "events")), spark)
+
+
+@query("stream_psi_daily_stream", oracle=_DAILY_PSI_ORACLE)
+def stream_psi_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream twin through a real drain, same oracle: the STREAM
+    maintains the per-day histogram (bounded state: days × 10 cells);
+    the day-over-day PSI comparison runs on the sink's completed
+    windows — the same stream-maintains-state / monitor-reads-sink
+    split as the top-k twins."""
+    path = os.path.join(sf_dir, "events.parquet")
+    counts = STRM.run_streaming_over_parquet(spark, path, _window_histogram)
+    return _daily_psi(counts, spark)
+
+
 @query("stream_top_types_batch", oracle=_TOP_TYPES_ORACLE)
 def stream_top_types_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per day window (count desc, deterministic type

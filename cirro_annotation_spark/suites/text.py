@@ -1687,6 +1687,189 @@ def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_classifier_train_perceptron",
+    # In-engine TRAINING for the quality-classifier family — the
+    # producer whose consumer (docs_quality_classifier) scores with
+    # pinned weights today, mirroring how embeddings_kmeans_train
+    # produces the IVF literals. A batch perceptron (Rosenblatt rule,
+    # synchronous epoch updates: w += Σ_misclassified y·x) over six
+    # INTEGER features (bias, token count, token chars, stopword hits,
+    # digit count, punct count) with labels from the Gopher band
+    # (n_tok >= 40 AND 2 <= mwl <= 12, integer cross-multiplied) —
+    # every margin, update, and error count is exact BIGINT, so the
+    # 3-epoch iterative result carries a full unrolled-CTE oracle (the
+    # kmeans/BPE/graph fixed-point discipline applied to a linear
+    # model). Margin <= 0 counts as misclassified (w0 = 0 makes epoch
+    # 1's update the class-difference vector — the standard batch
+    # start). Output: per epoch, the error count RECOMPUTED IN-PLAN
+    # under that epoch's input weights plus the updated weights'
+    # checksum.
+    #
+    # Scale shape: per epoch ONE map-side-combined aggregate (seven
+    # conditional sums) over the feature scan; weights are 6 BIGINTs of
+    # driver model state re-broadcast as literals; text never leaves
+    # the scan stage. Epochs are data passes, exactly like Lloyd
+    # rounds.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             LENGTH(text)
+               - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
+             LENGTH(text)
+               - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct
+      FROM documents),
+    f AS (
+      SELECT CAST(1 AS BIGINT) AS x0,
+             CAST(LEN(toks) AS BIGINT) AS x1,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0)
+                  AS BIGINT) AS x2,
+             CAST(LEN(list_filter(toks, x -> list_contains(
+                    ['the','a','of','and','to'], LOWER(x)))) AS BIGINT) AS x3,
+             CAST(n_digit AS BIGINT) AS x4,
+             CAST(n_punct AS BIGINT) AS x5,
+             CASE WHEN LEN(toks) >= 40
+                   AND COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0)
+                       >= 2 * LEN(toks)
+                   AND COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0)
+                       <= 12 * LEN(toks)
+                  THEN 1 ELSE -1 END AS y
+      FROM base),
+    w1 AS (
+      SELECT SUM(y * x0) AS w0, SUM(y * x1) AS w1, SUM(y * x2) AS w2,
+             SUM(y * x3) AS w3, SUM(y * x4) AS w4, SUM(y * x5) AS w5
+      FROM f),
+    e2 AS (
+      SELECT COUNT(*) FILTER (WHERE y * (w.w0*x0 + w.w1*x1 + w.w2*x2
+                                       + w.w3*x3 + w.w4*x4 + w.w5*x5) <= 0)
+               AS n_err,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x0 ELSE 0 END) AS d0,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x2 ELSE 0 END) AS d2,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x3 ELSE 0 END) AS d3,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x4 ELSE 0 END) AS d4,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x5 ELSE 0 END) AS d5
+      FROM f CROSS JOIN w1 w),
+    w2 AS (
+      SELECT w1.w0 + e2.d0 AS w0, w1.w1 + e2.d1 AS w1, w1.w2 + e2.d2 AS w2,
+             w1.w3 + e2.d3 AS w3, w1.w4 + e2.d4 AS w4, w1.w5 + e2.d5 AS w5
+      FROM w1 CROSS JOIN e2),
+    e3 AS (
+      SELECT COUNT(*) FILTER (WHERE y * (w.w0*x0 + w.w1*x1 + w.w2*x2
+                                       + w.w3*x3 + w.w4*x4 + w.w5*x5) <= 0)
+               AS n_err,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x0 ELSE 0 END) AS d0,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x2 ELSE 0 END) AS d2,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x3 ELSE 0 END) AS d3,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x4 ELSE 0 END) AS d4,
+             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
+                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x5 ELSE 0 END) AS d5
+      FROM f CROSS JOIN w2 w),
+    w3 AS (
+      SELECT w2.w0 + e3.d0 AS w0, w2.w1 + e3.d1 AS w1, w2.w2 + e3.d2 AS w2,
+             w2.w3 + e3.d3 AS w3, w2.w4 + e3.d4 AS w4, w2.w5 + e3.d5 AS w5
+      FROM w2 CROSS JOIN e3)
+    SELECT 1 AS epoch, CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_errors,
+           CAST(w0*1 + w1*2 + w2*3 + w3*4 + w4*5 + w5*6 AS BIGINT)
+             AS w_checksum
+    FROM w1
+    UNION ALL
+    SELECT 2, CAST(e2.n_err AS BIGINT),
+           CAST(w0*1 + w1*2 + w2*3 + w3*4 + w4*5 + w5*6 AS BIGINT)
+    FROM w2 CROSS JOIN e2
+    UNION ALL
+    SELECT 3, CAST(e3.n_err AS BIGINT),
+           CAST(w0*1 + w1*2 + w2*3 + w3*4 + w4*5 + w5*6 AS BIGINT)
+    FROM w3 CROSS JOIN e3
+    """,
+)
+def docs_classifier_train_perceptron(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    tok_chars = F.coalesce(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+    n_digit = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    sw = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    feats = d.select(
+        F.lit(1).cast("long").alias("x0"),
+        F.size(toks).cast("long").alias("x1"),
+        tok_chars.alias("x2"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x))))
+        .cast("long")
+        .alias("x3"),
+        n_digit.cast("long").alias("x4"),
+        n_punct.cast("long").alias("x5"),
+        F.when(
+            (F.size(toks) >= 40)
+            & (tok_chars >= 2 * F.size(toks))
+            & (tok_chars <= 12 * F.size(toks)),
+            1,
+        )
+        .otherwise(-1)
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+
+    n_feat = 6
+    w = [0] * n_feat
+    epoch_frames = []
+    for epoch in (1, 2, 3):
+        margin = F.col("y") * sum(
+            F.lit(w[j]) * F.col(f"x{j}") for j in range(n_feat)
+        )
+        mis = margin <= 0
+        agg = feats.agg(
+            F.sum(mis.cast("long")).alias("n_err"),
+            *[
+                F.sum(
+                    F.when(mis, F.col("y") * F.col(f"x{j}")).otherwise(0)
+                ).alias(f"d{j}")
+                for j in range(n_feat)
+            ],
+        )
+        row = agg.first()  # bounded model state: 7 BIGINTs per epoch
+        w = [w[j] + int(row[f"d{j}"]) for j in range(n_feat)]
+        checksum = sum(w[j] * (j + 1) for j in range(n_feat))
+        # n_errors recomputed IN-PLAN under the epoch's input weights —
+        # the output plan re-derives the count from data, only the
+        # updated weights ride along as literals (the kmeans summary
+        # discipline)
+        epoch_frames.append(
+            feats.agg(
+                F.lit(epoch).cast("int").alias("epoch"),
+                F.sum(mis.cast("long")).alias("n_errors"),
+                F.lit(checksum).cast("long").alias("w_checksum"),
+            )
+        )
+    out = epoch_frames[0]
+    for fr in epoch_frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+@query(
     "docs_quality_classifier",
     # A pinned-weight logistic quality classifier — the fasttext-style
     # model-scoring shape without the model dependency: five cheap

@@ -105,6 +105,7 @@ DOC_QUERIES = [
     "sample_unimax_budget",
     "docs_ngram_novelty",
     "text_lexical_diversity",
+    "docs_classifier_train_perceptron",
 ]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

@@ -166,6 +166,9 @@ def test_rotation_remainder_matches_plan() -> None:
         "join_interval_overlap",
         "embeddings_rq_train",
         "sim_topk_rq",
+        "docs_classifier_train_perceptron",
+        "stream_psi_daily_batch",
+        "stream_psi_daily_stream",
     }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this
