@@ -152,34 +152,62 @@ def kmeans_lloyd(
 ) -> DataFrame:
     """Train k centroids by ``iters`` Lloyd rounds; return the golden
     per-cluster summary (cluster_id, n_members, inertia,
-    centroid_checksum) under the final assignment."""
+    centroid_checksum) under the final assignment (golden_summary —
+    shared with rq_train)."""
     centroids, q = kmeans_fit(df, vec_col, id_col, k, iters, dim)
+    return golden_summary(q, centroids)
 
-    checksum = {
-        cid: sum(m * (d + 1) for d, m in enumerate(vec))
-        for cid, vec in centroids.items()
-    }
-    best = _assign_expr("qv", centroids)
-    cks = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c in sorted(checksum)]),
-        F.array(*[F.lit(int(checksum[c])) for c in sorted(checksum)]),
+
+def lloyd_rounds_ctes(
+    src: str, prefix: str, k: int, iters: int
+) -> str:
+    """The Lloyd-round CTE template, instantiated once per consumer
+    (kmeans over the raw lattice, RQ stage 2 over residuals — review
+    finding r8: three hand-copies of this template risked the pinned
+    rules diverging). ``src`` is a long-format lattice CTE
+    (vec_id, d, x); emits {prefix}c0 seeds, one {prefix}a{t}/{prefix}c{t}
+    assignment+update pair per round, the final assignment {prefix}af
+    and checksum table {prefix}ck. Pinned rules live HERE only:
+    (dist, cid) tie-break, floor-division centroid update, empty
+    cluster carries forward. MATERIALIZED throughout — chained CTE
+    inlining is exponential otherwise, the k-core lesson."""
+    parts = [
+        f"""{prefix}c0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM {src}
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM {src} ORDER BY vec_id
+                   LIMIT {k})),"""
+    ]
+    for t_ in range(1, iters + 1):
+        p = t_ - 1
+        parts.append(
+            f"""{prefix}a{t_} AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT {src}.vec_id, c.cid, SUM(({src}.x - c.m) * ({src}.x - c.m)) AS dist
+          FROM {src} JOIN {prefix}c{p} c USING (d) GROUP BY {src}.vec_id, c.cid))
+  WHERE rn = 1),
+{prefix}c{t_} AS MATERIALIZED (
+  SELECT a.cid, {src}.d,
+         CAST(FLOOR(CAST(SUM({src}.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM {prefix}a{t_} a JOIN {src} USING (vec_id) GROUP BY a.cid, {src}.d
+  UNION ALL
+  SELECT cid, d, m FROM {prefix}c{p}
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM {prefix}a{t_})),"""
+        )
+    parts.append(
+        f"""{prefix}af AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT {src}.vec_id, c.cid, SUM(({src}.x - c.m) * ({src}.x - c.m)) AS dist
+          FROM {src} JOIN {prefix}c{iters} c USING (d) GROUP BY {src}.vec_id, c.cid))
+  WHERE rn = 1),
+{prefix}ck AS MATERIALIZED (
+  SELECT cid, SUM(m * d) AS centroid_checksum FROM {prefix}c{iters}
+  GROUP BY cid)"""
     )
-    return (
-        q.select(
-            best["cid"].alias("cluster_id"), best["dist"].alias("dist")
-        )
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum("dist").cast("long").alias("inertia"),
-        )
-        .select(
-            F.col("cluster_id").cast("int").alias("cluster_id"),
-            "n_members",
-            "inertia",
-            cks[F.col("cluster_id")].cast("long").alias("centroid_checksum"),
-        )
-    )
+    return "\n".join(parts)
 
 
 def kmeans_oracle_ctes(
@@ -191,54 +219,15 @@ def kmeans_oracle_ctes(
     dim: int = 64,
 ) -> str:
     """Unrolled-CTE chain for the Lloyd fixed point (through the final
-    assignment ``af`` and checksum table ``ck``), shared by the train
-    and prototype-prune oracles: one
-    assignment+update CTE pair per round over the long-format lattice
-    (MATERIALIZED — chained CTE inlining is exponential otherwise, the
-    k-core lesson). Identical pinned rules: floor-lattice quantization,
-    (dist, cid) tie-break, floor-division centroid update, empty
-    cluster carries forward."""
-    parts = [
-        f"""WITH qd AS MATERIALIZED (
+    assignment ``af`` and checksum table ``ck``), shared by the train,
+    prototype-prune, and RQ oracles: the lattice CTE plus
+    lloyd_rounds_ctes (where the pinned rules live)."""
+    lattice = f"""WITH qd AS MATERIALIZED (
   SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
          CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
               AS BIGINT) AS x
-  FROM {table}, range(1, {dim + 1}) r(d)),
-c0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM qd
-  WHERE vec_id IN (SELECT DISTINCT vec_id FROM qd ORDER BY vec_id LIMIT {k})),"""
-    ]
-    for t_ in range(1, iters + 1):
-        p = t_ - 1
-        parts.append(
-            f"""a{t_} AS MATERIALIZED (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (SELECT qd.vec_id, c.cid, SUM((qd.x - c.m) * (qd.x - c.m)) AS dist
-          FROM qd JOIN c{p} c USING (d) GROUP BY qd.vec_id, c.cid))
-  WHERE rn = 1),
-c{t_} AS MATERIALIZED (
-  SELECT a.cid, qd.d,
-         CAST(FLOOR(CAST(SUM(qd.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-  FROM a{t_} a JOIN qd USING (vec_id) GROUP BY a.cid, qd.d
-  UNION ALL
-  SELECT cid, d, m FROM c{p}
-  WHERE cid NOT IN (SELECT DISTINCT cid FROM a{t_})),"""
-        )
-    # Final assignment against the trained centroids + golden summary.
-    parts.append(
-        f"""af AS MATERIALIZED (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (SELECT qd.vec_id, c.cid, SUM((qd.x - c.m) * (qd.x - c.m)) AS dist
-          FROM qd JOIN c{iters} c USING (d) GROUP BY qd.vec_id, c.cid))
-  WHERE rn = 1),
-ck AS MATERIALIZED (
-  SELECT cid, SUM(m * d) AS centroid_checksum FROM c{iters} GROUP BY cid)"""
-    )
-    return "\n".join(parts)
+  FROM {table}, range(1, {dim + 1}) r(d)),"""
+    return lattice + "\n" + lloyd_rounds_ctes("qd", "", k, iters)
 
 
 def kmeans_oracle_sql(
@@ -482,6 +471,65 @@ GROUP BY af{s}.cid"""
 # INTEGER residuals of stage 1, so the whole two-stage artifact stays on
 # the exact lattice and hash-checks end to end.
 # ---------------------------------------------------------------------------
+def rq_residual_frame(q: DataFrame, cent1: dict[int, list[int]]) -> DataFrame:
+    """Exact integer residual lattice frame: ``qv − centroid1[assign]``
+    over a (vec_id, qv) lattice frame, with the stage-1 centroid map
+    broadcast as a literal. ONE definition, used by rq_train, the
+    pinned-codebook regen recipe, and the staleness canary (review
+    finding r8: a copied derivation in the canary would pin a copy,
+    not the production path)."""
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(cent1)]),
+        F.array(
+            *[
+                F.array(*[F.lit(int(m)) for m in cent1[c]])
+                for c in sorted(cent1)
+            ]
+        ),
+    )
+    assign = _assign_expr("qv", cent1)
+    return q.select(
+        "vec_id",
+        F.zip_with(F.col("qv"), cmap[assign["cid"]], lambda a, b: a - b).alias(
+            "qv"
+        ),
+    ).localCheckpoint(eager=True)
+
+
+def golden_summary(
+    frame: DataFrame, centroids: dict[int, list[int]]
+) -> DataFrame:
+    """Per-cluster golden summary (cluster_id, n_members, inertia,
+    centroid_checksum) of a lattice frame under the FINAL assignment
+    against ``centroids`` — shared by kmeans_lloyd and rq_train so the
+    checksum formula (Σ m·(d+1)) and summary shape exist once."""
+    checksum = {
+        cid: sum(m * (d + 1) for d, m in enumerate(vec))
+        for cid, vec in centroids.items()
+    }
+    cks = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(checksum)]),
+        F.array(*[F.lit(int(checksum[c])) for c in sorted(checksum)]),
+    )
+    best = _assign_expr("qv", centroids)
+    return (
+        frame.select(
+            best["cid"].alias("cluster_id"), best["dist"].alias("dist")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            cks[F.col("cluster_id")].cast("long").alias("centroid_checksum"),
+        )
+    )
+
+
 def rq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -510,49 +558,9 @@ def rq_train(
     never shuffle in either stage.
     """
     cent1, q = kmeans_fit(df, vec_col, id_col, k1, iters, dim)
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c in sorted(cent1)]),
-        F.array(
-            *[
-                F.array(*[F.lit(int(m)) for m in cent1[c]])
-                for c in sorted(cent1)
-            ]
-        ),
-    )
-    assign = _assign_expr("qv", cent1)
-    resid = q.select(
-        "vec_id",
-        F.zip_with(
-            F.col("qv"),
-            cmap[assign["cid"]],
-            lambda a, b: a - b,
-        ).alias("qv"),
-    ).localCheckpoint(eager=True)
+    resid = rq_residual_frame(q, cent1)
     cent2 = fit_lattice(resid, k2, iters, dim)
-
-    checksum = {
-        cid: sum(m * (d + 1) for d, m in enumerate(vec))
-        for cid, vec in cent2.items()
-    }
-    cks = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c in sorted(checksum)]),
-        F.array(*[F.lit(int(checksum[c])) for c in sorted(checksum)]),
-    )
-    best = _assign_expr("qv", cent2)
-    return (
-        resid.select(best["cid"].alias("cluster_id"), best["dist"].alias("dist"))
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum("dist").cast("long").alias("inertia"),
-        )
-        .select(
-            F.col("cluster_id").cast("int").alias("cluster_id"),
-            "n_members",
-            "inertia",
-            cks[F.col("cluster_id")].cast("long").alias("centroid_checksum"),
-        )
-    )
+    return golden_summary(resid, cent2)
 
 
 def rq_oracle_sql(
@@ -566,55 +574,21 @@ def rq_oracle_sql(
 ) -> str:
     """Unrolled-CTE oracle for rq_train: the stage-1 kmeans chain
     (through its final assignment ``af``), an exact integer residual
-    CTE, then a second chain with identical pinned rules over the
-    residual lattice."""
+    CTE, then a SECOND instantiation of the shared Lloyd-round template
+    (lloyd_rounds_ctes — the pinned rules exist once) over the residual
+    lattice."""
     stage1 = kmeans_oracle_ctes(table, vec_col, id_col, k1, iters, dim)
-    parts = [
-        stage1,
-        f""",
+    residual = f""",
 rd AS MATERIALIZED (
   SELECT qd.vec_id, qd.d, qd.x - cm.m AS x
   FROM qd JOIN af USING (vec_id)
   JOIN c{iters} cm ON af.cid = cm.cid AND qd.d = cm.d),
-rc0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM rd
-  WHERE vec_id IN (SELECT DISTINCT vec_id FROM rd ORDER BY vec_id
-                   LIMIT {k2}))""",
-    ]
-    for t_ in range(1, iters + 1):
-        p = t_ - 1
-        parts.append(
-            f""",
-ra{t_} AS MATERIALIZED (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (SELECT rd.vec_id, c.cid, SUM((rd.x - c.m) * (rd.x - c.m)) AS dist
-          FROM rd JOIN rc{p} c USING (d) GROUP BY rd.vec_id, c.cid))
-  WHERE rn = 1),
-rc{t_} AS MATERIALIZED (
-  SELECT a.cid, rd.d,
-         CAST(FLOOR(CAST(SUM(rd.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-  FROM ra{t_} a JOIN rd USING (vec_id) GROUP BY a.cid, rd.d
-  UNION ALL
-  SELECT cid, d, m FROM rc{p}
-  WHERE cid NOT IN (SELECT DISTINCT cid FROM ra{t_}))"""
-        )
-    parts.append(
-        f""",
-raf AS MATERIALIZED (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (SELECT rd.vec_id, c.cid, SUM((rd.x - c.m) * (rd.x - c.m)) AS dist
-          FROM rd JOIN rc{iters} c USING (d) GROUP BY rd.vec_id, c.cid))
-  WHERE rn = 1),
-rck AS MATERIALIZED (
-  SELECT cid, SUM(m * d) AS centroid_checksum FROM rc{iters} GROUP BY cid)
+"""
+    stage2 = lloyd_rounds_ctes("rd", "r", k2, iters)
+    final = """
 SELECT raf.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(raf.dist) AS BIGINT) AS inertia,
        CAST(ANY_VALUE(rck.centroid_checksum) AS BIGINT) AS centroid_checksum
 FROM raf JOIN rck ON raf.cid = rck.cid
 GROUP BY raf.cid"""
-    )
-    return "".join(parts)
+    return stage1 + residual + stage2 + final

@@ -1077,6 +1077,14 @@ def sim_topk_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = C._assign_expr("qv2", CENT2)["cid"]
     q = q.select("vec_id", "k1", a2.alias("k2"))
 
+    # cids are seed vec_ids, which shift if the fixture regenerates —
+    # the composite map key c1*1000+c2 would silently COLLIDE past
+    # 1000, so fail loudly instead (review finding r8)
+    if max(max(CENT1), max(CENT2)) >= 1000:
+        raise ValueError(
+            "RQ codebook cids >= 1000 would alias the reconstruction "
+            "map key; regenerate _rq_codebooks.py with a wider key"
+        )
     recon = {
         (c1, c2): [m1 + m2 for m1, m2 in zip(CENT1[c1], CENT2[c2])]
         for c1 in CENT1

@@ -1686,39 +1686,27 @@ def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_classifier_train_perceptron",
-    # In-engine TRAINING for the quality-classifier family — the
-    # producer whose consumer (docs_quality_classifier) scores with
-    # pinned weights today, mirroring how embeddings_kmeans_train
-    # produces the IVF literals. A batch perceptron (Rosenblatt rule,
-    # synchronous epoch updates: w += Σ_misclassified y·x) over six
-    # INTEGER features (bias, token count, token chars, stopword hits,
-    # digit count, punct count) with labels from the Gopher band
-    # (n_tok >= 40 AND 2 <= mwl <= 12, integer cross-multiplied) —
-    # every margin, update, and error count is exact BIGINT, so the
-    # 3-epoch iterative result carries a full unrolled-CTE oracle (the
-    # kmeans/BPE/graph fixed-point discipline applied to a linear
-    # model). Margin <= 0 counts as misclassified (w0 = 0 makes epoch
-    # 1's update the class-difference vector — the standard batch
-    # start). Output: per epoch, the error count RECOMPUTED IN-PLAN
-    # under that epoch's input weights plus the updated weights'
-    # checksum.
-    #
-    # Scale shape: per epoch ONE map-side-combined aggregate (seven
-    # conditional sums) over the feature scan; weights are 6 BIGINTs of
-    # driver model state re-broadcast as literals; text never leaves
-    # the scan stage. Epochs are data passes, exactly like Lloyd
-    # rounds.
-    oracle="""
-    WITH base AS (
+def _perceptron_oracle(epochs: int = 3) -> str:
+    """Generated unrolled-CTE oracle for the batch perceptron: one
+    (errors, deltas) + weight-update CTE pair PER EPOCH from a single
+    margin template (the kmeans_oracle_ctes pattern — the 6-term margin
+    expression exists once here, not hand-copied per epoch). Text is
+    COALESCE'd to '' so a NULL-text row yields all-zero features on
+    BOTH engines (the Spark side coalesces identically) — without it,
+    NULL features silently drop rows from Spark's SUM while the oracle
+    counts them."""
+    margin = ("y * ({w}.w0*x0 + {w}.w1*x1 + {w}.w2*x2"
+              " + {w}.w3*x3 + {w}.w4*x4 + {w}.w5*x5)")
+    parts = ["""WITH base AS (
       SELECT doc_id,
-             list_filter(string_split_regex(TRIM(text), '\\s+'),
+             list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\\s+'),
                          x -> x <> '') AS toks,
-             LENGTH(text)
-               - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
-             LENGTH(text)
-               - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct
+             LENGTH(COALESCE(text, ''))
+               - LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[0-9]', '', 'g'))
+               AS n_digit,
+             LENGTH(COALESCE(text, ''))
+               - LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[^\\w\\s]', '', 'g'))
+               AS n_punct
       FROM documents),
     f AS (
       SELECT CAST(1 AS BIGINT) AS x0,
@@ -1739,77 +1727,76 @@ def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 AS (
       SELECT SUM(y * x0) AS w0, SUM(y * x1) AS w1, SUM(y * x2) AS w2,
              SUM(y * x3) AS w3, SUM(y * x4) AS w4, SUM(y * x5) AS w5
-      FROM f),
-    e2 AS (
-      SELECT COUNT(*) FILTER (WHERE y * (w.w0*x0 + w.w1*x1 + w.w2*x2
-                                       + w.w3*x3 + w.w4*x4 + w.w5*x5) <= 0)
-               AS n_err,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x0 ELSE 0 END) AS d0,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x1 ELSE 0 END) AS d1,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x2 ELSE 0 END) AS d2,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x3 ELSE 0 END) AS d3,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x4 ELSE 0 END) AS d4,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x5 ELSE 0 END) AS d5
-      FROM f CROSS JOIN w1 w),
-    w2 AS (
-      SELECT w1.w0 + e2.d0 AS w0, w1.w1 + e2.d1 AS w1, w1.w2 + e2.d2 AS w2,
-             w1.w3 + e2.d3 AS w3, w1.w4 + e2.d4 AS w4, w1.w5 + e2.d5 AS w5
-      FROM w1 CROSS JOIN e2),
-    e3 AS (
-      SELECT COUNT(*) FILTER (WHERE y * (w.w0*x0 + w.w1*x1 + w.w2*x2
-                                       + w.w3*x3 + w.w4*x4 + w.w5*x5) <= 0)
-               AS n_err,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x0 ELSE 0 END) AS d0,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x1 ELSE 0 END) AS d1,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x2 ELSE 0 END) AS d2,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x3 ELSE 0 END) AS d3,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x4 ELSE 0 END) AS d4,
-             SUM(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3
-                              + w.w4*x4 + w.w5*x5) <= 0 THEN y * x5 ELSE 0 END) AS d5
-      FROM f CROSS JOIN w2 w),
-    w3 AS (
-      SELECT w2.w0 + e3.d0 AS w0, w2.w1 + e3.d1 AS w1, w2.w2 + e3.d2 AS w2,
-             w2.w3 + e3.d3 AS w3, w2.w4 + e3.d4 AS w4, w2.w5 + e3.d5 AS w5
-      FROM w2 CROSS JOIN e3)
+      FROM f)"""]
+    for t_ in range(2, epochs + 1):
+        m = margin.format(w="w")
+        deltas = ",\n             ".join(
+            f"SUM(CASE WHEN {m} <= 0 THEN y * x{j} ELSE 0 END) AS d{j}"
+            for j in range(6)
+        )
+        parts.append(f""",
+    e{t_} AS (
+      SELECT COUNT(*) FILTER (WHERE {m} <= 0) AS n_err,
+             {deltas}
+      FROM f CROSS JOIN w{t_ - 1} w),
+    w{t_} AS (
+      SELECT {", ".join(
+        f"w{t_ - 1}.w{j} + e{t_}.d{j} AS w{j}" for j in range(6))}
+      FROM w{t_ - 1} CROSS JOIN e{t_})""")
+    checksum = " + ".join(f"w{j}*{j + 1}" for j in range(6))
+    arms = [f"""
     SELECT 1 AS epoch, CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_errors,
-           CAST(w0*1 + w1*2 + w2*3 + w3*4 + w4*5 + w5*6 AS BIGINT)
-             AS w_checksum
-    FROM w1
-    UNION ALL
-    SELECT 2, CAST(e2.n_err AS BIGINT),
-           CAST(w0*1 + w1*2 + w2*3 + w3*4 + w4*5 + w5*6 AS BIGINT)
-    FROM w2 CROSS JOIN e2
-    UNION ALL
-    SELECT 3, CAST(e3.n_err AS BIGINT),
-           CAST(w0*1 + w1*2 + w2*3 + w3*4 + w4*5 + w5*6 AS BIGINT)
-    FROM w3 CROSS JOIN e3
-    """,
+           CAST({checksum} AS BIGINT) AS w_checksum
+    FROM w1"""]
+    for t_ in range(2, epochs + 1):
+        arms.append(f"""
+    SELECT {t_}, CAST(e{t_}.n_err AS BIGINT),
+           CAST({checksum} AS BIGINT)
+    FROM w{t_} CROSS JOIN e{t_}""")
+    return "".join(parts) + "\n    UNION ALL".join(arms)
+
+
+@query(
+    "docs_classifier_train_perceptron",
+    # In-engine TRAINING for the quality-classifier family — the
+    # producer whose consumer (docs_quality_classifier) scores with
+    # pinned weights today, mirroring how embeddings_kmeans_train
+    # produces the IVF literals. A batch perceptron (Rosenblatt rule,
+    # synchronous epoch updates: w += Σ_misclassified y·x) over six
+    # INTEGER features (bias, token count, token chars, stopword hits,
+    # digit count, punct count) with labels from the Gopher band
+    # (n_tok >= 40 AND 2 <= mwl <= 12, integer cross-multiplied) —
+    # every margin, update, and error count is exact BIGINT, so the
+    # 3-epoch iterative result carries a full unrolled-CTE oracle (the
+    # kmeans/BPE/graph fixed-point discipline applied to a linear
+    # model). Margin <= 0 counts as misclassified (w0 = 0 makes epoch
+    # 1's update the class-difference vector — the standard batch
+    # start). Output: per epoch, the error count RECOMPUTED IN-PLAN
+    # under that epoch's input weights plus the updated weights'
+    # checksum. Oracle epochs are GENERATED from one margin template
+    # (_perceptron_oracle), not hand-copied.
+    #
+    # Scale shape: per epoch ONE map-side-combined aggregate (six
+    # conditional delta sums) over the feature scan; weights are 6
+    # BIGINTs of driver model state re-broadcast as literals; text
+    # never leaves the scan stage. Epochs are data passes, exactly
+    # like Lloyd rounds.
+    oracle=_perceptron_oracle(epochs=3),
 )
 def docs_classifier_train_perceptron(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    toks = X.tokens("text")
+    # NULL text => all-zero features, matching the oracle's COALESCE
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = X.tokens(txt)
     tok_chars = F.coalesce(
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
         F.lit(0).cast("long"),
     )
-    n_digit = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), "[0-9]", "")
-    )
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    n_digit = F.length(txt) - F.length(F.regexp_replace(txt, "[0-9]", ""))
+    n_punct = F.length(txt) - F.length(
+        F.regexp_replace(txt, r"[^\w\s]", "")
     )
     sw = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
     feats = d.select(
@@ -1841,7 +1828,6 @@ def docs_classifier_train_perceptron(
         )
         mis = margin <= 0
         agg = feats.agg(
-            F.sum(mis.cast("long")).alias("n_err"),
             *[
                 F.sum(
                     F.when(mis, F.col("y") * F.col(f"x{j}")).otherwise(0)
@@ -1849,7 +1835,7 @@ def docs_classifier_train_perceptron(
                 for j in range(n_feat)
             ],
         )
-        row = agg.first()  # bounded model state: 7 BIGINTs per epoch
+        row = agg.first()  # bounded model state: 6 BIGINTs per epoch
         w = [w[j] + int(row[f"d{j}"]) for j in range(n_feat)]
         checksum = sum(w[j] * (j + 1) for j in range(n_feat))
         # n_errors recomputed IN-PLAN under the epoch's input weights —

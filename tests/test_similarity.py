@@ -459,29 +459,15 @@ def test_rq_pinned_codebooks_not_stale(spark):
     CURRENT sf0.01 fixture (the IVF-canary lesson: fixture or trainer
     drift must fail a test before it fails the driver gate). Exact
     integer equality — the pinned values are lattice BIGINTs."""
-    from pyspark.sql import functions as F
-
     from cirro_annotation_spark.operators import clustering as C
     from cirro_annotation_spark.suites._rq_codebooks import CENT1, CENT2
 
     emb = t(spark, "/root/testdata/sf0.01", "embeddings")
     cent1, q = C.kmeans_fit(emb, "embedding", "vec_id", k=8, iters=2, dim=64)
     assert {k: [int(x) for x in v] for k, v in cent1.items()} == CENT1
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c in sorted(cent1)]),
-        F.array(
-            *[
-                F.array(*[F.lit(int(m)) for m in cent1[c]])
-                for c in sorted(cent1)
-            ]
-        ),
-    )
-    assign = C._assign_expr("qv", cent1)
-    resid = q.select(
-        "vec_id",
-        F.zip_with(F.col("qv"), cmap[assign["cid"]], lambda a, b: a - b).alias(
-            "qv"
-        ),
-    ).localCheckpoint(eager=True)
+    # the PRODUCTION residual derivation (rq_residual_frame), not a
+    # copy — a copied derivation would keep this canary green while
+    # rq_train drifted (review finding r8)
+    resid = C.rq_residual_frame(q, cent1)
     cent2 = C.fit_lattice(resid, 8, 2, 64)
     assert {k: [int(x) for x in v] for k, v in cent2.items()} == CENT2
