@@ -260,6 +260,7 @@ HEADLINE = [
     "docs_classifier_train_perceptron",
     "stream_psi_daily_batch",
     "stream_psi_daily_stream",
+    "events_spc_rules",
 ]
 
 

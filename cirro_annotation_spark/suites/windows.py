@@ -2130,3 +2130,123 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("pid").cast("long").alias("n_purchases_hit"),
         F.count_distinct("cid").cast("long").alias("n_clicks_used"),
     )
+
+
+@query(
+    "events_spc_rules",
+    # Statistical-process-control run rules (Western Electric, 1956) on
+    # the per-type daily mean — the control-chart member of the
+    # monitoring family beside CUSUM (drift), MAD (robust outliers),
+    # and the rolling z-score (pointwise): rule 1 = a point beyond 3σ,
+    # rule 2 = 2 of 3 consecutive points beyond 2σ on the SAME side,
+    # rule 4 = 8 consecutive points on one side of the center line.
+    # All rules evaluate on the 6dp-rounded z (the shared grain both
+    # engines agree on; the signed round carries the oracle's +0
+    # negative-zero guard), and the day mean rounds its money-scale
+    # sum at 2 then the quotient at 6 — the half-cent discipline.
+    #
+    # Scale shape: one (type, day) aggregate (constant cells), a tiny
+    # per-type baseline aggregate broadcast back, and two short ROWS
+    # frames over the days-per-type series — the rule evaluation never
+    # touches raw events after the first rollup.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 2) AS s, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, day, ROUND(s / n, 6) AS day_avg FROM d),
+    b AS (SELECT event_type, AVG(day_avg) AS c,
+                 STDDEV_SAMP(day_avg) AS sd
+          FROM a GROUP BY event_type),
+    z AS (SELECT a.event_type, a.day,
+                 ROUND((a.day_avg - b.c) / NULLIF(b.sd, 0), 6) + 0 AS zs
+          FROM a JOIN b USING (event_type)),
+    sided AS (
+      SELECT event_type, day, zs,
+             CASE WHEN zs > 0 THEN 1 WHEN zs < 0 THEN -1 ELSE 0 END AS side,
+             CASE WHEN zs > 2 THEN 1 WHEN zs < -2 THEN -1 ELSE 0 END AS big2
+      FROM z),
+    runs AS (
+      SELECT event_type, day, zs, side, big2,
+             SUM(CASE WHEN big2 = 1 THEN 1 ELSE 0 END)
+               OVER w3 AS pos2,
+             SUM(CASE WHEN big2 = -1 THEN 1 ELSE 0 END)
+               OVER w3 AS neg2,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER w8 AS pos8,
+             SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+               OVER w8 AS neg8
+      FROM sided
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, zs AS zscore,
+           CAST(ABS(zs) > 3 AS INT) AS rule1,
+           CAST((big2 = 1 AND pos2 >= 2) OR (big2 = -1 AND neg2 >= 2)
+                AS INT) AS rule2,
+           CAST(pos8 = 8 OR neg8 = 8 AS INT) AS rule4
+    FROM runs
+    """,
+)
+def events_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = d.select(
+        "event_type", "day", F.round(F.col("s") / F.col("n"), 6).alias(
+            "day_avg"
+        )
+    )
+    b = a.groupBy(F.col("event_type").alias("__t")).agg(
+        F.avg("day_avg").alias("c"), F.stddev_samp("day_avg").alias("sd")
+    )
+    z = (
+        a.join(F.broadcast(b), F.col("event_type") == F.col("__t"))
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                (F.col("day_avg") - F.col("c")) / F.nullif("sd", F.lit(0.0)),
+                6,
+            ).alias("zs"),
+        )
+    )
+    side = (
+        F.when(F.col("zs") > 0, 1).when(F.col("zs") < 0, -1).otherwise(0)
+    )
+    big2 = (
+        F.when(F.col("zs") > 2, 1).when(F.col("zs") < -2, -1).otherwise(0)
+    )
+    sided = z.select("event_type", "day", "zs", side.alias("side"),
+                     big2.alias("big2"))
+    w3 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    w8 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+    runs = sided.select(
+        "event_type",
+        "day",
+        "zs",
+        "big2",
+        F.sum((F.col("big2") == 1).cast("int")).over(w3).alias("pos2"),
+        F.sum((F.col("big2") == -1).cast("int")).over(w3).alias("neg2"),
+        F.sum((F.col("side") == 1).cast("int")).over(w8).alias("pos8"),
+        F.sum((F.col("side") == -1).cast("int")).over(w8).alias("neg8"),
+    )
+    return runs.select(
+        "event_type",
+        "day",
+        F.col("zs").alias("zscore"),
+        (F.abs("zs") > 3).cast("int").alias("rule1"),
+        (
+            ((F.col("big2") == 1) & (F.col("pos2") >= 2))
+            | ((F.col("big2") == -1) & (F.col("neg2") >= 2))
+        ).cast("int").alias("rule2"),
+        ((F.col("pos8") == 8) | (F.col("neg8") == 8)).cast("int").alias(
+            "rule4"
+        ),
+    )

@@ -97,6 +97,7 @@ EVENT_QUERIES = [
     "events_cms_user_counts",
     "stream_psi_daily_batch",
     "stream_psi_daily_stream",
+    "events_spc_rules",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

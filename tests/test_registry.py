@@ -169,6 +169,7 @@ def test_rotation_remainder_matches_plan() -> None:
         "docs_classifier_train_perceptron",
         "stream_psi_daily_batch",
         "stream_psi_daily_stream",
+        "events_spc_rules",
     }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this

@@ -13,3 +13,67 @@ def test_cms_estimate_never_undercounts(spark, sf_dir):
     assert len(out) == 5
     assert all(r["overcount"] >= 0 for r in out)
     assert all(r["cms_estimate"] >= r["true_count"] for r in out)
+
+
+def test_spc_rules_fire_on_planted_shift(spark, tmp_path):
+    """The fixture's stationary values keep the WE rules silent (an
+    in-control process — rule sums are ~0 in the driver data), so the
+    TRUE paths are pinned here on a crafted series: a +large mean shift
+    in the last TWO days must fire rule 1 (beyond 3 sigma) and rule 2
+    (2-of-3 beyond 2 sigma) — the shift must be SHORT because the
+    center line and sigma are full-series (a sustained shift inflates
+    sigma until nothing is 3-sigma out; 2 of 30 shifted days give
+    z ~ 3.7) — and a mild +shift run fires rule 4 (8 consecutive same
+    side). Flags also cross-checked against the
+    registered DuckDB oracle on the same parquet."""
+    import datetime
+
+    import duckdb
+
+    from cirro_annotation_spark.registry import ORACLES, QUERIES, load_all_suites
+
+    load_all_suites()
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        for i in range(5):
+            # type A: mean 100, huge shift after day 19
+            v = 100.0 + (0.5 * ((day * 5 + i) % 7)) + (500.0 if day >= 28 else 0.0)
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=i),
+                         1, "A", v, "{}"))
+            eid += 1
+            # type B: mean 50, mild +1 shift after day 19 (same-side run)
+            v2 = 50.0 + (0.3 * ((day * 5 + i) % 5)) + (1.0 if day >= 20 else -1.0)
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=i),
+                         2, "B", v2, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "spc")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    out = QUERIES["events_spc_rules"](spark, path)
+    got = {
+        (r["event_type"], str(r["day"])): (r["rule1"], r["rule2"], r["rule4"])
+        for r in out.collect()
+    }
+    assert got[("A", "2024-01-29")][0] == 1  # beyond 3 sigma
+    assert got[("A", "2024-01-30")][1] == 1  # 2-of-3 beyond 2 sigma
+    assert got[("B", "2024-01-28")][2] == 1  # 8th consecutive same side
+    assert sum(v[0] for v in got.values()) > 0
+    assert sum(v[1] for v in got.values()) > 0
+    assert sum(v[2] for v in got.values()) > 0
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{path}/events.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], str(r[1])): (r[3], r[4], r[5])
+        for r in con.sql(ORACLES["events_spc_rules"]).fetchall()
+    }
+    assert {k: v for k, v in got.items()} == want
