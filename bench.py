@@ -261,6 +261,7 @@ HEADLINE = [
     "stream_psi_daily_batch",
     "stream_psi_daily_stream",
     "events_spc_rules",
+    "join_bloom_semi",
 ]
 
 

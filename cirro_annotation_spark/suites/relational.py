@@ -1608,3 +1608,73 @@ def orders_open_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deltas.select(
         "day", F.sum("delta").over(w).cast("long").alias("open_orders")
     )
+
+
+@query(
+    "join_bloom_semi",
+    # Bloom-prefiltered semi join, SCORED (runtime bloom pruning was
+    # session-conf + pytest-only): revenue of lineitems belonging to
+    # OPEN orders, with the probe side routed through an explicit
+    # 16 KiB Bloom bitmap built from the open-order keys (the
+    # suites/dedup.py bloom kernel, reused on a join key instead of a
+    # text fingerprint). Rows with any unset bit are provably
+    # non-members and never reach the join; bloom-positive rows (true
+    # members + ~(nk/m)^k false positives) verify through the exact
+    # LEFT SEMI join. The bloom only ROUTES, never decides — so the
+    # oracle is the plain IN-subquery semi join, and the hash proves
+    # the prefilter loses and invents nothing (the dedup_bloom
+    # discipline applied to the join family).
+    #
+    # Scale shape: the bitmap is a bounded aggregate (≤2048 longs
+    # regardless of dim cardinality) that constant-folds into a
+    # codegen'd row predicate — at 100 TB this is the manual form of
+    # runtime bloom-filter pushdown, applied BEFORE the shuffle so the
+    # exchange carries only bloom-positive rows.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'O')
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.suites.dedup import (
+        _bloom_positions,
+        bloom_build_bitmap,
+        bloom_might_contain,
+    )
+
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("f"))
+    )
+    bitmap = bloom_build_bitmap(dim)
+    bm, pred = bloom_might_contain(bitmap)
+    fact = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("f"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    probe = fact
+    for i, pos in enumerate(_bloom_positions()):
+        probe = probe.withColumn(f"__bloom_p{i}", pos)
+    probe = (
+        probe.withColumn("__bloom_bm", bm)
+        .filter(pred)
+        .drop("__bloom_bm", *[f"__bloom_p{i}" for i in range(3)])
+    )
+    verified = probe.join(dim.distinct(), "f", "left_semi")
+    return verified.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -170,6 +170,7 @@ def test_rotation_remainder_matches_plan() -> None:
         "stream_psi_daily_batch",
         "stream_psi_daily_stream",
         "events_spc_rules",
+        "join_bloom_semi",
     }
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this
