@@ -146,8 +146,8 @@ def test_rotation_remainder_matches_plan() -> None:
     """The next-round remainder (names queued BEHIND the window) must
     equal the mechanically-computed set: (registered ∖ hash-scored ∖
     window ∖ rows-only). Keeps the written plan in lock-step with
-    reality. Round-8 state: the window absorbed the entire remainder
-    (38 < 50), so the queue is EMPTY until round-8 additions overflow
+    reality. Round-9 state: the window holds the 8 r8-overflow names
+    (8 < 50), so the queue is EMPTY until round-9 additions overflow
     the 50-slot window — any overflow name must be listed here."""
     _loaded()
     scored = _driver_hash_scored()
@@ -161,17 +161,7 @@ def test_rotation_remainder_matches_plan() -> None:
         and n in registry.ORACLES
     )
     # Names queued for the NEXT rotation (overflow past the 50 slots).
-    planned: set[str] = {
-        # round-8 additions that landed after the window filled
-        "join_interval_overlap",
-        "embeddings_rq_train",
-        "sim_topk_rq",
-        "docs_classifier_train_perceptron",
-        "stream_psi_daily_batch",
-        "stream_psi_daily_stream",
-        "events_spc_rules",
-        "join_bloom_semi",
-    }
+    planned: set[str] = set()
     # EQUALITY, both directions (round-7 review): a superset check let
     # stale names rot in the planned list — the exact drift class this
     # test exists to catch.
