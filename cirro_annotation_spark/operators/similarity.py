@@ -600,8 +600,11 @@ def semantic_dedup_removed_capped(
     cap: int = 1024,
     block: int = 1024,
 ) -> DataFrame:
-    """Occupancy-bounded SemDeDup: identical output contract to
-    :func:`semantic_dedup_removed`, but within-cell pair work is capped
+    """Occupancy-bounded SemDeDup: same schema as
+    :func:`semantic_dedup_removed`, exactly equal output ONLY when no
+    cell exceeds ``cap`` — above it, n_dominators/keeper_id may differ
+    (a vector whose only dominators live in another nonzero chunk is
+    kept). Within-cell pair work is capped
     at O(cell_size · cap) instead of O(cell_size²) — the fix for the
     hot-cell quadratic (one skewed quantizer cell holding millions of
     near-identical vectors makes the exact pair stage all-pairs).

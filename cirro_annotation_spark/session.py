@@ -8,6 +8,7 @@ master/memory lines which are deployment-specific.
 from __future__ import annotations
 
 import os
+import re
 from functools import lru_cache
 
 from pyspark.sql import SparkSession
@@ -94,6 +95,25 @@ def get_spark(app_name: str = "cirro_annotation_spark") -> SparkSession:
     return spark
 
 
+def _max_partition_bytes_override() -> str:
+    """Validated SPARK_GRAFT_MAX_PARTITION_BYTES (default 1 MB splits).
+
+    Validated HERE, not inside the conf loop: the loop's blanket
+    ``except`` exists for driver-locked confs and would silently
+    swallow an unparseable override like ``128megs`` (ADVICE r8) —
+    a bad value must fail loudly to the user who set it.
+    """
+    raw = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if raw is None:
+        return str(1024 * 1024)
+    if not re.fullmatch(r"\s*\d+\s*([kmgtp]b?|b)?\s*", raw, re.IGNORECASE):
+        raise ValueError(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES must be a Spark byte string "
+            f"(e.g. '1048576', '128m', '1g'); got {raw!r}"
+        )
+    return raw.strip()
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to a session we did not build.
 
@@ -130,9 +150,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         # mean pathological task counts.
         (
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get(
-                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
-            ),
+            _max_partition_bytes_override(),
         ),
         ("spark.sql.files.openCostInBytes", str(64 * 1024)),
     ):

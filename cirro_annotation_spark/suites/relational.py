@@ -1663,12 +1663,16 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount",
     )
     probe = fact
-    for i, pos in enumerate(_bloom_positions()):
+    positions = _bloom_positions()
+    for i, pos in enumerate(positions):
         probe = probe.withColumn(f"__bloom_p{i}", pos)
     probe = (
         probe.withColumn("__bloom_bm", bm)
         .filter(pred)
-        .drop("__bloom_bm", *[f"__bloom_p{i}" for i in range(3)])
+        # drop list derived from the SAME helper that built the columns
+        # so a BLOOM_K change can't leave stray __bloom_p columns in
+        # the plan (ADVICE r8)
+        .drop("__bloom_bm", *[f"__bloom_p{i}" for i in range(len(positions))])
     )
     verified = probe.join(dim.distinct(), "f", "left_semi")
     return verified.groupBy("l_returnflag").agg(
