@@ -262,6 +262,94 @@ HEADLINE = [
     "stream_psi_daily_stream",
     "events_spc_rules",
     "join_bloom_semi",
+    # round 9 (append-only, r8 verdict item 4 — bench the remaining 81):
+    # with these the bench is the COMPLETE registry, every registered
+    # query timed. Families: the agg interiors, the TPC-H remainder
+    # (q10-q22), manifest compile/harvest shapes, the scalar-function
+    # suite, set ops, windows, sampling/splits, sketch interiors
+    # (minhash/simhash/HLL), streaming batch/stream twins, and the
+    # quality family over the shared feature frame.
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_grouped_stats",
+    "agg_hll_mergeable",
+    "agg_quarter_over_quarter",
+    "agg_rollup",
+    "agg_stats_moments",
+    "agg_string_concat_ordered",
+    "dataset_chooser_newest_first",
+    "dedup_cluster_assign",
+    "dedup_cluster_components_star",
+    "dedup_exact_counts",
+    "dedup_first_wins",
+    "dedup_minhash_pairs",
+    "dedup_ngram_containment_sample",
+    "dedup_ngram_jaccard_sample",
+    "dedup_simhash_pairs",
+    "docs_repetition_ratio",
+    "docs_token_entropy",
+    "filter_row_predicate",
+    "first_of_group",
+    "join_anti",
+    "join_broadcast_lookup",
+    "join_outer_agg",
+    "join_semi",
+    "manifest_file_to_columns",
+    "manifest_project_dictionary",
+    "manifest_roundtrip_tokens",
+    "manifest_variable_family",
+    "multimodal_extract_features",
+    "pipeline_embedding_centroids",
+    "pivot_widen",
+    "project_rename",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_high_balance",
+    "quantile_bucket_global",
+    "rag_mmr_rerank",
+    "sample_mixture_weighted",
+    "scalar_array_funcs",
+    "scalar_conditional",
+    "scalar_date_format",
+    "scalar_date_parts",
+    "scalar_explode_outer",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_path_funcs",
+    "scalar_str_endswith",
+    "scalar_string_funcs",
+    "scalar_try_cast",
+    "set_distinct",
+    "set_intersect",
+    "set_union_distinct",
+    "sim_centroid_per_label",
+    "sim_cosine_all",
+    "sim_topk_lsh",
+    "sort_lexical",
+    "sort_topk",
+    "split_kfold_assign",
+    "stream_dedup_bloom",
+    "stream_histogram_batch",
+    "stream_join_left_batch",
+    "stream_join_stream",
+    "stream_session_window",
+    "stream_sliding_batch",
+    "stream_static_enrich",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_redact_terms",
+    "text_stopword_ratio",
+    "text_term_frequency",
+    "text_zipf_histogram",
+    "window_cume_dist_pct_rank",
+    "window_lag_delta",
+    "window_ntile_rank",
 ]
 
 

@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "events_spc_rules",
     "join_bloom_semi",
     # round-9 additions (appended as they land, until the window holds 50)
+    "docs_doremi_weights",
 ]
 
 

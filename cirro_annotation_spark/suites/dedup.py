@@ -760,29 +760,63 @@ def _fuzzy_blocked_pairs(
         home = home.filter(F.col("doc_id") <= home_max)
     if home_min is not None:
         home = home.filter(F.col("doc_id") >= home_min)
-    a, b = blocked.alias("a"), home.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok0") == F.col("b.tok0"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.prefix").alias("pa"),
-            F.col("b.prefix").alias("pb"),
-        )
-        .distinct()
+    # Salt the composite key (round 9): block occupancy is BOUNDED by
+    # design, but a dominant token's blocks all hash near each other
+    # and the per-key output is quadratic in occupancy — the
+    # levenshtein kernel (~24 us/pair) then runs on a handful of SMJ
+    # tasks while 28 cores idle (measured: 394 s at the 10x token-skew
+    # tier with 60% of docs sharing tok0; AQE skew-join never fires
+    # because it watches INPUT bytes, not join fan-out). Each probe row
+    # takes ONE deterministic salt, the home side replicates across all
+    # SALT values, so every pair still meets exactly once and the pair
+    # set is unchanged — but each hot key splits into SALT schedulable
+    # units. Home shuffle volume grows SALT x (ids + 40-char prefixes
+    # only; text never shuffles) — noise next to the kernel win.
+    SALT = 16
+    blocked = blocked.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(SALT)))
+    home = home.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
     )
-    return (
-        cand.withColumn("edit_distance", F.levenshtein("pa", "pb").cast("int"))
-        .filter(F.col("edit_distance") <= 22)
-        .select("id_a", "id_b", "edit_distance")
+    # Parallelism floor (round 9): when the probe side broadcasts, the
+    # join's task count collapses to the HOME side's parquet scan
+    # splits (measured: 4-8 tasks grinding the whole kernel while 28
+    # cores idled — the capstone's actual 884 s wall; salting alone
+    # could not help because a broadcast join has no per-key tasks).
+    # One cheap shuffle of the narrow home rows (ids + 40-char
+    # prefixes, never text) pins the stream-side parallelism to the
+    # session's shuffle partitioning regardless of input file layout.
+    home = home.repartition("tok0", "blk", "salt")
+    a, b = blocked.alias("a"), home.alias("b")
+    # No distinct: a pair can match in AT MOST one (block, salt) — the
+    # home side replicates across salts but the probe row carries ONE
+    # salt, and of the probe's three exploded blocks exactly one can
+    # equal the home block — so the join output is already pair-unique
+    # (a redundant .distinct() here used to shuffle every candidate
+    # row: 39.6M x ~100 B at the 10x token-skew tier).
+    #
+    # The levenshtein kernel runs ONCE per candidate, inside the join
+    # condition: the THRESHOLDED form returns -1 above the cap and the
+    # exact distance at or below it, so a single `>= 0` comparison IS
+    # the <= 22 contract — writing the filter over a projected alias
+    # instead gets pushed into the join condition as TWO kernel calls
+    # per pair (observed in the formatted plan). The cheap residuals
+    # (id order, length band) sit before it in the conjunction and
+    # short-circuit; the output column recomputes the distance only
+    # for the ~13k survivors.
+    lev = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 22)
+    cand = a.join(
+        b,
+        (F.col("a.tok0") == F.col("b.tok0"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2)
+        & (lev >= 0),
+    )
+    return cand.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        lev.cast("int").alias("edit_distance"),
     )
 
 

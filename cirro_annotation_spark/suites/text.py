@@ -3360,3 +3360,146 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(s)).cast("long").alias("n_types"),
         F.size(F.filter(s, _is_hapax)).cast("long").alias("n_hapax"),
     )
+
+
+def doremi_mw_loop(
+    base: dict,
+    rounds: int = 5,
+    scale: int = 1_000_000,
+    sk: int = 1_000_000_000_000,
+    eta: int = 2_000_000,
+) -> tuple[dict, dict]:
+    """The exact-integer multiplicative-weights loop shared by the
+    docs_doremi_weights query and its property tests: per round,
+    reweight every domain by (sk + eta·excess)/sk against the current
+    weighted-mean loss, renormalize to ``scale``, accumulate for the
+    across-rounds average. Every division's dividend is positive by
+    construction (asserted), keeping Python floor-`//` equal to
+    DuckDB's truncating `//` on every intermediate."""
+    domains = sorted(base)
+    clip = sk // (2 * eta)  # |excess| cap: keeps factor >= sk/2 > 0
+    w = {s: scale // len(domains) for s in domains}
+    acc = {s: 0 for s in domains}
+    for _ in range(rounds):
+        wm = sum(w[s] * base[s] for s in domains) // scale
+        raw = {}
+        for s in domains:
+            excess = min(max(base[s] - wm, -clip), clip)
+            factor = sk + eta * excess
+            assert factor > 0, "update factor must stay positive (// parity)"
+            # floor at 1: a domain can shrink per-round but never hit
+            # zero (dead weights would stay dead — DoReMi keeps every
+            # domain sampleable)
+            raw[s] = max((w[s] * factor) // sk, 1)
+        tot = sum(raw.values())
+        for s in domains:
+            w[s] = max((raw[s] * scale) // tot, 1)
+            acc[s] += w[s]
+    return w, acc
+
+
+def _doremi_oracle(rounds: int = 5) -> str:
+    """Unrolled-CTE oracle for the DoReMi-style weight loop (the
+    _perceptron_oracle pattern): each round is two CTEs — p{t} applies
+    the multiplicative-weights update against the CURRENT weighted mean
+    loss, r{t} renormalizes to SCALE and accumulates for the average.
+    Every division's dividend is positive by construction (factor =
+    SK + ETA*excess with |ETA*excess| << SK), so DuckDB's
+    truncate-toward-zero `//` and Python's floor `//` agree on every
+    intermediate."""
+    scale, sk, eta = 1_000_000, 1_000_000_000_000, 2_000_000
+    clip = sk // (2 * eta)
+    ctes = [
+        """base AS MATERIALIZED (
+      SELECT source,
+             CAST((1000 * (SUM(n_chars) +
+                   SUM(COALESCE(LEN(regexp_extract_all(text, '\\S+')), 0))))
+                  // COUNT(*) AS BIGINT) AS base
+      FROM documents GROUP BY source)""",
+        f"""r0 AS MATERIALIZED (
+      SELECT source, base,
+             CAST({scale} // (SELECT COUNT(*) FROM base) AS BIGINT) AS w,
+             CAST(0 AS BIGINT) AS acc
+      FROM base)""",
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"r{t - 1}"
+        ctes.append(f"""p{t} AS MATERIALIZED (
+      SELECT source, base, acc,
+             GREATEST(CAST((w * ({sk} + {eta} *
+                   LEAST(GREATEST(base -
+                         (SELECT SUM(w * base) FROM {prev}) // {scale},
+                         -{clip}), {clip})))
+                  // {sk} AS BIGINT), 1) AS raw
+      FROM {prev})""")
+        ctes.append(f"""r{t} AS MATERIALIZED (
+      SELECT source, base,
+             GREATEST(CAST((raw * {scale}) // (SELECT SUM(raw) FROM p{t})
+                      AS BIGINT), 1) AS w,
+             acc + GREATEST(CAST((raw * {scale}) //
+                            (SELECT SUM(raw) FROM p{t}) AS BIGINT), 1) AS acc
+      FROM p{t})""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT source, w AS w_final, CAST(acc // {rounds} AS BIGINT) AS w_avg
+    FROM r{rounds}"""
+    )
+
+
+@query(
+    "docs_doremi_weights",
+    # DoReMi-style domain-weight training (Xie et al. 2023,
+    # arXiv:2305.10429): multiplicative-weights ascent on per-domain
+    # EXCESS loss — each round reweights every domain by how far its
+    # loss sits above the current weight-averaged loss, then
+    # renormalizes; the published recipe's final mixture is the
+    # AVERAGE weight across rounds, reported here alongside the final
+    # round's. The trainer sibling of docs_dsir_weights (importance
+    # weights) and docs_classifier_train_perceptron (quality labels):
+    # closing the sampling-artifact lifecycle train -> mixture ->
+    # sample (sample_mixture_weighted consumes exactly this shape).
+    #
+    # Exact-integer fixed point (the operators/clustering.py trainer
+    # discipline): domain loss = scaled mean (chars + tokens) per doc,
+    # weights live at SCALE=1e6, the update factor is SK + ETA*excess
+    # (positive by construction so DuckDB truncating `//` == Python
+    # floor `//` on every division), all BIGINT — zero float surface,
+    # so the 5-round loop is hash-checkable against the unrolled-CTE
+    # oracle.
+    #
+    # Scale shape: ONE map-side-combined aggregate over the corpus
+    # (per-domain doc/char/token sums — the only data-sized term);
+    # the loop itself is driver arithmetic over the ~|domains|-row
+    # collected frame (bounded model state, like kmeans centroids).
+    # At 100 TB the scan dominates and the loop cost is unchanged.
+    oracle=_doremi_oracle(),
+)
+def docs_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SCALE, SK, ETA, ROUNDS = 1_000_000, 1_000_000_000_000, 2_000_000, 5
+    d = t(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(
+                F.coalesce(
+                    F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("sum_tok"),
+        )
+        .collect()
+    )  # bounded model state: one row per domain
+    base = {
+        r["source"]: (1000 * (r["sum_chars"] + r["sum_tok"])) // r["n_docs"]
+        for r in per
+    }
+    w, acc = doremi_mw_loop(base, rounds=ROUNDS, scale=SCALE, sk=SK, eta=ETA)
+    rows = [(s, w[s], acc[s] // ROUNDS) for s in sorted(base)]
+    return spark.createDataFrame(
+        rows, "source string, w_final long, w_avg long"
+    )

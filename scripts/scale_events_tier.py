@@ -98,6 +98,10 @@ EVENT_QUERIES = [
     "stream_psi_daily_batch",
     "stream_psi_daily_stream",
     "events_spc_rules",
+    # round 9 (VERDICT r8 item 5): the bucketized interval-overlap join
+    # at tier scale — purchase×click fan-out is bounded by buckets/hour,
+    # so the equi-join volume scales with events, never events²
+    "join_interval_overlap",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

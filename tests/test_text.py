@@ -515,3 +515,45 @@ def test_unimax_waterfill_properties():
             assert alloc_i <= alloc_j or alloc_i == tok_i
 
     check()
+
+
+def test_doremi_mw_loop_properties():
+    """DoReMi multiplicative-weights invariants under randomized domain
+    losses (hypothesis): weights stay positive and ~sum to SCALE (floor
+    remainders only), order follows excess loss (a domain with strictly
+    larger loss never ends with a smaller weight), the uniform-loss
+    corpus stays uniform, and every intermediate dividend is positive
+    (the assert inside the loop — DuckDB-`//` parity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cirro_annotation_spark.suites.text import doremi_mw_loop
+
+    SCALE = 1_000_000
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        losses=st.lists(
+            st.integers(min_value=0, max_value=10**7),
+            min_size=2,
+            max_size=30,
+        ),
+        rounds=st.integers(min_value=1, max_value=8),
+    )
+    def check(losses, rounds):
+        base = {f"d{i:02d}": v for i, v in enumerate(losses)}
+        w, acc = doremi_mw_loop(base, rounds=rounds)
+        assert all(v > 0 for v in w.values())
+        # renormalization floors then clamps at 1, so the sum sits
+        # within |domains| of SCALE on either side
+        assert SCALE - len(base) <= sum(w.values()) <= SCALE + len(base)
+        for a in base:
+            for b in base:
+                if base[a] > base[b]:
+                    assert w[a] >= w[b], (base, w)
+                    assert acc[a] >= acc[b]
+        if len(set(losses)) == 1:
+            lo, hi = min(w.values()), max(w.values())
+            assert hi - lo <= 1
+
+    check()
