@@ -350,6 +350,9 @@ HEADLINE = [
     "window_cume_dist_pct_rank",
     "window_lag_delta",
     "window_ntile_rank",
+    # round 9 additions
+    "docs_doremi_weights",
+    "docs_dup_span_sa",
 ]
 
 

@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "join_bloom_semi",
     # round-9 additions (appended as they land, until the window holds 50)
     "docs_doremi_weights",
+    "docs_dup_span_sa",
 ]
 
 

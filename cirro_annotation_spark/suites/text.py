@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cirro_annotation_spark.operators import suffixarray as SA
 from cirro_annotation_spark.operators import text as X
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.suites.util import RATIO, t
@@ -3502,4 +3503,54 @@ def docs_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(s, w[s], acc[s] // ROUNDS) for s in sorted(base)]
     return spark.createDataFrame(
         rows, "source string, w_final long, w_avg long"
+    )
+
+
+@query("docs_dup_span_sa", oracle=_DUP_SPAN_ORACLE)
+def docs_dup_span_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_dup_span_coverage computed through the DISTRIBUTED
+    SUFFIX-ARRAY path (VERDICT r8 item 7a): prefix-doubled dense ranks
+    (operators/suffixarray.py, Manber-Myers doubling) instead of
+    shingle strings — after the one vocabulary shuffle, every doubling
+    round moves only (doc_id, pos, int, int) rows, so the shuffle
+    width is CONSTANT in the span threshold where the shingle path
+    grows linearly with it. Rank equality is exact token-sequence
+    equality (no hashing anywhere), which is why this query can share
+    docs_dup_span_coverage's oracle verbatim: the driver hash match IS
+    the span-parity proof between the two formulations, pinning the
+    suffix-array interior (vocab rank, three doubling rounds, the
+    sentinel convention, in-range filtering) end to end.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    W = 8
+    tokens = base.filter(F.col("n_tokens") >= W).select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    dup_pos = SA.duplicated_window_positions(tokens, W)
+    cov = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (W - 1))).alias(
+                "p"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_coverage"),
     )

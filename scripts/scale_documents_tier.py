@@ -106,7 +106,15 @@ DOC_QUERIES = [
     "docs_ngram_novelty",
     "text_lexical_diversity",
     "docs_classifier_train_perceptron",
+    # round 9: DoReMi mixture weights (one map-side-combined agg over
+    # the corpus; the MW loop is driver arithmetic on ~|domains| rows)
+    "docs_doremi_weights",
 ]
+
+# doc_id-slice-free but pair-quadratic on N-clone corpora (every
+# window duplicated): the SA path is gated to <=10x like the other
+# dup-span interiors (see the note above DOC_QUERIES usage).
+SA_QUERIES = ["docs_dup_span_sa"]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —
 # build() replicates it with disjoint vec_id ranges alongside.
@@ -204,7 +212,11 @@ def main() -> int:
         # HOF twin 344.8 s already at 10×; the adversarial one-hot-cell
         # proof lives in scripts/scale_semdedup_skew.py).
         ["sim_semantic_dedup"]
-        + (["dedup_near_minhash", "docs_dup_span_coverage"] if n <= 10 else [])
+        + (
+            ["dedup_near_minhash", "docs_dup_span_coverage"] + SA_QUERIES
+            if n <= 10
+            else []
+        )
         # ER capstone: on an N-clone corpus every clone IS a true fuzzy
         # duplicate, so match pairs legitimately grow as clones^2 per
         # block (growth in TRUE pairs, not a blocking failure — the
