@@ -353,6 +353,7 @@ HEADLINE = [
     # round 9 additions
     "docs_doremi_weights",
     "docs_dup_span_sa",
+    "stream_cdc_replay_exactly_once",
 ]
 
 

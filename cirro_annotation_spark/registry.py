@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     # round-9 additions (appended as they land, until the window holds 50)
     "docs_doremi_weights",
     "docs_dup_span_sa",
+    "stream_cdc_replay_exactly_once",
 ]
 
 

@@ -567,3 +567,67 @@ def stream_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     return STRM.windowed_distinct_users(spark, path)
+
+
+@query(
+    "stream_cdc_replay_exactly_once",
+    # Exactly-once SINK semantics under at-least-once delivery (VERDICT
+    # r8 item 7c, extending the CDC crash-safety family): the same
+    # events changelog as stream_cdc_apply, but split into three
+    # micro-batches applied b0, b1, b1 AGAIN (the redelivery a crashed
+    # foreachBatch produces after restarting from the last committed
+    # checkpoint), then b2 — and the batches are interleaved BY KEY
+    # (event_id % 3), so the replay also arrives out of time order.
+    # The merge stores every key's winning (ts, seq) and replays base
+    # rows with their STORED ordinals (streaming/cdc.py module doc), so
+    # reapplication is a no-op and the final base equals the
+    # once-applied state: the oracle is stream_cdc_apply's latest-wins
+    # SQL VERBATIM — the driver hash match IS the exactly-once proof.
+    # tests/test_streaming_cdc.py pins the same invariant on controlled
+    # timelines (restart, out-of-order replay, crash between renames);
+    # this scored form runs it corpus-wide every round.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id AS key, ts, event_type AS payload,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT key, ts, payload FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def stream_cdc_replay_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from cirro_annotation_spark.streaming.cdc import (
+        apply_cdc_batch,
+        read_cdc_base,
+    )
+
+    changelog = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.col("event_type").alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    try:
+        base = os.path.join(work, "base")
+        batches = [
+            changelog.filter(F.col("seq") % 3 == i).localCheckpoint(
+                eager=True
+            )
+            for i in range(3)
+        ]
+        for b in (batches[0], batches[1], batches[1], batches[2]):
+            apply_cdc_batch(b, base)
+        return read_cdc_base(spark, base).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

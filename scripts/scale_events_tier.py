@@ -102,6 +102,9 @@ EVENT_QUERIES = [
     # at tier scale — purchase×click fan-out is bounded by buckets/hour,
     # so the equi-join volume scales with events, never events²
     "join_interval_overlap",
+    # round 9: at-least-once redelivery -> exactly-once base (4 batch
+    # applies, one duplicated; base volume = distinct keys, not events)
+    "stream_cdc_replay_exactly_once",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
