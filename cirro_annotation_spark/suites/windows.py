@@ -2150,7 +2150,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frames over the days-per-type series — the rule evaluation never
     # touches raw events after the first rollup.
     oracle="""
-    WITH d AS (
+    WITH RECURSIVE d AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              ROUND(SUM(value), 2) AS s, COUNT(*) AS n
       FROM events GROUP BY 1, 2),
@@ -2249,4 +2249,88 @@ def events_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("pos8") == 8) | (F.col("neg8") == 8)).cast("int").alias(
             "rule4"
         ),
+    )
+
+
+@query(
+    "events_ewma_daily",
+    # Exponentially-weighted moving average as an EXACT-INTEGER
+    # sequential fold (round 9): the classic EWMA recursion
+    # s_d = (s_{d-1} + x_d) / 2 is order-dependent, so the float form
+    # can never be hash-checked across engines — this keeps the whole
+    # series in BIGINT cents and folds it IN SPARK with F.aggregate
+    # over the day-sorted array (a deterministic left fold inside one
+    # groupBy — no driver loop, no iterative joins: the recursion runs
+    # as ONE codegen'd expression per type). Halving uses an arithmetic
+    # right shift, which equals DuckDB's `// 2` on the non-negative
+    # values the GREATEST clamp guarantees — zero rounding surface.
+    # Anomaly rule: a day whose cents exceed 3x the running EWMA.
+    # Oracle: the identical recursion via WITH RECURSIVE over the
+    # day-ranked series. Scale shape: one (type, day) partial agg over
+    # the corpus, then |types| arrays of |days| ints — bounded group
+    # state, the events_daily_quantiles discipline.
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS ewma,
+             CAST(0 AS BIGINT) AS n_anomalies
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn, (r.ewma + s.x) // 2,
+             r.n_anomalies + CASE WHEN r.ewma > 0 AND s.x >= 3 * r.ewma
+                                  THEN 1 ELSE 0 END
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+           MAX_BY(ewma, rn) AS ewma_cents,
+           MAX_BY(n_anomalies, rn) AS n_anomalies
+    FROM r GROUP BY event_type
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"), F.lit(0).cast("long")
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("ewma"),
+        F.lit(0).cast("long").alias("anom"),
+    )
+    folded = series.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate(
+            "s",
+            init,
+            lambda acc, el: F.struct(
+                F.shiftright(acc["ewma"] + el["x"], 1).alias("ewma"),
+                (
+                    acc["anom"]
+                    + F.when(
+                        (acc["ewma"] > 0) & (el["x"] >= 3 * acc["ewma"]),
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("anom"),
+            ),
+        ).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("f.ewma").alias("ewma_cents"),
+        F.col("f.anom").alias("n_anomalies"),
     )
