@@ -354,6 +354,7 @@ HEADLINE = [
     "docs_doremi_weights",
     "docs_dup_span_sa",
     "stream_cdc_replay_exactly_once",
+    "events_ewma_daily",
 ]
 
 

@@ -49,29 +49,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-9 WINDOW ROTATION (VERDICT r8 item 1): every entry below has
-    # NEVER been hash-scored by the driver. The list is the FULL
-    # mechanically-computed remainder — all counts, membership, and the
-    # next-round plan are enforced by tests/test_registry.py (rotation
-    # tests compute the remainder from CORRECTNESS_r*.json history; no
+    # ROUND-10 WINDOW ROTATION: every entry below has NEVER been
+    # hash-scored by the driver. The list is the FULL mechanically-
+    # computed remainder — all counts, membership, and the next-round
+    # plan are enforced by tests/test_registry.py (rotation tests
+    # compute the remainder from CORRECTNESS_r*.json history; no
     # hand-maintained totals here, per VERDICT r7 item 5). The window
     # may hold fewer than 50 names exactly when the remainder is smaller
-    # than the window; round-9 additions are appended as they land until
-    # the window is full again, overflow queues in the plan-set test.
+    # than the window; round-10 additions are appended as they land
+    # until the window is full again, overflow queues in the plan-set
+    # test. After CORRECTNESS_r09 every other oracle-backed query in the
+    # repo is driver hash-green (253/254).
     # ------------------------------------------------------------------
-    # the 8 round-8 additions that overflowed the full r8 window
-    "join_interval_overlap",
-    "embeddings_rq_train",
-    "sim_topk_rq",
-    "docs_classifier_train_perceptron",
-    "stream_psi_daily_batch",
-    "stream_psi_daily_stream",
-    "events_spc_rules",
-    "join_bloom_semi",
-    # round-9 additions (appended as they land, until the window holds 50)
-    "docs_doremi_weights",
-    "docs_dup_span_sa",
-    "stream_cdc_replay_exactly_once",
+    # the one r9 addition that missed the r9 window (ADVICE r9, high)
+    "events_ewma_daily",
+    # round-10 additions (appended as they land, until the window holds 50)
 ]
 
 

@@ -106,7 +106,10 @@ def _max_partition_bytes_override() -> str:
     raw = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     if raw is None:
         return str(1024 * 1024)
-    if not re.fullmatch(r"\s*\d+\s*([kmgtp]b?|b)?\s*", raw, re.IGNORECASE):
+    # No internal whitespace: '128 m' passes a gappy pattern but is
+    # unparseable by Spark's byteStringAs and dies silently inside
+    # tune_existing's blanket except (ADVICE r9).
+    if not re.fullmatch(r"\d+([kmgtp]b?|b)?", raw.strip(), re.IGNORECASE):
         raise ValueError(
             "SPARK_GRAFT_MAX_PARTITION_BYTES must be a Spark byte string "
             f"(e.g. '1048576', '128m', '1g'); got {raw!r}"

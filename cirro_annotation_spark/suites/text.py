@@ -37,6 +37,10 @@ from cirro_annotation_spark.suites.util import RATIO, t
 # tier scripts all pay tokenization once per corpus, not once per query.
 # ---------------------------------------------------------------------------
 _DOC_FEATURES_CACHE: dict[tuple[str, str], DataFrame] = {}
+# A tier sweep touches a handful of corpora; anything past this is a
+# long-lived session leaking executor storage (ADVICE r9) — evict the
+# oldest entry and unpersist its blocks before inserting a new one.
+_DOC_FEATURES_CACHE_MAX = 8
 
 
 def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,6 +102,9 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.length(F.translate(F.col("text"), alnum + " ", ""))
         ).alias("n_bpe"),
     ).persist()
+    while len(_DOC_FEATURES_CACHE) >= _DOC_FEATURES_CACHE_MAX:
+        oldest = next(iter(_DOC_FEATURES_CACHE))
+        _DOC_FEATURES_CACHE.pop(oldest).unpersist()
     _DOC_FEATURES_CACHE[key] = feats
     return feats
 

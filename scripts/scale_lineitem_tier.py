@@ -44,8 +44,12 @@ def build(n_copies: int) -> str:
     out_dir = f"/tmp/sf_lineitem{n_copies}x"
     os.makedirs(out_dir, exist_ok=True)
     offset = 100_000_000
+    # o_custkey is deliberately NOT shifted: customer.parquet is an
+    # unscaled symlink, so shifting it would point replicated orders at
+    # nonexistent customers and silently drop them from inner joins
+    # (ADVICE r9). Unshifted = N x orders per customer, every FK valid.
     for name, keys in (
-        ("orders", ["o_orderkey", "o_custkey"]),
+        ("orders", ["o_orderkey"]),
         ("lineitem", ["l_orderkey"]),
     ):
         src = pq.read_table(f"{SRC}/{name}.parquet")
