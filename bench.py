@@ -355,6 +355,10 @@ HEADLINE = [
     "docs_dup_span_sa",
     "stream_cdc_replay_exactly_once",
     "events_ewma_daily",
+    # round 10 additions
+    "events_cep_pattern",
+    "text_collocations_pmi",
+    "events_holt_linear_daily",
 ]
 
 

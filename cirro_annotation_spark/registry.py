@@ -64,6 +64,9 @@ PRIORITY: list[str] = [
     # the one r9 addition that missed the r9 window (ADVICE r9, high)
     "events_ewma_daily",
     # round-10 additions (appended as they land, until the window holds 50)
+    "events_cep_pattern",
+    "text_collocations_pmi",
+    "events_holt_linear_daily",
 ]
 
 

@@ -3561,3 +3561,115 @@ def docs_dup_span_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_coverage"),
     )
+
+
+@query(
+    "text_collocations_pmi",
+    # Collocation / phrase mining (round 10): corpus-wide top-20 token
+    # bigrams by pointwise mutual information with a min-count floor —
+    # the classic phrase-detection pass (Church & Hanks 1990; the
+    # word2vec phrase pre-pass uses the same statistic). PMI
+    # = ln(p(xy) / (p(x)p(y))) is computed as ONE ln over a single
+    # left-associated double chain of integer counts
+    # ((((n_pair*1.0)*nuni)*nuni)/nbi)/cx/cy — every step is an
+    # exactly-rounded IEEE op on identical operands in identical order,
+    # so both engines see the same double and ln agrees (the
+    # docs_unigram_perplexity 6dp-log precedent); signed-round +0
+    # guard on the oracle side since PMI can be negative.
+    #
+    # Scale shape: bigrams/unigrams shuffle as (token) keyed counts —
+    # text itself never shuffles; the two totals are a broadcast 1-row
+    # frame; uni-count joins are broadcast at any realistic vocabulary.
+    # Output is top-20 whatever the corpus size (rank on the ROUNDED
+    # grain + count + lexical tie-breaks — never raw-float order).
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+    u AS (SELECT unnest(l) AS w FROM toks),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+    b AS (SELECT unnest(list_transform(range(1, len(l)),
+                        i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+          FROM toks),
+    bc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM b GROUP BY 1, 2),
+    tot AS (SELECT (SELECT SUM(c) FROM uc) AS nuni,
+                   (SELECT SUM(n_pair) FROM bc) AS nbi),
+    scored AS (
+      SELECT w1, w2, n_pair,
+             ROUND(LN(n_pair * 1.0 * nuni * nuni / nbi / c1.c / c2.c), 6) + 0
+               AS pmi
+      FROM bc
+      JOIN uc c1 ON bc.w1 = c1.w
+      JOIN uc c2 ON bc.w2 = c2.w
+      CROSS JOIN tot
+      WHERE n_pair >= 5
+    )
+    SELECT w1, w2, n_pair, pmi, pair_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, n_pair DESC,
+                                   w1 ASC, w2 ASC) AS pair_rank
+      FROM scored
+    ) r WHERE pair_rank <= 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("l")
+    )
+    uc = (
+        d.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 1),
+        lambda i: F.struct(
+            F.element_at("l", i).alias("w1"),
+            F.element_at("l", i + 1).alias("w2"),
+        ),
+    )
+    bc = (
+        d.filter(F.size("l") >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    tot = uc.agg(F.sum("c").alias("nuni")).crossJoin(
+        bc.agg(F.sum("n_pair").alias("nbi"))
+    )
+    c1 = uc.toDF("w", "c")
+    scored = (
+        bc.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(c1), F.col("w1") == c1["w"])
+        .drop("w")
+        .withColumnRenamed("c", "cx")
+        .join(F.broadcast(uc), F.col("w2") == uc["w"])
+        .drop("w")
+        .withColumnRenamed("c", "cy")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair") * 1.0
+                    * F.col("nuni")
+                    * F.col("nuni")
+                    / F.col("nbi")
+                    / F.col("cx")
+                    / F.col("cy")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("pmi").desc(),
+        F.col("n_pair").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    )
+    return (
+        scored.withColumn("pair_rank", F.row_number().over(w_rank))
+        .filter(F.col("pair_rank") <= 20)
+        .select("w1", "w2", "n_pair", "pmi", "pair_rank")
+    )

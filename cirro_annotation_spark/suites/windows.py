@@ -2334,3 +2334,172 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.ewma").alias("ewma_cents"),
         F.col("f.anom").alias("n_anomalies"),
     )
+
+
+@query(
+    "events_cep_pattern",
+    # Complex-event-processing pattern match (round 10) — the batch
+    # MATCH_RECOGNIZE analogue (SQL:2016 row-pattern recognition;
+    # Flink CEP is the streaming sibling): each user's event history
+    # becomes an ordered symbol string (first letter of event_type —
+    # c/e/p/s/v are distinct here) and patterns are counted as greedy
+    # non-overlapping regex matches, which both engines implement with
+    # identical leftmost semantics (probed: 'v[^p]*c[^p]*p' over
+    # 'vxcvpxvcpp' -> ['vxcvp','vcp'] in Java regex AND DuckDB RE2).
+    # Three business patterns: the browse funnel view->click->purchase
+    # with no earlier purchase swallowed ([^p]* guards), the strict
+    # contiguous funnel, and error-then-recovery-to-purchase.
+    #
+    # Scale shape: ONE user-keyed aggregate; the regex runs codegen'd
+    # per group on a string bounded by per-user activity — the
+    # sessionize / events_session_paths state class. All-integer
+    # output, zero rounding surface. At 100 TB the sequence grain
+    # would shard to (user, month) tumbling scopes; the operator is
+    # unchanged (same fold, same regexes) — only the groupBy key widens.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts ASC, event_id ASC) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'v[^p]*c[^p]*p')) AS BIGINT)
+             AS n_funnel,
+           CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT)
+             AS n_strict_funnel,
+           CAST(len(regexp_extract_all(s, 'e[^p]*p')) AS BIGINT)
+             AS n_error_recovery
+    FROM seq
+    """,
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("s"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count(F.col("s"), F.lit(r"v[^p]*c[^p]*p"))
+        .cast("long")
+        .alias("n_funnel"),
+        F.regexp_count(F.col("s"), F.lit("vcp"))
+        .cast("long")
+        .alias("n_strict_funnel"),
+        F.regexp_count(F.col("s"), F.lit(r"e[^p]*p"))
+        .cast("long")
+        .alias("n_error_recovery"),
+    )
+
+
+@query(
+    "events_holt_linear_daily",
+    # Holt double-exponential smoothing (round 10) — the level+TREND
+    # member of the forecasting family beside events_ewma_daily (level
+    # only): per type-day series, l_d = (l+b+x_d)>>1 then
+    # b_d = (b+(l_d-l))>>1, i.e. alpha=beta=1/2 with the halving as an
+    # ARITHMETIC right shift, which is floor-division-by-2 on BOTH
+    # engines for negative values too (probed: -7>>1 = -4 in Java and
+    # DuckDB; note DuckDB `//` TRUNCATES toward zero on negatives, so
+    # `//` would diverge the trend state — shift is the only safe
+    # halving for signed recursions). Whole series in BIGINT cents —
+    # zero float surface, so the order-dependent two-state recursion
+    # is hash-checkable against the unrolled WITH RECURSIVE oracle.
+    # Anomaly rule: a day whose cents exceed 3x the one-step Holt
+    # forecast (l+b entering the day, when positive).
+    #
+    # Scale shape: one (type, day) partial agg over the corpus, then
+    # |types| arrays of |days| ints folded as ONE codegen'd
+    # F.aggregate expression per type — bounded group state, no driver
+    # loop, no iterative joins (the events_ewma_daily discipline).
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS n_anomalies
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             (r.l + r.b + s.x) >> 1,
+             (r.b + (((r.l + r.b + s.x) >> 1) - r.l)) >> 1,
+             r.n_anomalies + CASE WHEN r.l + r.b > 0
+                                   AND s.x >= 3 * (r.l + r.b)
+                                  THEN 1 ELSE 0 END
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+           MAX_BY(l, rn) AS level_cents,
+           MAX_BY(b, rn) AS trend_cents,
+           MAX_BY(l, rn) + MAX_BY(b, rn) AS forecast_next_cents,
+           MAX_BY(n_anomalies, rn) AS n_anomalies
+    FROM r GROUP BY event_type
+    """,
+)
+def events_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("anom"),
+    )
+
+    def step(acc, el):
+        pred = acc["l"] + acc["b"]
+        new_l = F.shiftright(pred + el["x"], 1)
+        return F.struct(
+            new_l.alias("l"),
+            F.shiftright(acc["b"] + (new_l - acc["l"]), 1).alias("b"),
+            (
+                acc["anom"]
+                + F.when(
+                    (pred > 0) & (el["x"] >= 3 * pred),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("anom"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate("s", init, step).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("f.l").alias("level_cents"),
+        F.col("f.b").alias("trend_cents"),
+        (F.col("f.l") + F.col("f.b")).alias("forecast_next_cents"),
+        F.col("f.anom").alias("n_anomalies"),
+    )

@@ -557,3 +557,38 @@ def test_doremi_mw_loop_properties():
             assert hi - lo <= 1
 
     check()
+
+
+def test_collocations_pmi_planted_phrase_ranks_first(spark, tmp_path):
+    """A bigram whose two words appear ONLY together must out-PMI every
+    organic pair, and the reported value must equal the closed-form
+    ln(c_xy * N_uni^2 / (N_bi * c_x * c_y)) computed in Python over the
+    same exact counts."""
+    import math
+
+    # Filler words are 4x commoner than the planted pair's words, so
+    # every filler bigram's PMI sits strictly below the planted one
+    # (PMI falls with unigram frequency at equal pair count).
+    filler = "x y x y x y x y"
+    docs = [(i, filler + " neural network", "en", "s", 1) for i in range(6)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "pmi")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = sorted(
+        QUERIES["text_collocations_pmi"](spark, path).collect(),
+        key=lambda r: r["pair_rank"],
+    )
+    assert out[0]["w1"] == "neural" and out[0]["w2"] == "network"
+    assert out[0]["pair_rank"] == 1
+    n_tok = 10 * 6          # 10 tokens per doc, 6 docs
+    n_bi = 9 * 6
+    want = round(math.log(6 * n_tok * n_tok / (n_bi * 6 * 6)), 6)
+    assert abs(out[0]["pmi"] - want) < 1e-9
+    # min-count floor: every reported pair occurs >= 5 times
+    assert all(r["n_pair"] >= 5 for r in out)

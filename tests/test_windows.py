@@ -77,3 +77,121 @@ def test_spc_rules_fire_on_planted_shift(spark, tmp_path):
         for r in con.sql(ORACLES["events_spc_rules"]).fetchall()
     }
     assert {k: v for k, v in got.items()} == want
+
+
+def test_cep_pattern_counts_on_crafted_timeline(spark, tmp_path):
+    """Pattern semantics pinned on a hand-built journey where every
+    count is known: greedy non-overlapping matching, the [^p]* guard
+    (a purchase between view and click kills the funnel match), and
+    ts-order independence from arrival order (rows are written
+    shuffled; the symbol string must still follow ts, event_id)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: v c p v e c p  -> funnel 2 (vcp + vecp), strict 1, err 1
+    u1 = ["view", "click", "purchase", "view", "error", "click", "purchase"]
+    # user 2: v p c p        -> funnel 0 (p between v and c), strict 0
+    u2 = ["view", "purchase", "click", "purchase"]
+    rows = []
+    eid = 0
+    for uid, seq in ((1, u1), (2, u2)):
+        for i, et in enumerate(seq):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=i), uid, et, 1.0, "{}")
+            )
+            eid += 1
+    rows.reverse()  # arrival order is the REVERSE of event-time order
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "cep")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    got = {
+        r["user_id"]: (
+            r["n_funnel"], r["n_strict_funnel"], r["n_error_recovery"]
+        )
+        for r in QUERIES["events_cep_pattern"](spark, path).collect()
+    }
+    assert got[1] == (2, 1, 1)
+    assert got[2] == (0, 0, 0)
+
+
+def test_holt_fold_matches_python_recursion(spark, sf_dir):
+    """The F.aggregate fold must equal the reference recursion run in
+    exact Python ints over the same day-sorted cents series — level,
+    trend, and anomaly count, for every event type."""
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+    from cirro_annotation_spark.suites.util import t
+
+    load_all_suites()
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.greatest(
+                F.round(F.sum("value") * 100, 0).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("x")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    want = {}
+    for et, pts in series.items():
+        l = b = anom = 0
+        for _, x in sorted(pts):
+            pred = l + b
+            if pred > 0 and x >= 3 * pred:
+                anom += 1
+            new_l = (pred + x) >> 1
+            b = (b + (new_l - l)) >> 1
+            l = new_l
+        want[et] = (len(pts), l, b, l + b, anom)
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["level_cents"], r["trend_cents"],
+            r["forecast_next_cents"], r["n_anomalies"],
+        )
+        for r in QUERIES["events_holt_linear_daily"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_holt_trend_tracks_planted_ramp(spark, tmp_path):
+    """On a pure linear ramp x_d = 1000*d cents the alpha=beta=1/2
+    recursion must converge to trend ~= slope (it reaches the exact
+    slope lag-free region within ~10 days; assert a tight band) and
+    fire zero anomalies (no day triples the forecast)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (d, base + datetime.timedelta(days=d), 1, "ramp", 10.0 * (d + 1), "{}")
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "holt")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    (r,) = QUERIES["events_holt_linear_daily"](spark, path).collect()
+    assert r["n_days"] == 30
+    assert 800 <= r["trend_cents"] <= 1200  # slope is 1000 cents/day
+    assert r["n_anomalies"] == 0
+    assert abs(r["level_cents"] - 30000) <= 3000
