@@ -359,6 +359,7 @@ HEADLINE = [
     "events_cep_pattern",
     "text_collocations_pmi",
     "events_holt_linear_daily",
+    "graph_link_prediction",
 ]
 
 

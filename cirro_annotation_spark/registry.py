@@ -67,6 +67,7 @@ PRIORITY: list[str] = [
     "events_cep_pattern",
     "text_collocations_pmi",
     "events_holt_linear_daily",
+    "graph_link_prediction",
 ]
 
 

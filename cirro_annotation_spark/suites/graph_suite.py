@@ -320,3 +320,130 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return label_propagation(edges, rounds=3, assume_distinct=True)
+
+
+@query(
+    "graph_link_prediction",
+    # Link prediction (round 10) — the missing-edge-scoring member of
+    # the graph family (Liben-Nowell & Kleinberg 2003): for customer
+    # pairs sharing suppliers in the REPEAT-trade graph (>= 2 lineitems
+    # per (c,s) relationship — the K>=2 filter keeps candidate pairs
+    # O(100k) where the raw bipartite graph's hub suppliers would blow
+    # them to O(100M); measured 482k vs 11.8M at sf0.01), score both
+    # Jaccard over supplier neighborhoods and Adamic-Adar. AA's
+    # sum-of-1/ln(deg) is an ORDER-DEPENDENT float sum, so each shared
+    # supplier contributes the INTEGER round(1e12/ln(deg_s)) and the
+    # pair sums BIGINTs — associative, hash-stable (deg_s >= 2 by
+    # construction: the supplier is shared), and FLOOR (not ROUND)
+    # sidesteps the shortest-repr half-boundary entirely. Jaccard is
+    # reported in exact integer ppm via BIGINT floor division — small
+    # denominators like 128 terminate at EXACTLY 7 decimals, where a
+    # 6dp ROUND sits on the half boundary and the engines disagree.
+    #
+    # Scale shape: candidate generation is the classic neighbor
+    # self-join keyed on the shared supplier — fingerprint-width rows;
+    # degree frames are broadcast; output is top-50 whatever the graph.
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    degc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM e GROUP BY 1),
+    degs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ds FROM e GROUP BY 1),
+    sc AS (SELECT s, CAST(FLOOR(1000000000000.0 / LN(ds)) AS BIGINT)
+                      AS aa_s
+           FROM degs WHERE ds >= 2),
+    pairs AS (
+      SELECT a.c AS cust_a, b.c AS cust_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(sc.aa_s) AS BIGINT) AS aa_score
+      FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+      JOIN sc ON sc.s = a.s
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT cust_a, cust_b, n_common, aa_score,
+             (n_common * 1000000) // (da.dc + db.dc - n_common) AS jaccard_ppm
+      FROM pairs
+      JOIN degc da ON da.c = cust_a
+      JOIN degc db ON db.c = cust_b)
+    SELECT cust_a, cust_b, n_common, jaccard_ppm, aa_score, pair_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, n_common DESC,
+                                   aa_score DESC, cust_a ASC, cust_b ASC)
+                AS pair_rank
+      FROM scored
+    ) r WHERE pair_rank <= 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("n_li"))
+        .filter(F.col("n_li") >= 2)
+        .select("c", "s")
+    )
+    degc = e.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    sc = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("ds"))
+        # a degree-1 supplier can never be SHARED, so dropping it is
+        # semantics-neutral — and ln(1)=0 would divide by zero
+        .filter(F.col("ds") >= 2)
+        .select(
+            "s",
+            F.floor(F.lit(1_000_000_000_000.0) / F.log("ds"))
+            .cast("long")
+            .alias("aa_s"),
+        )
+    )
+    a = e.toDF("ca", "s")
+    b = e.toDF("cb", "s2")
+    pairs = (
+        a.join(b, (a["s"] == b["s2"]) & (a["ca"] < b["cb"]))
+        .join(F.broadcast(sc), "s")
+        .groupBy(
+            F.col("ca").alias("cust_a"), F.col("cb").alias("cust_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("aa_s").alias("aa_score"),
+        )
+    )
+    da = degc.toDF("c1", "da")
+    db = degc.toDF("c2", "db")
+    scored = (
+        pairs.join(F.broadcast(da), F.col("cust_a") == F.col("c1"))
+        .join(F.broadcast(db), F.col("cust_b") == F.col("c2"))
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            F.expr(
+                "(n_common * 1000000L) div (da + db - n_common)"
+            ).alias("jaccard_ppm"),
+            "aa_score",
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("jaccard_ppm").desc(),
+        F.col("n_common").desc(),
+        F.col("aa_score").desc(),
+        F.col("cust_a").asc(),
+        F.col("cust_b").asc(),
+    )
+    return (
+        scored.withColumn("pair_rank", F.row_number().over(w_rank))
+        .filter(F.col("pair_rank") <= 50)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            "jaccard_ppm",
+            "aa_score",
+            "pair_rank",
+        )
+    )

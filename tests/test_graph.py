@@ -367,3 +367,56 @@ def test_label_propagation_directed_sinks_keep_labels(spark):
     # round 1: 1<-label(2)=2, 2<-label(3)=3, 3 keeps 3
     # round 2: 1<-label(2)=3, 2<-3, 3 keeps 3
     assert got == {1: 3, 2: 3, 3: 3}
+
+
+def test_link_prediction_planted_twins_rank_first(spark, tmp_path):
+    """Two customers with IDENTICAL supplier sets must rank first with
+    jaccard exactly 1e6 ppm, and their Adamic-Adar score must equal the
+    Python floor(1e12/ln(deg)) sum over the shared suppliers. Repeat
+    filter pinned: a (c,s) pair with a single lineitem contributes no
+    edge."""
+    import math
+
+    orders, lineitem = [], []
+    oid = eid = 0
+
+    def trade(cust, supp, n_li):
+        nonlocal oid, eid
+        oid += 1
+        orders.append((oid, cust))
+        for _ in range(n_li):
+            eid += 1
+            lineitem.append((oid, supp))
+
+    # twins 1 and 2 both repeat-trade with suppliers 10 and 11
+    for cust in (1, 2):
+        for supp in (10, 11):
+            trade(cust, supp, 2)
+    # customer 3 shares only supplier 10, plus private supplier 12
+    trade(3, 10, 2)
+    trade(3, 12, 2)
+    # customer 4 touches supplier 11 ONCE — filtered out (no edge)
+    trade(4, 11, 1)
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "g") + "/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "g") + "/lineitem.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = sorted(
+        QUERIES["graph_link_prediction"](spark, str(tmp_path / "g")).collect(),
+        key=lambda r: r["pair_rank"],
+    )
+    top = out[0]
+    assert (top["cust_a"], top["cust_b"]) == (1, 2)
+    assert top["jaccard_ppm"] == 1_000_000 and top["n_common"] == 2
+    # deg(10) = 3 (custs 1,2,3), deg(11) = 2 (cust 4's single-lineitem
+    # touch is filtered)
+    want_aa = math.floor(1e12 / math.log(3)) + math.floor(1e12 / math.log(2))
+    assert top["aa_score"] == want_aa
+    # customer 4 appears in NO pair
+    assert all(4 not in (r["cust_a"], r["cust_b"]) for r in out)
