@@ -360,6 +360,7 @@ HEADLINE = [
     "text_collocations_pmi",
     "events_holt_linear_daily",
     "graph_link_prediction",
+    "text_rake_keyphrases",
 ]
 
 

@@ -68,6 +68,7 @@ PRIORITY: list[str] = [
     "text_collocations_pmi",
     "events_holt_linear_daily",
     "graph_link_prediction",
+    "text_rake_keyphrases",
 ]
 
 

@@ -3673,3 +3673,122 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_rank") <= 20)
         .select("w1", "w2", "n_pair", "pmi", "pair_rank")
     )
+
+
+@query(
+    "text_rake_keyphrases",
+    # RAKE keyphrase extraction (round 10; Rose et al. 2010): candidate
+    # phrases are maximal stopword-free token runs; each word scores
+    # degree/frequency (degree = sum of containing-phrase lengths,
+    # counted per occurrence); a phrase scores the sum of its word
+    # scores. Word scores are EXACT INTEGERS at 1e9 scale via BIGINT
+    # floor division (deg*1e9 // freq) so the phrase score is a sum of
+    # BIGINTs — associative and hash-stable where the textbook
+    # sum-of-rationals would drift with accumulation order.
+    #
+    # The two engines take deliberately DIFFERENT phrase-extraction
+    # paths that must agree exactly: Spark folds each token array
+    # scan-locally with ONE codegen'd F.aggregate (state = phrases so
+    # far + current run — no posexplode, no shuffle of tokens; text
+    # never leaves the scan), while the oracle does the classic SQL
+    # gaps-and-islands (i - row_number() grouping). Stopword set is
+    # the engine's EN list (operators/text.py STOPWORDS).
+    #
+    # Scale shape: phrase strings (short) shuffle for the two counts;
+    # the word-score frame is vocabulary-sized and broadcasts; output
+    # is top-15 however big the corpus, ranked on integers only.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+    tok AS (SELECT doc_id, i, l[i] AS w
+            FROM toks, unnest(range(1, len(l) + 1)) AS r(i)),
+    isl AS (SELECT doc_id, i, w,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS grp
+            FROM tok WHERE w NOT IN ('the', 'a', 'of', 'and', 'to')),
+    phr AS (SELECT doc_id, grp,
+                   string_agg(w, ' ' ORDER BY i) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM isl GROUP BY doc_id, grp),
+    pw AS (SELECT phrase, n_words,
+                  unnest(string_split(phrase, ' ')) AS w
+           FROM phr),
+    ws AS (SELECT w,
+                  CAST((SUM(n_words) * 1000000000) // COUNT(*) AS BIGINT)
+                    AS wscore
+           FROM pw GROUP BY w),
+    pd AS (SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occur
+           FROM phr GROUP BY 1, 2),
+    ps AS (SELECT u.phrase, CAST(SUM(ws.wscore) AS BIGINT) AS score
+           FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+                 FROM pd) u
+           JOIN ws ON ws.w = u.w
+           GROUP BY u.phrase)
+    SELECT phrase, n_words, n_occur, score, phrase_rank FROM (
+      SELECT pd.phrase, pd.n_words, pd.n_occur, ps.score,
+             ROW_NUMBER() OVER (ORDER BY ps.score DESC, pd.n_occur DESC,
+                                pd.phrase ASC) AS phrase_rank
+      FROM pd JOIN ps ON ps.phrase = pd.phrase
+    ) r WHERE phrase_rank <= 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stops = X.STOPWORDS["en"]
+    d = t(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("l")
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("ph"),
+        F.lit("").alias("cur"),
+    )
+
+    def step(acc, x):
+        is_stop = x.isin(*stops)
+        return F.struct(
+            F.when(
+                is_stop & (acc["cur"] != ""),
+                F.concat(acc["ph"], F.array(acc["cur"])),
+            )
+            .otherwise(acc["ph"])
+            .alias("ph"),
+            F.when(is_stop, F.lit(""))
+            .otherwise(
+                F.when(acc["cur"] == "", x).otherwise(
+                    F.concat_ws(" ", acc["cur"], x)
+                )
+            )
+            .alias("cur"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["cur"] != "", F.concat(acc["ph"], F.array(acc["cur"]))
+        ).otherwise(acc["ph"])
+
+    phr = d.select(
+        F.explode(F.aggregate("l", init, step, finish)).alias("phrase")
+    ).select("phrase", F.size(F.split("phrase", " ")).cast("long").alias("n_words"))
+    pw = phr.select(
+        "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.expr("(sum(n_words) * 1000000000L) div count(1)").alias("wscore")
+    )
+    pd_ = phr.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occur")
+    )
+    ps = (
+        pd_.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(F.broadcast(ws), "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    w_rank = Window.orderBy(
+        F.col("score").desc(), F.col("n_occur").desc(), F.col("phrase").asc()
+    )
+    return (
+        pd_.join(ps, "phrase")
+        .withColumn("phrase_rank", F.row_number().over(w_rank))
+        .filter(F.col("phrase_rank") <= 15)
+        .select("phrase", "n_words", "n_occur", "score", "phrase_rank")
+    )

@@ -592,3 +592,40 @@ def test_collocations_pmi_planted_phrase_ranks_first(spark, tmp_path):
     assert abs(out[0]["pmi"] - want) < 1e-9
     # min-count floor: every reported pair occurs >= 5 times
     assert all(r["n_pair"] >= 5 for r in out)
+
+
+def test_rake_phrase_extraction_boundaries(spark, tmp_path):
+    """Island semantics pinned on crafted docs: leading/trailing
+    stopwords, consecutive stopwords, an all-stopword doc (contributes
+    nothing), and the exact integer word/phrase scores of a known
+    corpus."""
+    docs = [
+        # phrases: [big data], [fast query engine]
+        (1, "the big data of the fast query engine", "en", "s", 1),
+        # phrases: [big data] again (repeat boosts its n_occur)
+        (2, "big data and the a to", "en", "s", 1),
+        (3, "the a of and to", "en", "s", 1),  # all stopwords
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "rake")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = {
+        r["phrase"]: r
+        for r in QUERIES["text_rake_keyphrases"](spark, path).collect()
+    }
+    assert set(out) == {"big data", "fast query engine"}
+    # big: freq 2, deg 2+2=4 -> 2e9; data: same; fast/query/engine:
+    # freq 1, deg 3 -> 3e9
+    bd = out["big data"]
+    assert bd["n_occur"] == 2 and bd["n_words"] == 2
+    assert bd["score"] == 2 * 2_000_000_000
+    fqe = out["fast query engine"]
+    assert fqe["n_occur"] == 1 and fqe["n_words"] == 3
+    assert fqe["score"] == 3 * 3_000_000_000
+    assert fqe["phrase_rank"] == 1  # 9e9 > 4e9
