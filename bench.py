@@ -361,6 +361,7 @@ HEADLINE = [
     "events_holt_linear_daily",
     "graph_link_prediction",
     "text_rake_keyphrases",
+    "text_kn_bigram_lm",
 ]
 
 

@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "events_holt_linear_daily",
     "graph_link_prediction",
     "text_rake_keyphrases",
+    "text_kn_bigram_lm",
 ]
 
 

@@ -3792,3 +3792,103 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("phrase_rank") <= 15)
         .select("phrase", "n_words", "n_occur", "score", "phrase_rank")
     )
+
+
+@query(
+    "text_kn_bigram_lm",
+    # Interpolated Kneser-Ney bigram LM (round 10; Kneser & Ney 1995,
+    # Chen & Goodman 1998) — the SMOOTHED member of the LM family
+    # beside docs_unigram_perplexity (MLE) and docs_ccnet_buckets
+    # (routing): P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1.)/c1 *
+    # N1+(.w2)/T with D=3/4, reported for the corpus's top-20 bigrams.
+    # With D rational, BOTH terms are integer ratios: each is floored
+    # separately at 1e9 scale via BIGINT `div` (two-stage flooring
+    # keeps every product under 2^63 — the single-fraction
+    # cross-multiplied form would overflow once c12*T passes 2.3e9;
+    # bound documented for |V| <= 55k, beyond which drop the scale).
+    # Zero float surface; the probability column is exact ppb.
+    #
+    # Scale shape: ALL statistics derive from the one (w1,w2) count
+    # frame — histories, continuation types, and the type total are
+    # three tiny vocabulary-sized reaggregations of it (broadcast
+    # joins); the corpus is scanned once and text never shuffles.
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(l)),
+                        i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+          FROM toks),
+    bc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM b GROUP BY 1, 2),
+    h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                 CAST(COUNT(*) AS BIGINT) AS n1_hist
+          FROM bc GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_cont
+             FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bc),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.c12,
+             (GREATEST(4 * bc.c12 - 3, 0) * 1000000000) // (4 * h.c1)
+             + (3 * h.n1_hist * cont.n1_cont * 1000000000)
+               // (4 * h.c1 * tot.t) AS p_kn_ppb
+      FROM bc
+      JOIN h ON h.w1 = bc.w1
+      JOIN cont ON cont.w2 = bc.w2
+      CROSS JOIN tot)
+    SELECT w1, w2, c12, p_kn_ppb, pair_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p_kn_ppb DESC, c12 DESC,
+                                   w1 ASC, w2 ASC) AS pair_rank
+      FROM scored
+    ) r WHERE pair_rank <= 20
+    """,
+)
+def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("l")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 1),
+        lambda i: F.struct(
+            F.element_at("l", i).alias("w1"),
+            F.element_at("l", i + 1).alias("w2"),
+        ),
+    )
+    bc = (
+        d.filter(F.size("l") >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    h = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1_hist"),
+    ).toDF("hw1", "c1", "n1_hist")
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_cont")
+    ).toDF("cw2", "n1_cont")
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    scored = (
+        bc.join(F.broadcast(h), F.col("w1") == F.col("hw1"))
+        .join(F.broadcast(cont), F.col("w2") == F.col("cw2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "(greatest(4 * c12 - 3, 0L) * 1000000000L) div (4 * c1)"
+                " + (3 * n1_hist * n1_cont * 1000000000L)"
+                " div (4 * c1 * t)"
+            ).alias("p_kn_ppb"),
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("p_kn_ppb").desc(),
+        F.col("c12").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    )
+    return (
+        scored.withColumn("pair_rank", F.row_number().over(w_rank))
+        .filter(F.col("pair_rank") <= 20)
+        .select("w1", "w2", "c12", "p_kn_ppb", "pair_rank")
+    )

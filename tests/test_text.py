@@ -629,3 +629,36 @@ def test_rake_phrase_extraction_boundaries(spark, tmp_path):
     assert fqe["n_occur"] == 1 and fqe["n_words"] == 3
     assert fqe["score"] == 3 * 3_000_000_000
     assert fqe["phrase_rank"] == 1  # 9e9 > 4e9
+
+
+def test_kn_bigram_exact_hand_computation(spark, tmp_path):
+    """P_kn pinned against a by-hand computation on a 3-bigram corpus:
+    discounting (max(c-D,0)), the continuation distribution (types not
+    tokens — the KN signature), and the two-stage integer flooring."""
+    docs = [(1, "a b a b a c", "en", "s", 1)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "kn")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in QUERIES["text_kn_bigram_lm"](spark, path).collect()
+    }
+    # bigrams: ab ba ab ba ac -> c(a,b)=2 c(b,a)=2 c(a,c)=1
+    # histories: c1(a)=3 n1+(a.)=2 ; c1(b)=2 n1+(b.)=1
+    # continuations: n1+(.b)=1 n1+(.a)=1 n1+(.c)=1 ; T=3 bigram types
+    def pkn(c12, c1, n1h, n1c, T=3):
+        return (max(4 * c12 - 3, 0) * 10**9) // (4 * c1) + (
+            3 * n1h * n1c * 10**9
+        ) // (4 * c1 * T)
+
+    assert out[("a", "b")]["p_kn_ppb"] == pkn(2, 3, 2, 1)
+    assert out[("b", "a")]["p_kn_ppb"] == pkn(2, 2, 1, 1)
+    assert out[("a", "c")]["p_kn_ppb"] == pkn(1, 3, 2, 1)
+    # discounting must leave mass: smoothed P(c|a) < MLE 1/3
+    assert out[("a", "c")]["p_kn_ppb"] < 10**9 // 3
