@@ -362,6 +362,7 @@ HEADLINE = [
     "graph_link_prediction",
     "text_rake_keyphrases",
     "text_kn_bigram_lm",
+    "text_langid_train_nb",
 ]
 
 

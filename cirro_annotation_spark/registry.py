@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "graph_link_prediction",
     "text_rake_keyphrases",
     "text_kn_bigram_lm",
+    "text_langid_train_nb",
 ]
 
 

@@ -3892,3 +3892,131 @@ def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_rank") <= 20)
         .select("w1", "w2", "c12", "p_kn_ppb", "pair_rank")
     )
+
+
+def _nb_langid_oracle() -> str:
+    """Char-unigram NB oracle, generated over the 26 letters (the
+    _doremi_oracle generated-SQL precedent)."""
+    letters = [chr(c) for c in range(97, 123)]
+    cnt = ", ".join(
+        f"LENGTH(text) - LENGTH(REPLACE(text, '{ch}', ''))" for ch in letters
+    )
+    sums = ", ".join(f"CAST(SUM(cnt[{i + 1}]) AS BIGINT)" for i in range(26))
+    return f"""
+    WITH per AS (
+      SELECT doc_id, lang, [{cnt}] AS cnt FROM documents),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, [{sums}] AS tc
+      FROM per GROUP BY lang),
+    model AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(LN(n_docs * 1.0 /
+                           (SELECT SUM(n_docs) FROM agg)) * 1000000)
+                  AS BIGINT) AS lprior,
+             list_transform(tc, x ->
+               CAST(FLOOR(LN((x + 1) * 1.0 /
+                             (list_aggregate(tc, 'sum') + 26)) * 1000000)
+                    AS BIGINT)) AS llik
+      FROM agg),
+    scores AS (
+      SELECT per.doc_id, per.lang AS true_lang, model.lang AS cand,
+             model.lprior + CAST(list_aggregate(
+               list_transform(range(1, 27),
+                              i -> per.cnt[i] * model.llik[i]),
+               'sum') AS BIGINT) AS score
+      FROM per CROSS JOIN model),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS predicted
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, cand ASC) AS rn FROM scores) r
+      WHERE rn = 1)
+    SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@query(
+    "text_langid_train_nb",
+    # In-engine Naive Bayes language-ID TRAINER (round 10) — the
+    # generative-model member of the trainer family beside the
+    # perceptron (discriminative) and kmeans/PQ/RQ (quantizers):
+    # char-unigram NB with add-one smoothing, trained on the labeled
+    # corpus and evaluated in the same query as a train-set confusion
+    # matrix. Letter counts are 26 scan-local translate expressions
+    # (no tokenization, no explode); log-likelihoods and priors are
+    # FLOORED to integer micro-logs (floor of an identical IEEE double
+    # is exact across engines — no ROUND half-boundary), so each doc's
+    # class score is a BIGINT dot product: associative, hash-stable.
+    #
+    # Scale shape: training is ONE map-side-combined aggregate to a
+    # |langs| x 26 model frame (bounded driver/model state, the kmeans
+    # centroid discipline); scoring crossJoins the broadcast model and
+    # folds zip_with products inside the scan. Output is the |langs|^2
+    # confusion matrix however big the corpus.
+    oracle=_nb_langid_oracle(),
+)
+def text_langid_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    letters = [chr(c) for c in range(97, 123)]
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array(
+            *[
+                (
+                    F.length("text")
+                    - F.length(F.translate(F.col("text"), ch, ""))
+                ).cast("long")
+                for ch in letters
+            ]
+        ).alias("cnt"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array(
+            *[F.sum(F.element_at("cnt", i + 1)).alias(f"s{i}") for i in range(26)]
+        ).alias("tc"),
+    )
+    total_docs = agg.agg(F.sum("n_docs").alias("all_docs"))
+    model = agg.crossJoin(F.broadcast(total_docs)).select(
+        F.col("lang").alias("cand"),
+        F.floor(
+            F.log(F.col("n_docs") * 1.0 / F.col("all_docs")) * 1_000_000
+        )
+        .cast("long")
+        .alias("lprior"),
+        F.transform(
+            "tc",
+            lambda x: F.floor(
+                F.log(
+                    (x + 1)
+                    * 1.0
+                    / (F.aggregate("tc", F.lit(0).cast("long"), lambda a, b: a + b) + 26)
+                )
+                * 1_000_000
+            ).cast("long"),
+        ).alias("llik"),
+    )
+    scores = d.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "cand",
+        (
+            F.col("lprior")
+            + F.aggregate(
+                F.zip_with("cnt", "llik", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("predicted"))
+    )
+    return pred.groupBy("true_lang", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

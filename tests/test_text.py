@@ -662,3 +662,27 @@ def test_kn_bigram_exact_hand_computation(spark, tmp_path):
     assert out[("a", "c")]["p_kn_ppb"] == pkn(1, 3, 2, 1)
     # discounting must leave mass: smoothed P(c|a) < MLE 1/3
     assert out[("a", "c")]["p_kn_ppb"] < 10**9 // 3
+
+
+def test_nb_langid_separable_corpus_perfect_confusion(spark, tmp_path):
+    """On a linearly separable crafted corpus (disjoint letter support
+    per language) the NB trainer must produce a DIAGONAL confusion
+    matrix; smoothing must not flip any prediction."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "aaa bbb abab baba", "aa", "s", 1))
+        rows.append((100 + i, "zzz yyy zyzy yzyz", "zz", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "nb")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    got = {
+        (r["true_lang"], r["predicted"]): r["n"]
+        for r in QUERIES["text_langid_train_nb"](spark, path).collect()
+    }
+    assert got == {("aa", "aa"): 10, ("zz", "zz"): 10}
