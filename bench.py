@@ -363,6 +363,7 @@ HEADLINE = [
     "text_rake_keyphrases",
     "text_kn_bigram_lm",
     "text_langid_train_nb",
+    "docs_kn_perplexity",
 ]
 
 

@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "text_rake_keyphrases",
     "text_kn_bigram_lm",
     "text_langid_train_nb",
+    "docs_kn_perplexity",
 ]
 
 

@@ -3794,27 +3794,15 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_kn_bigram_lm",
-    # Interpolated Kneser-Ney bigram LM (round 10; Kneser & Ney 1995,
-    # Chen & Goodman 1998) — the SMOOTHED member of the LM family
-    # beside docs_unigram_perplexity (MLE) and docs_ccnet_buckets
-    # (routing): P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1.)/c1 *
-    # N1+(.w2)/T with D=3/4, reported for the corpus's top-20 bigrams.
-    # With D rational, BOTH terms are integer ratios: each is floored
-    # separately at 1e9 scale via BIGINT `div` (two-stage flooring
-    # keeps every product under 2^63 — the single-fraction
-    # cross-multiplied form would overflow once c12*T passes 2.3e9;
-    # bound documented for |V| <= 55k, beyond which drop the scale).
-    # Zero float surface; the probability column is exact ppb.
-    #
-    # Scale shape: ALL statistics derive from the one (w1,w2) count
-    # frame — histories, continuation types, and the type total are
-    # three tiny vocabulary-sized reaggregations of it (broadcast
-    # joins); the corpus is scanned once and text never shuffles.
-    oracle="""
-    WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
-    b AS (SELECT unnest(list_transform(range(1, len(l)),
+# Shared Kneser-Ney scored-bigram CTE chain: every corpus bigram with
+# its exact-integer interpolated-KN probability in ppb. Consumed by
+# text_kn_bigram_lm (top-20 report) and docs_kn_perplexity (per-doc
+# scoring) — one definition, two queries, the hash pins both to it.
+_KN_SCORED_CTE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(l)),
                         i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
           FROM toks),
     bc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
@@ -3834,16 +3822,14 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN h ON h.w1 = bc.w1
       JOIN cont ON cont.w2 = bc.w2
       CROSS JOIN tot)
-    SELECT w1, w2, c12, p_kn_ppb, pair_rank FROM (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY p_kn_ppb DESC, c12 DESC,
-                                   w1 ASC, w2 ASC) AS pair_rank
-      FROM scored
-    ) r WHERE pair_rank <= 20
-    """,
-)
-def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _kn_scored(spark: SparkSession, sf_dir: str):
+    """(per-doc bigram frame, scored KN bigram frame) — the Spark twin
+    of _KN_SCORED_CTE; both KN queries build on these."""
     d = t(spark, sf_dir, "documents").select(
-        F.split(F.col("text"), " ").alias("l")
+        "doc_id", F.split(F.col("text"), " ").alias("l")
     )
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("l") - 1),
@@ -3852,11 +3838,13 @@ def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", i + 1).alias("w2"),
         ),
     )
-    bc = (
+    doc_bi = (
         d.filter(F.size("l") >= 2)
-        .select(F.explode(bigrams).alias("p"))
-        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .select("doc_id", F.explode(bigrams).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = doc_bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
     )
     h = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
@@ -3881,6 +3869,38 @@ def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn_ppb"),
         )
     )
+    return doc_bi, scored
+
+
+@query(
+    "text_kn_bigram_lm",
+    # Interpolated Kneser-Ney bigram LM (round 10; Kneser & Ney 1995,
+    # Chen & Goodman 1998) — the SMOOTHED member of the LM family
+    # beside docs_unigram_perplexity (MLE) and docs_ccnet_buckets
+    # (routing): P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1.)/c1 *
+    # N1+(.w2)/T with D=3/4, reported for the corpus's top-20 bigrams.
+    # With D rational, BOTH terms are integer ratios: each is floored
+    # separately at 1e9 scale via BIGINT `div` (two-stage flooring
+    # keeps every product under 2^63 — the single-fraction
+    # cross-multiplied form would overflow once c12*T passes 2.3e9;
+    # bound documented for |V| <= 55k, beyond which drop the scale).
+    # Zero float surface; the probability column is exact ppb.
+    #
+    # Scale shape: ALL statistics derive from the one (w1,w2) count
+    # frame — histories, continuation types, and the type total are
+    # three tiny vocabulary-sized reaggregations of it (broadcast
+    # joins); the corpus is scanned once and text never shuffles.
+    oracle=_KN_SCORED_CTE
+    + """
+    SELECT w1, w2, c12, p_kn_ppb, pair_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p_kn_ppb DESC, c12 DESC,
+                                   w1 ASC, w2 ASC) AS pair_rank
+      FROM scored
+    ) r WHERE pair_rank <= 20
+    """,
+)
+def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, scored = _kn_scored(spark, sf_dir)
     w_rank = Window.orderBy(
         F.col("p_kn_ppb").desc(),
         F.col("c12").desc(),
@@ -4019,4 +4039,68 @@ def text_langid_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pred.groupBy("true_lang", "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "docs_kn_perplexity",
+    # The KN model's CONSUMER (round 10) — train -> score in one query,
+    # closing the LM lifecycle the way kmeans->IVF and perceptron->
+    # classifier do: every doc scored under the corpus's interpolated-
+    # KN bigram model (the CCNet §4.4 filter shape, with a smoothed LM
+    # instead of docs_unigram_perplexity's MLE — smoothing is what
+    # keeps rare-but-valid continuations from dominating the NLL).
+    # Per-bigram NLL = floor(-ln(p_ppb/1e9)*1e6) — floor of an
+    # identical IEEE double, exact across engines; p is clamped to
+    # >= 1 ppb because at extreme corpus scales both floored KN terms
+    # can quantize to zero and ln(0) would -inf. Doc scores are
+    # BIGINT sums of micro-NLLs — associative, hash-stable; the
+    # per-bigram mean uses BIGINT floor division.
+    #
+    # Scale shape: the model is trained once from the shared bigram
+    # frame (vocabulary-sized); scoring is ONE (w1,w2)-keyed join of
+    # doc bigrams against the scored model — fingerprint-width rows,
+    # text never shuffles.
+    oracle=_KN_SCORED_CTE
+    + """
+    , nl AS (SELECT w1, w2,
+                    CAST(FLOOR(-LN(GREATEST(p_kn_ppb, 1) * 1.0
+                                   / 1000000000) * 1000000) AS BIGINT)
+                      AS nll_micro
+             FROM scored),
+    db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum,
+           CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM db JOIN nl ON nl.w1 = db.w1 AND nl.w2 = db.w2
+    GROUP BY doc_id
+    """,
+)
+def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_bi, scored = _kn_scored(spark, sf_dir)
+    nl = scored.select(
+        F.col("w1").alias("nw1"),
+        F.col("w2").alias("nw2"),
+        F.floor(
+            -F.log(
+                F.greatest(F.col("p_kn_ppb"), F.lit(1).cast("long"))
+                * 1.0
+                / 1_000_000_000
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        doc_bi.join(
+            nl,
+            (F.col("w1") == F.col("nw1")) & (F.col("w2") == F.col("nw2")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").alias("nll_micro_sum"),
+            F.expr("sum(nll_micro) div count(1)").alias("avg_nll_micro"),
+        )
     )

@@ -686,3 +686,28 @@ def test_nb_langid_separable_corpus_perfect_confusion(spark, tmp_path):
         for r in QUERIES["text_langid_train_nb"](spark, path).collect()
     }
     assert got == {("aa", "aa"): 10, ("zz", "zz"): 10}
+
+
+def test_kn_perplexity_smoothing_orders_docs(spark, tmp_path):
+    """A doc made of the corpus's dominant bigram must score lower
+    avg-NLL than a doc of rare bigrams; every per-doc sum must be
+    non-negative and n_bigrams = tokens-1."""
+    rows = [(i, "a b a b a b a b", "en", "s", 1) for i in range(8)] + [
+        (100, "q r s t u v w x", "en", "s", 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "knp")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_kn_perplexity"](spark, path).collect()
+    }
+    assert all(r["n_bigrams"] == 7 for r in out.values())
+    assert all(r["nll_micro_sum"] >= 0 for r in out.values())
+    assert out[0]["avg_nll_micro"] < out[100]["avg_nll_micro"]
