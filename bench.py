@@ -364,6 +364,7 @@ HEADLINE = [
     "text_kn_bigram_lm",
     "text_langid_train_nb",
     "docs_kn_perplexity",
+    "events_forecast_backtest",
 ]
 
 

@@ -72,6 +72,7 @@ PRIORITY: list[str] = [
     "text_kn_bigram_lm",
     "text_langid_train_nb",
     "docs_kn_perplexity",
+    "events_forecast_backtest",
 ]
 
 

@@ -2503,3 +2503,113 @@ def events_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("f.l") + F.col("f.b")).alias("forecast_next_cents"),
         F.col("f.anom").alias("n_anomalies"),
     )
+
+
+@query(
+    "events_forecast_backtest",
+    # Walk-forward forecast backtest (round 10) — the EVALUATION member
+    # of the forecasting family: both production recursions (EWMA
+    # level-only and Holt level+trend, exactly as scored in
+    # events_ewma_daily / events_holt_linear_daily) run side by side
+    # over each type's day-sorted cents series, accumulating one-step-
+    # ahead absolute errors from day 2 on (day 1 has no fitted state to
+    # forecast from). Everything — both model states, both error sums,
+    # the MAE floor-divisions, the winner comparison — is exact BIGINT,
+    # so an order-dependent dual recursion plus a model comparison is
+    # still one hash-checkable query. Winner ties break 'tie' on equal
+    # ERROR SUMS (same denominator — comparing raw sums, not the
+    # floored MAEs, avoids a floor artifact deciding the model).
+    #
+    # Scale shape: identical to the forecasters it evaluates — one
+    # (type, day) partial agg, then ONE codegen'd fold per type.
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS e,
+             CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS err_e, CAST(0 AS BIGINT) AS err_h
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             (r.e + s.x) >> 1,
+             (r.l + r.b + s.x) >> 1,
+             (r.b + (((r.l + r.b + s.x) >> 1) - r.l)) >> 1,
+             r.err_e + CASE WHEN s.rn >= 2 THEN ABS(s.x - r.e)
+                            ELSE 0 END,
+             r.err_h + CASE WHEN s.rn >= 2 THEN ABS(s.x - (r.l + r.b))
+                            ELSE 0 END
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+           MAX_BY(err_e, rn) // (MAX(rn) - 1) AS mae_ewma_cents,
+           MAX_BY(err_h, rn) // (MAX(rn) - 1) AS mae_holt_cents,
+           CASE WHEN MAX_BY(err_h, rn) < MAX_BY(err_e, rn) THEN 'holt'
+                WHEN MAX_BY(err_h, rn) > MAX_BY(err_e, rn) THEN 'ewma'
+                ELSE 'tie' END AS winner
+    FROM r GROUP BY event_type HAVING MAX(rn) >= 2
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("e"),
+        zero.alias("l"),
+        zero.alias("b"),
+        zero.alias("err_e"),
+        zero.alias("err_h"),
+        zero.alias("rn"),
+    )
+
+    def step(acc, el):
+        rn = acc["rn"] + 1
+        new_l = F.shiftright(acc["l"] + acc["b"] + el["x"], 1)
+        in_eval = rn >= 2
+        return F.struct(
+            F.shiftright(acc["e"] + el["x"], 1).alias("e"),
+            new_l.alias("l"),
+            F.shiftright(acc["b"] + (new_l - acc["l"]), 1).alias("b"),
+            (
+                acc["err_e"]
+                + F.when(in_eval, F.abs(el["x"] - acc["e"])).otherwise(zero)
+            ).alias("err_e"),
+            (
+                acc["err_h"]
+                + F.when(
+                    in_eval, F.abs(el["x"] - (acc["l"] + acc["b"]))
+                ).otherwise(zero)
+            ).alias("err_h"),
+            rn.alias("rn"),
+        )
+
+    folded = series.filter(F.size("s") >= 2).select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate("s", init, step).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr("f.err_e div (n_days - 1)").alias("mae_ewma_cents"),
+        F.expr("f.err_h div (n_days - 1)").alias("mae_holt_cents"),
+        F.when(F.col("f.err_h") < F.col("f.err_e"), F.lit("holt"))
+        .when(F.col("f.err_h") > F.col("f.err_e"), F.lit("ewma"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )

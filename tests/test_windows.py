@@ -195,3 +195,59 @@ def test_holt_trend_tracks_planted_ramp(spark, tmp_path):
     assert 800 <= r["trend_cents"] <= 1200  # slope is 1000 cents/day
     assert r["n_anomalies"] == 0
     assert abs(r["level_cents"] - 30000) <= 3000
+
+
+def test_backtest_holt_wins_on_ramp_ewma_on_noise_free_level(spark, tmp_path):
+    """Model selection pinned where theory predicts it: on a linear
+    ramp the trend model must win (EWMA lags a ramp by ~the slope);
+    on a flat level both converge and EWMA's smaller lag-in must not
+    lose — and the error sums must equal the dual recursion run in
+    exact Python ints."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        rows.append((eid, base + datetime.timedelta(days=d), 1, "ramp",
+                     10.0 * (d + 1), "{}"))
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(days=d), 2, "flat",
+                     500.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "bt")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_forecast_backtest"](spark, path).collect()
+    }
+    assert got["ramp"]["winner"] == "holt"
+
+    def dual(xs):
+        e = l = b = err_e = err_h = 0
+        for rn, x in enumerate(xs, start=1):
+            if rn >= 2:
+                err_e += abs(x - e)
+                err_h += abs(x - (l + b))
+            new_l = (l + b + x) >> 1
+            b = (b + (new_l - l)) >> 1
+            l = new_l
+            e = (e + x) >> 1
+        return err_e, err_h
+
+    ramp_e, ramp_h = dual([1000 * (d + 1) for d in range(30)])
+    assert got["ramp"]["mae_ewma_cents"] == ramp_e // 29
+    assert got["ramp"]["mae_holt_cents"] == ramp_h // 29
+    flat_e, flat_h = dual([50000] * 30)
+    assert got["flat"]["mae_ewma_cents"] == flat_e // 29
+    assert got["flat"]["mae_holt_cents"] == flat_h // 29
+    assert flat_e <= flat_h  # EWMA locks a flat level at least as fast
