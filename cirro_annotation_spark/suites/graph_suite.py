@@ -428,16 +428,20 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aa_score",
         )
     )
-    w_rank = Window.orderBy(
+    # Top-50 via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heaps); the global rank window then runs on 50 rows, not the full
+    # candidate frame (the graph_pagerank_trade discipline).
+    order = [
         F.col("jaccard_ppm").desc(),
         F.col("n_common").desc(),
         F.col("aa_score").desc(),
         F.col("cust_a").asc(),
         F.col("cust_b").asc(),
-    )
+    ]
+    top = scored.orderBy(*order).limit(50)
+    w_rank = Window.orderBy(*order)
     return (
-        scored.withColumn("pair_rank", F.row_number().over(w_rank))
-        .filter(F.col("pair_rank") <= 50)
+        top.withColumn("pair_rank", F.row_number().over(w_rank))
         .select(
             "cust_a",
             "cust_b",

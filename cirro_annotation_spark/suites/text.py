@@ -3662,16 +3662,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w_rank = Window.orderBy(
+    order = [
         F.col("pmi").desc(),
         F.col("n_pair").desc(),
         F.col("w1").asc(),
         F.col("w2").asc(),
-    )
-    return (
-        scored.withColumn("pair_rank", F.row_number().over(w_rank))
-        .filter(F.col("pair_rank") <= 20)
-        .select("w1", "w2", "n_pair", "pmi", "pair_rank")
+    ]
+    # TakeOrderedAndProject first; rank the 20 survivors only
+    top = scored.orderBy(*order).limit(20)
+    w_rank = Window.orderBy(*order)
+    return top.withColumn("pair_rank", F.row_number().over(w_rank)).select(
+        "w1", "w2", "n_pair", "pmi", "pair_rank"
     )
 
 
@@ -3783,14 +3784,13 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase")
         .agg(F.sum("wscore").alias("score"))
     )
-    w_rank = Window.orderBy(
+    order = [
         F.col("score").desc(), F.col("n_occur").desc(), F.col("phrase").asc()
-    )
-    return (
-        pd_.join(ps, "phrase")
-        .withColumn("phrase_rank", F.row_number().over(w_rank))
-        .filter(F.col("phrase_rank") <= 15)
-        .select("phrase", "n_words", "n_occur", "score", "phrase_rank")
+    ]
+    top = pd_.join(ps, "phrase").orderBy(*order).limit(15)
+    w_rank = Window.orderBy(*order)
+    return top.withColumn("phrase_rank", F.row_number().over(w_rank)).select(
+        "phrase", "n_words", "n_occur", "score", "phrase_rank"
     )
 
 
@@ -3901,16 +3901,16 @@ def _kn_scored(spark: SparkSession, sf_dir: str):
 )
 def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, scored = _kn_scored(spark, sf_dir)
-    w_rank = Window.orderBy(
+    order = [
         F.col("p_kn_ppb").desc(),
         F.col("c12").desc(),
         F.col("w1").asc(),
         F.col("w2").asc(),
-    )
-    return (
-        scored.withColumn("pair_rank", F.row_number().over(w_rank))
-        .filter(F.col("pair_rank") <= 20)
-        .select("w1", "w2", "c12", "p_kn_ppb", "pair_rank")
+    ]
+    top = scored.orderBy(*order).limit(20)
+    w_rank = Window.orderBy(*order)
+    return top.withColumn("pair_rank", F.row_number().over(w_rank)).select(
+        "w1", "w2", "c12", "p_kn_ppb", "pair_rank"
     )
 
 

@@ -109,6 +109,15 @@ DOC_QUERIES = [
     # round 9: DoReMi mixture weights (one map-side-combined agg over
     # the corpus; the MW loop is driver arithmetic on ~|domains| rows)
     "docs_doremi_weights",
+    # round 10: the LM/keyphrase family — every statistic is a keyed
+    # count or a vocabulary-sized broadcast; N-clone corpora keep the
+    # vocab (and thus model frames) IDENTICAL, so only the scan and the
+    # count shuffles grow with N
+    "text_collocations_pmi",
+    "text_rake_keyphrases",
+    "text_kn_bigram_lm",
+    "text_langid_train_nb",
+    "docs_kn_perplexity",
 ]
 
 # doc_id-slice-free but pair-quadratic on N-clone corpora (every

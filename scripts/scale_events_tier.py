@@ -105,6 +105,15 @@ EVENT_QUERIES = [
     # round 9: at-least-once redelivery -> exactly-once base (4 batch
     # applies, one duplicated; base volume = distinct keys, not events)
     "stream_cdc_replay_exactly_once",
+    # round 9/10: the forecasting family — per-(type,day) cents rollup,
+    # then |types| codegen'd folds (state: 1-3 BIGINTs/type), so the
+    # scan is the only data-sized term at any tier
+    "events_ewma_daily",
+    "events_holt_linear_daily",
+    "events_forecast_backtest",
+    # round 10: CEP — per-user symbol strings; replication adds USERS
+    # (disjoint id ranges), never string length, so group state is flat
+    "events_cep_pattern",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
