@@ -365,6 +365,7 @@ HEADLINE = [
     "text_langid_train_nb",
     "docs_kn_perplexity",
     "events_forecast_backtest",
+    "stream_ewma_daily_stream",
 ]
 
 

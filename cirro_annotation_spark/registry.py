@@ -73,6 +73,7 @@ PRIORITY: list[str] = [
     "text_langid_train_nb",
     "docs_kn_perplexity",
     "events_forecast_backtest",
+    "stream_ewma_daily_stream",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.streaming import events as STRM
 from cirro_annotation_spark.suites.util import t
+from cirro_annotation_spark.suites.windows import _EWMA_DAILY_ORACLE
 
 _TUMBLING_ORACLE = """
     SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -631,3 +632,44 @@ def stream_cdc_replay_exactly_once(
         return read_cdc_base(spark, base).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_ewma_daily_stream",
+    # Streaming twin of events_ewma_daily (round 10), held to the SAME
+    # oracle through a real drain: the STREAM maintains the per-(type,
+    # day) value sums (bounded state: types x days cells, the windowed-
+    # agg discipline); the order-dependent EWMA fold runs on the sink's
+    # completed windows — sequential recursions are unsupported inside
+    # streaming aggregations, so stream-maintains-cells / monitor-folds
+    # -on-drain IS the production shape for a continuously-refreshed
+    # forecast (the stream_psi_daily / stream_top_types split).
+    oracle=_EWMA_DAILY_ORACLE,
+)
+def stream_ewma_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.suites.windows import ewma_from_daily
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def day_sums(ev: DataFrame) -> DataFrame:
+        return (
+            ev.groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type"
+            )
+            .agg(F.sum("value").alias("v"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "v"
+            )
+        )
+
+    cells = STRM.run_streaming_over_parquet(spark, path, day_sums)
+    daily = cells.select(
+        "event_type",
+        F.to_date("window_start").alias("day"),
+        F.greatest(
+            F.round(F.col("v") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x"),
+    )
+    return ewma_from_daily(daily)
+

@@ -2252,24 +2252,9 @@ def events_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_ewma_daily",
-    # Exponentially-weighted moving average as an EXACT-INTEGER
-    # sequential fold (round 9): the classic EWMA recursion
-    # s_d = (s_{d-1} + x_d) / 2 is order-dependent, so the float form
-    # can never be hash-checked across engines — this keeps the whole
-    # series in BIGINT cents and folds it IN SPARK with F.aggregate
-    # over the day-sorted array (a deterministic left fold inside one
-    # groupBy — no driver loop, no iterative joins: the recursion runs
-    # as ONE codegen'd expression per type). Halving uses an arithmetic
-    # right shift, which equals DuckDB's `// 2` on the non-negative
-    # values the GREATEST clamp guarantees — zero rounding surface.
-    # Anomaly rule: a day whose cents exceed 3x the running EWMA.
-    # Oracle: the identical recursion via WITH RECURSIVE over the
-    # day-ranked series. Scale shape: one (type, day) partial agg over
-    # the corpus, then |types| arrays of |days| ints — bounded group
-    # state, the events_daily_quantiles discipline.
-    oracle="""
+# Shared with stream_ewma_daily_stream (suites/streaming_suite.py):
+# both twins hold to this recursion and this oracle.
+_EWMA_DAILY_ORACLE = """
     WITH RECURSIVE d AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
@@ -2292,17 +2277,12 @@ def events_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX_BY(ewma, rn) AS ewma_cents,
            MAX_BY(n_anomalies, rn) AS n_anomalies
     FROM r GROUP BY event_type
-    """,
-)
-def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(
-        F.greatest(
-            F.round(F.sum("value") * 100, 0).cast("long"), F.lit(0).cast("long")
-        ).alias("x")
-    )
+    """
+
+
+def ewma_from_daily(daily: DataFrame) -> DataFrame:
+    """The EWMA fold over a (event_type, day, x-cents) frame — shared
+    by the batch query and its streaming twin."""
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
     )
@@ -2334,6 +2314,37 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.ewma").alias("ewma_cents"),
         F.col("f.anom").alias("n_anomalies"),
     )
+
+
+@query(
+    "events_ewma_daily",
+    # Exponentially-weighted moving average as an EXACT-INTEGER
+    # sequential fold (round 9): the classic EWMA recursion
+    # s_d = (s_{d-1} + x_d) / 2 is order-dependent, so the float form
+    # can never be hash-checked across engines — this keeps the whole
+    # series in BIGINT cents and folds it IN SPARK with F.aggregate
+    # over the day-sorted array (a deterministic left fold inside one
+    # groupBy — no driver loop, no iterative joins: the recursion runs
+    # as ONE codegen'd expression per type). Halving uses an arithmetic
+    # right shift, which equals DuckDB's `// 2` on the non-negative
+    # values the GREATEST clamp guarantees — zero rounding surface.
+    # Anomaly rule: a day whose cents exceed 3x the running EWMA.
+    # Oracle: the identical recursion via WITH RECURSIVE over the
+    # day-ranked series. Scale shape: one (type, day) partial agg over
+    # the corpus, then |types| arrays of |days| ints — bounded group
+    # state, the events_daily_quantiles discipline.
+    oracle=_EWMA_DAILY_ORACLE,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"), F.lit(0).cast("long")
+        ).alias("x")
+    )
+    return ewma_from_daily(daily)
 
 
 @query(
