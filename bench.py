@@ -366,6 +366,7 @@ HEADLINE = [
     "docs_kn_perplexity",
     "events_forecast_backtest",
     "stream_ewma_daily_stream",
+    "events_bootstrap_ci",
 ]
 
 

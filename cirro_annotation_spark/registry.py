@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "docs_kn_perplexity",
     "events_forecast_backtest",
     "stream_ewma_daily_stream",
+    "events_bootstrap_ci",
 ]
 
 

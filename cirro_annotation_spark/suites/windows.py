@@ -2624,3 +2624,141 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tie"))
         .alias("winner"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on a 16-bit uniform (floor(cdf *
+# 65536), computed once offline) — PINNED literals shared by the Spark
+# expression and the oracle SQL, the seeded-hyperplane discipline.
+_POIS_T = [24109, 48218, 60273, 64291, 65296, 65497, 65530]
+_BOOT_R = 100
+
+
+def _pois_case_sql(bucket_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {bucket_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_T)} END"
+
+
+@query(
+    "events_bootstrap_ci",
+    # Poisson bootstrap CI (round 10; Chamandy et al. 2012, "Estimating
+    # uncertainty for massive data streams" — the production bootstrap
+    # for data too big to resample by index): each (row, replicate)
+    # draws a Poisson(1) weight from a DETERMINISTIC md5-derived 16-bit
+    # uniform against pinned inverse-CDF literals, so the whole
+    # uncertainty computation is hash-checkable. Replicate means are
+    # BIGINT cents (weighted sums + floor division); the 95% CI is the
+    # 3rd/98th ORDER STATISTIC of the 100 replicate means — order
+    # stats of exact integers, no interpolation, no float surface.
+    #
+    # Scale shape: the replicate explode map-side-combines straight to
+    # |types| x 100 cells (each input row contributes to 100 partial
+    # sums inside its scan partition); the CI stage touches only the
+    # bounded cell frame. This is THE way to put error bars on a
+    # 100 TB aggregate without a second pass.
+    oracle=f"""
+    WITH rep AS (
+      SELECT e.event_type, e.event_id,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents, r.r
+      FROM events e, unnest(range(0, {_BOOT_R})) AS r(r)),
+    w AS (
+      SELECT event_type, r, cents,
+             {_pois_case_sql('''CAST(('0x' || substring(md5('boot|' ||
+               CAST(r AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)),
+               1, 4)) AS BIGINT)''')} AS wt
+      FROM rep),
+    cells AS (
+      SELECT event_type, r,
+             CAST(SUM(wt * cents) AS BIGINT) AS wx,
+             CAST(SUM(wt) AS BIGINT) AS wn
+      FROM w GROUP BY 1, 2),
+    means AS (
+      SELECT event_type,
+             wx // GREATEST(wn, 1) AS m,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY wx // GREATEST(wn, 1) ASC, r ASC)
+               AS rn
+      FROM cells),
+    point AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               // COUNT(*) AS mean_cents
+      FROM events GROUP BY 1)
+    SELECT p.event_type, p.n_events, p.mean_cents,
+           lo.m AS ci_lo_cents, hi.m AS ci_hi_cents
+    FROM point p
+    JOIN means lo ON lo.event_type = p.event_type AND lo.rn = 3
+    JOIN means hi ON hi.event_type = p.event_type AND hi.rn = 98
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    rep = e.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot|"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wt = F.lit(len(_POIS_T))
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        wt = F.when(bucket < _POIS_T[k], F.lit(k)).otherwise(wt)
+    cells = (
+        rep.select("event_type", "r", "cents", wt.cast("long").alias("wt"))
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("wx"),
+            F.sum("wt").alias("wn"),
+        )
+    )
+    means = cells.select(
+        "event_type",
+        "r",
+        F.expr("wx div greatest(wn, 1L)").alias("m"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("m").asc(), F.col("r").asc()
+            )
+        ),
+    )
+    point = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("sum(cents) div count(1)").alias("mean_cents"),
+    )
+    lo = means.filter(F.col("rn") == 3).select(
+        F.col("event_type").alias("et_lo"), F.col("m").alias("ci_lo_cents")
+    )
+    hi = means.filter(F.col("rn") == 98).select(
+        F.col("event_type").alias("et_hi"), F.col("m").alias("ci_hi_cents")
+    )
+    return (
+        point.join(F.broadcast(lo), F.col("event_type") == F.col("et_lo"))
+        .join(F.broadcast(hi), F.col("event_type") == F.col("et_hi"))
+        .select(
+            "event_type", "n_events", "mean_cents",
+            "ci_lo_cents", "ci_hi_cents",
+        )
+    )

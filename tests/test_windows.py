@@ -251,3 +251,72 @@ def test_backtest_holt_wins_on_ramp_ewma_on_noise_free_level(spark, tmp_path):
     assert got["flat"]["mae_ewma_cents"] == flat_e // 29
     assert got["flat"]["mae_holt_cents"] == flat_h // 29
     assert flat_e <= flat_h  # EWMA locks a flat level at least as fast
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark, tmp_path):
+    """Statistical sanity on crafted data: the 95% CI must bracket the
+    point estimate, and a 25x larger sample of the same distribution
+    must yield a strictly narrower interval (the 1/sqrt(n) contract
+    the Poisson bootstrap exists to estimate)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for n, et in ((40, "small"), (1000, "big")):
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=i), 1, et,
+                 100.0 + (i % 7) * 10.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "boot")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_bootstrap_ci"](spark, path).collect()
+    }
+    for r in got.values():
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+    w_small = got["small"]["ci_hi_cents"] - got["small"]["ci_lo_cents"]
+    w_big = got["big"]["ci_hi_cents"] - got["big"]["ci_lo_cents"]
+    assert w_big < w_small
+
+
+def test_poisson_weights_match_distribution(spark):
+    """The pinned threshold ladder must reproduce Poisson(1): over 64k
+    deterministic draws the weight frequencies sit within 2% of
+    e^-1/k!, and the mean weight within 2% of 1."""
+    import math
+
+    from pyspark.sql import functions as F
+    from cirro_annotation_spark.suites.windows import _POIS_T
+
+    ids = spark.range(65536)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    wt = F.lit(len(_POIS_T))
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        wt = F.when(bucket < _POIS_T[k], F.lit(k)).otherwise(wt)
+    counts = {
+        r["w"]: r["n"]
+        for r in ids.select(wt.alias("w")).groupBy("w").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n = 65536
+    mean = sum(k * c for k, c in counts.items()) / n
+    assert abs(mean - 1.0) < 0.02
+    for k in (0, 1, 2):
+        want = math.exp(-1) / math.factorial(k)
+        assert abs(counts[k] / n - want) < 0.02
