@@ -3990,6 +3990,11 @@ def text_langid_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("cnt"),
     )
+    # The 26-translate pass feeds BOTH the trainer aggregate and the
+    # scoring crossJoin; without this lazy checkpoint the corpus is
+    # re-tokenized once per consumer (7.9 -> 2.5 s at sf0.1 — the
+    # pipeline_corpus_funnel one-scan discipline).
+    d = d.localCheckpoint(eager=False)
     agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.array(
