@@ -367,6 +367,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "stream_ewma_daily_stream",
     "events_bootstrap_ci",
+    "events_dow_profile",
 ]
 
 

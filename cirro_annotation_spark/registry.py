@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "events_forecast_backtest",
     "stream_ewma_daily_stream",
     "events_bootstrap_ci",
+    "events_dow_profile",
 ]
 
 

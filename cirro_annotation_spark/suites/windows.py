@@ -2762,3 +2762,76 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_lo_cents", "ci_hi_cents",
         )
     )
+
+
+@query(
+    "events_dow_profile",
+    # Day-of-week seasonal profile (round 10) — the SEASONALITY member
+    # of the forecasting family (EWMA/Holt assume none; this measures
+    # it): per (type, weekday), the daily-cents mean and a seasonal
+    # index in exact integer ppm — (dow_sum * total_days * 1e6) //
+    # (total_sum * dow_days), the cross-multiplied form that never
+    # divides early. Weekday numbering probed equal: Spark
+    # dayofweek()-1 == DuckDB dayofweek() (0=Sunday). Peak-day flag
+    # via an integer max window per type. Scale: one (type, day)
+    # rollup, then a 7-cell profile per type — bounded everywhere.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    byd AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM d GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS td,
+             CAST(SUM(s) AS BIGINT) AS ts
+      FROM byd GROUP BY 1),
+    prof AS (
+      SELECT byd.event_type, byd.dow, byd.n_days,
+             byd.s // byd.n_days AS mean_cents,
+             (byd.s * tot.td * 1000000) // (tot.ts * byd.n_days)
+               AS index_ppm
+      FROM byd JOIN tot ON tot.event_type = byd.event_type)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, n_days, mean_cents,
+           index_ppm,
+           CAST(CASE WHEN index_ppm = MAX(index_ppm)
+                          OVER (PARTITION BY event_type)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+    FROM prof
+    """,
+)
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("x")
+    )
+    byd = d.groupBy(
+        "event_type", (F.dayofweek("day") - 1).cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("s"),
+    )
+    tot = byd.groupBy("event_type").agg(
+        F.sum("n_days").alias("td"), F.sum("s").alias("ts")
+    ).toDF("et", "td", "ts")
+    prof = byd.join(F.broadcast(tot), F.col("event_type") == F.col("et")).select(
+        "event_type",
+        "dow",
+        "n_days",
+        F.expr("s div n_days").alias("mean_cents"),
+        F.expr("(s * td * 1000000L) div (ts * n_days)").alias("index_ppm"),
+    )
+    w = Window.partitionBy("event_type")
+    return prof.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "mean_cents",
+        "index_ppm",
+        (F.col("index_ppm") == F.max("index_ppm").over(w))
+        .cast("long")
+        .alias("is_peak"),
+    )

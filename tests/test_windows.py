@@ -320,3 +320,43 @@ def test_poisson_weights_match_distribution(spark):
     for k in (0, 1, 2):
         want = math.exp(-1) / math.factorial(k)
         assert abs(counts[k] / n - want) < 0.02
+
+
+def test_dow_profile_planted_weekend_peak(spark, tmp_path):
+    """A series spending 3x on Saturdays must flag Saturday (dow=6) as
+    the unique peak, with the seasonal index in the exact integer-ppm
+    band the construction implies, and indexes summing weekday-weighted
+    to ~1e6."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(28):  # four exact weeks
+        day = base + datetime.timedelta(days=d)
+        v = 300.0 if day.weekday() == 5 else 100.0  # Saturday spike
+        rows.append((d, day, 1, "shop", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "dow")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = {
+        r["dow"]: r
+        for r in QUERIES["events_dow_profile"](spark, path).collect()
+    }
+    assert len(out) == 7 and all(r["n_days"] == 4 for r in out.values())
+    peaks = [d for d, r in out.items() if r["is_peak"] == 1]
+    assert peaks == [6]  # Saturday, 0=Sunday numbering
+    # index(sat) = dow_sum*total_days*1e6 // (total_sum*dow_days)
+    #            = 300/(weekly mean) = 7/3 exactly -> 2_333_333 floored
+    assert out[6]["index_ppm"] == (4 * 30000 * 28 * 1_000_000) // (
+        4 * (6 * 10000 + 30000) * 4
+    )
+    assert out[6]["index_ppm"] == 2_333_333
+    assert out[0]["mean_cents"] == 10000
