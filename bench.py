@@ -368,6 +368,7 @@ HEADLINE = [
     "stream_ewma_daily_stream",
     "events_bootstrap_ci",
     "events_dow_profile",
+    "events_survival_km",
 ]
 
 

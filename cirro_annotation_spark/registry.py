@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "stream_ewma_daily_stream",
     "events_bootstrap_ci",
     "events_dow_profile",
+    "events_survival_km",
 ]
 
 

@@ -2835,3 +2835,132 @@ def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_peak"),
     )
+
+
+@query(
+    "events_survival_km",
+    # Kaplan-Meier survival estimate for session duration (round 10; Kaplan
+    # & Meier 1958) — SURVIVAL ANALYSIS, a family the suite lacked:
+    # the survival subject is the SESSION (1-hour-gap sessionization,
+    # the proven sessionize arithmetic), duration in whole minutes;
+    # sessions still open within 1 hour of stream end are right-
+    # CENSORED (they might have continued — they leave the risk set
+    # without counting as an ended session, the estimator's whole
+    # point). At each lifetime t: d_t churn events, n_t at risk
+    # (lifetime >= t, censored or not); the survival curve is the
+    # product of (1 - d_t/n_t), carried as a SUM of floored micro-log
+    # factors — ln of an exact small-integer rational is the identical
+    # IEEE double in both engines, the floor is exact, and BIGINT sums
+    # are associative (the product form would be float-order-dependent
+    # poison). n_t - d_t is clamped to >= 1: when the last at-risk
+    # cohort all churns, S(t) hits exact zero and ln diverges — the
+    # clamp caps the log-curve at the deepest representable drop.
+    #
+    # Scale shape: one user-keyed sessionize window + per-session
+    # min/max, then the KM recursion runs on the ~|distinct durations| count
+    # frame (suffix-sum + prefix-sum windows on <100 rows at any
+    # corpus size).
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL '1 hour'
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flags),
+    life AS (
+      SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS t,
+             CASE WHEN epoch_us((SELECT MAX(ts) FROM events))
+                       - epoch_us(MAX(ts)) < 3600000000
+                  THEN 1 ELSE 0 END AS censored
+      FROM sess GROUP BY user_id, session_id),
+    bins AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(1 - censored) AS BIGINT) AS d
+      FROM life GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(m) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM bins),
+    steps AS (
+      SELECT t, d, n_risk,
+             CAST(FLOOR(LN(GREATEST(n_risk - d, 1) * 1.0 / n_risk)
+                        * 1000000) AS BIGINT) AS step
+      FROM risk WHERE d > 0)
+    SELECT CAST(t AS BIGINT) AS t, d, n_risk,
+           CAST(SUM(step) OVER (ORDER BY t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS log_surv_micro
+    FROM steps
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 3_600_000_000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wsum)
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    end = e.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    life = per_sess.crossJoin(F.broadcast(end)).select(
+        F.expr("(e_us - s_us) div 60000000L").alias("t"),
+        F.when(
+            F.col("end_us") - F.col("e_us") < 3_600_000_000, F.lit(1)
+        ).otherwise(F.lit(0)).alias("censored"),
+    )
+    bins = life.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+    )
+    w_suffix = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = bins.withColumn("n_risk", F.sum("m").over(w_suffix)).filter(
+        F.col("d") > 0
+    )
+    steps = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.floor(
+            F.log(
+                F.greatest(F.col("n_risk") - F.col("d"), F.lit(1).cast("long"))
+                * 1.0
+                / F.col("n_risk")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("step"),
+    )
+    w_prefix = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("t").cast("long").alias("t"),
+        "d",
+        "n_risk",
+        F.sum("step").over(w_prefix).cast("long").alias("log_surv_micro"),
+    )

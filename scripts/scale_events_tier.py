@@ -110,10 +110,16 @@ EVENT_QUERIES = [
     # scan is the only data-sized term at any tier
     "events_ewma_daily",
     "events_holt_linear_daily",
-    "events_forecast_backtest",
     # round 10: CEP — per-user symbol strings; replication adds USERS
     # (disjoint id ranges), never string length, so group state is flat
     "events_cep_pattern",
+    # round 10 late wave: bootstrap CI (types x 100 replicate cells via
+    # map-side combine — the explode never leaves its scan stage), the
+    # DOW profile (7 cells/type), and the streamed EWMA twin
+    "events_bootstrap_ci",
+    "events_dow_profile",
+    "events_forecast_backtest",
+    "stream_ewma_daily_stream",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

@@ -360,3 +360,53 @@ def test_dow_profile_planted_weekend_peak(spark, tmp_path):
     )
     assert out[6]["index_ppm"] == 2_333_333
     assert out[0]["mean_cents"] == 10000
+
+
+def test_survival_km_hand_computed_with_censoring(spark, tmp_path):
+    """KM pinned by hand on 4 sessions (durations 10, 10, 20, 30+
+    minutes, the last still open at stream end): the censored session
+    must leave the risk set WITHOUT stepping the curve, and each step
+    must equal floor(ln((n-d)/n)*1e6) cumulatively."""
+    import datetime
+    import math
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def session(uid, start_h, dur_min):
+        nonlocal eid
+        for m in (0, dur_min):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=start_h, minutes=m),
+                 uid, "view", 1.0, "{}")
+            )
+            eid += 1
+
+    session(1, 0, 10)
+    session(2, 10, 10)
+    session(3, 20, 20)
+    session(4, 30, 30)  # ends at the stream max -> censored (< 1h gap)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "km")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = {
+        r["t"]: r
+        for r in QUERIES["events_survival_km"](spark, path).collect()
+    }
+    # censored 30-min session contributes NO row (d=0 at t=30)
+    assert set(out) == {10, 20}
+    assert out[10]["d"] == 2 and out[10]["n_risk"] == 4
+    assert out[20]["d"] == 1 and out[20]["n_risk"] == 2
+    s10 = math.floor(math.log(2 / 4) * 1e6)
+    s20 = s10 + math.floor(math.log(1 / 2) * 1e6)
+    assert out[10]["log_surv_micro"] == s10
+    assert out[20]["log_surv_micro"] == s20
