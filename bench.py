@@ -369,6 +369,7 @@ HEADLINE = [
     "events_bootstrap_ci",
     "events_dow_profile",
     "events_survival_km",
+    "sim_topk_binary",
 ]
 
 

@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "events_bootstrap_ci",
     "events_dow_profile",
     "events_survival_km",
+    "sim_topk_binary",
 ]
 
 

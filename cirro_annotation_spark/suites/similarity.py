@@ -1534,3 +1534,120 @@ def embeddings_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vals",
         )
     )
+
+
+_BINARY_CODES_CTE = f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(1, 33),
+               i -> CASE WHEN embedding[i] > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+               (acc, b) -> acc * 2 + b) AS w1,
+             list_reduce(list_transform(range(33, 65),
+               i -> CASE WHEN embedding[i] > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+               (acc, b) -> acc * 2 + b) AS w2
+      FROM embeddings),
+    q AS (SELECT w1 AS q1, w2 AS q2 FROM codes
+          WHERE vec_id = {_QUERY_VEC_ID}),
+    ham AS (
+      SELECT c.vec_id,
+             CAST(bit_count(xor(c.w1, q.q1))
+                  + bit_count(xor(c.w2, q.q2)) AS BIGINT) AS hamming
+      FROM codes c CROSS JOIN q),
+    cand AS (
+      SELECT vec_id, hamming FROM ham
+      ORDER BY hamming ASC, vec_id ASC LIMIT 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = {_QUERY_VEC_ID}),
+    exact AS (
+      SELECT cand.vec_id, cand.hamming,
+             ROUND(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * qv.qv[i]))
+                   / (SQRT(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(e.embedding[i] AS DOUBLE))))
+                      * SQRT(list_sum(list_transform(range(1, 65),
+                          i -> qv.qv[i] * qv.qv[i])))), 6) AS cosine_sim
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+      CROSS JOIN qv)
+"""
+
+
+@query(
+    "sim_topk_binary",
+    # Binary-quantized ANN (round 10) — the 1-bit member of the
+    # quantizer family (IVF cells, PQ/RQ codebooks, LSH planes, and
+    # now SIGN BITS): each 64-dim vector compresses 256x into two
+    # 32-bit sign words (two words because ANSI BIGINT arithmetic
+    # cannot shift into bit 63), candidates come from Hamming distance
+    # (bit_count over XOR — pure codegen), and the top-50 Hamming
+    # shortlist is reranked by exact cosine. This is the
+    # binary-embedding retrieval shape (popcount scan + exact rerank)
+    # modern vector stores ship for memory-bound corpora.
+    #
+    # Scale shape: the code table is 16 bytes/vector (vs 256 for the
+    # raw floats) — the Hamming scan reads codes only, vectors are
+    # fetched just for the 50 rerank rows (a keyed join); shortlist
+    # via TakeOrderedAndProject, rank window on 10 rows. Determinism:
+    # sign bits and popcounts are exact integers; ties break on
+    # vec_id; the rerank cosine rounds at 6 like every sim_* query.
+    oracle=_BINARY_CODES_CTE
+    + """
+    SELECT vec_id, hamming, cosine_sim, sim_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id ASC)
+                  AS sim_rank
+      FROM exact
+    ) r WHERE sim_rank <= 10
+    """,
+)
+def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+
+    def word(lo: int, hi: int) -> F.Column:
+        # big-endian fold acc*2+bit — mirrors the oracle's list_reduce
+        # (shiftleft's bit-count argument must be a Python int, so the
+        # per-index 1<<(i-lo) form is not expressible in a HOF lambda)
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(v, i) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    codes = emb.select(
+        "vec_id", word(1, 32).alias("w1"), word(33, 64).alias("w2")
+    )
+    q = (
+        codes.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("w1").alias("q1"), F.col("w2").alias("q2"))
+    )
+    ham = codes.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+            + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    cand = ham.orderBy(F.col("hamming").asc(), F.col("vec_id").asc()).limit(50)
+    vd = F.col("embedding").cast("array<double>")
+    exact = (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(_query_frame(emb)))
+        .select(
+            "vec_id",
+            "hamming",
+            F.round(S.cosine_vs_query_frame(vd), 6).alias("cosine_sim"),
+        )
+    )
+    order = [F.col("cosine_sim").desc(), F.col("vec_id").asc()]
+    top = exact.orderBy(*order).limit(10)
+    w_rank = Window.orderBy(*order)
+    return top.withColumn("sim_rank", F.row_number().over(w_rank)).select(
+        "vec_id", "hamming", "cosine_sim", "sim_rank"
+    )

@@ -471,3 +471,28 @@ def test_rq_pinned_codebooks_not_stale(spark):
     resid = C.rq_residual_frame(q, cent1)
     cent2 = C.fit_lattice(resid, 8, 2, 64)
     assert {k: [int(x) for x in v] for k, v in cent2.items()} == CENT2
+
+
+def test_binary_topk_query_self_match_and_recall(spark, sf_dir):
+    """The query vector must rank itself first (Hamming 0, cosine 1);
+    the Hamming shortlist must deliver decent recall vs the exact
+    brute-force top-10 (sign bits preserve angular neighborhoods —
+    assert >= 5/10 overlap, far above the ~0.2% random base rate of
+    50 candidates from 500 vectors)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = sorted(
+        QUERIES["sim_topk_binary"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["sim_rank"],
+    )
+    assert out[0]["vec_id"] == 0
+    assert out[0]["hamming"] == 0 and abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+    exact = {
+        r["vec_id"]
+        for r in QUERIES["sim_topk_cosine"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    got = {r["vec_id"] for r in out}
+    assert len(got & exact) >= 5
