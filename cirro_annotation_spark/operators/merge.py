@@ -126,11 +126,21 @@ def merge_into_parquet(
         # Rewrite = affected base rows that DON'T match a source key,
         # plus (upsert mode) every source row (updates + inserts) — a
         # source-wins full outer merge restricted to the affected files.
+        # SCHEMA EVOLUTION: a source column absent from the base widens
+        # the table — kept base rows take NULL for it (the Delta/
+        # Iceberg mergeSchema semantics). Untouched files keep the old
+        # physical schema, so reads of an evolved table must go through
+        # read_table_version / option("mergeSchema", "true") — plain
+        # parquet has no table-level schema manifest to consult.
         new_data = None if delete else source
         if affected:
             base_affected = spark.read.parquet(*sorted(affected))
             keep = base_affected.join(source.select(key), key, "left_anti")
-            new_data = keep if delete else keep.unionByName(source)
+            new_data = (
+                keep
+                if delete
+                else keep.unionByName(source, allowMissingColumns=True)
+            )
         if new_data is not None:
             tmp = staging + ".write"
             new_data.write.mode("overwrite").parquet(tmp)
@@ -221,16 +231,21 @@ def read_table_version(
     spark: SparkSession, base_dir: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: ``version=None`` → the live table; ``version=k``
-    → the k-th retained snapshot (0 = oldest)."""
+    → the k-th retained snapshot (0 = oldest).
+
+    Always reads with ``mergeSchema`` — after a schema-evolving merge
+    the table directory legitimately holds files of BOTH the old and
+    the widened schema (untouched files are never rewritten), and a
+    single-footer read would silently drop the new columns."""
     if version is None:
-        return spark.read.parquet(base_dir)
+        return spark.read.option("mergeSchema", "true").parquet(base_dir)
     versions = list_table_versions(base_dir)
     if not 0 <= version < len(versions):
         raise IndexError(
             f"version {version} out of range: {len(versions)} retained "
             f"snapshots at {base_dir}"
         )
-    return spark.read.parquet(versions[version])
+    return spark.read.option("mergeSchema", "true").parquet(versions[version])
 
 
 def vacuum_table_versions(base_dir: str, keep_last: int) -> dict:

@@ -278,3 +278,58 @@ def test_vacuum_keep_zero_drops_all_snapshots_but_never_live(spark, tmp_path):
     vacuum_table_versions(base, keep_last=0)
     assert list_table_versions(base) == []
     assert spark.read.parquet(base).count() == 10
+
+
+def test_merge_schema_evolution_widens_table(spark, tmp_path):
+    """A source bringing a NEW column widens the table: matched rows
+    carry the value, kept rows in rewritten files and rows in
+    untouched (never-rewritten, old-schema) files read back as NULL
+    through read_table_version's mergeSchema; a later plain merge
+    still works against the evolved table."""
+    from cirro_annotation_spark.operators.merge import (
+        merge_into_parquet,
+        read_table_version,
+    )
+
+    base = str(tmp_path / "ev")
+    # two files with disjoint key ranges -> the high-range file stays
+    # untouched (old schema) when we merge low keys
+    spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(base)
+    spark.range(50, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("append").parquet(base)
+
+    src = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(777).alias("v"),
+        F.lit("gold").alias("tier"),  # the evolving column
+    )
+    stats = merge_into_parquet(spark, base, src, key="k")
+    assert stats["files_rewritten"] == 1  # high-range file untouched
+
+    live = read_table_version(spark, base)
+    assert set(live.columns) == {"k", "v", "tier"}
+    rows = {r["k"]: (r["v"], r["tier"]) for r in live.collect()}
+    assert len(rows) == 100
+    assert rows[0] == (777, "gold")            # matched: updated + new col
+    assert rows[10] == (20, None)              # kept row in rewritten file
+    assert rows[99] == (198, None)             # untouched old-schema file
+
+    # the evolved table still merges (old-schema source this time)
+    merge_into_parquet(
+        spark,
+        base,
+        spark.range(98, 102).select(
+            F.col("id").alias("k"), F.lit(5).alias("v")
+        ),
+        key="k",
+    )
+    rows2 = {
+        r["k"]: (r["v"], r["tier"])
+        for r in read_table_version(spark, base).collect()
+    }
+    assert len(rows2) == 102
+    assert rows2[99] == (5, None) and rows2[101] == (5, None)
+    assert rows2[0] == (777, "gold")  # evolution survives the next merge
