@@ -370,6 +370,8 @@ HEADLINE = [
     "events_dow_profile",
     "events_survival_km",
     "sim_topk_binary",
+    "sample_temperature_mixture",
+    "pipeline_curriculum_order",
 ]
 
 

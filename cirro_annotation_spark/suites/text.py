@@ -4109,3 +4109,163 @@ def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(nll_micro) div count(1)").alias("avg_nll_micro"),
         )
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    # Temperature-scaled mixture sampling (round 10; the T=2 source-
+    # rebalancing rule of multilingual LM training, e.g. mT5 §3.1:
+    # sample probability proportional to n^(1/T)) — completing the
+    # mixture family: fixed weights (sample_mixture_weighted), UniMax
+    # budgets, DSIR/DoReMi learned weights, and now the temperature
+    # knob. n^(1/2) = sqrt is EXACTLY ROUNDED by IEEE-754, so
+    # floor(sqrt(n)*1e6) is the identical BIGINT in both engines — the
+    # only float op in the query is one guaranteed-exact sqrt; every
+    # share, target, and acceptance gate is then cross-multiplied
+    # BIGINT arithmetic (the sample_mixture_weighted discipline: no
+    # float rate, no rounding knife-edge).
+    #
+    # Scale shape: one (source) count aggregate, a broadcast totals
+    # frame, a scan-local md5 acceptance gate; the corpus itself never
+    # shuffles. Output is the |sources|-row allocation report.
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source),
+    sc AS (
+      SELECT source, n,
+             CAST(FLOOR(SQRT(n) * 1000000) AS BIGINT) AS s FROM per),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(s) AS BIGINT) AS ssum FROM sc),
+    alloc AS (
+      SELECT source, n, s,
+             ((tot.total // 2) * s) // tot.ssum AS target_docs
+      FROM sc CROSS JOIN tot),
+    hits AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_accepted
+      FROM documents d JOIN alloc a USING (source)
+      WHERE (CAST(('0x' || SUBSTRING(md5('temp|' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000)
+            * a.n < a.target_docs * 10000
+      GROUP BY d.source)
+    SELECT a.source, a.n AS n_docs, a.s AS sqrt_micro, a.target_docs,
+           COALESCE(h.n_accepted, 0) AS n_accepted
+    FROM alloc a LEFT JOIN hits h ON h.source = a.source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = per.select(
+        "source",
+        "n",
+        F.floor(F.sqrt(F.col("n")) * 1_000_000).cast("long").alias("s"),
+    )
+    tot = sc.agg(
+        F.sum("n").alias("total"), F.sum("s").alias("ssum")
+    )
+    alloc = sc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "s",
+        F.expr("((total div 2L) * s) div ssum").alias("target_docs"),
+    )
+    a = alloc.toDF("asrc", "n", "s", "target_docs")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    hits = (
+        d.join(F.broadcast(a), d["source"] == a["asrc"])
+        .filter(bucket * F.col("n") < F.col("target_docs") * 10000)
+        .groupBy("asrc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_accepted"))
+    )
+    return (
+        alloc.join(hits, alloc["source"] == hits["asrc"], "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("s").alias("sqrt_micro"),
+            "target_docs",
+            F.coalesce("n_accepted", F.lit(0).cast("long")).alias(
+                "n_accepted"
+            ),
+        )
+    )
+
+
+@query(
+    "pipeline_curriculum_order",
+    # Curriculum construction (round 10; Bengio 2009 curriculum
+    # learning, the length-ordered variant): rank docs easiest-first
+    # (shorter = easier proxy) WITHIN each source, then interleave
+    # sources round-robin so every training window sees the full
+    # mixture — the deterministic ordering a curriculum dataloader
+    # consumes. curriculum_pos = (rank-1)*|sources| + source_index is
+    # pure integer arithmetic; the source index is the dense rank of
+    # the source name (stable, data-independent ordering).
+    #
+    # Scale shape: one source-keyed rank window (the per-source-cap
+    # shape) + a broadcast |sources|-row index; no global sort — the
+    # position is COMPUTED, not sorted into place.
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source ASC) - 1 AS src_idx,
+             CAST(COUNT(*) AS BIGINT) AS src_docs
+      FROM documents GROUP BY source),
+    nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM src),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC)
+               AS difficulty_rank
+      FROM documents)
+    SELECT r.doc_id, r.source,
+           CAST(r.difficulty_rank AS BIGINT) AS difficulty_rank,
+           CAST((r.difficulty_rank - 1) * nsrc.k + src.src_idx AS BIGINT)
+             AS curriculum_pos
+    FROM ranked r JOIN src ON src.source = r.source CROSS JOIN nsrc
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    src = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("src_docs"))
+        .select(
+            F.col("source").alias("s2"),
+            (
+                F.row_number().over(Window.orderBy(F.col("source").asc())) - 1
+            ).alias("src_idx"),
+        )
+    )
+    nsrc = src.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select(
+        "doc_id", "source", "n_chars"
+    ).withColumn("difficulty_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(src), F.col("source") == F.col("s2"))
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "doc_id",
+            "source",
+            F.col("difficulty_rank").cast("long").alias("difficulty_rank"),
+            ((F.col("difficulty_rank") - 1) * F.col("k") + F.col("src_idx"))
+            .cast("long")
+            .alias("curriculum_pos"),
+        )
+    )

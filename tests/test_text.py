@@ -711,3 +711,50 @@ def test_kn_perplexity_smoothing_orders_docs(spark, tmp_path):
     assert all(r["n_bigrams"] == 7 for r in out.values())
     assert all(r["nll_micro_sum"] >= 0 for r in out.values())
     assert out[0]["avg_nll_micro"] < out[100]["avg_nll_micro"]
+
+
+def test_temperature_mixture_flattens_sqrt(spark, tmp_path):
+    """T=2: a source 4x larger must get only ~2x the allocation
+    (sqrt flattening), and sqrt_micro must be the exact floored IEEE
+    sqrt. Accepted counts stay within binomial noise of target."""
+    import math
+
+    rows = [(i, "x y z", "en", "big", 5) for i in range(400)] + [
+        (1000 + i, "x y z", "en", "small", 5) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "temp")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    out = {
+        r["source"]: r
+        for r in QUERIES["sample_temperature_mixture"](spark, path).collect()
+    }
+    assert out["big"]["sqrt_micro"] == math.floor(math.sqrt(400) * 1e6)
+    assert out["small"]["sqrt_micro"] == math.floor(math.sqrt(100) * 1e6)
+    # allocation ratio is sqrt(400)/sqrt(100) = 2, not 4
+    assert out["big"]["target_docs"] == 2 * out["small"]["target_docs"]
+    for r in out.values():
+        assert abs(r["n_accepted"] - r["target_docs"]) <= 0.35 * r["target_docs"]
+
+
+def test_curriculum_order_interleaves_sources(spark, sf_dir):
+    """curriculum_pos must be a permutation-friendly grid: unique
+    positions, each source's ranks strictly increasing in n_chars, and
+    the first |sources| positions covering every source exactly once
+    (the round-robin guarantee)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = QUERIES["pipeline_curriculum_order"](spark, sf_dir).collect()
+    pos = [r["curriculum_pos"] for r in rows]
+    assert len(set(pos)) == len(pos)
+    srcs = {r["source"] for r in rows}
+    first_wave = sorted(rows, key=lambda r: r["curriculum_pos"])[: len(srcs)]
+    assert {r["source"] for r in first_wave} == srcs
+    assert all(r["difficulty_rank"] == 1 for r in first_wave)
