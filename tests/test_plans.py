@@ -533,3 +533,76 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_r10_topk_queries_use_takeordered(spark, sf_dir):
+    """Every round-10 top-k query must rank through orderBy+limit =>
+    TakeOrderedAndProject (per-partition heaps), never a global
+    row_number window over the full candidate frame (the single-
+    partition sort that dies at 1000 executors)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    for name in (
+        "text_collocations_pmi",
+        "graph_link_prediction",
+        "text_rake_keyphrases",
+        "text_kn_bigram_lm",
+        "sim_topk_binary",
+    ):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_forecast_folds_are_single_exchange_per_stage(spark, sf_dir):
+    """EWMA / Holt / backtest: one shuffle to the (type, day) rollup,
+    one to the per-type series — the fold itself adds NO exchange
+    (it is one codegen'd expression, not an iterative join)."""
+    from cirro_annotation_spark.plans import count_exchanges
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    for name in (
+        "events_ewma_daily",
+        "events_holt_linear_daily",
+        "events_forecast_backtest",
+    ):
+        assert count_exchanges(QUERIES[name](spark, sf_dir)) <= 2, name
+
+
+def test_bootstrap_replicates_never_shuffle_raw_rows(spark, sf_dir):
+    """The 100x replicate explode must combine map-side: the only
+    exchanges carry the |types| x 100 cell frame and the tiny CI
+    stages — never (rows x replicates). Pinned as: every exchange in
+    the plan sits ABOVE a partial aggregation (no exchange directly
+    over the generator)."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    plan = (
+        QUERIES["events_bootstrap_ci"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # the explode (Generate) must feed a partial HashAggregate before
+    # any Exchange: in the plan STRING, the first Exchange below the
+    # Generate node would print between Generate and its aggregate
+    gen = plan.find("Generate explode")
+    assert gen != -1
+    # parents print before children: the NEAREST Exchange above the
+    # generator must have a HashAggregate between itself and the
+    # generator — i.e. the shuffle carries aggregated cells, not the
+    # exploded rows
+    last_exch = plan.rfind("Exchange", 0, gen)
+    assert last_exch != -1
+    assert plan.find("HashAggregate", last_exch, gen) != -1, (
+        "exchange sits directly over the replicate generator"
+    )
