@@ -372,6 +372,7 @@ HEADLINE = [
     "sim_topk_binary",
     "sample_temperature_mixture",
     "pipeline_curriculum_order",
+    "events_daily_rollup_ivm",
 ]
 
 

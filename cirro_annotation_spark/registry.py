@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "sim_topk_binary",
     "sample_temperature_mixture",
     "pipeline_curriculum_order",
+    "events_daily_rollup_ivm",
 ]
 
 

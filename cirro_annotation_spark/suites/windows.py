@@ -2986,3 +2986,75 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.sum("step").over(w_prefix).cast("long").alias("log_surv_micro"),
     )
+
+
+@query(
+    "events_daily_rollup_ivm",
+    # Incremental view maintenance (round 10) — the aggregate-table
+    # sibling of pipeline_funnel_incremental's increment==recompute
+    # proof: the standing (type, day) cents rollup was materialized
+    # from the first 20 days; tonight's delta (day > 20) arrives and
+    # is MERGED in — existing cells add, new cells insert (the
+    # full-outer coalesce that a foreachBatch upsert performs against
+    # a keyed aggregate table). Because cents are exact BIGINTs and
+    # integer addition is associative, increment == recompute exactly:
+    # the oracle is the plain full-corpus rollup, and the driver hash
+    # match IS the IVM correctness proof.
+    #
+    # Scale shape: the delta path aggregates ONLY the delta partition
+    # (at 100 TB: one day, not the table) and joins it against the
+    # standing cells on (type, day) — both sides cell-grain, never
+    # event-grain.
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("date")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        # per-partition SUM(value) is float — roll up to cents only at
+        # the FINAL grain, identically in base, delta, and oracle; the
+        # merge then adds exact integers. (Rounding base and delta
+        # separately would NOT equal rounding the recompute — the
+        # split is on raw double sums, see the n_events twin column.)
+        return df.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.sum("value").alias("raw"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+
+    base = rollup(e.filter(F.to_date("ts") < cutoff))
+    delta = rollup(e.filter(F.to_date("ts") >= cutoff)).toDF(
+        "d_type", "d_day", "d_raw", "d_n"
+    )
+    # cells are disjoint on day here (the nightly-partition case), but
+    # the merge is written for the general overlapping-cell upsert
+    merged = base.join(
+        delta,
+        (F.col("event_type") == F.col("d_type"))
+        & (F.col("day") == F.col("d_day")),
+        "full_outer",
+    ).select(
+        F.coalesce("event_type", "d_type").alias("event_type"),
+        F.coalesce("day", "d_day").alias("day"),
+        (
+            F.coalesce(F.col("raw"), F.lit(0.0))
+            + F.coalesce(F.col("d_raw"), F.lit(0.0))
+        ).alias("raw"),
+        (
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("d_n"), F.lit(0).cast("long"))
+        ).alias("n_events"),
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.round(F.col("raw") * 100, 0).cast("long").alias("cents"),
+        "n_events",
+    )

@@ -410,3 +410,30 @@ def test_survival_km_hand_computed_with_censoring(spark, tmp_path):
     s20 = s10 + math.floor(math.log(1 / 2) * 1e6)
     assert out[10]["log_surv_micro"] == s10
     assert out[20]["log_surv_micro"] == s20
+
+
+def test_ivm_increment_equals_recompute(spark, sf_dir):
+    """The merged base+delta rollup must equal the direct full
+    recompute cell-for-cell (cents AND counts) — the IVM contract the
+    shared oracle pins on the driver, asserted here engine-side."""
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+    from cirro_annotation_spark.suites.util import t
+
+    load_all_suites()
+    got = {
+        (r["event_type"], str(r["day"])): (r["cents"], r["n_events"])
+        for r in QUERIES["events_daily_rollup_ivm"](spark, sf_dir).collect()
+    }
+    want = {
+        (r["event_type"], str(r["day"])): (r["cents"], r["n"])
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum("value") * 100, 0).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
