@@ -118,6 +118,8 @@ DOC_QUERIES = [
     "text_kn_bigram_lm",
     "text_langid_train_nb",
     "docs_kn_perplexity",
+    "sample_temperature_mixture",
+    "pipeline_curriculum_order",
 ]
 
 # doc_id-slice-free but pair-quadratic on N-clone corpora (every
@@ -144,6 +146,9 @@ EMB_QUERIES = [
     "embeddings_dim_clip_report",
     "embeddings_rq_train",
     "sim_topk_rq",
+    # round 10: 1-bit quantizer — the Hamming scan reads the 16-byte
+    # code table however many vectors; the rerank join fetches 50 rows
+    "sim_topk_binary",
 ]
 
 

@@ -120,6 +120,8 @@ EVENT_QUERIES = [
     "events_dow_profile",
     "events_forecast_backtest",
     "stream_ewma_daily_stream",
+    "events_survival_km",
+    "events_daily_rollup_ivm",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
