@@ -373,6 +373,7 @@ HEADLINE = [
     "sample_temperature_mixture",
     "pipeline_curriculum_order",
     "events_daily_rollup_ivm",
+    "events_conversion_latency",
 ]
 
 

@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     "sample_temperature_mixture",
     "pipeline_curriculum_order",
     "events_daily_rollup_ivm",
+    "events_conversion_latency",
 ]
 
 

@@ -3058,3 +3058,94 @@ def events_daily_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("raw") * 100, 0).cast("long").alias("cents"),
         "n_events",
     )
+
+
+@query(
+    "events_conversion_latency",
+    # View-to-purchase conversion latency (round 10) — the funnel
+    # family's LATENCY member (funnel stages count who converts; this
+    # measures how fast): per user, first view then first purchase
+    # strictly after it; latency in whole minutes; the report is
+    # conversion rate in exact ppm plus exact p50/p95 latency as ORDER
+    # STATISTICS computed on the VALUE GRAIN — counts per distinct
+    # minute + a prefix-sum window over the bounded distinct-latency
+    # frame, never a row-grain global sort (1e9 converted users would
+    # kill a single-partition percentile window; distinct minutes are
+    # bounded by the time horizon).
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.v_us
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT p.user_id, (p.p_us - v.v_us) // 60000000 AS m
+      FROM p JOIN v ON v.user_id = p.user_id),
+    lc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY m),
+    cum AS (
+      SELECT m, c,
+             CAST(SUM(c) OVER (ORDER BY m ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM lc),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+             CAST((SELECT COUNT(*) FROM lat) AS BIGINT) AS n_converted)
+    SELECT tot.n_viewers, tot.n_converted,
+           (tot.n_converted * 1000000) // tot.n_viewers AS conversion_ppm,
+           (SELECT MIN(m) FROM cum
+            WHERE cc * 2 >= tot.n_converted) AS p50_latency_min,
+           (SELECT MIN(m) FROM cum
+            WHERE cc * 20 >= tot.n_converted * 19) AS p95_latency_min
+    FROM tot
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v.toDF("u2", "v_us"), F.col("user_id") == F.col("u2"))
+        .filter(F.unix_micros("ts") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts") - F.col("v_us")).alias("d_us"))
+    )
+    lat = p.select(F.expr("d_us div 60000000L").alias("m"))
+    lc = lat.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.col("m").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lc.withColumn("cc", F.sum("c").over(w))
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n_viewers")).crossJoin(
+        lat.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    )
+    p50 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cc") * 2 >= F.col("n_converted"))
+        .agg(F.min("m").alias("p50_latency_min"))
+    )
+    p95 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cc") * 20 >= F.col("n_converted") * 19)
+        .agg(F.min("m").alias("p95_latency_min"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p95))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.expr("(n_converted * 1000000L) div n_viewers").alias(
+                "conversion_ppm"
+            ),
+            "p50_latency_min",
+            "p95_latency_min",
+        )
+    )

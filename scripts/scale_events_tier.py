@@ -122,6 +122,7 @@ EVENT_QUERIES = [
     "stream_ewma_daily_stream",
     "events_survival_km",
     "events_daily_rollup_ivm",
+    "events_conversion_latency",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

@@ -437,3 +437,46 @@ def test_ivm_increment_equals_recompute(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_conversion_latency_hand_computed(spark, tmp_path):
+    """Crafted journeys pin the semantics: only purchases strictly
+    AFTER the first view convert; a purchase-before-view user counts
+    as a viewer but not a conversion; p50/p95 are the exact value-
+    grain order statistics."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, minute, et):
+        nonlocal eid
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=minute), uid, et, 1.0, "{}")
+        )
+        eid += 1
+
+    # converters with latencies 10, 20, 30, 40 minutes
+    for uid, latm in ((1, 10), (2, 20), (3, 30), (4, 40)):
+        ev(uid, 0, "view")
+        ev(uid, latm, "purchase")
+    ev(5, 10, "purchase")  # purchase BEFORE first view: no conversion
+    ev(5, 20, "view")
+    ev(6, 0, "view")       # never purchases
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "conv")
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    (r,) = QUERIES["events_conversion_latency"](spark, path).collect()
+    assert r["n_viewers"] == 6 and r["n_converted"] == 4
+    assert r["conversion_ppm"] == (4 * 1_000_000) // 6
+    assert r["p50_latency_min"] == 20  # cc*2 >= 4 first at m=20
+    assert r["p95_latency_min"] == 40
