@@ -82,6 +82,9 @@ PRIORITY: list[str] = [
     "pipeline_curriculum_order",
     "events_daily_rollup_ivm",
     "events_conversion_latency",
+    "events_markov_next",
+    "events_theil_sen_trend",
+    "sql_recursive_clamped_balance",
 ]
 
 

@@ -1682,3 +1682,85 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "sql_recursive_clamped_balance",
+    # Spark 4's WITH RECURSIVE (round 10) — the SQL-surface member the
+    # engine could not express until 4.x: a NON-LINEAR per-user
+    # recurrence, b_t = max(0, b_{t-1} + delta_t), the classic
+    # clamped-at-zero wallet/inventory balance. The clamp makes every
+    # step depend on the clamped PREVIOUS step, so no single window
+    # frame expresses it directly — the recursion is the natural form
+    # (a closed-form identity b_t = S_t - min(0, min running S) exists
+    # and is pinned as a pytest property check against this query).
+    # Credits/debits: view/click/signup deposit floor(value*100) cents;
+    # purchase/error withdraw at 2x; the first 28 days (fixed horizon =
+    # fixed recursion depth, under Spark's 100-level default) fold into
+    # one balance + a clamp-event counter per user. Scale shape: depth
+    # is the CALENDAR (28 joins of frontier x one-day deltas), never
+    # data size; each step is a user_id equi-join on the bounded
+    # user-grain frontier.
+    oracle="""
+    WITH RECURSIVE m AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    deltas AS (
+      SELECT user_id, CAST((CAST(ts AS DATE) - m.d0) + 1 AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                           THEN -2 ELSE 1 END
+                      * CAST(FLOOR(value * 100) AS BIGINT))
+                  AS BIGINT) AS delta
+      FROM events CROSS JOIN m GROUP BY 1, 2),
+    bal(user_id, t, cents, n_clamped) AS (
+      SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT user_id FROM deltas)
+      UNION ALL
+      SELECT b.user_id, b.t + 1,
+             GREATEST(CAST(0 AS BIGINT),
+                      b.cents + COALESCE(d.delta, CAST(0 AS BIGINT))),
+             b.n_clamped
+               + CASE WHEN b.cents + COALESCE(d.delta, CAST(0 AS BIGINT)) < 0
+                      THEN 1 ELSE 0 END
+      FROM bal b LEFT JOIN deltas d
+        ON d.user_id = b.user_id AND d.t = b.t + 1
+      WHERE b.t < 28)
+    SELECT user_id, cents AS final_cents, n_clamped
+    FROM bal WHERE t = 28
+    """,
+)
+def sql_recursive_clamped_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("__rc_events")
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW __rc_deltas AS
+        WITH m AS (SELECT MIN(to_date(ts)) AS d0 FROM __rc_events)
+        SELECT user_id,
+               CAST(datediff(to_date(ts), m.d0) + 1 AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                             THEN -2 ELSE 1 END
+                        * CAST(FLOOR(value * 100) AS BIGINT))
+                    AS BIGINT) AS delta
+        FROM __rc_events CROSS JOIN m
+        GROUP BY user_id, datediff(to_date(ts), m.d0) + 1
+    """)
+    return spark.sql("""
+        WITH RECURSIVE bal(user_id, t, cents, n_clamped) AS (
+          SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM (SELECT DISTINCT user_id FROM __rc_deltas)
+          UNION ALL
+          SELECT b.user_id, b.t + 1,
+                 GREATEST(CAST(0 AS BIGINT),
+                          b.cents + COALESCE(d.delta, CAST(0 AS BIGINT))),
+                 b.n_clamped
+                   + CASE
+                       WHEN b.cents + COALESCE(d.delta, CAST(0 AS BIGINT)) < 0
+                       THEN 1 ELSE 0 END
+          FROM bal b LEFT JOIN __rc_deltas d
+            ON d.user_id = b.user_id AND d.t = b.t + 1
+          WHERE b.t < 28
+        )
+        SELECT user_id, cents AS final_cents, n_clamped
+        FROM bal WHERE t = 28
+    """)

@@ -3149,3 +3149,175 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_latency_min",
         )
     )
+
+
+@query(
+    "events_markov_next",
+    # First-order Markov next-event model (round 10) — the sequence
+    # family's TRANSITION member (CEP counts pattern hits; this
+    # estimates the chain itself): per user, consecutive event pairs
+    # ordered by (ts, event_id) become a |types|x|types| transition
+    # matrix; probabilities are row-normalized in exact integer ppm and
+    # the argmax next state per source (deterministic count-desc /
+    # name-asc tie-break) is flagged. Scale shape: ONE shuffle on
+    # user_id for the lag, then all windows run on the bounded
+    # |types|^2 matrix — model state never grows with data.
+    oracle="""
+    WITH tr AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS from_type,
+             event_type AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    r AS (
+      SELECT from_type, to_type, n_trans,
+             CAST(SUM(n_trans) OVER (PARTITION BY from_type)
+                  AS BIGINT) AS row_total,
+             ROW_NUMBER() OVER (PARTITION BY from_type
+               ORDER BY n_trans DESC, to_type ASC) AS rn
+      FROM c)
+    SELECT from_type, to_type, n_trans,
+           (n_trans * 1000000) // row_total AS ppm,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_top
+    FROM r
+    """,
+)
+def events_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tr = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    cnt = tr.groupBy(
+        "from_type", F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    w_tot = Window.partitionBy("from_type")
+    w_rank = Window.partitionBy("from_type").orderBy(
+        F.col("n_trans").desc(), F.col("to_type").asc()
+    )
+    return (
+        cnt.withColumn("row_total", F.sum("n_trans").over(w_tot))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr("(n_trans * 1000000L) div row_total").alias("ppm"),
+            F.when(F.col("rn") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_top"),
+        )
+    )
+
+
+@query(
+    "events_theil_sen_trend",
+    # Theil-Sen robust trend estimator (round 10) — the forecasting
+    # family's ROBUST member (EWMA/Holt are recursive smoothers; this
+    # is the outlier-immune slope, breakdown point 29%): per event
+    # type, the lower median of all pairwise slopes of the daily-count
+    # series, in exact integer ppm (events/day per day-step). Pairs
+    # live on the DAY grain, so the self-join is bounded by the time
+    # horizon squared (~42k pairs/type at 290 days) — NEVER by row
+    # count; the median is an order statistic over value-grain prefix
+    # counts (the events_conversion_latency discipline), not a global
+    # sort. Truncating div matches DuckDB // on negative slopes (both
+    # truncate toward zero).
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day ASC) AS BIGINT) AS i
+      FROM d),
+    p AS (
+      SELECT a.event_type,
+             ((b.y - a.y) * 1000000) // (b.i - a.i) AS slope_ppm
+      FROM s a JOIN s b
+        ON b.event_type = a.event_type AND b.i > a.i),
+    g AS (
+      SELECT event_type, slope_ppm, CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, slope_ppm, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type
+                  ORDER BY slope_ppm ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM g),
+    tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_pairs
+      FROM g GROUP BY 1),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM s GROUP BY 1),
+    med AS (
+      SELECT cum.event_type, MIN(cum.slope_ppm) AS slope_ppm_med
+      FROM cum JOIN tot ON tot.event_type = cum.event_type
+      WHERE cum.cc * 2 >= tot.n_pairs GROUP BY 1)
+    SELECT nd.event_type, nd.n_days, tot.n_pairs, med.slope_ppm_med
+    FROM nd
+    JOIN tot ON tot.event_type = nd.event_type
+    JOIN med ON med.event_type = nd.event_type
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w_i = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    s = d.withColumn("i", F.row_number().over(w_i).cast("long")).select(
+        "event_type", "y", "i"
+    )
+    a = s.select(
+        F.col("event_type").alias("et"),
+        F.col("y").alias("ya"),
+        F.col("i").alias("ia"),
+    )
+    b = s.select(
+        F.col("event_type").alias("etb"),
+        F.col("y").alias("yb"),
+        F.col("i").alias("ib"),
+    )
+    p = (
+        a.join(b, (F.col("et") == F.col("etb")) & (F.col("ib") > F.col("ia")))
+        .select(
+            F.col("et").alias("event_type"),
+            F.expr("((yb - ya) * 1000000L) div (ib - ia)").alias("slope_ppm"),
+        )
+    )
+    g = p.groupBy("event_type", "slope_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("slope_ppm").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.withColumn("cc", F.sum("c").over(w_cum))
+    tot = g.groupBy("event_type").agg(F.sum("c").cast("long").alias("n_pairs"))
+    nd = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    med = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cc") * 2 >= F.col("n_pairs"))
+        .groupBy("event_type")
+        .agg(F.min("slope_ppm").alias("slope_ppm_med"))
+    )
+    return (
+        nd.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "n_days", "n_pairs", "slope_ppm_med")
+    )

@@ -480,3 +480,66 @@ def test_conversion_latency_hand_computed(spark, tmp_path):
     assert r["conversion_ppm"] == (4 * 1_000_000) // 6
     assert r["p50_latency_min"] == 20  # cc*2 >= 4 first at m=20
     assert r["p95_latency_min"] == 40
+
+
+def test_recursive_clamped_balance_matches_closed_form(spark, sf_dir):
+    """The WITH RECURSIVE clamp recurrence b_t = max(0, b_{t-1} + d_t)
+    has the closed form b_T = S_T - min(0, min_{k<=T} S_k) over prefix
+    sums S — the recursion and the window identity must agree on every
+    user's final balance (exact integer cents, no rounding surface)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+    from cirro_annotation_spark.suites.util import t
+
+    load_all_suites()
+    got = {
+        r["user_id"]: r["final_cents"]
+        for r in QUERIES["sql_recursive_clamped_balance"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    e = t(spark, sf_dir, "events")
+    m = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    deltas = (
+        e.crossJoin(F.broadcast(m))
+        .filter(F.datediff(F.to_date("ts"), F.col("d0")) + 1 <= 28)
+        .groupBy(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("t"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("purchase", "error"), -2
+                ).otherwise(1)
+                * F.floor(F.col("value") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = deltas.withColumn("s", F.sum("delta").over(w)).withColumn(
+        "min_s", F.min("s").over(w)
+    )
+    closed = {
+        r["user_id"]: r["b"]
+        for r in pref.groupBy("user_id")
+        .agg(
+            (
+                F.max_by("s", "t") - F.least(F.lit(0).cast("long"), F.min("min_s"))
+            ).alias("b")
+        )
+        .collect()
+    }
+    # Users with no activity inside the 28-day horizon stay at 0 in the
+    # recursion but have no prefix row; the identity covers the rest.
+    assert all(got[u] == b for u, b in closed.items())
+    assert all(v == 0 for u, v in got.items() if u not in closed)
