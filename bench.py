@@ -377,6 +377,7 @@ HEADLINE = [
     "events_markov_next",
     "events_theil_sen_trend",
     "sql_recursive_clamped_balance",
+    "events_conformal_intervals",
 ]
 
 

@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "events_markov_next",
     "events_theil_sen_trend",
     "sql_recursive_clamped_balance",
+    "events_conformal_intervals",
 ]
 
 

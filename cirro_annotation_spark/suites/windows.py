@@ -3321,3 +3321,180 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(med), "event_type")
         .select("event_type", "n_days", "n_pairs", "slope_ppm_med")
     )
+
+
+@query(
+    "events_conformal_intervals",
+    # Split-conformal prediction intervals (round 10) — the forecasting
+    # family's UNCERTAINTY member (EWMA/Holt emit point forecasts; this
+    # wraps one in a distribution-free interval with finite-sample
+    # coverage, Vovk et al. / Angelopoulos-Bates): per event type, the
+    # one-step EWMA forecast errors |x_d - ewma_{d-1}| on the first 2/3
+    # of days calibrate qhat = the ceil(0.9*(n_cal+1))-th smallest
+    # residual (the split-conformal order statistic, clamped to n_cal),
+    # and the held-out last 1/3 reports empirical coverage of
+    # forecast +/- qhat in exact ppm. Everything stays in BIGINT cents:
+    # the EWMA is the house shift-fold (events_ewma_daily), qhat is an
+    # order statistic over value-grain prefix counts, coverage is an
+    # integer ratio — zero rounding surface. Scale shape: one
+    # (type, day) partial agg, then |types| day-length arrays; splits,
+    # quantile, and coverage all run on the bounded day grain.
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS ewma,
+             CAST(NULL AS BIGINT) AS resid
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn, (r.ewma + s.x) // 2,
+             ABS(s.x - r.ewma)
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+    res AS (
+      SELECT event_type, rn - 2 AS pos, resid FROM r WHERE rn >= 2),
+    split AS (
+      SELECT event_type, (n_res * 2) // 3 AS n_cal,
+             n_res - (n_res * 2) // 3 AS n_test
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_res
+            FROM res GROUP BY 1) nn),
+    cal AS (
+      SELECT res.event_type, resid FROM res
+      JOIN split ON split.event_type = res.event_type
+      WHERE res.pos < split.n_cal),
+    g AS (
+      SELECT event_type, resid, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cal GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, resid, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type
+                  ORDER BY resid ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM g),
+    k AS (
+      SELECT event_type,
+             LEAST(n_cal, ((n_cal + 1) * 9 + 9) // 10) AS kk
+      FROM split),
+    q AS (
+      SELECT cum.event_type, MIN(cum.resid) AS qhat_cents
+      FROM cum JOIN k ON k.event_type = cum.event_type
+      WHERE cum.cc >= k.kk GROUP BY 1),
+    tst AS (
+      SELECT res.event_type, resid FROM res
+      JOIN split ON split.event_type = res.event_type
+      WHERE res.pos >= split.n_cal),
+    cov AS (
+      SELECT tst.event_type,
+             CAST(SUM(CASE WHEN tst.resid <= q.qhat_cents
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+      FROM tst JOIN q ON q.event_type = tst.event_type GROUP BY 1)
+    SELECT split.event_type, split.n_cal, split.n_test, q.qhat_cents,
+           (cov.n_in * 1000000) // split.n_test AS coverage_ppm
+    FROM split
+    JOIN q ON q.event_type = split.event_type
+    JOIN cov ON cov.event_type = split.event_type
+    """,
+)
+def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("ewma"),
+        F.lit(0).cast("long").alias("rn"),
+        F.array().cast("array<long>").alias("res"),
+    )
+    folded = series.select(
+        "event_type",
+        F.aggregate(
+            "s",
+            init,
+            lambda acc, el: F.struct(
+                F.shiftright(acc["ewma"] + el["x"], 1).alias("ewma"),
+                (acc["rn"] + F.lit(1).cast("long")).alias("rn"),
+                F.when(
+                    acc["rn"] >= 1,
+                    F.concat(
+                        acc["res"],
+                        F.array(F.abs(el["x"] - acc["ewma"]).cast("long")),
+                    ),
+                )
+                .otherwise(acc["res"])
+                .alias("res"),
+            ),
+        ).alias("f"),
+    )
+    res = folded.select(
+        "event_type", F.posexplode(F.col("f.res")).alias("pos", "resid")
+    ).select("event_type", F.col("pos").cast("long").alias("pos"), "resid")
+    split = (
+        res.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_res"))
+        .select(
+            "event_type",
+            F.expr("(n_res * 2) div 3").alias("n_cal"),
+            F.expr("n_res - (n_res * 2) div 3").alias("n_test"),
+        )
+    )
+    cal = res.join(F.broadcast(split), "event_type").filter(
+        F.col("pos") < F.col("n_cal")
+    )
+    g = cal.groupBy("event_type", "resid").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("resid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.withColumn("cc", F.sum("c").over(w_cum))
+    k = split.select(
+        "event_type",
+        F.expr("least(n_cal, ((n_cal + 1) * 9 + 9) div 10)").alias("kk"),
+    )
+    q = (
+        cum.join(F.broadcast(k), "event_type")
+        .filter(F.col("cc") >= F.col("kk"))
+        .groupBy("event_type")
+        .agg(F.min("resid").alias("qhat_cents"))
+    )
+    tst = res.join(F.broadcast(split), "event_type").filter(
+        F.col("pos") >= F.col("n_cal")
+    )
+    cov = (
+        tst.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("resid") <= F.col("qhat_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_in")
+        )
+    )
+    return (
+        split.join(F.broadcast(q), "event_type")
+        .join(F.broadcast(cov), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "qhat_cents",
+            F.expr("(n_in * 1000000L) div n_test").alias("coverage_ppm"),
+        )
+    )
