@@ -378,6 +378,7 @@ HEADLINE = [
     "events_theil_sen_trend",
     "sql_recursive_clamped_balance",
     "events_conformal_intervals",
+    "embeddings_kcenter_coreset",
 ]
 
 

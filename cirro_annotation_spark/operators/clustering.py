@@ -592,3 +592,97 @@ SELECT raf.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
 FROM raf JOIN rck ON raf.cid = rck.cid
 GROUP BY raf.cid"""
     return stage1 + residual + stage2 + final
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+# traversal) — the SELECTION member of the training family: kmeans/PQ/RQ
+# compress the corpus toward its density; k-center picks the k points
+# that COVER it (2-approximation of the optimal covering radius), the
+# standard coreset seed for active learning and diverse sampling.
+# ---------------------------------------------------------------------------
+def kcenter_greedy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Farthest-first traversal on the shared integer lattice.
+
+    Start = lowest id (pinned, deterministic); each round picks the
+    point with the LARGEST exact BIGINT squared distance to its nearest
+    chosen center (ties -> lowest id) and reports that distance — the
+    monotone nonincreasing k-center radius progression.
+
+    Scale shape: inherently k passes (the greedy is sequential by
+    definition) but each pass is one codegen'd min-distance update in
+    the scan stage plus a TakeOrderedAndProject(1) — no shuffle of the
+    vectors, ever; chosen centers are k x dim BIGINTs of bounded driver
+    model state, the kmeans_lloyd budget.
+    """
+    qd = df.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("qv")
+    )
+    first = qd.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    sel: list[tuple[int, int, int]] = [(1, int(first["vec_id"]), 0)]
+    cvec = [int(v) for v in first["qv"]]
+    cur = qd.withColumn("mind", _dist_expr("qv", cvec))
+    for r in range(2, k + 1):
+        top = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append((r, int(top["vec_id"]), int(top["mind"])))
+        cvec = [int(v) for v in top["qv"]]
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), _dist_expr("qv", cvec))
+        )
+    return df.sparkSession.createDataFrame(
+        sel, "sel_rank bigint, vec_id bigint, radius_d2 bigint"
+    )
+
+
+def kcenter_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    dim: int = 64,
+) -> str:
+    """Unrolled DuckDB oracle: k-1 rounds of (distance to newest center,
+    running least, argmax with id tie-break), the kmeans unrolled-CTE
+    standard applied to the farthest-first recursion."""
+    d2 = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (m.qv[i] - c.qv[i]) * (m.qv[i] - c.qv[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH qd AS (
+  SELECT {id_col} AS vec_id,
+         list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {float(Q_SCALE)}) AS BIGINT)) AS qv
+  FROM {table}),
+c1 AS (SELECT vec_id, qv FROM qd ORDER BY vec_id ASC LIMIT 1),
+m1 AS (
+  SELECT m.vec_id, m.qv, {d2} AS mind
+  FROM qd m CROSS JOIN c1 c)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""c{r} AS (
+  SELECT vec_id, qv, mind FROM m{r - 1}
+  ORDER BY mind DESC, vec_id ASC LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS (
+  SELECT m.vec_id, m.qv, LEAST(m.mind, {d2}) AS mind
+  FROM m{r - 1} m CROSS JOIN c{r} c)"""
+            )
+    rows = ["SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, CAST(0 AS BIGINT) AS radius_d2 FROM c1"]
+    for r in range(2, k + 1):
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, CAST(mind AS BIGINT) FROM c{r}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)

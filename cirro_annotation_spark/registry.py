@@ -86,6 +86,7 @@ PRIORITY: list[str] = [
     "events_theil_sen_trend",
     "sql_recursive_clamped_balance",
     "events_conformal_intervals",
+    "embeddings_kcenter_coreset",
 ]
 
 

@@ -1651,3 +1651,24 @@ def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("sim_rank", F.row_number().over(w_rank)).select(
         "vec_id", "hamming", "cosine_sim", "sim_rank"
     )
+
+
+@query(
+    "embeddings_kcenter_coreset",
+    # Greedy k-center coreset (Gonzalez 1985 farthest-first, round 10)
+    # — the SELECTION member of the embedding-training family:
+    # kmeans/PQ/RQ compress toward density, k-center picks the k points
+    # that COVER the corpus (2-approx of the optimal covering radius),
+    # the standard seed for diverse sampling / active learning. Exact
+    # on the shared integer lattice: pinned lowest-id start, BIGINT
+    # squared distances, argmax with id tie-break — the reported
+    # radius progression (monotone nonincreasing) hash-matches an
+    # unrolled-CTE DuckDB oracle, the kmeans discipline applied to the
+    # farthest-first recursion. Scale shape: k codegen'd min-distance
+    # passes + TakeOrderedAndProject(1) each; vectors never shuffle;
+    # model state is k x dim BIGINTs on the driver.
+    oracle=C.kcenter_oracle_sql(k=8, dim=64),
+)
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return C.kcenter_greedy(emb, "embedding", "vec_id", k=8)

@@ -233,3 +233,25 @@ def test_training_seeds_from_lowest_present_ids(spark):
     }
     assert got == want and len(got) >= 2
     assert all(c >= 1000 for _, c, *_ in got)  # cids are ACTUAL ids
+
+
+def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
+    """Farthest-first invariants: covering radius never increases as
+    centers are added, chosen ids are distinct, and the pinned start is
+    the lowest vec_id."""
+    from cirro_annotation_spark.operators.clustering import kcenter_greedy
+    from cirro_annotation_spark.suites.util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        kcenter_greedy(emb, k=6).collect(), key=lambda r: r["sel_rank"]
+    )
+    assert len(rows) == 6
+    assert rows[0]["radius_d2"] == 0
+    min_id = emb.agg({"vec_id": "min"}).collect()[0][0]
+    assert rows[0]["vec_id"] == min_id
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 6
+    radii = [r["radius_d2"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert all(r > 0 for r in radii)
