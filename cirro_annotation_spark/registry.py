@@ -87,6 +87,9 @@ PRIORITY: list[str] = [
     "sql_recursive_clamped_balance",
     "events_conformal_intervals",
     "embeddings_kcenter_coreset",
+    "sql_lateral_topk",
+    "orders_rfm_segments",
+    "basket_assoc_rules",
 ]
 
 

@@ -1731,9 +1731,20 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_recursive_clamped_balance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # The recursion re-evaluates its referenced relations at EVERY
+    # level; left as a logical view, the deltas scan+agg would run 28
+    # times (~4k stages at the 10x tier, measured). Materialize it once
+    # behind a lazy localCheckpoint (the shared-scan discipline) so
+    # each level joins a cached table. Recursion row volume is
+    # users x 29 (the anchor plus 28 calendar steps), which outgrows
+    # the engine's 1M-row default safety valve at tier scale — raise
+    # it; depth stays bounded by the WHERE t < 28 horizon regardless.
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    except Exception:
+        pass  # locked conf: the sf<=0.1 driver volumes fit the default
     t(spark, sf_dir, "events").createOrReplaceTempView("__rc_events")
-    spark.sql("""
-        CREATE OR REPLACE TEMP VIEW __rc_deltas AS
+    deltas = spark.sql("""
         WITH m AS (SELECT MIN(to_date(ts)) AS d0 FROM __rc_events)
         SELECT user_id,
                CAST(datediff(to_date(ts), m.d0) + 1 AS BIGINT) AS t,
@@ -1744,6 +1755,9 @@ def sql_recursive_clamped_balance(
         FROM __rc_events CROSS JOIN m
         GROUP BY user_id, datediff(to_date(ts), m.d0) + 1
     """)
+    deltas.localCheckpoint(eager=False).createOrReplaceTempView(
+        "__rc_deltas"
+    )
     return spark.sql("""
         WITH RECURSIVE bal(user_id, t, cents, n_clamped) AS (
           SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
@@ -1764,3 +1778,234 @@ def sql_recursive_clamped_balance(
         SELECT user_id, cents AS final_cents, n_clamped
         FROM bal WHERE t = 28
     """)
+
+
+@query(
+    "sql_lateral_topk",
+    # Correlated LATERAL subquery (round 10) — the SQL-surface sibling
+    # of window_rank_topk_per_group: top-2 orders per customer written
+    # the way an analyst writes it (FROM customer, LATERAL (... ORDER
+    # BY ... LIMIT 2)). Catalyst's DecorrelateInnerQuery rewrites the
+    # per-row subquery into ONE partitioned rank window — verified in
+    # the plan: no nested-loop re-execution per customer, the same
+    # physical shape the DataFrame top-k gets, so SQL-text and
+    # DataFrame users pay identical cost at any scale.
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"__lat_{name}")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    """)
+
+
+@query(
+    "orders_rfm_segments",
+    # RFM customer segmentation (round 10) — the classic marketing
+    # analytics rollup: per ordering customer, Recency (days since last
+    # order vs the corpus max date), Frequency (order count), Monetary
+    # (lifetime cents); each scored into quartiles by ntile(4) under a
+    # PINNED total order (metric, then custkey — ntile without a total
+    # order is nondeterministic across engines AND runs), composed into
+    # a 3-digit segment code, reported at segment grain. Integer
+    # discipline: cents via ROUND(SUM(double)*100) (raw-double sums
+    # never land on a half-cent), averages by BIGINT div. Scale shape:
+    # one customer-grain agg, three ntile windows on the customer
+    # frame, segment-grain output (<= 64 rows).
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             (SELECT MAX(o_orderdate) FROM orders) - MAX(o_orderdate)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)
+               AS money_cents
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, money_cents,
+             CAST(NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC)
+                  AS BIGINT) AS r_q,
+             CAST(NTILE(4) OVER (ORDER BY freq DESC, custkey ASC)
+                  AS BIGINT) AS f_q,
+             CAST(NTILE(4) OVER (ORDER BY money_cents DESC, custkey ASC)
+                  AS BIGINT) AS m_q
+      FROM cust)
+    SELECT r_q * 100 + f_q * 10 + m_q AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(money_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(money_cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS avg_cents
+    FROM scored GROUP BY 1
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            (
+                F.datediff(F.first("maxd"), F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("money_cents"),
+        )
+    )
+    # Global NTILE without the single-partition global-window trap:
+    # three two-pass distributed global ranks (operators/dedup.py
+    # global_rank — range-repartition + local row_number + offsets),
+    # then the exact NTILE(4) arithmetic on the rank. The formula
+    # reproduces SQL NTILE's first-groups-get-the-extra-row split, so
+    # the oracle keeps plain NTILE(4) and the hash pins equivalence.
+    from cirro_annotation_spark.operators.dedup import global_rank
+
+    def ntile4(rnk: str, n: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN {n} div 4 = 0 THEN {rnk} "
+            f"WHEN {rnk} <= ({n} div 4 + 1) * ({n} % 4) "
+            f"THEN ({rnk} - 1) div ({n} div 4 + 1) + 1 "
+            f"ELSE {n} % 4 + ({rnk} - ({n} div 4 + 1) * ({n} % 4) - 1) "
+            f"div ({n} div 4) + 1 END"
+        ).cast("long")
+
+    c = cust.withColumn("freq_neg", -F.col("freq")).withColumn(
+        "money_neg", -F.col("money_cents")
+    )
+    c = global_rank(c, ["recency_days", "custkey"]).withColumnRenamed(
+        "rnk", "r_rnk"
+    )
+    c = global_rank(c, ["freq_neg", "custkey"]).withColumnRenamed(
+        "rnk", "f_rnk"
+    )
+    c = global_rank(c, ["money_neg", "custkey"]).withColumnRenamed(
+        "rnk", "m_rnk"
+    )
+    n_cust = cust.agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    scored = c.crossJoin(F.broadcast(n_cust)).select(
+        "custkey",
+        "money_cents",
+        ntile4("r_rnk", "n_cust").alias("r_q"),
+        ntile4("f_rnk", "n_cust").alias("f_q"),
+        ntile4("m_rnk", "n_cust").alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
+            ).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("money_cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            F.expr("total_cents div n_customers").alias("avg_cents"),
+        )
+    )
+
+
+@query(
+    "basket_assoc_rules",
+    # Market-basket association rules (round 10) — Agrawal-style
+    # support / confidence / lift over co-ordered part pairs: baskets
+    # are orders, items are distinct parts per order, and the top 20
+    # pairs by lift (ties: part ids) are reported with all three
+    # metrics in exact integer ppm. Scale shape: the pair generation is
+    # a per-order self-join whose fan-out is bounded by the max basket
+    # size (7 lines in TPC-H — pairs per order <= 21, so pair volume is
+    # O(orders), never O(parts^2)); per-item order counts are one
+    # partial agg; the final top-20 is TakeOrderedAndProject. Lift
+    # magnitude audit: n_ab * 1e6 * n_orders <= ~1e17 < 2^63.
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n_ord AS (
+      SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    item_n AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT part_a, part_b, n_ab,
+             (n_ab * 1000000) // n_ord.n_orders AS support_ppm,
+             (n_ab * 1000000) // ia.n_item AS confidence_ppm,
+             (n_ab * 1000000 * n_ord.n_orders)
+               // (ia.n_item * ib.n_item) AS lift_ppm
+      FROM pairs
+      JOIN item_n ia ON ia.pk = pairs.part_a
+      JOIN item_n ib ON ib.pk = pairs.part_b
+      CROSS JOIN n_ord
+      WHERE n_ab >= 2)
+    SELECT part_a, part_b, n_ab, support_ppm, confidence_ppm, lift_ppm
+    FROM scored
+    ORDER BY lift_ppm DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_ord = items.agg(
+        F.countDistinct("ok").cast("long").alias("n_orders")
+    )
+    item_n = items.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    b = items.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk_b"))
+    pairs = (
+        items.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pk") < F.col("pk_b")))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    scored = (
+        pairs.join(
+            item_n.select(
+                F.col("pk").alias("part_a"), F.col("n_item").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            item_n.select(
+                F.col("pk").alias("part_b"), F.col("n_item").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("(n_ab * 1000000L) div n_orders").alias("support_ppm"),
+            F.expr("(n_ab * 1000000L) div n_a").alias("confidence_ppm"),
+            F.expr("(n_ab * 1000000L * n_orders) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)

@@ -149,6 +149,10 @@ EMB_QUERIES = [
     # round 10: 1-bit quantizer — the Hamming scan reads the 16-byte
     # code table however many vectors; the rerank join fetches 50 rows
     "sim_topk_binary",
+    # round 10 final wave: greedy k-center — k codegen'd min-distance
+    # passes + TakeOrderedAndProject(1) each; clone tiers multiply the
+    # scan, never the k x dim model state
+    "embeddings_kcenter_coreset",
 ]
 
 

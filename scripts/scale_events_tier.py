@@ -123,6 +123,16 @@ EVENT_QUERIES = [
     "events_survival_km",
     "events_daily_rollup_ivm",
     "events_conversion_latency",
+    # round 10 final wave: Markov transition matrix (|types|^2 model
+    # state), Theil-Sen pairwise slopes (day-grain pairs, bounded by
+    # horizon^2), conformal intervals (|types| day-length residual
+    # arrays), and the WITH RECURSIVE clamped balance (28 calendar
+    # steps of frontier x one-day-delta equi-joins — depth is the
+    # calendar, never data size)
+    "events_markov_next",
+    "events_theil_sen_trend",
+    "events_conformal_intervals",
+    "sql_recursive_clamped_balance",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
