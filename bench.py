@@ -382,6 +382,7 @@ HEADLINE = [
     "sql_lateral_topk",
     "orders_rfm_segments",
     "basket_assoc_rules",
+    "events_burst_hysteresis",
 ]
 
 

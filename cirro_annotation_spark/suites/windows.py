@@ -3498,3 +3498,118 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_in * 1000000L) div n_test").alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "events_burst_hysteresis",
+    # Online two-threshold burst detector (round 10) — the anomaly
+    # family's STATEFUL member (z-score/MAD/SPC flag points against a
+    # static profile; this tracks a REGIME with memory): a day enters
+    # burst when its cents reach 1.5x the running EWMA, and the burst
+    # persists until a day falls to 0.8x — the hysteresis gap is what
+    # keeps borderline days from flapping, the Kleinberg two-state
+    # intuition as a deterministic online rule. State per type is four
+    # integers folded left over the day-sorted series (the
+    # events_ewma_daily shift-fold; enter/exit compare against the
+    # PRE-UPDATE ewma, all in BIGINT, zero rounding surface). Oracle:
+    # the identical recursion via WITH RECURSIVE. Scale shape: one
+    # (type, day) partial agg, then |types| codegen'd folds — bounded
+    # group state at any volume.
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS ewma, 0 AS burst,
+             CAST(0 AS BIGINT) AS n_bursts, CAST(0 AS BIGINT) AS n_burst_days
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn, (r.ewma + s.x) // 2,
+             CASE WHEN r.burst = 0 AND r.ewma > 0
+                       AND s.x * 10 >= 15 * r.ewma THEN 1
+                  WHEN r.burst = 1 AND s.x * 10 <= 8 * r.ewma THEN 0
+                  ELSE r.burst END,
+             r.n_bursts
+               + CASE WHEN r.burst = 0 AND r.ewma > 0
+                           AND s.x * 10 >= 15 * r.ewma
+                      THEN 1 ELSE 0 END,
+             r.n_burst_days
+               + CASE WHEN (CASE WHEN r.burst = 0 AND r.ewma > 0
+                                      AND s.x * 10 >= 15 * r.ewma THEN 1
+                                 WHEN r.burst = 1 AND s.x * 10 <= 8 * r.ewma
+                                 THEN 0
+                                 ELSE r.burst END) = 1
+                      THEN 1 ELSE 0 END
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+           MAX_BY(n_bursts, rn) AS n_bursts,
+           MAX_BY(n_burst_days, rn) AS n_burst_days,
+           CAST(MAX_BY(burst, rn) AS BIGINT) AS in_burst_final
+    FROM r GROUP BY event_type
+    """,
+)
+def events_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("ewma"),
+        F.lit(0).cast("long").alias("burst"),
+        F.lit(0).cast("long").alias("n_bursts"),
+        F.lit(0).cast("long").alias("n_burst_days"),
+    )
+
+    def step(acc, el):
+        enter = (
+            (acc["burst"] == 0)
+            & (acc["ewma"] > 0)
+            & (el["x"] * 10 >= 15 * acc["ewma"])
+        )
+        exit_ = (acc["burst"] == 1) & (el["x"] * 10 <= 8 * acc["ewma"])
+        new_burst = (
+            F.when(enter, F.lit(1))
+            .when(exit_, F.lit(0))
+            .otherwise(acc["burst"])
+            .cast("long")
+        )
+        return F.struct(
+            F.shiftright(acc["ewma"] + el["x"], 1).alias("ewma"),
+            new_burst.alias("burst"),
+            (
+                acc["n_bursts"]
+                + F.when(enter, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("n_bursts"),
+            (
+                acc["n_burst_days"]
+                + F.when(new_burst == 1, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_burst_days"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate("s", init, step).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("f.n_bursts").alias("n_bursts"),
+        F.col("f.n_burst_days").alias("n_burst_days"),
+        F.col("f.burst").alias("in_burst_final"),
+    )
