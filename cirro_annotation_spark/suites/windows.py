@@ -3439,9 +3439,17 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f"),
     )
-    res = folded.select(
-        "event_type", F.posexplode(F.col("f.res")).alias("pos", "resid")
-    ).select("event_type", F.col("pos").cast("long").alias("pos"), "resid")
+    # res feeds THREE consumers (split sizes, calibration, test) — left
+    # lazy, each would re-run the rollup + fold from the scan (6 data
+    # exchanges, measured). Materialize once: the frame is bounded at
+    # |types| x |days| rows. The shared-scan lazy-checkpoint discipline.
+    res = (
+        folded.select(
+            "event_type", F.posexplode(F.col("f.res")).alias("pos", "resid")
+        )
+        .select("event_type", F.col("pos").cast("long").alias("pos"), "resid")
+        .localCheckpoint(eager=False)
+    )
     split = (
         res.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_res"))

@@ -606,3 +606,46 @@ def test_bootstrap_replicates_never_shuffle_raw_rows(spark, sf_dir):
     assert plan.find("HashAggregate", last_exch, gen) != -1, (
         "exchange sits directly over the replicate generator"
     )
+
+
+def test_r10_final_wave_plan_shapes(spark, sf_dir):
+    """Final-wave pins: the basket top-20 ranks through
+    TakeOrderedAndProject; the LATERAL subquery decorrelates into one
+    rank window (no nested-loop / cartesian re-execution per outer
+    row); the RFM query never plants a partition-less window (the
+    single-partition global-sort trap its distributed ranks exist to
+    avoid); the burst/conformal folds add no exchange beyond rollup +
+    series (the forecast-fold discipline)."""
+    from cirro_annotation_spark.plans import count_exchanges
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+
+    def plan_str(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "TakeOrderedAndProject" in plan_str("basket_assoc_rules")
+
+    lat = plan_str("sql_lateral_topk")
+    assert "Window" in lat
+    assert "CartesianProduct" not in lat and "BroadcastNestedLoop" not in lat
+
+    rfm = plan_str("orders_rfm_segments")
+    # a global (partition-less) window prints as: Window [...], [col ASC ...]
+    # with NO partition spec between the function list and the order spec;
+    # every window here must be partitioned by __pid
+    for line in rfm.splitlines():
+        if "Window " in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
+
+    # The burst fold is the events_ewma_daily shape: rollup + series,
+    # nothing else. (Conformal is NOT exchange-pinned: its residual
+    # frame is a LAZY checkpoint feeding three consumers — the
+    # pre-execution plan string still prints the un-truncated lineage,
+    # so an exchange count would pin the printer, not the runtime.)
+    assert count_exchanges(QUERIES["events_burst_hysteresis"](spark, sf_dir)) <= 2
