@@ -383,6 +383,7 @@ HEADLINE = [
     "orders_rfm_segments",
     "basket_assoc_rules",
     "events_burst_hysteresis",
+    "stream_burst_hysteresis_stream",
 ]
 
 

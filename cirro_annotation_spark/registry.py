@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "orders_rfm_segments",
     "basket_assoc_rules",
     "events_burst_hysteresis",
+    "stream_burst_hysteresis_stream",
 ]
 
 

@@ -673,3 +673,48 @@ def stream_ewma_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ewma_from_daily(daily)
 
+
+
+def _import_burst_oracle() -> str:
+    from cirro_annotation_spark.suites.windows import _BURST_DAILY_ORACLE
+
+    return _BURST_DAILY_ORACLE
+
+
+@query(
+    "stream_burst_hysteresis_stream",
+    # Streaming twin of events_burst_hysteresis (round 10), held to the
+    # SAME WITH-RECURSIVE oracle through a real drain: the STREAM
+    # maintains per-(type, day) value sums (bounded windowed-agg state)
+    # and the order-dependent hysteresis fold runs on the sink's
+    # completed windows — the stream-maintains-cells / monitor-folds-
+    # on-drain split that is the production shape for a continuously
+    # refreshed burst monitor (the stream_ewma_daily_stream pattern).
+    oracle=_import_burst_oracle(),
+)
+def stream_burst_hysteresis_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cirro_annotation_spark.suites.windows import burst_from_daily
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def day_sums(ev: DataFrame) -> DataFrame:
+        return (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.sum("value").alias("v"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "v"
+            )
+        )
+
+    cells = STRM.run_streaming_over_parquet(spark, path, day_sums)
+    daily = cells.select(
+        "event_type",
+        F.to_date("window_start").alias("day"),
+        F.greatest(
+            F.round(F.col("v") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x"),
+    )
+    return burst_from_daily(daily)

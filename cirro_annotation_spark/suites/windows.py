@@ -3508,22 +3508,7 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_burst_hysteresis",
-    # Online two-threshold burst detector (round 10) — the anomaly
-    # family's STATEFUL member (z-score/MAD/SPC flag points against a
-    # static profile; this tracks a REGIME with memory): a day enters
-    # burst when its cents reach 1.5x the running EWMA, and the burst
-    # persists until a day falls to 0.8x — the hysteresis gap is what
-    # keeps borderline days from flapping, the Kleinberg two-state
-    # intuition as a deterministic online rule. State per type is four
-    # integers folded left over the day-sorted series (the
-    # events_ewma_daily shift-fold; enter/exit compare against the
-    # PRE-UPDATE ewma, all in BIGINT, zero rounding surface). Oracle:
-    # the identical recursion via WITH RECURSIVE. Scale shape: one
-    # (type, day) partial agg, then |types| codegen'd folds — bounded
-    # group state at any volume.
-    oracle="""
+_BURST_DAILY_ORACLE = """
     WITH RECURSIVE d AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
@@ -3561,16 +3546,13 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX_BY(n_burst_days, rn) AS n_burst_days,
            CAST(MAX_BY(burst, rn) AS BIGINT) AS in_burst_final
     FROM r GROUP BY event_type
-    """,
-)
-def events_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.greatest(
-            F.round(F.sum("value") * 100, 0).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("x")
-    )
+    """
+
+
+def burst_from_daily(daily: DataFrame) -> DataFrame:
+    """The two-threshold hysteresis fold over a (event_type, day,
+    x-cents) frame — shared by the batch query and its streaming
+    twin (the ewma_from_daily split)."""
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
     )
@@ -3621,3 +3603,31 @@ def events_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.n_burst_days").alias("n_burst_days"),
         F.col("f.burst").alias("in_burst_final"),
     )
+
+
+@query(
+    "events_burst_hysteresis",
+    # Online two-threshold burst detector (round 10) — the anomaly
+    # family's STATEFUL member (z-score/MAD/SPC flag points against a
+    # static profile; this tracks a REGIME with memory): a day enters
+    # burst when its cents reach 1.5x the running EWMA, and the burst
+    # persists until a day falls to 0.8x — the hysteresis gap is what
+    # keeps borderline days from flapping, the Kleinberg two-state
+    # intuition as a deterministic online rule. State per type is four
+    # integers folded left over the day-sorted series (the
+    # events_ewma_daily shift-fold; enter/exit compare against the
+    # PRE-UPDATE ewma, all in BIGINT, zero rounding surface). Oracle:
+    # the identical recursion via WITH RECURSIVE. Scale shape: one
+    # (type, day) partial agg, then |types| codegen'd folds — bounded
+    # group state at any volume.
+    oracle=_BURST_DAILY_ORACLE,
+)
+def events_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    return burst_from_daily(daily)
