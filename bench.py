@@ -384,6 +384,8 @@ HEADLINE = [
     "basket_assoc_rules",
     "events_burst_hysteresis",
     "stream_burst_hysteresis_stream",
+    "lineitem_shiplag_percentiles",
+    "orders_gini_concentration",
 ]
 
 

@@ -92,6 +92,8 @@ PRIORITY: list[str] = [
     "basket_assoc_rules",
     "events_burst_hysteresis",
     "stream_burst_hysteresis_stream",
+    "lineitem_shiplag_percentiles",
+    "orders_gini_concentration",
 ]
 
 

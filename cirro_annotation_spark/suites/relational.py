@@ -2009,3 +2009,185 @@ def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_ppm").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     ).limit(20)
+
+
+@query(
+    "lineitem_shiplag_percentiles",
+    # Order-to-ship latency profile (round 10) — operational analytics
+    # over the biggest join: per return flag, exact p50/p90/p99 of the
+    # ship-minus-order lag in days. The lag domain is bounded by
+    # business rules (0..~4 months in TPC-H), so percentiles are order
+    # statistics over VALUE-GRAIN prefix counts — one orderdate
+    # broadcast-free equi-join, one (flag, lag) partial agg, then
+    # windows on the bounded distinct-lag frame. Never a row-grain
+    # percentile sort.
+    oracle="""
+    WITH d AS (
+      SELECT l.l_returnflag,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                  AS BIGINT) AS lag_d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, lag_d, c,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag
+                  ORDER BY lag_d ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM d),
+    tot AS (
+      SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY 1)
+    SELECT tot.l_returnflag, tot.n,
+           (SELECT MIN(lag_d) FROM cum
+            WHERE cum.l_returnflag = tot.l_returnflag
+              AND cum.cc * 2 >= tot.n) AS p50_days,
+           (SELECT MIN(lag_d) FROM cum
+            WHERE cum.l_returnflag = tot.l_returnflag
+              AND cum.cc * 10 >= tot.n * 9) AS p90_days,
+           (SELECT MIN(lag_d) FROM cum
+            WHERE cum.l_returnflag = tot.l_returnflag
+              AND cum.cc * 100 >= tot.n * 99) AS p99_days
+    FROM tot
+    """,
+)
+def lineitem_shiplag_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_returnflag",
+            F.datediff("l_shipdate", "o_orderdate")
+            .cast("long")
+            .alias("lag_d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("lag_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cc", F.sum("c").over(w))
+    tot = d.groupBy("l_returnflag").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+
+    def pctl(mult_cc: int, mult_n: int, name: str) -> DataFrame:
+        return (
+            cum.join(F.broadcast(tot), "l_returnflag")
+            .filter(F.col("cc") * mult_cc >= F.col("n") * mult_n)
+            .groupBy("l_returnflag")
+            .agg(F.min("lag_d").alias(name))
+        )
+
+    return (
+        tot.join(F.broadcast(pctl(2, 1, "p50_days")), "l_returnflag")
+        .join(F.broadcast(pctl(10, 9, "p90_days")), "l_returnflag")
+        .join(F.broadcast(pctl(100, 99, "p99_days")), "l_returnflag")
+        .select("l_returnflag", "n", "p50_days", "p90_days", "p99_days")
+    )
+
+
+@query(
+    "orders_gini_concentration",
+    # Revenue-concentration report (round 10) — the inequality member
+    # of the customer-analytics family beside RFM: per market segment,
+    # the exact Gini coefficient of customer lifetime value (rank-sum
+    # formula G = (2*Sum(r*m) - (n+1)*Sum(m)) / (n*Sum(m)) on ascending
+    # money ranks) and the top-decile revenue share, both in exact ppm.
+    # Magnitude discipline: money floored to whole DOLLARS keeps
+    # (num mod den) * 1e6 inside BIGINT at driver scales; the ppm uses
+    # TWO-STAGE flooring ((a div b)*K + ((a mod b)*K) div b — the KN
+    # precedent) so no product ever needs 128 bits. Ranks come from ONE
+    # distributed global rank over (segment, money, custkey) — segment
+    # ranks are recovered by subtracting per-segment offsets (5-row
+    # broadcast), so no per-segment single-partition window either.
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+             CAST(ROUND(SUM(o.o_totalprice) * 100, 0) AS BIGINT) // 100
+               AS m
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT segment, custkey, m,
+             CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                  ORDER BY m ASC, custkey ASC) AS BIGINT) AS r
+      FROM cust),
+    sized AS (
+      SELECT segment, custkey, m, r,
+             CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM ranked),
+    agg AS (
+      SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS s_m,
+             CAST(SUM(r * m) AS BIGINT) AS s_rm,
+             CAST(SUM(CASE WHEN r > n - (n + 9) // 10
+                           THEN m ELSE 0 END) AS BIGINT) AS s_top
+      FROM sized GROUP BY segment)
+    SELECT segment, n, s_m AS total_dollars,
+           (2 * s_rm - (n + 1) * s_m) // (n * s_m) * 1000000
+             + (((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000000)
+               // (n * s_m) AS gini_ppm,
+           (s_top * 1000000) // s_m AS top10_share_ppm
+    FROM agg
+    """,
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.dedup import global_rank
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) div 100"
+            ).alias("m")
+        )
+        .join(c, F.col("custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), "custkey", "m")
+    )
+    g = global_rank(cust, ["segment", "m", "custkey"])
+    off = g.groupBy("segment").agg((F.min("rnk") - 1).alias("off"))
+    ranked = g.join(F.broadcast(off), "segment").select(
+        "segment", "custkey", "m", (F.col("rnk") - F.col("off")).alias("r")
+    )
+    nseg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    agg = (
+        ranked.join(F.broadcast(nseg), "segment")
+        .groupBy("segment")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum("m").cast("long").alias("s_m"),
+            F.sum(F.col("r") * F.col("m")).cast("long").alias("s_rm"),
+            F.sum(
+                F.when(
+                    F.col("r")
+                    > F.col("n") - F.expr("(n + 9) div 10"),
+                    F.col("m"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("s_top"),
+        )
+    )
+    return agg.select(
+        "segment",
+        "n",
+        F.col("s_m").alias("total_dollars"),
+        F.expr(
+            "(2 * s_rm - (n + 1) * s_m) div (n * s_m) * 1000000L"
+            " + (((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000000L)"
+            " div (n * s_m)"
+        ).alias("gini_ppm"),
+        F.expr("(s_top * 1000000L) div s_m").alias("top10_share_ppm"),
+    )
