@@ -1965,9 +1965,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # items feeds FOUR consumers (basket count, per-item counts, both
+    # pair-join sides) — materialize the distinct frame once; at scale,
+    # one O(lineitem) checkpoint beats four scan+distinct replays.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_ord = items.agg(
         F.countDistinct("ok").cast("long").alias("n_orders")
     )

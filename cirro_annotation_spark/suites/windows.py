@@ -3277,8 +3277,14 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("y")
     )
     w_i = Window.partitionBy("event_type").orderBy(F.col("day").asc())
-    s = d.withColumn("i", F.row_number().over(w_i).cast("long")).select(
-        "event_type", "y", "i"
+    # s feeds FIVE consumers (both self-join sides, n_days, and the
+    # median chain) — left lazy each re-ran the scan + rollup + window
+    # (14 exchanges, plan-audited). Materialize the bounded
+    # |types| x |days| frame once.
+    s = (
+        d.withColumn("i", F.row_number().over(w_i).cast("long"))
+        .select("event_type", "y", "i")
+        .localCheckpoint(eager=False)
     )
     a = s.select(
         F.col("event_type").alias("et"),
