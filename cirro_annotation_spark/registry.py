@@ -94,6 +94,8 @@ PRIORITY: list[str] = [
     "stream_burst_hysteresis_stream",
     "lineitem_shiplag_percentiles",
     "orders_gini_concentration",
+    "sql_unpivot_metrics",
+    "sql_pivot_status",
 ]
 
 

@@ -2198,3 +2198,62 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_ppm"),
         F.expr("(s_top * 1000000L) div s_m").alias("top10_share_ppm"),
     )
+
+
+@query(
+    "sql_unpivot_metrics",
+    # SQL UNPIVOT clause (round 10) — the SQL-surface twin of the
+    # DataFrame melt (melt_unpivot): three measure columns rotate into
+    # (metric, val) rows INSIDE the scan stage (Spark plans UNPIVOT as
+    # Expand — zero extra exchanges, the melt discipline), then a
+    # metric-grain rollup. Engines differ only in spelling (Spark:
+    # UNPIVOT (val FOR metric IN ...); DuckDB: UNPIVOT ... INTO NAME
+    # metric VALUE val) — the relational semantics hash-match.
+    oracle="""
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(val) * 100, 0) AS BIGINT) AS sum_centi
+    FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount
+          INTO NAME metric VALUE val)
+    GROUP BY metric
+    """,
+)
+def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__up_lineitem")
+    return spark.sql("""
+        SELECT metric, COUNT(*) AS n,
+               CAST(ROUND(SUM(val) * 100, 0) AS BIGINT) AS sum_centi
+        FROM __up_lineitem
+        UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+                                    l_discount))
+        GROUP BY metric
+    """)
+
+
+@query(
+    "sql_pivot_status",
+    # SQL PIVOT clause (round 10) — the SQL-surface twin of the
+    # DataFrame pivot (pivot_widen): quantity totals widen over the
+    # EXPLICIT status list (no distinct pre-scan, the pivot_widen
+    # rule), one shuffle on the grouping key. The oracle spells the
+    # same contract as conditional aggregation — what every engine
+    # lowers PIVOT to.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                                THEN l_quantity END), 0) AS BIGINT)
+             AS qty_open,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                                THEN l_quantity END), 0) AS BIGINT)
+             AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__pv_lineitem")
+    return spark.sql("""
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus, l_quantity
+          FROM __pv_lineitem)
+        PIVOT (CAST(ROUND(SUM(l_quantity), 0) AS BIGINT)
+               FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
+    """)
