@@ -388,6 +388,7 @@ HEADLINE = [
     "orders_gini_concentration",
     "sql_unpivot_metrics",
     "sql_pivot_status",
+    "events_holt_winters_daily",
 ]
 
 

@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "orders_gini_concentration",
     "sql_unpivot_metrics",
     "sql_pivot_status",
+    "events_holt_winters_daily",
 ]
 
 

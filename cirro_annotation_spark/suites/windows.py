@@ -3637,3 +3637,113 @@ def events_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x")
     )
     return burst_from_daily(daily)
+
+
+_HW_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             CAST(dayofweek(day) AS BIGINT) AS dow,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS lv,
+             CAST(0 AS BIGINT) AS tr,
+             CAST([0, 0, 0, 0, 0, 0, 0] AS BIGINT[]) AS sv
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             ((s.x - r.sv[s.dow + 1]) + (r.lv + r.tr)) >> 1,
+             (((((s.x - r.sv[s.dow + 1]) + (r.lv + r.tr)) >> 1) - r.lv)
+              + r.tr) >> 1,
+             list_transform(range(0, 7), i ->
+               CASE WHEN i = s.dow
+                    THEN ((s.x
+                           - (((s.x - r.sv[s.dow + 1])
+                               + (r.lv + r.tr)) >> 1))
+                          + r.sv[s.dow + 1]) >> 1
+                    ELSE r.sv[i + 1] END)
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+           MAX_BY(lv, rn) AS level_cents,
+           MAX_BY(tr, rn) AS trend_cents,
+           CAST(list_sum(MAX_BY(sv, rn)) AS BIGINT) AS seasonal_sum
+    FROM r GROUP BY event_type
+    """
+
+
+@query(
+    "events_holt_winters_daily",
+    # Additive Holt-Winters triple exponential smoothing (round 10) —
+    # the forecasting family's SEASONAL completion (EWMA = level; Holt
+    # = level+trend; this adds the 7-slot day-of-week component):
+    # L' = ((x - S_dow) + (L + B)) >> 1, B' = ((L' - L) + B) >> 1,
+    # S'_dow = ((x - L') + S_dow) >> 1, all alpha=beta=gamma=1/2 so the
+    # whole recursion stays in BIGINT cents with ARITHMETIC right
+    # shifts — DuckDB's >> is the same arithmetic shift on negatives
+    # (the signed-recursion halving rule), so the three-component state
+    # is engine-exact with zero rounding surface. dayofweek parity:
+    # Spark dayofweek()-1 == DuckDB dayofweek() (0=Sunday), the
+    # events_dow_profile pin. Scale shape: one (type, day) partial agg,
+    # then |types| codegen'd folds carrying 9 BIGINTs of state.
+    oracle=_HW_ORACLE,
+)
+def events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "day",
+                    F.col("x").alias("x"),
+                    (F.dayofweek("day") - 1).cast("long").alias("dow"),
+                )
+            )
+        ).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("lv"),
+        F.lit(0).cast("long").alias("tr"),
+        F.array_repeat(F.lit(0).cast("long"), 7).alias("sv"),
+    )
+
+    def step(acc, el):
+        s_dow = F.element_at(acc["sv"], (el["dow"] + 1).cast("int"))
+        lv2 = F.shiftright((el["x"] - s_dow) + (acc["lv"] + acc["tr"]), 1)
+        tr2 = F.shiftright((lv2 - acc["lv"]) + acc["tr"], 1)
+        sv2 = F.transform(
+            acc["sv"],
+            lambda v, i: F.when(
+                i.cast("long") == el["dow"],
+                F.shiftright((el["x"] - lv2) + s_dow, 1),
+            ).otherwise(v),
+        )
+        return F.struct(lv2.alias("lv"), tr2.alias("tr"), sv2.alias("sv"))
+
+    folded = series.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate("s", init, step).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("f.lv").alias("level_cents"),
+        F.col("f.tr").alias("trend_cents"),
+        F.aggregate(
+            F.col("f.sv"),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("seasonal_sum"),
+    )
