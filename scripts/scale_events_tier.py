@@ -133,6 +133,11 @@ EVENT_QUERIES = [
     "events_theil_sen_trend",
     "events_conformal_intervals",
     "sql_recursive_clamped_balance",
+    # round 10 closing: burst hysteresis + its stream twin, Holt-Winters
+    # (all |types|-fold state over the day grain)
+    "events_burst_hysteresis",
+    "events_holt_winters_daily",
+    "stream_burst_hysteresis_stream",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

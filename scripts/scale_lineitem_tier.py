@@ -37,6 +37,16 @@ QUERIES = [
     "q1_pricing_summary",
     "q4_order_priority",
     "join_range_band",
+    # round 10: basket rules (checkpointed distinct-items frame), the
+    # LATERAL/RFM/Gini customer analytics, ship-lag percentiles, and
+    # the SQL reshape twins
+    "basket_assoc_rules",
+    "sql_lateral_topk",
+    "orders_rfm_segments",
+    "orders_gini_concentration",
+    "lineitem_shiplag_percentiles",
+    "sql_unpivot_metrics",
+    "sql_pivot_status",
 ]
 
 
