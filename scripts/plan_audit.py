@@ -192,6 +192,21 @@ AUDITED = [
     "events_daily_quantiles",
     "join_interval_overlap",
     "sim_topk_rq",
+    # round 10 final wave
+    "events_markov_next",
+    "events_theil_sen_trend",
+    "events_conformal_intervals",
+    "sql_recursive_clamped_balance",
+    "embeddings_kcenter_coreset",
+    "sql_lateral_topk",
+    "orders_rfm_segments",
+    "basket_assoc_rules",
+    "events_burst_hysteresis",
+    "lineitem_shiplag_percentiles",
+    "orders_gini_concentration",
+    "sql_unpivot_metrics",
+    "sql_pivot_status",
+    "events_holt_winters_daily",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
