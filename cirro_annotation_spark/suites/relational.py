@@ -2074,6 +2074,10 @@ def lineitem_shiplag_percentiles(
             .alias("lag_d"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # d feeds FIVE consumers (cum, tot, three percentile filters) —
+        # materialize the bounded |flags| x |lag-domain| frame once so
+        # the lineitem x orders join runs exactly once.
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy("l_returnflag")
