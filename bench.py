@@ -389,6 +389,9 @@ HEADLINE = [
     "sql_unpivot_metrics",
     "sql_pivot_status",
     "events_holt_winters_daily",
+    "events_stl_decompose",
+    "supplier_scorecard",
+    "events_anomaly_consensus",
 ]
 
 

@@ -97,6 +97,9 @@ PRIORITY: list[str] = [
     "sql_unpivot_metrics",
     "sql_pivot_status",
     "events_holt_winters_daily",
+    "events_stl_decompose",
+    "supplier_scorecard",
+    "events_anomaly_consensus",
 ]
 
 

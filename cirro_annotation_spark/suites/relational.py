@@ -2261,3 +2261,72 @@ def sql_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         PIVOT (CAST(ROUND(SUM(l_quantity), 0) AS BIGINT)
                FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
     """)
+
+
+@query(
+    "supplier_scorecard",
+    # Supplier scorecard (round 10) — the operational-report member of
+    # the relational family: per supplier, discounted revenue, line
+    # volume, return rate in exact ppm, and total discount points
+    # (hundredths), ranked to the top 20 by revenue. One
+    # supplier-keyed rollup over lineitem (map-side combine), one
+    # broadcast of the supplier dim, top-20 via TakeOrderedAndProject
+    # then rank on the 20 survivors (the r10 top-k lever).
+    oracle=f"""
+    WITH m AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), {MONEY})
+               AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returns,
+             CAST(ROUND(SUM(l_discount) * 100, 0) AS BIGINT)
+               AS discount_points
+      FROM lineitem GROUP BY 1),
+    top AS (
+      SELECT s.s_name, s.s_nationkey, m.*
+      FROM m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+      ORDER BY m.revenue DESC, m.l_suppkey ASC LIMIT 20)
+    SELECT s_name, s_nationkey, revenue, n_lines,
+           (n_returns * 1000000) // n_lines AS return_ppm,
+           discount_points,
+           CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey ASC)
+                AS BIGINT) AS rev_rank
+    FROM top
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    m = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            MONEY,
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_returns"),
+        F.round(F.sum("l_discount") * 100, 0)
+        .cast("long")
+        .alias("discount_points"),
+    )
+    top = (
+        m.join(F.broadcast(sup), m.l_suppkey == sup.s_suppkey)
+        .orderBy(F.col("revenue").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey").asc())
+    return top.select(
+        "s_name",
+        "s_nationkey",
+        "revenue",
+        "n_lines",
+        F.expr("(n_returns * 1000000L) div n_lines").alias("return_ppm"),
+        "discount_points",
+        F.row_number().over(w).cast("long").alias("rev_rank"),
+    )

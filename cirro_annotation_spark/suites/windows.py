@@ -3747,3 +3747,271 @@ def events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).alias("seasonal_sum"),
     )
+
+
+@query(
+    "events_stl_decompose",
+    # STL-style descriptive decomposition (round 10) — the forecasting
+    # family's DESCRIPTIVE member (Holt-Winters smooths forward; this
+    # explains the past): daily cents split into trend (centered 7-day
+    # moving average, defined only where the full window exists so the
+    # edges carry no half-window bias), day-of-week seasonal (floor
+    # mean of the detrended values per (type, dow)), and residual.
+    # Exact-integer: trend = 7-day sum div 7 on non-negative cents;
+    # seasonal uses truncating div on possibly-negative sums, which
+    # matches DuckDB // (both truncate toward zero). Scale shape: one
+    # (type, day) partial agg, one type-keyed 7-row window, one
+    # (type, dow) rollup joined back broadcast — day-grain throughout.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT event_type, day, dow, x,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(x) OVER w AS BIGINT) // 7 END AS trend
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day, dow, x, trend, x - trend AS detr
+      FROM tr WHERE trend IS NOT NULL),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(detr) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS seasonal
+      FROM det GROUP BY 1, 2)
+    SELECT det.event_type, det.day, det.x, det.trend,
+           seas.seasonal, det.detr - seas.seasonal AS residual
+    FROM det JOIN seas
+      ON seas.event_type = det.event_type AND seas.dow = det.dow
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.dayofweek(F.to_date("ts")) - 1).cast("long").alias("dow"),
+    ).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-3, 3)
+    )
+    tr = (
+        d.withColumn("s7", F.sum("x").over(w).cast("long"))
+        .withColumn("c7", F.count(F.lit(1)).over(w))
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "x",
+            F.when(F.col("c7") == 7, F.expr("s7 div 7L")).alias("trend"),
+        )
+    )
+    det = (
+        tr.filter(F.col("trend").isNotNull())
+        .withColumn("detr", F.col("x") - F.col("trend"))
+        # det feeds the seasonal rollup AND the final projection — one
+        # materialization of the bounded day-grain frame.
+        .localCheckpoint(eager=False)
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr(
+            "CAST(SUM(detr) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "x",
+        "trend",
+        "seasonal",
+        (F.col("detr") - F.col("seasonal")).alias("residual"),
+    )
+
+
+@query(
+    "events_anomaly_consensus",
+    # Anomaly-detector ensemble (round 10) — the CONSENSUS member of
+    # the anomaly family: three independent static-profile detectors
+    # over daily cents (z-score |x-mu| > 2 sigma via the cross-
+    # multiplied integer identity (n*x - S1)^2 > 4*(n*S2 - S1^2);
+    # robust MAD rule |x - med|*10000 > 29652*MAD, i.e. 2 * 1.4826 in
+    # integer myriads; Tukey IQR fence 2x > 5*q3 - 3*q1) vote per day,
+    # and a day is a consensus anomaly when >= 2 agree — the ensemble
+    # pattern that suppresses single-detector false positives. All
+    # medians/quartiles are order statistics over value-grain prefix
+    # counts; every comparison is cross-multiplied BIGINT (magnitude
+    # audit: (n*x)^2 ~ 1.3e17 at a 365-day horizon — inside BIGINT).
+    # Scale shape: one (type, day) rollup, then everything runs on the
+    # bounded day grain.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM d GROUP BY 1),
+    g AS (
+      SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, x, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY x ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM g),
+    med AS (
+      SELECT cum.event_type, MIN(cum.x) AS med
+      FROM cum JOIN st ON st.event_type = cum.event_type
+      WHERE cum.cc * 2 >= st.n GROUP BY 1),
+    q1 AS (
+      SELECT cum.event_type, MIN(cum.x) AS q1
+      FROM cum JOIN st ON st.event_type = cum.event_type
+      WHERE cum.cc * 4 >= st.n GROUP BY 1),
+    q3 AS (
+      SELECT cum.event_type, MIN(cum.x) AS q3
+      FROM cum JOIN st ON st.event_type = cum.event_type
+      WHERE cum.cc * 4 >= st.n * 3 GROUP BY 1),
+    ad AS (
+      SELECT d.event_type, ABS(d.x - med.med) AS a
+      FROM d JOIN med ON med.event_type = d.event_type),
+    adg AS (
+      SELECT event_type, a, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ad GROUP BY 1, 2),
+    adcum AS (
+      SELECT event_type, a, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY a ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM adg),
+    mad AS (
+      SELECT adcum.event_type, MIN(adcum.a) AS mad
+      FROM adcum JOIN st ON st.event_type = adcum.event_type
+      WHERE adcum.cc * 2 >= st.n GROUP BY 1),
+    flags AS (
+      SELECT d.event_type,
+             CASE WHEN (st.n * d.x - st.s1) * (st.n * d.x - st.s1)
+                       > 4 * (st.n * st.s2 - st.s1 * st.s1)
+                  THEN 1 ELSE 0 END AS fz,
+             CASE WHEN ABS(d.x - med.med) * 10000 > 29652 * mad.mad
+                  THEN 1 ELSE 0 END AS fm,
+             CASE WHEN 2 * d.x > 5 * q3.q3 - 3 * q1.q1
+                  THEN 1 ELSE 0 END AS fi
+      FROM d
+      JOIN st ON st.event_type = d.event_type
+      JOIN med ON med.event_type = d.event_type
+      JOIN mad ON mad.event_type = d.event_type
+      JOIN q1 ON q1.event_type = d.event_type
+      JOIN q3 ON q3.event_type = d.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(fz) AS BIGINT) AS n_flag_z,
+           CAST(SUM(fm) AS BIGINT) AS n_flag_mad,
+           CAST(SUM(fi) AS BIGINT) AS n_flag_iqr,
+           CAST(SUM(CASE WHEN fz + fm + fi >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consensus
+    FROM flags GROUP BY event_type
+    """,
+)
+def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.greatest(
+                F.round(F.sum("value") * 100, 0).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("x")
+        )
+        # d feeds the stats, three order-statistic chains, and the
+        # final flag pass — one materialization of the day grain.
+        .localCheckpoint(eager=False)
+    )
+    st = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    g = d.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("x").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.withColumn("cc", F.sum("c").over(w_cum))
+
+    def ostat(frame, val, mult_cc, mult_n, name):
+        return (
+            frame.join(F.broadcast(st.select("event_type", "n")), "event_type")
+            .filter(F.col("cc") * mult_cc >= F.col("n") * mult_n)
+            .groupBy("event_type")
+            .agg(F.min(val).alias(name))
+        )
+
+    med = ostat(cum, "x", 2, 1, "med")
+    q1 = ostat(cum, "x", 4, 1, "q1")
+    q3 = ostat(cum, "x", 4, 3, "q3")
+    ad = d.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("a")
+    )
+    adg = ad.groupBy("event_type", "a").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_ad = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("a").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adcum = adg.withColumn("cc", F.sum("c").over(w_ad))
+    mad = ostat(adcum, "a", 2, 1, "mad")
+    flags = (
+        d.join(F.broadcast(st), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(q1), "event_type")
+        .join(F.broadcast(q3), "event_type")
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN (n * x - s1) * (n * x - s1)"
+                " > 4 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END"
+            ).alias("fz"),
+            F.expr(
+                "CASE WHEN ABS(x - med) * 10000 > 29652 * mad"
+                " THEN 1 ELSE 0 END"
+            ).alias("fm"),
+            F.expr(
+                "CASE WHEN 2 * x > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END"
+            ).alias("fi"),
+        )
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("fz").cast("long").alias("n_flag_z"),
+        F.sum("fm").cast("long").alias("n_flag_mad"),
+        F.sum("fi").cast("long").alias("n_flag_iqr"),
+        F.sum(
+            F.when(F.col("fz") + F.col("fm") + F.col("fi") >= 2, 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_consensus"),
+    )

@@ -47,6 +47,7 @@ QUERIES = [
     "lineitem_shiplag_percentiles",
     "sql_unpivot_metrics",
     "sql_pivot_status",
+    "supplier_scorecard",
 ]
 
 
