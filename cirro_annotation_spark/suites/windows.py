@@ -3863,8 +3863,8 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2),
     st AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS s1,
-             CAST(SUM(x * x) AS BIGINT) AS s2
+             CAST(SUM(x // 100) AS BIGINT) AS s1,
+             CAST(SUM((x // 100) * (x // 100)) AS BIGINT) AS s2
       FROM d GROUP BY 1),
     g AS (
       SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
@@ -3905,7 +3905,8 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE adcum.cc * 2 >= st.n GROUP BY 1),
     flags AS (
       SELECT d.event_type,
-             CASE WHEN (st.n * d.x - st.s1) * (st.n * d.x - st.s1)
+             CASE WHEN (st.n * (d.x // 100) - st.s1)
+                       * (st.n * (d.x // 100) - st.s1)
                        > 4 * (st.n * st.s2 - st.s1 * st.s1)
                   THEN 1 ELSE 0 END AS fz,
              CASE WHEN ABS(d.x - med.med) * 10000 > 29652 * mad.mad
@@ -3942,10 +3943,16 @@ def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # final flag pass — one materialization of the day grain.
         .localCheckpoint(eager=False)
     )
+    # The z-detector runs on WHOLE DOLLARS (x div 100): the identity
+    # (n*x - S1)^2 > 4*(n*S2 - S1^2) is scale-invariant, and the cents
+    # grain overflows BIGINT at the 100x tier (S1^2 ~ 9e18). Dollars
+    # buy 1e4 headroom: safe to ~8e6 dollars/day/cell at a 365-day
+    # horizon. MAD/IQR keep the cents grain (linear comparisons, no
+    # squared sums).
     st = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.expr("x div 100L")).cast("long").alias("s1"),
+        F.sum(F.expr("(x div 100L) * (x div 100L)")).cast("long").alias("s2"),
     )
     g = d.groupBy("event_type", "x").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -3990,7 +3997,7 @@ def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.expr(
-                "CASE WHEN (n * x - s1) * (n * x - s1)"
+                "CASE WHEN (n * (x div 100L) - s1) * (n * (x div 100L) - s1)"
                 " > 4 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END"
             ).alias("fz"),
             F.expr(
