@@ -207,6 +207,9 @@ AUDITED = [
     "sql_unpivot_metrics",
     "sql_pivot_status",
     "events_holt_winters_daily",
+    "events_stl_decompose",
+    "supplier_scorecard",
+    "events_anomaly_consensus",
 ]
 
 # Everything at or below this marker in an existing PLANS.md is hand-written
