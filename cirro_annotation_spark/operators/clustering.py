@@ -623,7 +623,11 @@ def kcenter_greedy(
     qd = df.select(
         F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("qv")
     )
-    first = qd.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    head = qd.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    schema = "sel_rank bigint, vec_id bigint, radius_d2 bigint"
+    if not head:  # empty input: typed empty result
+        return df.sparkSession.createDataFrame([], schema)
+    first = head[0]
     sel: list[tuple[int, int, int]] = [(1, int(first["vec_id"]), 0)]
     cvec = [int(v) for v in first["qv"]]
     # Checkpoint the running min-distance each round: without it the
@@ -635,19 +639,24 @@ def kcenter_greedy(
         eager=False
     )
     for r in range(2, k + 1):
-        top = (
+        tops = (
             cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not tops:
+            break
+        top = tops[0]
+        if int(top["mind"]) == 0:
+            # Coverage is complete (k exceeds the number of distinct
+            # vectors): every further pick would duplicate a center.
+            break
         sel.append((r, int(top["vec_id"]), int(top["mind"])))
         cvec = [int(v) for v in top["qv"]]
         cur = cur.withColumn(
             "mind", F.least(F.col("mind"), _dist_expr("qv", cvec))
         ).localCheckpoint(eager=False)
-    return df.sparkSession.createDataFrame(
-        sel, "sel_rank bigint, vec_id bigint, radius_d2 bigint"
-    )
+    return df.sparkSession.createDataFrame(sel, schema)
 
 
 def kcenter_oracle_sql(

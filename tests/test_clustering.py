@@ -255,3 +255,24 @@ def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
     radii = [r["radius_d2"] for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert all(r > 0 for r in radii)
+
+
+def test_kcenter_small_corpus_stops_at_coverage(spark):
+    """k larger than the number of distinct vectors: selection stops
+    when the covering radius hits zero instead of emitting duplicate
+    centers; an empty frame returns a typed empty result."""
+    from cirro_annotation_spark.operators.clustering import kcenter_greedy
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kcenter_greedy(df, k=6).collect()
+    assert len(rows) == 3
+    assert sorted(r["vec_id"] for r in rows) == [1, 2, 3]
+
+    empty = kcenter_greedy(df.limit(0), k=4)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "sel_rank", "vec_id", "radius_d2",
+    ]
