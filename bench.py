@@ -392,6 +392,7 @@ HEADLINE = [
     "events_stl_decompose",
     "supplier_scorecard",
     "events_anomaly_consensus",
+    "stream_holt_winters_stream",
 ]
 
 

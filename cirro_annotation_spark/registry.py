@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "events_stl_decompose",
     "supplier_scorecard",
     "events_anomaly_consensus",
+    "stream_holt_winters_stream",
 ]
 
 

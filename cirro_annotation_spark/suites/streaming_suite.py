@@ -718,3 +718,46 @@ def stream_burst_hysteresis_stream(
         ).alias("x"),
     )
     return burst_from_daily(daily)
+
+
+def _import_hw_oracle() -> str:
+    from cirro_annotation_spark.suites.windows import _HW_ORACLE
+
+    return _HW_ORACLE
+
+
+@query(
+    "stream_holt_winters_stream",
+    # Streaming twin of events_holt_winters_daily (round 10), held to
+    # the SAME WITH-RECURSIVE oracle through a real drain: the stream
+    # maintains per-(type, day) value sums and the three-component
+    # seasonal fold runs on completed windows — the third member of the
+    # stream-maintains-cells / monitor-folds-on-drain family (EWMA,
+    # burst, now Holt-Winters), i.e. the full forecasting monitor runs
+    # continuously refreshed.
+    oracle=_import_hw_oracle(),
+)
+def stream_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.suites.windows import hw_from_daily
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def day_sums(ev: DataFrame) -> DataFrame:
+        return (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.sum("value").alias("v"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "v"
+            )
+        )
+
+    cells = STRM.run_streaming_over_parquet(spark, path, day_sums)
+    daily = cells.select(
+        "event_type",
+        F.to_date("window_start").alias("day"),
+        F.greatest(
+            F.round(F.col("v") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x"),
+    )
+    return hw_from_daily(daily)

@@ -3677,30 +3677,10 @@ _HW_ORACLE = """
     """
 
 
-@query(
-    "events_holt_winters_daily",
-    # Additive Holt-Winters triple exponential smoothing (round 10) —
-    # the forecasting family's SEASONAL completion (EWMA = level; Holt
-    # = level+trend; this adds the 7-slot day-of-week component):
-    # L' = ((x - S_dow) + (L + B)) >> 1, B' = ((L' - L) + B) >> 1,
-    # S'_dow = ((x - L') + S_dow) >> 1, all alpha=beta=gamma=1/2 so the
-    # whole recursion stays in BIGINT cents with ARITHMETIC right
-    # shifts — DuckDB's >> is the same arithmetic shift on negatives
-    # (the signed-recursion halving rule), so the three-component state
-    # is engine-exact with zero rounding surface. dayofweek parity:
-    # Spark dayofweek()-1 == DuckDB dayofweek() (0=Sunday), the
-    # events_dow_profile pin. Scale shape: one (type, day) partial agg,
-    # then |types| codegen'd folds carrying 9 BIGINTs of state.
-    oracle=_HW_ORACLE,
-)
-def events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.greatest(
-            F.round(F.sum("value") * 100, 0).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("x")
-    )
+def hw_from_daily(daily: DataFrame) -> DataFrame:
+    """The Holt-Winters fold over a (event_type, day, x-cents) frame —
+    shared by the batch query and its streaming twin. Elements need no
+    pre-computed dow: it derives from the day inside the fold input."""
     series = daily.groupBy("event_type").agg(
         F.array_sort(
             F.collect_list(
@@ -3747,6 +3727,33 @@ def events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).alias("seasonal_sum"),
     )
+
+
+@query(
+    "events_holt_winters_daily",
+    # Additive Holt-Winters triple exponential smoothing (round 10) —
+    # the forecasting family's SEASONAL completion (EWMA = level; Holt
+    # = level+trend; this adds the 7-slot day-of-week component):
+    # L' = ((x - S_dow) + (L + B)) >> 1, B' = ((L' - L) + B) >> 1,
+    # S'_dow = ((x - L') + S_dow) >> 1, all alpha=beta=gamma=1/2 so the
+    # whole recursion stays in BIGINT cents with ARITHMETIC right
+    # shifts — DuckDB's >> is the same arithmetic shift on negatives
+    # (the signed-recursion halving rule), so the three-component state
+    # is engine-exact with zero rounding surface. dayofweek parity:
+    # Spark dayofweek()-1 == DuckDB dayofweek() (0=Sunday), the
+    # events_dow_profile pin. Scale shape: one (type, day) partial agg,
+    # then |types| codegen'd folds carrying 9 BIGINTs of state.
+    oracle=_HW_ORACLE,
+)
+def events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    return hw_from_daily(daily)
 
 
 @query(
