@@ -393,6 +393,7 @@ HEADLINE = [
     "supplier_scorecard",
     "events_anomaly_consensus",
     "stream_holt_winters_stream",
+    "multimodal_payload_dedup",
 ]
 
 

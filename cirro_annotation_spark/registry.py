@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "supplier_scorecard",
     "events_anomaly_consensus",
     "stream_holt_winters_stream",
+    "multimodal_payload_dedup",
 ]
 
 

@@ -257,3 +257,57 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("g.e") - F.col("g.s") + 1).cast("long").alias("n_frames"),
         )
     )
+
+
+@query(
+    "multimodal_payload_dedup",
+    # Block-level exact dedup over binary payloads (round 10) — the
+    # multimodal sibling of dedup_exact, at the STORAGE grain: fixed
+    # 128-byte leading blocks collapse by content hash (the fixed-size
+    # chunking half of dedup storage systems; content-defined chunking
+    # generalizes the boundary choice, the hash-group machinery is
+    # identical). Reports each duplicate block group with its survivor
+    # (lowest id), copy count, and the bytes a block store reclaims.
+    # Scale shape: one hash-keyed partial agg — payload bytes never
+    # shuffle (hash + length travel; the 32-byte/n-byte asymmetry that
+    # makes content-hash dedup cheap at 100 TB).
+    oracle="""
+    SELECT SHA256(SUBSTRING(text, 1, 128)) AS block_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(MIN(OCTET_LENGTH(ENCODE(SUBSTRING(text, 1, 128))))
+                AS BIGINT) AS n_bytes,
+           CAST((COUNT(*) - 1)
+                * MIN(OCTET_LENGTH(ENCODE(SUBSTRING(text, 1, 128))))
+                AS BIGINT) AS reclaimable_bytes
+    FROM documents
+    GROUP BY SHA256(SUBSTRING(text, 1, 128))
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    block = F.encode(F.substring(F.col("text"), 1, 128), "UTF-8")
+    hashed = d.select(
+        F.sha2(block, 256).alias("block_sha"),
+        F.col("doc_id"),
+        F.length(block).cast("long").alias("nb"),
+    )
+    return (
+        hashed.groupBy("block_sha")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("survivor_id"),
+            F.min("nb").cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "block_sha",
+            "n_copies",
+            "survivor_id",
+            "n_bytes",
+            ((F.col("n_copies") - 1) * F.col("n_bytes")).alias(
+                "reclaimable_bytes"
+            ),
+        )
+    )

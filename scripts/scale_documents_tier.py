@@ -120,6 +120,9 @@ DOC_QUERIES = [
     "docs_kn_perplexity",
     "sample_temperature_mixture",
     "pipeline_curriculum_order",
+    # round 10 closing: block-level content-hash dedup (hash + length
+    # travel; payload bytes never shuffle)
+    "multimodal_payload_dedup",
 ]
 
 # doc_id-slice-free but pair-quadratic on N-clone corpora (every
@@ -154,6 +157,7 @@ EMB_QUERIES = [
     # scan, never the k x dim model state
     "embeddings_kcenter_coreset",
 ]
+
 
 
 def build(n_copies: int) -> str:
