@@ -543,3 +543,100 @@ def test_recursive_clamped_balance_matches_closed_form(spark, sf_dir):
     # recursion but have no prefix row; the identity covers the rest.
     assert all(got[u] == b for u, b in closed.items())
     assert all(v == 0 for u, v in got.items() if u not in closed)
+
+
+def _tiny_events(spark, tmp_path, rows, name):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / name)
+    df.coalesce(1).write.parquet(path + "/events.parquet")
+    return path
+
+
+def test_markov_next_hand_computed(spark, tmp_path):
+    """One user with sequence v,c,v,c,p: transitions v->c x2, c->v,
+    c->p; row-normalized ppm and the count-desc/name-asc argmax."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "view", "click", "purchase"]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    path = _tiny_events(spark, tmp_path, rows, "mkv")
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["ppm"], r["is_top"])
+        for r in QUERIES["events_markov_next"](spark, path).collect()
+    }
+    assert got[("view", "click")] == (2, 1_000_000, 1)
+    # click splits 1/1 between purchase and view; tie-break name-asc
+    assert got[("click", "purchase")] == (1, 500_000, 1)
+    assert got[("click", "view")] == (1, 500_000, 0)
+    assert len(got) == 3
+
+
+def test_theil_sen_hand_computed(spark, tmp_path):
+    """Daily counts 1,2,4 on consecutive days: pairwise slopes are
+    (2-1)/1=1, (4-1)/2=1.5, (4-2)/1=2 per day-step; the lower median
+    of {1.0, 1.5, 2.0} is 1.5 -> 1_500_000 ppm."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day, n in [(0, 1), (1, 2), (2, 4)]:
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(days=day, minutes=k),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    path = _tiny_events(spark, tmp_path, rows, "ts")
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    (r,) = QUERIES["events_theil_sen_trend"](spark, path).collect()
+    assert r["n_days"] == 3 and r["n_pairs"] == 3
+    assert r["slope_ppm_med"] == 1_500_000
+
+
+def test_conformal_qhat_rule_hand_computed(spark, tmp_path):
+    """Nine residual-bearing days (10 days total): n_cal = 6, n_test=3,
+    k = least(6, ceil(0.9*7)) = least(6, 7) = 6 -> qhat is the LARGEST
+    calibration residual, so calibration coverage would be 100% and
+    test coverage counts residuals <= that max."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    cents = [100, 100, 100, 100, 100, 100, 100, 100, 100, 100]
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "view", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    path = _tiny_events(spark, tmp_path, rows, "conf")
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    (r,) = QUERIES["events_conformal_intervals"](spark, path).collect()
+    assert r["n_cal"] == 6 and r["n_test"] == 3
+    # constant series: EWMA converges upward from 0 (50, 75, ...), so
+    # residuals shrink monotonically; qhat = 6th smallest of the first
+    # 6 residuals = the largest calibration one = |100-50| = 50 at
+    # rn=2 ... wait: residuals start at rn=2: |100-ewma_1|=|100-50|=50,
+    # then 25, 13, 7, 4, 2 (shift halving) -> qhat = 50; the 3 test
+    # residuals (1, 1, 0) are all <= 50 -> coverage 1e6 ppm.
+    assert r["qhat_cents"] == 50
+    assert r["coverage_ppm"] == 1_000_000
