@@ -394,6 +394,7 @@ HEADLINE = [
     "events_anomaly_consensus",
     "stream_holt_winters_stream",
     "multimodal_payload_dedup",
+    "docs_readability_flesch",
 ]
 
 

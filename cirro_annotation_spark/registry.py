@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "events_anomaly_consensus",
     "stream_holt_winters_stream",
     "multimodal_payload_dedup",
+    "docs_readability_flesch",
 ]
 
 

@@ -4269,3 +4269,96 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("curriculum_pos"),
         )
     )
+
+
+@query(
+    "docs_readability_flesch",
+    # Flesch reading-ease (round 10) — the READABILITY member of the
+    # quality family (Gopher rules gate structure, CCNet gates LM
+    # perplexity; Flesch is the classic human-readability score):
+    # 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    # computed entirely in exact integer MICRO-units (two BIGINT
+    # cross-multiplied divs — no float in the formula), with greedy
+    # regex-group counting for sentences ([.!?]+ runs), words ([a-z]+
+    # runs), and syllables (vowel-group runs [aeiouy]+ — the standard
+    # cheap approximation), all of which count identically in Java and
+    # RE2 for patterns without lazy quantifiers (the CEP probe). The
+    # report buckets docs into the standard bands; one scan, one
+    # bounded rollup.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT), 1) AS sents,
+             GREATEST(CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS BIGINT), 1) AS words,
+             GREATEST(CAST(len(regexp_extract_all(lower(text),
+                                                  '[aeiouy]+'))
+                           AS BIGINT), 1) AS syls
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             206835000 - (1015000 * words) // sents
+                       - (84600000 * syls) // words AS flesch_micro
+      FROM f),
+    b AS (
+      SELECT doc_id, flesch_micro,
+             CASE WHEN flesch_micro >= 70000000 THEN 'easy'
+                  WHEN flesch_micro >= 50000000 THEN 'standard'
+                  WHEN flesch_micro >= 30000000 THEN 'difficult'
+                  ELSE 'very_difficult' END AS band
+      FROM s)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flesch_micro) AS BIGINT)
+             // CAST(COUNT(*) AS BIGINT) AS avg_flesch_micro,
+           CAST(MIN(flesch_micro) AS BIGINT) AS min_flesch_micro,
+           CAST(MAX(flesch_micro) AS BIGINT) AS max_flesch_micro
+    FROM b GROUP BY band
+    """,
+)
+def docs_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast(
+                "long"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("sents"),
+        F.greatest(
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("words"),
+        F.greatest(
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("syls"),
+    )
+    s = f.select(
+        "doc_id",
+        F.expr(
+            "206835000L - (1015000L * words) div sents"
+            " - (84600000L * syls) div words"
+        ).alias("flesch_micro"),
+    )
+    b = s.withColumn(
+        "band",
+        F.when(F.col("flesch_micro") >= 70_000_000, "easy")
+        .when(F.col("flesch_micro") >= 50_000_000, "standard")
+        .when(F.col("flesch_micro") >= 30_000_000, "difficult")
+        .otherwise("very_difficult"),
+    )
+    return b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(flesch_micro) AS BIGINT)"
+            " div CAST(COUNT(*) AS BIGINT)"
+        ).alias("avg_flesch_micro"),
+        F.min("flesch_micro").alias("min_flesch_micro"),
+        F.max("flesch_micro").alias("max_flesch_micro"),
+    )

@@ -123,6 +123,7 @@ DOC_QUERIES = [
     # round 10 closing: block-level content-hash dedup (hash + length
     # travel; payload bytes never shuffle)
     "multimodal_payload_dedup",
+    "docs_readability_flesch",
 ]
 
 # doc_id-slice-free but pair-quadratic on N-clone corpora (every
