@@ -395,6 +395,7 @@ HEADLINE = [
     "stream_holt_winters_stream",
     "multimodal_payload_dedup",
     "docs_readability_flesch",
+    "events_forecast_accuracy",
 ]
 
 

@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "stream_holt_winters_stream",
     "multimodal_payload_dedup",
     "docs_readability_flesch",
+    "events_forecast_accuracy",
 ]
 
 

@@ -4029,3 +4029,115 @@ def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_consensus"),
     )
+
+
+@query(
+    "events_forecast_accuracy",
+    # Forecast-accuracy scorecard (round 10) — the EVALUATION member of
+    # the forecasting family (backtest selects a model; this reports
+    # the standard accuracy metrics for the EWMA one-step forecast):
+    # WAPE = sum|x_d - ewma_{d-1}| / sum x_d in exact ppm, the naive
+    # (persistence) baseline WAPE, and the MASE-style skill ratio
+    # model-error / naive-error in ppm — <1e6 means the model beats
+    # persistence. Residuals come from the same shift-fold the
+    # conformal query uses (rn >= 2 so both forecasters have history);
+    # everything is BIGINT cents, zero rounding surface. Scale shape:
+    # one (type, day) rollup, |types| folds, metrics on fold scalars.
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             GREATEST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, x,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY day)
+               AS x_prev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS ewma,
+             CAST(NULL AS BIGINT) AS resid
+      FROM (SELECT DISTINCT event_type FROM s)
+      UNION ALL
+      SELECT s.event_type, s.rn, (r.ewma + s.x) // 2,
+             ABS(s.x - r.ewma)
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+    m AS (
+      SELECT r.event_type,
+             CAST(SUM(r.resid) AS BIGINT) AS e_model,
+             CAST(SUM(ABS(s.x - s.x_prev)) AS BIGINT) AS e_naive,
+             CAST(SUM(s.x) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_scored
+      FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn
+      WHERE r.rn >= 2 GROUP BY 1)
+    SELECT event_type, n_scored,
+           (e_model * 1000000) // GREATEST(tot, 1) AS wape_ppm,
+           (e_naive * 1000000) // GREATEST(tot, 1) AS naive_wape_ppm,
+           (e_model * 1000000) // GREATEST(e_naive, 1) AS mase_ppm
+    FROM m
+    """,
+)
+def events_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.greatest(
+            F.round(F.sum("value") * 100, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("ewma"),
+        F.lit(0).cast("long").alias("rn"),
+        F.lit(0).cast("long").alias("prev_x"),
+        F.lit(0).cast("long").alias("e_model"),
+        F.lit(0).cast("long").alias("e_naive"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def step(acc, el):
+        scored = acc["rn"] >= 1
+        zero = F.lit(0).cast("long")
+        return F.struct(
+            F.shiftright(acc["ewma"] + el["x"], 1).alias("ewma"),
+            (acc["rn"] + F.lit(1).cast("long")).alias("rn"),
+            el["x"].alias("prev_x"),
+            (
+                acc["e_model"]
+                + F.when(
+                    scored, F.abs(el["x"] - acc["ewma"]).cast("long")
+                ).otherwise(zero)
+            ).alias("e_model"),
+            (
+                acc["e_naive"]
+                + F.when(
+                    scored, F.abs(el["x"] - acc["prev_x"]).cast("long")
+                ).otherwise(zero)
+            ).alias("e_naive"),
+            (
+                acc["tot"] + F.when(scored, el["x"]).otherwise(zero)
+            ).alias("tot"),
+        )
+
+    folded = series.select(
+        "event_type",
+        (F.size("s") - 1).cast("long").alias("n_scored"),
+        F.aggregate("s", init, step).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_scored",
+        F.expr(
+            "(f.e_model * 1000000L) div greatest(f.tot, 1L)"
+        ).alias("wape_ppm"),
+        F.expr(
+            "(f.e_naive * 1000000L) div greatest(f.tot, 1L)"
+        ).alias("naive_wape_ppm"),
+        F.expr(
+            "(f.e_model * 1000000L) div greatest(f.e_naive, 1L)"
+        ).alias("mase_ppm"),
+    )

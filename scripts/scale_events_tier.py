@@ -141,6 +141,7 @@ EVENT_QUERIES = [
     "events_stl_decompose",
     "events_anomaly_consensus",
     "stream_holt_winters_stream",
+    "events_forecast_accuracy",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
