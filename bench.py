@@ -396,6 +396,7 @@ HEADLINE = [
     "multimodal_payload_dedup",
     "docs_readability_flesch",
     "events_forecast_accuracy",
+    "orders_monthly_growth",
 ]
 
 

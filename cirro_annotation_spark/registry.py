@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "multimodal_payload_dedup",
     "docs_readability_flesch",
     "events_forecast_accuracy",
+    "orders_monthly_growth",
 ]
 
 

@@ -2330,3 +2330,54 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "discount_points",
         F.row_number().over(w).cast("long").alias("rev_rank"),
     )
+
+
+@query(
+    "orders_monthly_growth",
+    # Month-over-month growth report (round 10) — the classic BI trend
+    # table: per calendar month, order count and revenue cents with
+    # their deltas and growth rates vs the previous month in exact ppm
+    # (signed truncating div, identical in both engines). One
+    # month-grain rollup, one lag window on the bounded month frame.
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT month, n_orders, cents,
+             LAG(n_orders) OVER (ORDER BY month) AS prev_n,
+             LAG(cents) OVER (ORDER BY month) AS prev_c
+      FROM m)
+    SELECT month, n_orders, cents,
+           n_orders - prev_n AS n_delta,
+           ((n_orders - prev_n) * 1000000) // prev_n AS n_growth_ppm,
+           ((cents - prev_c) * 1000000) // prev_c AS rev_growth_ppm
+    FROM l WHERE prev_n IS NOT NULL
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.orderBy(F.col("month").asc())
+    l = m.withColumn("prev_n", F.lag("n_orders").over(w)).withColumn(
+        "prev_c", F.lag("cents").over(w)
+    )
+    return l.filter(F.col("prev_n").isNotNull()).select(
+        "month",
+        "n_orders",
+        "cents",
+        (F.col("n_orders") - F.col("prev_n")).alias("n_delta"),
+        F.expr("((n_orders - prev_n) * 1000000L) div prev_n").alias(
+            "n_growth_ppm"
+        ),
+        F.expr("((cents - prev_c) * 1000000L) div prev_c").alias(
+            "rev_growth_ppm"
+        ),
+    )

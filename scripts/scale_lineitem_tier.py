@@ -48,6 +48,7 @@ QUERIES = [
     "sql_unpivot_metrics",
     "sql_pivot_status",
     "supplier_scorecard",
+    "orders_monthly_growth",
 ]
 
 
