@@ -49,62 +49,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-10 WINDOW ROTATION: every entry below has NEVER been
-    # hash-scored by the driver. The list is the FULL mechanically-
-    # computed remainder — all counts, membership, and the next-round
-    # plan are enforced by tests/test_registry.py (rotation tests
-    # compute the remainder from CORRECTNESS_r*.json history; no
-    # hand-maintained totals here, per VERDICT r7 item 5). The window
-    # may hold fewer than 50 names exactly when the remainder is smaller
-    # than the window; round-10 additions are appended as they land
-    # until the window is full again, overflow queues in the plan-set
-    # test. After CORRECTNESS_r09 every other oracle-backed query in the
-    # repo is driver hash-green (253/254).
+    # ROUND-11 WINDOW ROTATION — the RE-VERIFICATION era. After
+    # CORRECTNESS_r10 every oracle-backed query in the repo has at least
+    # one driver hash-green row, so the never-scored remainder is empty
+    # and the window's job changes: fill the driver's 50 hash-checked
+    # slots with the STALEST-scored queries — most recent hash-green
+    # round oldest first, tie-broken by name (the r2-era scalar/
+    # relational/set families were last gate-checked 8 rounds of code
+    # churn ago). Never-scored names (new queries) sort first
+    # (last_green = -1), so round-11 additions mechanically displace the
+    # newest re-verification entries. The list below is EXACTLY the
+    # output of scripts/rotate_priority.py; tests/test_registry.py
+    # recomputes it from CORRECTNESS_r*.json history and asserts
+    # equality — no hand-maintained membership (VERDICT r10 item 1).
     # ------------------------------------------------------------------
-    # the one r9 addition that missed the r9 window (ADVICE r9, high)
-    "events_ewma_daily",
-    # round-10 additions (appended as they land, until the window holds 50)
-    "events_cep_pattern",
-    "text_collocations_pmi",
-    "events_holt_linear_daily",
-    "graph_link_prediction",
-    "text_rake_keyphrases",
-    "text_kn_bigram_lm",
-    "text_langid_train_nb",
-    "docs_kn_perplexity",
-    "events_forecast_backtest",
-    "stream_ewma_daily_stream",
-    "events_bootstrap_ci",
-    "events_dow_profile",
-    "events_survival_km",
-    "sim_topk_binary",
-    "sample_temperature_mixture",
-    "pipeline_curriculum_order",
-    "events_daily_rollup_ivm",
-    "events_conversion_latency",
-    "events_markov_next",
-    "events_theil_sen_trend",
-    "sql_recursive_clamped_balance",
-    "events_conformal_intervals",
-    "embeddings_kcenter_coreset",
-    "sql_lateral_topk",
-    "orders_rfm_segments",
-    "basket_assoc_rules",
-    "events_burst_hysteresis",
-    "stream_burst_hysteresis_stream",
-    "lineitem_shiplag_percentiles",
-    "orders_gini_concentration",
-    "sql_unpivot_metrics",
-    "sql_pivot_status",
-    "events_holt_winters_daily",
-    "events_stl_decompose",
-    "supplier_scorecard",
-    "events_anomaly_consensus",
-    "stream_holt_winters_stream",
-    "multimodal_payload_dedup",
-    "docs_readability_flesch",
-    "events_forecast_accuracy",
-    "orders_monthly_growth",
+    # last green r2 (25)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouped_stats",
+    "filter_row_predicate",
+    "join_anti",
+    "join_broadcast_lookup",
+    "join_outer_agg",
+    "join_semi",
+    "project_rename",
+    "scalar_array_funcs",
+    "scalar_conditional",
+    "scalar_date_format",
+    "scalar_date_parts",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_path_funcs",
+    "scalar_regex_extract",
+    "scalar_str_endswith",
+    "scalar_string_funcs",
+    "set_distinct",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "sort_lexical",
+    "sort_topk",
+    # last green r3 (6)
+    "scalar_try_cast",
+    "sim_cosine_all",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_stopword_ratio",
+    "window_ntile_rank",
+    # last green r4 (6)
+    "agg_rollup",
+    "dedup_first_wins",
+    "first_of_group",
+    "melt_unpivot",
+    "sim_near_dup_embeddings",
+    "text_term_frequency",
+    # last green r5 (first 13 by name)
+    "agg_grouping_sets",
+    "asof_join_last_purchase",
+    "asof_join_tolerance",
+    "cdc_merge_upsert",
+    "docs_chunk_overlap",
+    "docs_gopher_quality_rules",
+    "docs_segment_dedup_ratio",
+    "events_resample_ffill",
+    "join_equi_topk",
+    "join_multiway",
+    "join_range_band",
+    "join_salted_skew",
+    "pipeline_pack_sequences",
 ]
 
 

@@ -1,11 +1,15 @@
-"""Driver-window canary (round-3 advice / VERDICT item 6).
+"""Driver-window canary (round-3 advice / VERDICT items 6, r10 item 1).
 
 The driver hash-checks exactly the FIRST 50 entries of queries().
-``registry.PRIORITY`` is built to fill that window with oracle-backed
-representatives of every suite family; these assertions make any
-regression of that invariant (a 51st name sliding a family out, a
-rename, a family losing all its in-window reps) a loud pytest failure
-instead of a silent correctness-gate blind spot.
+``registry.PRIORITY`` fills that window. Round-11 era semantics
+(VERDICT r10 item 1): every oracle-backed query has at least one driver
+hash-green row, so the window is a STALEST-FIRST RE-VERIFICATION queue —
+the 50 oracle-backed queries whose most recent hash-green round is
+oldest, tie-broken by name. Never-scored names (new queries) sort first
+(last_green = -1) so additions always enter the gate ahead of any
+re-verification slot. These assertions regenerate the window from
+CORRECTNESS_r*.json history and demand exact equality — no
+hand-maintained membership.
 """
 
 from __future__ import annotations
@@ -13,14 +17,27 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from cirro_annotation_spark import registry
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WINDOW = 50
 
 
 def _loaded() -> None:
     registry.load_all_suites()
+
+
+def _last_green() -> dict[str, int]:
+    """name -> most recent driver round with a hash-green row."""
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _driver_scored() -> set[str]:
@@ -31,52 +48,33 @@ def _driver_scored() -> set[str]:
     return scored
 
 
-def _driver_hash_scored() -> set[str]:
-    """Names whose driver history already banked the strongest check they
-    can ever earn: a hash-green row, or any row for a rows-only-by-design
-    query (no oracle registered — rows is all the driver can record).
-    A row written BEFORE the query's oracle existed (err=no_oracle, e.g.
-    sim_topk_lsh in r1) does NOT count: that slot can still convert to
-    hash-green, so the rotation must re-queue it."""
-    hash_green: set[str] = set()
-    any_row: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        for name, row in json.load(open(path)).items():
-            any_row.add(name)
-            if isinstance(row, dict) and row.get("hash_match"):
-                hash_green.add(name)
-    rows_only_by_design = {n for n in any_row if n not in registry.ORACLES}
-    return hash_green | rows_only_by_design
+def _stalest_window() -> list[str]:
+    """The mechanical window: stalest-scored oracle-backed names first.
+
+    Mirrors scripts/rotate_priority.py — key = (last_green_round, name),
+    never-scored = -1 so new queries always claim slots first.
+    """
+    green = _last_green()
+    candidates = [n for n in registry.QUERIES if n in registry.ORACLES]
+    ranked = sorted(candidates, key=lambda n: (green.get(n, -1), n))
+    return ranked[:_WINDOW]
 
 
 def test_priority_is_exactly_the_driver_window() -> None:
-    """PRIORITY fills the driver's 50-query hash-checked window. It may
-    hold FEWER than 50 names only when the never-hash-scored remainder
-    itself is smaller than 50 — you cannot fill slots without eligible
-    candidates (round-8 state: 38 remain). In that state the window must
-    contain the ENTIRE remainder; new queries must be appended until the
-    window is full again."""
+    """The window must be FULL (there are ≥50 oracle-backed queries —
+    295 as of r10 — so re-verification always has candidates) and free
+    of duplicates."""
     _loaded()
-    assert len(registry.PRIORITY) <= 50, (
-        f"PRIORITY must fit the driver's 50-query hash-checked window, "
-        f"got {len(registry.PRIORITY)} names"
+    n_candidates = sum(1 for n in registry.QUERIES if n in registry.ORACLES)
+    expected_len = min(_WINDOW, n_candidates)
+    assert len(registry.PRIORITY) == expected_len, (
+        f"PRIORITY must fill the driver's {_WINDOW}-query hash-checked "
+        f"window ({n_candidates} oracle-backed candidates exist), got "
+        f"{len(registry.PRIORITY)} names"
     )
     assert len(set(registry.PRIORITY)) == len(registry.PRIORITY), (
         "duplicate names in PRIORITY"
     )
-    if len(registry.PRIORITY) < 50:
-        scored = _driver_hash_scored()
-        remainder = {
-            n
-            for n in registry.QUERIES
-            if n not in scored and n in registry.ORACLES
-        }
-        left_out = remainder - set(registry.PRIORITY)
-        assert not left_out, (
-            f"window has {50 - len(registry.PRIORITY)} free slots but "
-            f"never-hash-scored queries are queued outside it: "
-            f"{sorted(left_out)}"
-        )
 
 
 def test_priority_names_all_registered_and_first() -> None:
@@ -91,8 +89,9 @@ def test_every_suite_family_is_driver_covered() -> None:
     """Every suite family must have at least one query that is either in
     the current hash-checked window or already driver-green in a past
     CORRECTNESS round. (Round 2's regression was families with NEITHER —
-    never gate-checked at all. Once a family is fully driver-scored it
-    may legitimately rotate out of the window.)"""
+    never gate-checked at all. In the re-verification era this is almost
+    vacuous — everything has been scored — but it still guards a NEW
+    family landing entirely rows-only and outside the window.)"""
     _loaded()
     scored = _driver_scored()
     suite_prefix = "cirro_annotation_spark.suites."
@@ -109,77 +108,68 @@ def test_every_suite_family_is_driver_covered() -> None:
     left_out = all_families - covered
     assert not left_out, (
         f"suite families with ZERO queries either driver-scored or inside "
-        f"the 50-query window (round-2 gate-blindness): {left_out}"
+        f"the {_WINDOW}-query window (round-2 gate-blindness): {left_out}"
     )
 
 
 def test_rotation_queue_is_mechanical() -> None:
-    """VERDICT r6 item 4: generate the rotation invariant from
-    CORRECTNESS history instead of hand-bookkeeping (the r6 verdict
-    caught a 73-vs-74 comment drift). The current PRIORITY window must
-    (a) contain NO query the driver has already hash-scored — a repeat
-    wastes a window slot that a never-scored query needs; and (b) be
-    drawn entirely from the oracle-backed set, since rows-only entries
-    can never convert a slot into a hash-green row.
+    """VERDICT r10 item 1: the window IS the computed stalest-first
+    list — exact equality, order included, against the regeneration from
+    CORRECTNESS history. Two properties fall out for free:
 
-    NOTE (atomic-commit requirement, ADVICE r7): committing a freshly
-    generated CORRECTNESS_r{N}.json turns this test red by design — it
-    scores exactly the current window. The scoring artifact must land in
-    the SAME commit as the next rotation of PRIORITY (and the plan-set
-    update in test_rotation_remainder_matches_plan), never alone."""
+    * New queries (never hash-scored, last_green = -1) sort ahead of
+      every re-verification slot, so an addition that is NOT reflected
+      in PRIORITY turns this red — the round-2 gate-blindness class.
+    * Committing a freshly generated CORRECTNESS_r{N}.json bumps the
+      last_green round of exactly the just-scored window, which changes
+      the computed stalest set — red by design until the SAME commit
+      rotates PRIORITY (ADVICE r7 atomic-commit requirement). Run
+      scripts/rotate_priority.py and paste.
+    """
     _loaded()
-    scored = _driver_hash_scored()
-    if not scored:  # fresh checkout without CORRECTNESS files
+    if not _last_green():  # fresh checkout without CORRECTNESS files
         return
-    repeats = [n for n in registry.PRIORITY if n in scored]
-    assert not repeats, (
-        f"PRIORITY repeats already-driver-scored queries "
-        f"(wasted window slots): {repeats}"
+    expected = _stalest_window()
+    assert registry.PRIORITY == expected, (
+        "PRIORITY drifted from the mechanical stalest-first window; "
+        "run scripts/rotate_priority.py and paste its output.\n"
+        f"missing from PRIORITY: "
+        f"{[n for n in expected if n not in registry.PRIORITY]}\n"
+        f"stale in PRIORITY: "
+        f"{[n for n in registry.PRIORITY if n not in expected]}"
     )
+
+
+def test_never_scored_queries_never_wait_outside_the_window() -> None:
+    """A brand-new oracle-backed query must be IN the window (it cannot
+    be hash-checked from outside it). With the stalest-first key this is
+    implied by test_rotation_queue_is_mechanical, but this spells the
+    invariant out so a future re-keying cannot silently drop it —
+    unless additions in one round outnumber the window itself."""
+    _loaded()
+    green = _last_green()
+    if not green:
+        return
+    never = [
+        n for n in registry.QUERIES
+        if n in registry.ORACLES and n not in green
+    ]
+    if len(never) >= _WINDOW:
+        return  # window physically cannot hold them all
+    outside = [n for n in never if n not in registry.PRIORITY]
+    assert not outside, (
+        f"never-hash-scored queries queued outside the window: {outside}"
+    )
+
+
+def test_window_entries_are_all_oracle_backed() -> None:
+    """The window exists to maximize hash-checked coverage; rows-only
+    entries can never convert a slot into a hash-green row, so the
+    mechanical window contains none."""
+    _loaded()
     rows_only = [n for n in registry.PRIORITY if n not in registry.ORACLES]
     assert not rows_only, (
-        f"PRIORITY window slots spent on rows-only queries: {rows_only}"
-    )
-
-
-def test_rotation_remainder_matches_plan() -> None:
-    """The next-round remainder (names queued BEHIND the window) must
-    equal the mechanically-computed set: (registered ∖ hash-scored ∖
-    window ∖ rows-only). Keeps the written plan in lock-step with
-    reality. Round-9 state: the window holds the 8 r8-overflow names
-    (8 < 50), so the queue is EMPTY until round-9 additions overflow
-    the 50-slot window — any overflow name must be listed here."""
-    _loaded()
-    scored = _driver_hash_scored()
-    if not scored:
-        return
-    remainder = sorted(
-        n
-        for n in registry.QUERIES
-        if n not in scored
-        and n not in registry.PRIORITY
-        and n in registry.ORACLES
-    )
-    # Names queued for the NEXT rotation (overflow past the 50 slots).
-    planned: set[str] = set()
-    # EQUALITY, both directions (round-7 review): a superset check let
-    # stale names rot in the planned list — the exact drift class this
-    # test exists to catch.
-    assert planned == set(remainder), (
-        f"plan missing: {sorted(set(remainder) - planned)}; "
-        f"stale in plan: {sorted(planned - set(remainder))}"
-    )
-
-
-def test_window_entries_are_overwhelmingly_oracle_backed() -> None:
-    """The window exists to maximize hash-checked coverage; keep the
-    rows-only count inside it at most the irreducible set (seeded-hash /
-    HLL / iterative interiors, justified in COVERAGE.md)."""
-    _loaded()
-    rows_only = [n for n in registry.PRIORITY if n not in registry.ORACLES]
-    assert len(rows_only) <= 4, (
-        f"too many rows-only queries occupy hash-checkable window slots: "
-        f"{rows_only}"
+        f"rows-only queries occupy hash-checkable window slots: {rows_only}"
     )
 
 
