@@ -668,7 +668,15 @@ def kcenter_oracle_sql(
 ) -> str:
     """Unrolled DuckDB oracle: k-1 rounds of (distance to newest center,
     running least, argmax with id tie-break), the kmeans unrolled-CTE
-    standard applied to the farthest-first recursion."""
+    standard applied to the farthest-first recursion.
+
+    Early-stop mirror (ADVICE r10): kcenter_greedy breaks when the max
+    min-distance hits 0 (coverage complete — k exceeded the distinct
+    lattice points). Each round's argmax CTE therefore carries
+    ``WHERE mind > 0``: a zero-radius round yields no row, and the
+    CROSS JOIN chain cascades empty for every later round — exactly
+    the Spark break, so the two sides agree even when quantization
+    collapses distinct embeddings onto one lattice point."""
     d2 = (
         f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
         "i -> (m.qv[i] - c.qv[i]) * (m.qv[i] - c.qv[i]))) AS BIGINT)"
@@ -688,6 +696,7 @@ m1 AS (
         parts.append(
             f"""c{r} AS (
   SELECT vec_id, qv, mind FROM m{r - 1}
+  WHERE mind > 0
   ORDER BY mind DESC, vec_id ASC LIMIT 1)"""
         )
         if r < k:

@@ -134,7 +134,17 @@ def merge_into_parquet(
         # parquet has no table-level schema manifest to consult.
         new_data = None if delete else source
         if affected:
-            base_affected = spark.read.parquet(*sorted(affected))
+            # mergeSchema is mandatory, not cosmetic: after a prior
+            # schema-evolving merge the table holds files of BOTH the
+            # old and the widened schema, and a plain read picks the
+            # schema from an arbitrary footer — an affected set
+            # spanning mixed-schema files would silently rewrite kept
+            # rows WITHOUT the evolved column (permanent loss,
+            # nondeterministic by footer choice). ADVICE r10 high.
+            base_affected = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(affected))
+            )
             keep = base_affected.join(source.select(key), key, "left_anti")
             new_data = (
                 keep

@@ -4123,7 +4123,11 @@ def events_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tot"),
         )
 
-    folded = series.select(
+    # size >= 2 matches the oracle's implicit row-set (its WHERE
+    # r.rn >= 2 drops single-day types entirely; without this filter a
+    # one-day type would emit an n_scored=0 row only on the Spark side
+    # — ADVICE r10, the events_forecast_backtest guard applied here)
+    folded = series.filter(F.size("s") >= 2).select(
         "event_type",
         (F.size("s") - 1).cast("long").alias("n_scored"),
         F.aggregate("s", init, step).alias("f"),

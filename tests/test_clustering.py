@@ -276,3 +276,39 @@ def test_kcenter_small_corpus_stops_at_coverage(spark):
     assert [f.name for f in empty.schema.fields] == [
         "sel_rank", "vec_id", "radius_d2",
     ]
+
+def test_kcenter_oracle_mirrors_early_stop(spark):
+    """ADVICE r10: the unrolled DuckDB oracle must stop at full
+    coverage exactly like kcenter_greedy — with k > distinct lattice
+    points, both sides emit the same (rank, id, radius) rows and no
+    duplicate zero-radius centers."""
+    import duckdb
+
+    from cirro_annotation_spark.operators.clustering import (
+        kcenter_greedy,
+        kcenter_oracle_sql,
+    )
+
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["sel_rank"], r["vec_id"], r["radius_d2"])
+        for r in kcenter_greedy(df, k=6, vec_col="embedding").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, [{v[0]}::DOUBLE, {v[1]}::DOUBLE])" for i, v in rows
+        )
+        + ") t(vec_id, embedding)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            kcenter_oracle_sql(k=6, dim=2)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 3  # coverage complete at 3 distinct points

@@ -333,3 +333,54 @@ def test_merge_schema_evolution_widens_table(spark, tmp_path):
     assert len(rows2) == 102
     assert rows2[99] == (5, None) and rows2[101] == (5, None)
     assert rows2[0] == (777, "gold")  # evolution survives the next merge
+
+def test_merge_mixed_schema_affected_set_keeps_evolved_column(spark, tmp_path):
+    """ADVICE r10 (high): a merge whose AFFECTED set spans both an
+    old-schema file and an evolved (widened) file must read the pair
+    with mergeSchema — a plain read takes the schema from an arbitrary
+    footer and can silently rewrite kept rows WITHOUT the evolved
+    column (permanent, nondeterministic data loss)."""
+    from cirro_annotation_spark.operators.merge import (
+        merge_into_parquet,
+        read_table_version,
+    )
+
+    base = str(tmp_path / "mixed")
+    spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(base)
+    spark.range(50, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("append").parquet(base)
+
+    # merge 1 evolves ONLY the low-range file (adds `tier`); the
+    # high-range file keeps the old 2-column physical schema
+    merge_into_parquet(
+        spark,
+        base,
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            F.lit(0).alias("v"),
+            F.lit("gold").alias("tier"),
+        ),
+        key="k",
+    )
+
+    # merge 2's source keys hit BOTH files -> mixed-schema affected set
+    stats = merge_into_parquet(
+        spark,
+        base,
+        spark.createDataFrame([(10, -1), (90, -1)], "k long, v long"),
+        key="k",
+    )
+    assert stats["files_rewritten"] == 2
+
+    rows = {
+        r["k"]: (r["v"], r["tier"])
+        for r in read_table_version(spark, base).collect()
+    }
+    assert len(rows) == 100
+    assert rows[0] == (0, "gold")   # evolved value SURVIVES the mixed rewrite
+    assert rows[10] == (-1, None)   # merge-2 update
+    assert rows[90] == (-1, None)
+    assert rows[99] == (198, None)  # kept old-schema row
