@@ -457,6 +457,26 @@ def main() -> int:
     print(detail_line)
     with open(detail_path, "w") as fh:
         fh.write(detail_line + "\n")
+    # Per-round history (VERDICT r10 item 4): BENCH_DETAIL.json alone is
+    # overwritten every run, which made per-query r9->r10 regression
+    # comparison impossible after the fact. Stamp a copy per driver
+    # round — the round number is 1 + the highest BENCH_r{N}.json on
+    # disk (the driver writes those at round close, so during round N
+    # the newest is N-1).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob
+    import re as _re
+
+    past = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = max(past, default=0) + 1
+    with open(
+        os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
+    ) as fh:
+        fh.write(detail_line + "\n")
     # Short final line — must stay well under the driver's ~2000-char
     # stdout tail no matter how many queries the suite grows to.
     print(

@@ -1021,43 +1021,68 @@ def mmr_rerank_q(
     relevance MINUS redundancy, the diversity stage a RAG retriever
     runs after ANN.
 
-    Scale shape: the only corpus-wide pass is the relevance top-pool
-    (TakeOrderedAndProject); the greedy runs on the pool×dim matrix —
-    k·pool dot products on ~pool rows, driver-side model-state math
-    exactly like the IVF centroid updates (collect() of a bounded
-    frame, justified per PLANS.md's collect inventory). Deterministic:
-    ties break on ascending id.
-    """
-    import numpy as np
+    EXACT-INTEGER lattice form (VERDICT r10 item 2 — the kmeans
+    discipline applied to the greedy): similarity is the inner product
+    of FLOOR(x * Q_SCALE) quantized vectors — a BIGINT whose value is
+    bit-identical in any engine (integer sums are order-independent,
+    unlike float cosine) — and the MMR score is 7*rel - 3*red on that
+    lattice (lam = 0.7 with both weights scaled by 10 to stay
+    integral). Inner-product similarity is the production RAG shape:
+    encoder embeddings arrive unit-normalized, where dot == cosine.
+    Every argmax (pool cut, each greedy step) therefore has a total
+    deterministic order (score desc, id asc) and the whole operator is
+    hash-checkable against an unrolled SQL CTE chain.
 
-    cand = (
-        df.crossJoin(F.broadcast(query_frame))
-        .select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            F.round(
-                cosine_vs_query_frame(F.col(vec_col).cast("array<double>")), 9
-            ).alias("__rel"),
+    Scale shape: the only corpus-wide pass is the relevance top-pool
+    (TakeOrderedAndProject); the greedy runs on the pool×dim integer
+    matrix — k·pool dot products on ~pool rows, driver-side model-state
+    math exactly like the IVF centroid updates (collect() of a bounded
+    frame, justified per PLANS.md's collect inventory).
+
+    ``lam`` is retained for API compatibility but the scored lattice
+    weights are fixed at (7, 3): changing lam requires re-deriving the
+    integer pair, so a non-0.7 value raises.
+    """
+    if abs(lam - 0.7) > 1e-12:
+        raise ValueError(
+            "exact-integer MMR pins lam=0.7 (weights 7/3 on the lattice)"
         )
+    from cirro_annotation_spark.operators.clustering import quantize_expr
+
+    qd = df.select(
+        F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__quant")
+    )
+    # query vector on the same lattice, as a lazy 1-row broadcast frame
+    # (query_frame's __qv column is the double-cast query vector)
+    qrow = query_frame.select(quantize_expr("__qv").alias("__qq"))
+    dot_q = F.aggregate(
+        F.zip_with(F.col("__quant"), F.col("__qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        qd.crossJoin(F.broadcast(qrow))
+        .select("__id", "__quant", dot_q.alias("__rel"))
         .orderBy(F.col("__rel").desc(), F.col("__id").asc())
         .limit(pool)
         .collect()
     )
-    ids = [r["__id"] for r in cand]
-    rel = np.array([r["__rel"] for r in cand])
-    vecs = np.array([r["__v"] for r in cand])
-    norms = np.linalg.norm(vecs, axis=1)
-    norms[norms == 0] = 1.0
-    unit = vecs / norms[:, None]
-    sims = unit @ unit.T  # pool x pool cosine matrix
+    ids = [int(r["__id"]) for r in cand]
+    rel = [int(r["__rel"]) for r in cand]
+    vecs = [[int(v) for v in r["__quant"]] for r in cand]
+    n = len(ids)
+    sims = [
+        [sum(a * b for a, b in zip(vecs[i], vecs[j])) for j in range(n)]
+        for i in range(n)
+    ]
 
     selected: list[int] = []
-    remaining = list(range(len(ids)))
+    remaining = list(range(n))
     while remaining and len(selected) < k:
         best_i, best_score = None, None
         for i in remaining:
-            redundancy = max((sims[i][j] for j in selected), default=0.0)
-            score = lam * rel[i] - (1 - lam) * redundancy
+            redundancy = max((sims[i][j] for j in selected), default=0)
+            score = 7 * rel[i] - 3 * redundancy
             if (
                 best_score is None
                 or score > best_score
@@ -1069,7 +1094,8 @@ def mmr_rerank_q(
 
     spark = df.sparkSession
     rows = [
-        (int(ids[i]), float(round(rel[i], 6)), rank + 1)
-        for rank, i in enumerate(selected)
+        (ids[i], rel[i], rank + 1) for rank, i in enumerate(selected)
     ]
-    return spark.createDataFrame(rows, f"{id_col} long, relevance double, mmr_rank int")
+    return spark.createDataFrame(
+        rows, f"{id_col} long, rel_q long, mmr_rank int"
+    )

@@ -790,16 +790,73 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rag_mmr_rerank")  # greedy argmax-per-step — rows-only;
-# tests/test_similarity.py pins NumPy-reference equality + diversity
+def _mmr_oracle(k: int = 5, pool: int = 20, dim: int = 64) -> str:
+    """Unrolled MMR greedy as a CTE chain (VERDICT r10 item 2 — the
+    embeddings_kcenter_coreset precedent applied to the RAG rerank).
+    Exact-integer lattice: FLOOR(x*1e4) quantization, BIGINT inner
+    products (order-independent, so list_sum needs no float ulp care),
+    MMR score = 7*rel - 3*max-dot-to-selected, argmax per step with
+    (score DESC, vec_id ASC) total order."""
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> a.qv[i] * b.qv[i])) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+q AS (SELECT qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+rel AS (
+  SELECT a.vec_id, a.qv, {dot} AS rel_q
+  FROM e a CROSS JOIN q b),
+pool AS (SELECT vec_id, qv, rel_q FROM rel
+         ORDER BY rel_q DESC, vec_id ASC LIMIT {pool}),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {dot} AS d
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+s1 AS (SELECT vec_id, rel_q FROM pool
+       ORDER BY rel_q DESC, vec_id ASC LIMIT 1),
+a1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT p.vec_id, p.rel_q,
+         7 * p.rel_q - 3 * CAST(MAX(s.d) AS BIGINT) AS score
+  FROM pool p
+  JOIN sims s ON s.ia = p.vec_id
+             AND s.ib IN (SELECT vec_id FROM a{r - 1})
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM a{r - 1})
+  GROUP BY p.vec_id, p.rel_q),
+s{r} AS (SELECT vec_id, rel_q FROM p{r}
+         ORDER BY score DESC, vec_id ASC LIMIT 1),
+a{r} AS (SELECT vec_id FROM a{r - 1}
+         UNION ALL SELECT vec_id FROM s{r})"""
+        )
+    rows = [
+        f"SELECT vec_id, rel_q, CAST({r} AS INT) AS mmr_rank FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("rag_mmr_rerank", oracle=_mmr_oracle())
 def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity rerank after ANN retrieval (the RAG stack's last
     stage): top-20 by relevance, greedy-select 5 maximizing
-    0.7*relevance - 0.3*max-similarity-to-selected. The corpus-wide
-    pass is only the relevance top-k; the greedy is pool-sized driver
-    math (bounded model state, like the IVF centroid updates). The
-    per-step argmax is not SQL-expressible — rows-only, with a NumPy
-    reference implementation pinned in pytest."""
+    7*relevance - 3*max-similarity-to-selected on the exact-integer
+    lattice (lam = 0.7 scaled integral; inner-product similarity of
+    FLOOR(x*1e4)-quantized vectors — the production shape, since
+    encoder embeddings arrive unit-normalized where dot == cosine).
+    The corpus-wide pass is only the relevance top-pool
+    (TakeOrderedAndProject); the greedy is pool-sized driver math
+    (bounded model state, like the IVF centroid updates). Upgraded
+    from rows-only to a full hash-checked oracle in round 11: every
+    argmax has a total deterministic order, so the ≤5-step greedy
+    unrolls as a DuckDB CTE chain (embeddings_kcenter_coreset
+    precedent)."""
     emb = t(spark, sf_dir, "embeddings")
     return S.mmr_rerank_q(emb, "embedding", "vec_id", _query_frame(emb))
 

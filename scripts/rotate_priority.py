@@ -23,8 +23,10 @@ import glob
 import json
 import os
 import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def last_green_rounds(repo: str = REPO) -> dict[str, int]:

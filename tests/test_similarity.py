@@ -381,45 +381,59 @@ def test_mmr_matches_reference_and_diversifies(spark):
     assert len(out) == 5
     assert [r.mmr_rank for r in out] == [1, 2, 3, 4, 5]
 
-    # reference: recompute MMR in pure NumPy from the raw parquet
+    # reference: recompute exact-integer-lattice MMR in pure Python
+    # (arbitrary-precision ints — no float anywhere past quantization)
     import duckdb
+    import math
 
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
-    ids = np.array([r[0] for r in rows])
-    vecs = np.array([r[1] for r in rows], dtype=np.float64)
-    q = vecs[ids == 0][0]
-    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-300)[:, None]
-    qu = q / np.linalg.norm(q)
-    rel_all = unit @ qu
-    order = np.lexsort((ids, -np.round(rel_all, 9)))[:20]
-    pool_ids, pool_rel, pool_unit = ids[order], np.round(rel_all[order], 9), unit[order]
-    sims = pool_unit @ pool_unit.T
+    ids = [r[0] for r in rows]
+    qvs = [
+        [int(math.floor(float(x) * 10000.0)) for x in r[1]] for r in rows
+    ]
+    qq = qvs[ids.index(0)]
+    rel_all = [sum(a * b for a, b in zip(v, qq)) for v in qvs]
+    order = sorted(range(len(ids)), key=lambda i: (-rel_all[i], ids[i]))[:20]
+    pool_ids = [ids[i] for i in order]
+    pool_rel = [rel_all[i] for i in order]
+    pool_v = [qvs[i] for i in order]
+    sims = [
+        [sum(a * b for a, b in zip(pool_v[i], pool_v[j])) for j in range(20)]
+        for i in range(20)
+    ]
     sel = []
     rem = list(range(20))
     while rem and len(sel) < 5:
         best, bs = None, None
         for i in rem:
-            red = max((sims[i][j] for j in sel), default=0.0)
-            sc = 0.7 * pool_rel[i] - 0.3 * red
+            red = max((sims[i][j] for j in sel), default=0)
+            sc = 7 * pool_rel[i] - 3 * red
             if bs is None or sc > bs or (sc == bs and pool_ids[i] < pool_ids[best]):
                 best, bs = i, sc
         sel.append(best)
         rem.remove(best)
     want = [int(pool_ids[i]) for i in sel]
     assert [r.vec_id for r in out] == want
+    assert [r.rel_q for r in out] == [pool_rel[i] for i in sel]
 
-    # diversity: the MMR set's mean pairwise similarity must not exceed
-    # the plain top-5's
-    top5 = np.lexsort((ids, -rel_all))[:5]
-    def mean_pair(u):
-        s = u @ u.T
-        n = len(u)
-        return (s.sum() - np.trace(s)) / (n * (n - 1))
-    mmr_unit = unit[[int(np.where(ids == v)[0][0]) for v in want]]
-    assert mean_pair(mmr_unit) <= mean_pair(unit[top5]) + 1e-12
+    # diversity: the MMR set's mean pairwise inner product (on the
+    # lattice, the score the greedy optimizes) must not exceed the
+    # plain top-5's
+    top5 = [pool_v[i] for i in range(5)]
+    def mean_pair(vs):
+        n = len(vs)
+        tot = sum(
+            sum(a * b for a, b in zip(vs[i], vs[j]))
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        )
+        return tot / (n * (n - 1))
+    mmr_v = [qvs[ids.index(v)] for v in want]
+    assert mean_pair(mmr_v) <= mean_pair(top5)
 
 
 def test_hard_negatives_cross_label_only(spark, sf_dir):
