@@ -397,6 +397,8 @@ HEADLINE = [
     "docs_readability_flesch",
     "events_forecast_accuracy",
     "orders_monthly_growth",
+    # round 11 additions
+    "dedup_simhash_verify",
 ]
 
 

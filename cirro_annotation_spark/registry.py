@@ -63,7 +63,8 @@ PRIORITY: list[str] = [
     # recomputes it from CORRECTNESS_r*.json history and asserts
     # equality — no hand-maintained membership (VERDICT r10 item 1).
     # ------------------------------------------------------------------
-    # never hash-scored (oracle upgraded this round) — sorts first
+    # never hash-scored (round-11 additions / oracle upgrades) — sort first
+    "dedup_simhash_verify",
     "rag_mmr_rerank",
     # last green r2 (25)
     "agg_count_distinct",
@@ -105,7 +106,7 @@ PRIORITY: list[str] = [
     "melt_unpivot",
     "sim_near_dup_embeddings",
     "text_term_frequency",
-    # last green r5 (first 12 by name)
+    # last green r5 (first 11 by name)
     "agg_grouping_sets",
     "asof_join_last_purchase",
     "asof_join_tolerance",
@@ -117,7 +118,6 @@ PRIORITY: list[str] = [
     "join_equi_topk",
     "join_multiway",
     "join_range_band",
-    "join_salted_skew",
 ]
 
 

@@ -544,3 +544,40 @@ def test_incremental_er_equals_full_recompute(spark):
         }
     assert inc == full
     assert {(e, n) for e, n, *_ in inc} == {(1, 4), (11, 1)}
+
+def test_simhash_bucket_cap_splits_hot_buckets(spark):
+    """VERDICT r10 weak #1: degenerate near-empty docs all hash to the
+    same chunk buckets; with a bucket cap the hot bucket is sub-banded
+    on the next chunk instead of self-joining quadratically. Identical
+    docs (hamming 0) must still pair under the cap, and pairs living in
+    small buckets must be unaffected."""
+    from cirro_annotation_spark.operators.dedup import simhash_near_pairs
+
+    # 60 identical near-empty docs (one hot bucket: sigs identical)
+    # + 2 identical long docs in an otherwise-cold bucket
+    rows = [(i, "a") for i in range(60)]
+    long_text = " ".join(f"tok{j}" for j in range(40))
+    rows += [(100, long_text), (101, long_text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            df, "text", "doc_id", max_hamming=3, bucket_cap=10
+        ).collect()
+    }
+    # identical signatures always stay together under sub-banding
+    # (their next-chunk values agree too): all 60*59/2 pairs present
+    assert (0, 1) in capped and (0, 59) in capped
+    assert len([p for p in capped if p[0] < 60 and p[1] < 60]) == 60 * 59 // 2
+    # the cold-bucket identical pair is untouched by the cap
+    assert (100, 101) in capped
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            df, "text", "doc_id", max_hamming=3, bucket_cap=None
+        ).collect()
+    }
+    # on this fixture (identical-sig groups only) cap loses nothing
+    assert capped == uncapped
