@@ -399,6 +399,8 @@ HEADLINE = [
     "orders_monthly_growth",
     # round 11 additions
     "dedup_simhash_verify",
+    "stream_dedup_ttl_expiry",
+    "docs_url_canonical_dedup",
 ]
 
 

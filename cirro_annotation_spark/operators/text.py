@@ -316,3 +316,36 @@ def bpe_oracle_sql(
         for t in range(1, merges + 1)
     )
     return f"{body}\n{union}"
+
+
+def url_host(col: Column) -> Column:
+    """Canonical host of a URL: lowercased, leading ``www.`` and default
+    ports (:80/:443) stripped. Pure regexp — RE2-compatible (no
+    lookaround) so the DuckDB oracle runs the identical pattern."""
+    h = F.lower(F.regexp_extract(col, "^[a-zA-Z]+://([^/?#]+)", 1))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, ":(443|80)$", "")
+
+
+def canonicalize_url(col: Column) -> Column:
+    """URL canonicalization — the C4/CommonCrawl prefilter step that
+    runs BEFORE any content dedup: a corpus keyed by raw URL string
+    counts ``HTTPS://WWW.Site.com:443/a/?utm_source=x#top`` and
+    ``https://site.com/a`` as different pages. Normalizes scheme to
+    https, lowercases the host, strips ``www.``, default ports,
+    ``utm_*`` tracking params, fragments, and trailing slashes.
+    Everything is built-in regexp/string ops (JVM codegen, no UDF) and
+    every pattern is RE2-safe, so the same expressions run in DuckDB.
+    """
+    host = url_host(col)
+    path = F.regexp_extract(col, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    q = F.regexp_extract(col, r"\?([^#]*)", 1)
+    q = F.regexp_replace(q, "(^|&)utm_[a-z]+=[^&]*", "")
+    q = F.regexp_replace(q, "^&", "")
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)),
+    )

@@ -65,7 +65,9 @@ PRIORITY: list[str] = [
     # ------------------------------------------------------------------
     # never hash-scored (round-11 additions / oracle upgrades) — sort first
     "dedup_simhash_verify",
+    "docs_url_canonical_dedup",
     "rag_mmr_rerank",
+    "stream_dedup_ttl_expiry",
     # last green r2 (25)
     "agg_count_distinct",
     "agg_cube",
@@ -106,7 +108,7 @@ PRIORITY: list[str] = [
     "melt_unpivot",
     "sim_near_dup_embeddings",
     "text_term_frequency",
-    # last green r5 (first 11 by name)
+    # last green r5 (first 9 by name)
     "agg_grouping_sets",
     "asof_join_last_purchase",
     "asof_join_tolerance",
@@ -116,8 +118,6 @@ PRIORITY: list[str] = [
     "docs_segment_dedup_ratio",
     "events_resample_ffill",
     "join_equi_topk",
-    "join_multiway",
-    "join_range_band",
 ]
 
 

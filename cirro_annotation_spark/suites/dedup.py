@@ -114,6 +114,118 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(d, cands, "text", "doc_id", threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# URL/source canonicalization dedup (VERDICT r10 item 7a) — the C4/
+# CommonCrawl prefilter that runs BEFORE content dedup: canonicalize the
+# page URL, collapse exact canonical duplicates, and cap documents per
+# host. The documents fixture has no URL column, so both engines derive
+# the SAME deterministic messy URL per doc (scheme/WWW/port/utm/fragment
+# noise varied by doc_id residues) — the operator under test is the
+# canonicalizer + dedup + cap, not the fixture.
+# ---------------------------------------------------------------------------
+def _messy_url_sql(cast_str: str) -> str:
+    """The messy-URL fixture expression, shared verbatim by Spark and
+    DuckDB up to the string-cast spelling (STRING vs VARCHAR)."""
+    s = lambda e: f"CAST({e} AS {cast_str})"  # noqa: E731
+    return f"""CONCAT(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END,
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      source, '.Example.COM',
+      CASE WHEN doc_id % 5 = 0
+           THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+           ELSE '' END,
+      '/articles/', {s('doc_id % 40')},
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_medium=rss'
+           WHEN doc_id % 7 = 0 THEN '?page=2' ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"""
+
+
+_URL_CANON_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, {_messy_url_sql('VARCHAR')} AS url FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+               '^www\\.', ''), ':(443|80)$', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)utm_[a-z]+=[^&]*', '', 'g'), '^&', '') AS q
+      FROM u),
+    canon AS (
+      SELECT doc_id, host,
+             'https://' || host || path ||
+             CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+      FROM c),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id)
+                  AS url_rank
+      FROM canon),
+    s AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                       AS host_rank
+      FROM r WHERE url_rank = 1)
+    SELECT r.doc_id, r.host, r.canon_url,
+           CAST(r.url_rank AS BIGINT) AS url_rank,
+           CAST(s.host_rank AS BIGINT) AS host_rank,
+           COALESCE(s.host_rank <= 5, FALSE) AS kept
+    FROM r LEFT JOIN s ON r.doc_id = s.doc_id
+"""
+
+
+@query("docs_url_canonical_dedup", oracle=_URL_CANON_ORACLE)
+def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL prefilter: canonicalize (https scheme, lowercase
+    host, strip www./default ports/utm_* params/fragments/trailing
+    slash — operators/text.py canonicalize_url, all JVM regexp, no
+    UDF), keep the lowest-doc_id copy per canonical URL, then cap each
+    host at 5 surviving documents. Scale shape: two fine-grained
+    window partitions (canonical URL, host) — millions of distinct
+    keys shuffle evenly; text never moves, only (doc_id, url) pairs."""
+    from cirro_annotation_spark.operators import text as X
+
+    d = t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id", F.expr(_messy_url_sql("STRING")).alias("url")
+    )
+    c = u.select(
+        "doc_id",
+        X.url_host(F.col("url")).alias("host"),
+        X.canonicalize_url(F.col("url")).alias("canon_url"),
+    )
+    r = c.withColumn(
+        "url_rank",
+        F.row_number().over(
+            Window.partitionBy("canon_url").orderBy("doc_id")
+        ).cast("long"),
+    )
+    s = (
+        r.filter(F.col("url_rank") == 1)
+        .withColumn(
+            "host_rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "host_rank")
+    )
+    return (
+        r.join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "canon_url",
+            "url_rank",
+            "host_rank",
+            F.coalesce(F.col("host_rank") <= 5, F.lit(False)).alias("kept"),
+        )
+    )
+
+
 # Golden SimHash candidate pairs: the distinct (id_a, id_b) the 4x16-bit
 # bucket join emits at sf0.01 with max_hamming=8 (deterministic -
 # xxhash64-seeded signatures). Pinning them gives the VERIFY stage a

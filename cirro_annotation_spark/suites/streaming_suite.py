@@ -141,6 +141,25 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_ttl_expiry",
+    # State-TTL eviction proven through a ~12-micro-batch drain: each
+    # message is replayed once INSIDE the watermark delay (suppressed —
+    # state alive) and once long AFTER it (re-emitted — state evicted),
+    # so exactly 2 emissions per message. The oracle states that
+    # invariant in closed form; the stream must reproduce it through
+    # real state create → expire → re-create cycles. One emission per
+    # msg means state never expired; three means dedup never engaged.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) * 2 AS BIGINT) AS n_emitted
+    FROM events WHERE event_id < 120 GROUP BY event_type
+    """,
+)
+def stream_dedup_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.dedup_ttl_expiry_stream(spark, path)
+
+
+@query(
     "stream_stateful_counts",
     # One micro-batch over the bounded source → the custom GroupState
     # counter must equal the plain batch groupBy count.

@@ -758,3 +758,33 @@ def test_curriculum_order_interleaves_sources(spark, sf_dir):
     first_wave = sorted(rows, key=lambda r: r["curriculum_pos"])[: len(srcs)]
     assert {r["source"] for r in first_wave} == srcs
     assert all(r["difficulty_rank"] == 1 for r in first_wave)
+
+def test_canonicalize_url_edges(spark):
+    """Canonicalizer unit pins: scheme/host case, www., default ports,
+    utm stripping (including ALL occurrences), fragment, trailing
+    slash, and non-utm params surviving."""
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.operators.text import (
+        canonicalize_url,
+        url_host,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Site.COM:443/a/b/?utm_source=x&utm_medium=y#top",
+         "https://site.com/a/b", "site.com"),
+        ("http://site.com:80/a?id=3&utm_campaign=z",
+         "https://site.com/a?id=3", "site.com"),
+        ("https://site.com/", "https://site.com", "site.com"),
+        ("https://x.org/p?utm_a=1&keep=2&utm_b=3",
+         "https://x.org/p?keep=2", "x.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = [
+        (r.c, r.h)
+        for r in df.select(
+            canonicalize_url(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    ]
+    assert got == [(c, h) for _, c, h in cases]
