@@ -49,75 +49,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-11 WINDOW ROTATION — the RE-VERIFICATION era. After
-    # CORRECTNESS_r10 every oracle-backed query in the repo has at least
-    # one driver hash-green row, so the never-scored remainder is empty
-    # and the window's job changes: fill the driver's 50 hash-checked
-    # slots with the STALEST-scored queries — most recent hash-green
-    # round oldest first, tie-broken by name (the r2-era scalar/
-    # relational/set families were last gate-checked 8 rounds of code
-    # churn ago). Never-scored names (new queries) sort first
-    # (last_green = -1), so round-11 additions mechanically displace the
-    # newest re-verification entries. The list below is EXACTLY the
-    # output of scripts/rotate_priority.py; tests/test_registry.py
-    # recomputes it from CORRECTNESS_r*.json history and asserts
-    # equality — no hand-maintained membership (VERDICT r10 item 1).
+    # ROUND-12 WINDOW ROTATION — stalest-first re-verification. The
+    # r11 window (r2/r3/r4-era families + the four r11 additions) went
+    # hash-green in CORRECTNESS_r11.json, so the mechanical stalest set
+    # advances to the r5/r6-era families (streaming batch/stream twins,
+    # TPC-H-style q1/q8/q21, windows, text, similarity). The list below
+    # is EXACTLY the output of scripts/rotate_priority.py;
+    # tests/test_registry.py recomputes it from CORRECTNESS_r*.json
+    # history and asserts equality — no hand-maintained membership.
     # ------------------------------------------------------------------
-    # never hash-scored (round-11 additions / oracle upgrades) — sort first
-    "dedup_simhash_verify",
-    "docs_url_canonical_dedup",
-    "rag_mmr_rerank",
-    "stream_dedup_ttl_expiry",
-    # last green r2 (25)
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouped_stats",
-    "filter_row_predicate",
-    "join_anti",
-    "join_broadcast_lookup",
-    "join_outer_agg",
-    "join_semi",
-    "project_rename",
-    "scalar_array_funcs",
-    "scalar_conditional",
-    "scalar_date_format",
-    "scalar_date_parts",
-    "scalar_json_extract",
-    "scalar_math_funcs",
-    "scalar_path_funcs",
-    "scalar_regex_extract",
-    "scalar_str_endswith",
-    "scalar_string_funcs",
-    "set_distinct",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "sort_lexical",
-    "sort_topk",
-    # last green r3 (6)
-    "scalar_try_cast",
-    "sim_cosine_all",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_stopword_ratio",
-    "window_ntile_rank",
-    # last green r4 (6)
-    "agg_rollup",
-    "dedup_first_wins",
-    "first_of_group",
-    "melt_unpivot",
-    "sim_near_dup_embeddings",
-    "text_term_frequency",
-    # last green r5 (first 9 by name)
-    "agg_grouping_sets",
-    "asof_join_last_purchase",
-    "asof_join_tolerance",
-    "cdc_merge_upsert",
-    "docs_chunk_overlap",
-    "docs_gopher_quality_rules",
-    "docs_segment_dedup_ratio",
-    "events_resample_ffill",
-    "join_equi_topk",
+    "join_multiway",  # last green r5
+    "join_range_band",  # last green r5
+    "join_salted_skew",  # last green r5
+    "pipeline_pack_sequences",  # last green r5
+    "pipeline_training_data",  # last green r5
+    "pivot_widen",  # last green r5
+    "q1_pricing_summary",  # last green r5
+    "q21_waiting_supplier",  # last green r5
+    "q8_market_share",  # last green r5
+    "quantile_bucket_global",  # last green r5
+    "rag_retrieve_context",  # last green r5
+    "scalar_from_json_struct",  # last green r5
+    "sessionize_gap",  # last green r5
+    "sim_centroid_per_label",  # last green r5
+    "sim_topk_cosine",  # last green r5
+    "sim_topk_ivf",  # last green r5
+    "stream_dedup_watermark",  # last green r5
+    "stream_join_stream",  # last green r5
+    "stream_session_window",  # last green r5
+    "stream_sliding_batch",  # last green r5
+    "stream_sliding_stream",  # last green r5
+    "stream_stateful_counts",  # last green r5
+    "stream_tumbling_batch",  # last green r5
+    "stream_tumbling_stream",  # last green r5
+    "text_langid",  # last green r5
+    "text_tfidf_top",  # last green r5
+    "text_token_stats",  # last green r5
+    "window_funnel_stages",  # last green r5
+    "window_rank_topk_per_group",  # last green r5
+    "window_running_sum",  # last green r5
+    "window_time_range_sum",  # last green r5
+    "window_zscore_anomaly",  # last green r5
+    "agg_percentiles_exact",  # last green r6
+    "agg_quarter_over_quarter",  # last green r6
+    "agg_stats_moments",  # last green r6
+    "corpus_health_report",  # last green r6
+    "docs_pii_scan",  # last green r6
+    "docs_repetition_ratio",  # last green r6
+    "events_rollup_multigrain",  # last green r6
+    "events_value_histogram",  # last green r6
+    "pipeline_embedding_centroids",  # last green r6
+    "q10_returned_items",  # last green r6
+    "q11_important_stock",  # last green r6
+    "q12_priority_by_returnflag",  # last green r6
+    "q13_customer_distribution",  # last green r6
+    "q14_promo_effect",  # last green r6
+    "q15_top_supplier",  # last green r6
+    "q16_part_supplier_variety",  # last green r6
+    "q17_small_quantity_revenue",  # last green r6
+    "q18_large_volume_customer",  # last green r6
 ]
 
 
