@@ -401,6 +401,8 @@ HEADLINE = [
     "dedup_simhash_verify",
     "stream_dedup_ttl_expiry",
     "docs_url_canonical_dedup",
+    # round 12 additions
+    "dedup_minhash_sig_verify",
 ]
 
 
@@ -476,11 +478,20 @@ def main() -> int:
         for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
         if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
     ]
-    rnd = max(past, default=0) + 1
-    with open(
-        os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
-    ) as fh:
-        fh.write(detail_line + "\n")
+    # ADVICE r11: an explicit round beats inference — a bench rerun
+    # after the driver writes the round-close BENCH_r{N}.json would
+    # otherwise stamp (and pollute) round N+1's history slot. Two
+    # guards: SPARK_GRAFT_ROUND pins the slot explicitly, and without
+    # it only driver-config runs (sf0.1, the per-round gate) stamp
+    # history — local sf0.01 iteration never claims a slot, and the
+    # driver's round-close run (last sf0.1 run of the round) wins by
+    # overwrite.
+    env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    rnd = int(env_rnd) if env_rnd else max(past, default=0) + 1
+    hist = os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json")
+    if env_rnd or sf_val == 0.1:
+        with open(hist, "w") as fh:
+            fh.write(detail_line + "\n")
     # Short final line — must stay well under the driver's ~2000-char
     # stdout tail no matter how many queries the suite grows to.
     print(

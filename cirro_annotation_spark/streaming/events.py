@@ -599,52 +599,62 @@ def dedup_ttl_expiry_stream(
         arrivals = part if arrivals is None else arrivals.unionByName(part)
 
     stage = tempfile.mkdtemp(prefix="ttl_stream_")
-    staged = os.path.join(stage, "staged")
-    arrivals.repartition("bucket").write.partitionBy("bucket").parquet(staged)
-    n_buckets = (2 * (n_msgs - 1) + 240) // width_min + 1
-    base_mtime = _time.time() - n_buckets - 10
-    for b in range(n_buckets):
-        sub = os.path.join(staged, f"bucket={b}")
-        if not os.path.isdir(sub):
-            continue
-        parts = sorted(
-            f for f in os.listdir(sub) if f.endswith(".parquet")
-        )
-        for i, name in enumerate(parts):
-            dst = os.path.join(stage, f"batch-{b:04d}-{i:02d}.parquet")
-            os.rename(os.path.join(sub, name), dst)
-            os.utime(dst, (base_mtime + b, base_mtime + b))
-    shutil.rmtree(staged)
-
-    name = "stream_ttl_" + uuid.uuid4().hex[:8]
-    # 4 state partitions: the stateful dedup + complete-mode agg commit
-    # every micro-batch; at 200 keys 32-way state stores are pure
-    # overhead (the conf is pinned into the query's checkpoint at start,
-    # so restoring it right after does not affect the running drain).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # ADVICE r11: the whole drain runs under try/finally so the staging
+    # dir (batch-*.parquet files included, not just the staged/ subdir)
+    # is removed even on failure — the eager localCheckpoint at the end
+    # materializes the result before the source files disappear.
     try:
-        stream = (
-            spark.readStream.schema(
-                "ts timestamp, event_id long, event_type string"
+        staged = os.path.join(stage, "staged")
+        arrivals.repartition("bucket").write.partitionBy("bucket").parquet(
+            staged
+        )
+        n_buckets = (2 * (n_msgs - 1) + 240) // width_min + 1
+        base_mtime = _time.time() - n_buckets - 10
+        for b in range(n_buckets):
+            sub = os.path.join(staged, f"bucket={b}")
+            if not os.path.isdir(sub):
+                continue
+            parts = sorted(
+                f for f in os.listdir(sub) if f.endswith(".parquet")
             )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-            .withWatermark("ts", "1 hour")
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_emitted"))
-        )
-        q = (
-            stream.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+            for i, name in enumerate(parts):
+                dst = os.path.join(stage, f"batch-{b:04d}-{i:02d}.parquet")
+                os.rename(os.path.join(sub, name), dst)
+                os.utime(dst, (base_mtime + b, base_mtime + b))
+        shutil.rmtree(staged)
+
+        name = "stream_ttl_" + uuid.uuid4().hex[:8]
+        # 4 state partitions: the stateful dedup + complete-mode agg
+        # commit every micro-batch; at 200 keys 32-way state stores are
+        # pure overhead (the conf is pinned into the query's checkpoint
+        # at start, so restoring it right after does not affect the
+        # running drain).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "ts timestamp, event_id long, event_type string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_emitted"))
+            )
+            q = (
+                stream.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+        shutil.rmtree(stage, ignore_errors=True)

@@ -1,9 +1,15 @@
 """Deduplication queries over documents (north-star set, SURVEY.md §2.12).
 
-dedup_exact is oracle-checked (sha256 fingerprints match across engines);
-the MinHash/SimHash/Jaccard family uses xxhash64 seeds DuckDB doesn't
-have, so those are rows-only checks with pytest-side property tests
-(tests/test_dedup.py) backing their semantics.
+dedup_exact is oracle-checked (sha256 fingerprints match across engines).
+In the near-dup family the end-to-end banding queries
+(dedup_near_minhash, dedup_minhash_pairs, dedup_simhash_pairs) are
+rows-only — the live SimHash banding uses xxhash64 (no DuckDB twin) and
+the full MinHash banding is uneconomical to unroll in SQL — but their
+kernels ARE hash-checked: the verify stages (dedup_minhash_verify,
+dedup_simhash_verify, dedup_minhash_sig_verify) recompute the
+engine-neutral md5-lattice signatures / exact Jaccard / Hamming over
+pinned candidate lists with full DuckDB oracles, plus pytest property
+tests (tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -49,7 +55,7 @@ def dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")  # xxhash64-seeded LSH — rows-only check
+@query("dedup_near_minhash")  # md5-lattice LSH banding — rows-only check
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return D.dedup_near_minhash(d, "text", "doc_id", threshold=0.7).select(
@@ -66,15 +72,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Golden candidate pairs: the distinct (id_a, id_b) emitted by
-# minhash_candidates() at sf0.01 (deterministic — xxhash64-seeded).
-# Pinning them lets the VERIFY stage (exact Jaccard on candidates) get a
-# full DuckDB hash check even though the banding stage itself can't:
-# both engines compute exact 3-gram Jaccard for the same pair list.
+# minhash_candidates() at sf0.01 (deterministic — md5 affine-lattice
+# MinHash, regenerated r12 after the r11 xxhash64→md5 switch; the
+# switch added exactly one pair, (60, 171)). Pinning them lets the
+# VERIFY stage (exact Jaccard on candidates) get a full DuckDB hash
+# check even though the banding stage itself can't: both engines
+# compute exact 3-gram Jaccard for the same pair list.
 _GOLDEN_CANDIDATES: tuple[tuple[int, int], ...] = (
     (8, 245), (26, 455), (31, 383), (44, 446), (45, 267), (45, 413),
-    (58, 293), (61, 185), (70, 447), (72, 377), (87, 134), (92, 450),
-    (98, 290), (107, 387), (120, 332), (152, 178), (166, 323), (267, 413),
-    (285, 301), (295, 374), (310, 389), (326, 457), (393, 420),
+    (58, 293), (60, 171), (61, 185), (70, 447), (72, 377), (87, 134),
+    (92, 450), (98, 290), (107, 387), (120, 332), (152, 178), (166, 323),
+    (267, 413), (285, 301), (295, 374), (310, 389), (326, 457), (393, 420),
     (435, 486), (458, 462),
 )
 
@@ -112,6 +120,47 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_GOLDEN_CANDIDATES), "id_a long, id_b long"
     )
     return D.jaccard_verify(d, cands, "text", "doc_id", threshold=0.5)
+
+
+@query(
+    "dedup_minhash_sig_verify",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]),
+               g -> g <> '') AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 100)
+    )
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           COALESCE(list_min(list_transform(grams, g ->
+             (CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+              + seed * (CAST(('0x' || substring(md5(g), 9, 8)) AS BIGINT) | 1))
+             % 4294967296)), 4294967296) AS minval
+    FROM sh CROSS JOIN range(0, 32) AS r(seed)
+    """,
+)
+def dedup_minhash_sig_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash SIGNATURE construction under a full oracle (VERDICT
+    r11 item 6b, the dedup_simhash_verify pattern): recompute the md5
+    affine-lattice signature — tokenize → distinct 3-gram shingles →
+    md5 once per shingle → (h1 + i·h2) mod 2^32 minima for 32 seeds —
+    on a pinned 100-doc slice and emit it exploded as (doc_id, seed,
+    minval). dedup_minhash_verify hash-checks the Jaccard VERIFY stage;
+    this one hash-checks the signatures the banding stage builds on, so
+    together only the band-key equality join remains rows-only."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = d.select(
+        "doc_id",
+        D.minhash_signature(D.shingles("text"), num_hashes=32).alias("sig"),
+    )
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("seed", "minval")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +217,8 @@ _URL_CANON_ORACLE = f"""
     s AS (
       SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
                        AS host_rank
-      FROM r WHERE url_rank = 1)
+      FROM r WHERE url_rank = 1
+      QUALIFY host_rank <= 5)
     SELECT r.doc_id, r.host, r.canon_url,
            CAST(r.url_rank AS BIGINT) AS url_rank,
            CAST(s.host_rank AS BIGINT) AS host_rank,
@@ -183,9 +233,15 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     host, strip www./default ports/utm_* params/fragments/trailing
     slash — operators/text.py canonicalize_url, all JVM regexp, no
     UDF), keep the lowest-doc_id copy per canonical URL, then cap each
-    host at 5 surviving documents. Scale shape: two fine-grained
-    window partitions (canonical URL, host) — millions of distinct
-    keys shuffle evenly; text never moves, only (doc_id, url) pairs."""
+    host at 5 surviving documents. Scale shape: the URL-dedup window
+    partitions on canonical URL (millions of distinct keys, even
+    shuffle); the host cap is a salted two-phase bounded rank
+    (operators/dedup.py bounded_rank_per_key) so a mega-host — one
+    host with 1e8 surviving URLs on real web data — never funnels into
+    a single window partition (VERDICT r11 fix). host_rank is emitted
+    only up to the cap (NULL beyond it — ranks past the cap are
+    meaningless at scale and exactly what the unbounded window was
+    paying for); text never moves, only (doc_id, url) pairs."""
     from cirro_annotation_spark.operators import text as X
 
     d = t(spark, sf_dir, "documents")
@@ -203,16 +259,12 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("canon_url").orderBy("doc_id")
         ).cast("long"),
     )
-    s = (
-        r.filter(F.col("url_rank") == 1)
-        .withColumn(
-            "host_rank",
-            F.row_number().over(
-                Window.partitionBy("host").orderBy("doc_id")
-            ).cast("long"),
-        )
-        .select("doc_id", "host_rank")
-    )
+    s = D.bounded_rank_per_key(
+        r.filter(F.col("url_rank") == 1).select("doc_id", "host"),
+        "host",
+        "doc_id",
+        k=5,
+    ).select("doc_id", F.col("rnk_k").alias("host_rank"))
     return (
         r.join(s, "doc_id", "left")
         .select(

@@ -93,9 +93,13 @@ def test_dedup_exact_first_wins(spark):
 
 
 def test_simhash_near_pairs(spark):
-    """The 4×16-bit pigeonhole bucketing GUARANTEES recall for pairs within
-    Hamming ≤ 3; a one-token change in a 120-token doc lands there
-    (measured Hamming = 1). Unrelated docs must not collide."""
+    """The 4×16-bit pigeonhole bucketing guarantees recall for pairs
+    within Hamming ≤ 3 *in buckets under the bucket_cap* (default 4096;
+    oversized buckets are sub-banded on the next chunk, the standard
+    prefix-extension recall trade — pass bucket_cap=None for the
+    unconditional pigeonhole). A one-token change in a 120-token doc
+    lands there (measured Hamming = 1). Unrelated docs must not
+    collide."""
     long_doc = " ".join(f"stable{i} anchor{i} fixed{i}" for i in range(40))
     near = long_doc.replace("anchor0", "CHG0")
     rows = [(0, long_doc), (1, near), (2, FAR_DOC)]
@@ -581,3 +585,26 @@ def test_simhash_bucket_cap_splits_hot_buckets(spark):
     }
     # on this fixture (identical-sig groups only) cap loses nothing
     assert capped == uncapped
+
+
+def test_bounded_rank_per_key_mega_host(spark):
+    """Skew fixture (VERDICT r11 #3): one mega-key holding 10k rows next
+    to two small keys. The salted two-phase rank must return exactly the
+    k smallest order values per key with correct 1..k ranks — identical
+    to the unbounded window — while phase 1 keeps at most k rows per
+    (key, salt) partition."""
+    from cirro_annotation_spark.operators.dedup import bounded_rank_per_key
+
+    rows = [(i, "mega.example.com") for i in range(10_000)]
+    rows += [(20_000 + i, "tiny-a.example.com") for i in range(3)]
+    rows += [(30_000 + i, "tiny-b.example.com") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+
+    got = {
+        (r.host, r.doc_id, r.rnk_k)
+        for r in bounded_rank_per_key(df, "host", "doc_id", k=5).collect()
+    }
+    want = {("mega.example.com", i, i + 1) for i in range(5)}
+    want |= {("tiny-a.example.com", 20_000 + i, i + 1) for i in range(3)}
+    want |= {("tiny-b.example.com", 30_000 + i, i + 1) for i in range(5)}
+    assert got == want
