@@ -121,3 +121,38 @@ def test_vad_segments_flushes_open_run_and_skips_silent(spark, sf_dir):
     # doc1: one run 0..63 (flushed at finish); doc2: silent; doc3:
     # frame 0 ('z'), frame 1 ('A') silent, frames 2..63 active again.
     assert rows == {(1, 0, 63), (3, 0, 0), (3, 2, 63)}
+
+
+def test_payload_dedup_full_clone_vs_prefix_collision(spark):
+    """VERDICT r11 item 4: plant (a) a FULL-payload clone pair —
+    identical entire text, the case real block stores reclaim — and
+    (b) a prefix-only collision pair (same leading 128 bytes, different
+    tails). Block-grain dedup must group BOTH (it hashes only the
+    leading block), with exact copy counts and reclaimable bytes, and
+    keep unique payloads out."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    clone = "C" * 200
+    prefix = "P" * 128
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [
+                (1, clone),             # full clone pair: ids 1, 2
+                (2, clone),
+                (3, prefix + "tailA"),  # prefix-only collision: ids 3, 4
+                (4, prefix + "tailB"),
+                (5, "unique " * 30),
+            ],
+            "doc_id long, text string",
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        groups = {
+            r["survivor_id"]: (r["n_copies"], r["n_bytes"], r["reclaimable_bytes"])
+            for r in QUERIES["multimodal_payload_dedup"](spark, tmp).collect()
+        }
+    # both pairs collapse at the block grain; 128-byte blocks, 1 copy
+    # reclaimed each; the unique doc forms no group
+    assert groups == {1: (2, 128, 128), 3: (2, 128, 128)}
