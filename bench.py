@@ -403,6 +403,8 @@ HEADLINE = [
     "docs_url_canonical_dedup",
     # round 12 additions
     "dedup_minhash_sig_verify",
+    "sample_es_reservoir",
+    "docs_domain_quality_gate",
 ]
 
 

@@ -52,15 +52,18 @@ PRIORITY: list[str] = [
     # ROUND-12 WINDOW ROTATION — stalest-first re-verification. The
     # r11 window went hash-green in CORRECTNESS_r11.json, so the
     # mechanical stalest set advances to the r5/r6-era families; the
-    # round-12 additions (dedup_minhash_sig_verify, and
-    # pipeline_pack_ffd's rows-only -> recursive-CTE-oracle upgrade)
-    # are never-hash-scored and sort first. The list below is EXACTLY
-    # the output of scripts/rotate_priority.py; tests/test_registry.py
-    # recomputes it from CORRECTNESS_r*.json history and asserts
-    # equality — no hand-maintained membership.
+    # round-12 additions (dedup_minhash_sig_verify, sample_es_reservoir,
+    # docs_domain_quality_gate, and pipeline_pack_ffd's rows-only ->
+    # recursive-CTE-oracle upgrade) are never-hash-scored and sort
+    # first. The list below is EXACTLY the output of
+    # scripts/rotate_priority.py; tests/test_registry.py recomputes it
+    # from CORRECTNESS_r*.json history and asserts equality — no
+    # hand-maintained membership.
     # ------------------------------------------------------------------
     "dedup_minhash_sig_verify",  # last green r-1
+    "docs_domain_quality_gate",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
+    "sample_es_reservoir",  # last green r-1
     "join_multiway",  # last green r5
     "join_range_band",  # last green r5
     "join_salted_skew",  # last green r5
@@ -107,8 +110,6 @@ PRIORITY: list[str] = [
     "q12_priority_by_returnflag",  # last green r6
     "q13_customer_distribution",  # last green r6
     "q14_promo_effect",  # last green r6
-    "q15_top_supplier",  # last green r6
-    "q16_part_supplier_variety",  # last green r6
 ]
 
 

@@ -1790,6 +1790,91 @@ def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_domain_quality_gate",
+    # FineWeb-style per-domain quality-percentile gating (Penedo et al.
+    # 2024 — per-source score thresholds, not one global cutoff, so a
+    # uniformly-low domain isn't wiped out and a uniformly-high one
+    # still sheds its worst tail; VERDICT r11 item 9, the last
+    # widely-used curation shape). Score = alpha-character density in
+    # exact ppm (positive-BIGINT division, no floats); the per-source
+    # p30 threshold is the smallest score whose cumulative count
+    # crosses 30% — integer cross-multiplied (cum*100 >= n*30), never a
+    # percentile_cont interpolation.
+    #
+    # Scale shape: the percentile runs on the (source, score)-grain
+    # CELL table (<= |sources| x 1e6 rows whatever the corpus), so the
+    # cumulative window is value-grain, never doc-grain — the
+    # lineitem_shiplag_percentiles discipline; thresholds (|sources|
+    # rows) broadcast back into the scan. No doc-grain shuffle at all:
+    # the gate's only data-sized term is the scan itself.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]',
+                    '', 'g')) AS BIGINT) * 1000000)
+               // LENGTH(text) AS score_ppm
+      FROM documents WHERE LENGTH(text) > 0),
+    cells AS (
+      SELECT source, score_ppm, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT source, score_ppm,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY score_ppm) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n_tot
+      FROM cells),
+    thr AS (
+      SELECT source, CAST(MIN(score_ppm) AS BIGINT) AS thr_ppm
+      FROM cum WHERE cum * 100 >= n_tot * 30 GROUP BY source)
+    SELECT s.doc_id, s.source, s.score_ppm, thr.thr_ppm,
+           s.score_ppm >= thr.thr_ppm AS kept
+    FROM s JOIN thr USING (source)
+    """,
+)
+def docs_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_alpha = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[A-Za-z]", "")
+    )
+    scored = (
+        d.filter(n_chars > 0)
+        .select(
+            "doc_id",
+            "source",
+            n_alpha.alias("__na"),
+            n_chars.alias("__nc"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(__na * 1000000) div __nc").alias("score_ppm"),
+        )
+    )
+    cells = scored.groupBy("source", "score_ppm").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    thr = (
+        cells.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n_tot", F.sum("cnt").over(w_tot))
+        .filter(F.col("cum") * 100 >= F.col("n_tot") * 30)
+        .groupBy("source")
+        .agg(F.min("score_ppm").cast("long").alias("thr_ppm"))
+    )
+    return scored.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "score_ppm",
+        "thr_ppm",
+        (F.col("score_ppm") >= F.col("thr_ppm")).alias("kept"),
+    )
+
+
 def _perceptron_oracle(epochs: int = 3) -> str:
     """Generated unrolled-CTE oracle for the batch perceptron: one
     (errors, deltas) + weight-update CTE pair PER EPOCH from a single
@@ -2476,6 +2561,58 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", priority.alias("priority"))
         .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
         .limit(200)
+    )
+
+
+@query(
+    "sample_es_reservoir",
+    # Efraimidis–Spirakis weighted reservoir (2006, IPL) — the textbook
+    # member of the weighted-without-replacement family beside
+    # sample_weighted_k's Ohlsson sequential Poisson (VERDICT r11 item
+    # 7). A-ES keeps the k rows maximizing u^(1/w); equivalently the k
+    # MINIMIZING (-ln u)/w — computed here on an engine-exact lattice:
+    # u = (2b+1)/131072 from 4 md5 hex chars (65536 points), micro-log
+    # m = floor(-ln(u)·1e6) probed EQUAL Spark-vs-DuckDB on ALL 65536
+    # lattice points (tests/test_sampling_lattice.py — the r10 A-ES
+    # attempt died on a last-ulp ln divergence precisely because its u
+    # domain wasn't a probeable lattice), then key = (m·2^30) div w —
+    # pure positive-BIGINT truncating division, bit-identical anywhere.
+    # One scan + TakeOrderedAndProject; no global sort, no rand().
+    oracle="""
+    SELECT doc_id, n_chars, key_q FROM (
+      SELECT doc_id, n_chars,
+             (CAST(FLOOR(-LN((2 * CAST(('0x' || substring(
+                 md5('esamp|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 + 1) / 131072.0) * 1000000) AS BIGINT)
+              * 1073741824) // n_chars AS key_q
+      FROM documents WHERE n_chars > 0)
+    ORDER BY key_q ASC, doc_id ASC
+    LIMIT 150
+    """,
+)
+def sample_es_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    b = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("esamp|"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    m = F.floor(
+        -F.log((2 * b + 1) / F.lit(131072.0)) * 1000000
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", m.alias("__m"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("(__m * 1073741824) div n_chars").alias("key_q"),
+        )
+        .orderBy(F.col("key_q").asc(), F.col("doc_id").asc())
+        .limit(150)
     )
 
 
