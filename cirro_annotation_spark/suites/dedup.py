@@ -1,15 +1,16 @@
 """Deduplication queries over documents (north-star set, SURVEY.md §2.12).
 
 dedup_exact is oracle-checked (sha256 fingerprints match across engines).
-In the near-dup family the end-to-end banding queries
-(dedup_near_minhash, dedup_minhash_pairs, dedup_simhash_pairs) are
-rows-only — the live SimHash banding uses xxhash64 (no DuckDB twin) and
-the full MinHash banding is uneconomical to unroll in SQL — but their
-kernels ARE hash-checked: the verify stages (dedup_minhash_verify,
-dedup_simhash_verify, dedup_minhash_sig_verify) recompute the
-engine-neutral md5-lattice signatures / exact Jaccard / Hamming over
-pinned candidate lists with full DuckDB oracles, plus pytest property
-tests (tests/test_dedup.py).
+The MinHash family is FULLY oracle-checked since r12: the md5
+affine-lattice signature (r11) made the banding engine-neutral, so
+dedup_minhash_pairs and dedup_near_minhash replay the entire
+banding->verify pipeline in DuckDB (_MINHASH_BANDING_CTE), on top of
+the kernel twins (dedup_minhash_verify, dedup_minhash_sig_verify,
+dedup_simhash_verify) over pinned candidate lists. Only
+dedup_simhash_pairs stays rows-only — its live banding is xxhash64,
+which has no DuckDB twin by design (speed); its construction is
+hash-checked through the md5-SimHash verify kernel instead. Pytest
+property tests in tests/test_dedup.py back the semantics.
 """
 
 from __future__ import annotations
@@ -55,17 +56,92 @@ def dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")  # md5-lattice LSH banding — rows-only check
+# The FULL MinHash banding pipeline as DuckDB CTEs (r12 — possible only
+# because r11 moved the signature onto the md5 affine lattice): shingles
+# -> per-gram (h1, h2) -> 32 affine minima per doc -> 8 comma-joined
+# 4-minima band keys -> band-key equality self-join -> distinct ordered
+# candidate pairs. Docs with zero shingles are excluded before banding
+# exactly as Spark's sentinel filter does. With this, the banding
+# queries graduate from rows-only to full value-hash oracles and the
+# rows-only set shrinks to the genuinely-impossible kernels (xxhash64
+# SimHash banding, HLL sketches, the streaming Bloom filter).
+_MINHASH_BANDING_CTE = r"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_filter(
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]),
+           g -> g <> '') AS grams
+  FROM (SELECT doc_id, lang, source,
+               list_filter(string_split_regex(TRIM(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+hx AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(grams, g ->
+           CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS h1s,
+         list_transform(grams, g ->
+           CAST(('0x' || substring(md5(g), 9, 8)) AS BIGINT) | 1) AS h2s
+  FROM sh WHERE len(grams) > 0
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, seed,
+         list_min(list_transform(range(1, len(h1s) + 1),
+                  i -> (h1s[i] + seed * h2s[i]) % 4294967296)) AS minval
+  FROM hx CROSS JOIN range(0, 32) AS r(seed)
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(minval, ',' ORDER BY seed) AS band_hash
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(LEN(list_intersect(sa.grams, sb.grams)) * 1.0 /
+               NULLIF(LEN(list_distinct(list_concat(sa.grams, sb.grams))),
+                      0), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.id_a = sa.doc_id
+  JOIN sh sb ON c.id_b = sb.doc_id
+)
+"""
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_MINHASH_BANDING_CTE
+    + """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM verified WHERE jaccard >= 0.7)
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup survivors: drop the higher-id member of every verified
+    near-pair (local-minima representatives). Full oracle since r12 —
+    the DuckDB twin replays the entire banding->verify->anti-join."""
     d = t(spark, sf_dir, "documents")
     return D.dedup_near_minhash(d, "text", "doc_id", threshold=0.7).select(
         "doc_id", "lang", "source"
     )
 
 
-@query("dedup_minhash_pairs")  # rows-only
+@query(
+    "dedup_minhash_pairs",
+    oracle=_MINHASH_BANDING_CTE
+    + """
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified near-duplicate pairs with their exact Jaccard."""
+    """Verified near-duplicate pairs with their exact Jaccard. Full
+    oracle since r12 (md5-lattice banding is engine-neutral)."""
     d = t(spark, sf_dir, "documents")
     cands = D.minhash_candidates(d, "text", "doc_id")
     return D.jaccard_verify(d, cands, "text", "doc_id", threshold=0.5)
