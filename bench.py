@@ -405,6 +405,7 @@ HEADLINE = [
     "dedup_minhash_sig_verify",
     "sample_es_reservoir",
     "docs_domain_quality_gate",
+    "docs_boilerplate_lines",
 ]
 
 

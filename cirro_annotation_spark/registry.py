@@ -52,17 +52,18 @@ PRIORITY: list[str] = [
     # ROUND-12 WINDOW ROTATION — stalest-first re-verification. The
     # r11 window went hash-green in CORRECTNESS_r11.json, so the
     # mechanical stalest set advances to the r5/r6-era families; the
-    # round-12 additions and rows-only->oracle upgrades
-    # (dedup_minhash_sig_verify, sample_es_reservoir,
-    # docs_domain_quality_gate, pipeline_pack_ffd, dedup_minhash_pairs,
-    # dedup_near_minhash) are never-hash-scored and sort first. The
-    # list below is EXACTLY the output of scripts/rotate_priority.py;
-    # tests/test_registry.py recomputes it from CORRECTNESS_r*.json
-    # history and asserts equality — no hand-maintained membership.
+    # round-12 additions and rows-only->oracle upgrades (minhash sig
+    # verify + full banding pair, ES reservoir, domain quality gate,
+    # boilerplate lines, FFD) are never-hash-scored and sort first.
+    # The list below is EXACTLY the output of
+    # scripts/rotate_priority.py; tests/test_registry.py recomputes it
+    # from CORRECTNESS_r*.json history and asserts equality — no
+    # hand-maintained membership.
     # ------------------------------------------------------------------
     "dedup_minhash_pairs",  # last green r-1
     "dedup_minhash_sig_verify",  # last green r-1
     "dedup_near_minhash",  # last green r-1
+    "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
@@ -109,7 +110,6 @@ PRIORITY: list[str] = [
     "pipeline_embedding_centroids",  # last green r6
     "q10_returned_items",  # last green r6
     "q11_important_stock",  # last green r6
-    "q12_priority_by_returnflag",  # last green r6
 ]
 
 

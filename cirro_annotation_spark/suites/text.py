@@ -1875,6 +1875,96 @@ def docs_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_boilerplate_lines",
+    # C4-style boilerplate-line removal (Raffel et al. 2020 §2.2 — "we
+    # discarded any line that occurred more than [k] times in the
+    # dataset"): corpus-frequency line filter + document REWRITE, the
+    # curation shape that runs before content dedup on web text. The
+    # fixture has no newlines, so lines are deterministic 12-token
+    # windows (the messy-URL-fixture precedent: the operator under test
+    # is the explode -> corpus-frequency -> rewrite machinery, not the
+    # splitter) — near-dup docs share contiguous windows, so the
+    # fixture drops real lines (13 distinct lines reach freq >= 3 at
+    # sf0.01).
+    #
+    # Scale shape: the frequency aggregate shuffles (sha, doc_id)
+    # fingerprint pairs only — line text never leaves its scan; the
+    # boilerplate set (lines with >= 3 distinct docs) is small by the
+    # C4 assumption and BROADCASTs back as sha keys; the rebuild is one
+    # doc_id-keyed aggregation whose collect_list skips dropped lines.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS line_idx,
+             array_to_string(tk[1 + 12*i : 12*(i+1)], ' ') AS line
+      FROM toks CROSS JOIN range(0, 200) r(i) WHERE 12*i < len(tk)),
+    freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(string_agg(CASE WHEN nd < 3 THEN line END, ' '
+                               ORDER BY line_idx), '') AS cleaned_text
+    FROM lines JOIN freq USING (line)
+    GROUP BY doc_id
+    """,
+)
+def docs_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    lines = (
+        d.filter(F.size(tk) > 0)  # zero-token docs emit no lines (oracle twin)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(tk) / F.lit(12)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(tk, 1 + i * 12, 12), " "
+                    ),
+                )
+            ).alias("line_idx", "line"),
+        )
+        .withColumn("line_sha", F.sha2(F.col("line"), 256))
+    )
+    bad = (
+        lines.select("line_sha", "doc_id")
+        .groupBy("line_sha")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("line_sha", F.lit(True).alias("is_bad"))
+    )
+    flagged = lines.join(F.broadcast(bad), "line_sha", "left")
+    kept_struct = F.when(
+        F.col("is_bad").isNull(),
+        F.struct(F.col("line_idx"), F.col("line")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("is_bad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def _perceptron_oracle(epochs: int = 3) -> str:
     """Generated unrolled-CTE oracle for the batch perceptron: one
     (errors, deltas) + weight-update CTE pair PER EPOCH from a single
