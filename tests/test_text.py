@@ -788,3 +788,37 @@ def test_canonicalize_url_edges(spark):
         ).collect()
     ]
     assert got == [(c, h) for _, c, h in cases]
+
+
+def test_domain_quality_gate_threshold_is_exact_p30(spark):
+    """The per-source threshold must be the SMALLEST score whose
+    cumulative count crosses 30% (integer cross-multiply, no
+    interpolation). Fixture: 10 docs in one source with strictly
+    increasing alpha density — cum*100 >= 10*30 first holds at the 3rd
+    distinct score, so exactly the bottom two docs are dropped; a
+    second single-doc source keeps its only doc (cum*100 = 100 >= 30)."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = []
+    # score_ppm for doc i = i letters out of 10 chars -> i*100000 ppm
+    for i in range(10):
+        rows.append((i, "srcA", "a" * i + "1" * (10 - i)))
+    rows.append((100, "srcB", "zz11"))  # lone doc: always kept
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["score_ppm"], r["thr_ppm"], r["kept"])
+            for r in QUERIES["docs_domain_quality_gate"](spark, tmp).collect()
+        }
+    # srcA: 10 docs, threshold = 3rd smallest score = 2*100000
+    assert out[0] == (0, 200000, False)
+    assert out[1] == (100000, 200000, False)
+    for i in range(2, 10):
+        assert out[i] == (i * 100000, 200000, True)
+    assert out[100] == (500000, 500000, True)
