@@ -649,3 +649,43 @@ def test_r10_final_wave_plan_shapes(spark, sf_dir):
     # pre-execution plan string still prints the un-truncated lineage,
     # so an exchange count would pin the printer, not the runtime.)
     assert count_exchanges(QUERIES["events_burst_hysteresis"](spark, sf_dir)) <= 2
+
+
+def test_r12_plan_shapes(spark, sf_dir):
+    """Round-12 plan pins: (a) docs_url_canonical_dedup's per-host cap
+    is the salted two-phase bounded rank — every rank phase plans as
+    WindowGroupLimit (rank-limit pushdown, <= k rows survive each sort
+    group BEFORE its exchange) and the <=5-per-host survivors broadcast
+    into the final join; a regression back to the unbounded per-host
+    window would drop the WindowGroupLimits and the broadcast. (b)
+    sample_es_reservoir ranks through TakeOrderedAndProject with the
+    n_chars > 0 filter pushed to the parquet scan. (c)
+    docs_domain_quality_gate broadcasts its threshold frame."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    url = (
+        QUERIES["docs_url_canonical_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert url.count("WindowGroupLimit") >= 4  # partial+final per phase
+    assert "BroadcastHashJoin" in url
+
+    es = (
+        QUERIES["sample_es_reservoir"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in es
+    assert "GreaterThan(n_chars,0)" in es  # pushed filter
+
+    gate = (
+        QUERIES["docs_domain_quality_gate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in gate
