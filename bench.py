@@ -406,6 +406,7 @@ HEADLINE = [
     "sample_es_reservoir",
     "docs_domain_quality_gate",
     "docs_boilerplate_lines",
+    "embeddings_power_iteration",
 ]
 
 

@@ -711,3 +711,114 @@ m1 AS (
             f"SELECT CAST({r} AS BIGINT), vec_id, CAST(mind AS BIGINT) FROM c{r}"
         )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# Power iteration (dominant eigenvector) — the SPECTRAL member of the
+# trainer family (k-means/PQ/RQ quantize, k-center selects, this one
+# finds the principal direction used for whitening / ABTT
+# mean-direction removal in embedding pipelines).
+# ---------------------------------------------------------------------------
+def power_iteration(
+    df,
+    vec_col: str,
+    id_col: str,
+    dim: int = 64,
+    iters: int = 6,
+    v_scale: int = 1024,
+):
+    """Dominant eigenvector of the mean outer-product matrix
+    C̄ = floor(XᵀX / n), by ``iters`` rounds of L∞-normalized power
+    iteration on the shared integer lattice — engine-exact, so the full
+    iterative result hash-matches an unrolled-CTE DuckDB twin
+    (:func:`power_iteration_oracle_sql`).
+
+    Exactness: the L∞ renormalization ``v' = (C̄·v · v_scale) div
+    max|C̄·v|`` needs no sqrt and no float — truncating BIGINT division
+    agrees across engines for either sign (the Holt-Winters signed-div
+    rule). v₀ = uniform +v_scale makes the sign convention and the
+    whole sequence deterministic.
+
+    Overflow audit (n-INDEPENDENT — the mean outer product is the 100 TB
+    dial): |x| <= Q_SCALE·max|emb| (~5.8e3 here), C̄ entry <= x² ~ 3.3e7,
+    |C̄·v| <= dim·C̄·v_scale ~ 2.2e12, each product <= 3.4e10 — all far
+    inside BIGINT for ANY corpus size, because C̄ divides by n before
+    the iteration.
+
+    Scale shape: the ONE data-sized term is the dim²-cell Gram
+    aggregate (map-side combined; vectors never shuffle — (vec_id, d,
+    x) triples do). The iteration runs on dim² + dim model-frame rows;
+    each round is two tiny joins + one 1-row broadcast max, lazily
+    checkpointed so lineage doesn't recompute (the k-center lesson).
+    """
+    q = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(quantize_expr(vec_col)).alias("pd", "x"),
+    ).select("vec_id", (F.col("pd") + 1).alias("d"), F.col("x").cast("long"))
+    n1 = df.select(F.count(F.lit(1)).cast("long").alias("n"))
+    a = q.select("vec_id", F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = q.select("vec_id", F.col("d").alias("d2"), F.col("x").alias("x2"))
+    c = (
+        a.join(b, "vec_id")
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("s"))
+        .join(F.broadcast(n1))
+        .select("d1", "d2", F.expr("s div n").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    v = c.select(F.col("d1").alias("d")).distinct().select(
+        "d", F.lit(int(v_scale)).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            c.join(v.select(F.col("d").alias("d2"), "v"), "d2")
+            .groupBy("d1")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        m = w.select(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.join(F.broadcast(m))
+            .select(
+                F.col("d1").alias("d"),
+                F.expr(f"(w * {int(v_scale)}) div m").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(F.col("d").cast("int").alias("d"), "v")
+
+
+def power_iteration_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 6,
+    v_scale: int = 1024,
+) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`power_iteration`: the lattice
+    CTE, the floored mean Gram matrix, then one (w, m, v) CTE triple per
+    round — same truncating-division arithmetic."""
+    parts = [
+        f"""WITH qd AS MATERIALIZED (
+  SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
+         CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
+              AS BIGINT) AS x
+  FROM {table}, range(1, {dim + 1}) r(d)),
+nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM qd),
+cm AS MATERIALIZED (
+  SELECT a.d AS d1, b.d AS d2, SUM(a.x * b.x) // MAX(nn.n) AS c
+  FROM qd a JOIN qd b USING (vec_id) CROSS JOIN nn GROUP BY a.d, b.d),
+v0 AS (SELECT d, CAST({v_scale} AS BIGINT) AS v
+       FROM range(1, {dim + 1}) r(d))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""w{i} AS (SELECT cm.d1 AS d, SUM(cm.c * v{i-1}.v) AS w
+       FROM cm JOIN v{i-1} ON cm.d2 = v{i-1}.d GROUP BY cm.d1),
+m{i} AS (SELECT MAX(ABS(w)) AS m FROM w{i}),
+v{i} AS (SELECT d, (w * {v_scale}) // m AS v FROM w{i} CROSS JOIN m{i})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(d AS INT) AS d, CAST(v AS BIGINT) AS v FROM v{iters}"
+    )

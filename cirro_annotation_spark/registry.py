@@ -54,8 +54,8 @@ PRIORITY: list[str] = [
     # mechanical stalest set advances to the r5/r6-era families; the
     # round-12 additions and rows-only->oracle upgrades (minhash sig
     # verify + full banding pair, ES reservoir, domain quality gate,
-    # boilerplate lines, FFD) are never-hash-scored and sort first.
-    # The list below is EXACTLY the output of
+    # boilerplate lines, FFD, power iteration) are never-hash-scored
+    # and sort first. The list below is EXACTLY the output of
     # scripts/rotate_priority.py; tests/test_registry.py recomputes it
     # from CORRECTNESS_r*.json history and asserts equality — no
     # hand-maintained membership.
@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "dedup_near_minhash",  # last green r-1
     "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
+    "embeddings_power_iteration",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
     "join_multiway",  # last green r5
@@ -109,7 +110,6 @@ PRIORITY: list[str] = [
     "events_value_histogram",  # last green r6
     "pipeline_embedding_centroids",  # last green r6
     "q10_returned_items",  # last green r6
-    "q11_important_stock",  # last green r6
 ]
 
 

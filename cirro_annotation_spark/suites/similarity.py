@@ -1014,6 +1014,31 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embeddings_power_iteration",
+    # In-engine power iteration (r12) — the SPECTRAL member of the
+    # trainer family: dominant eigenvector of the mean outer-product
+    # matrix, the direction embedding pipelines whiten / remove (ABTT,
+    # Mu & Viswanath 2018). Six L∞-normalized rounds on the integer
+    # lattice: renormalization is (w·1024) div max|w| — truncating
+    # BIGINT division agrees across engines for either sign, so the
+    # whole iterative result hash-matches the unrolled-CTE twin with NO
+    # sqrt and NO float anywhere past the lattice quantization. The
+    # floored MEAN Gram (divide by n before iterating) keeps every
+    # bound n-independent — the 100 TB dial (operators/clustering.py
+    # power_iteration docstring has the audit).
+    #
+    # Scale shape: one dim²-cell Gram aggregate is the only data-sized
+    # term (vectors never shuffle — (vec_id, d, x) triples do, map-side
+    # combined); the iteration itself runs on dim²+dim model-frame rows
+    # with 1-row broadcast maxima.
+    oracle=C.power_iteration_oracle_sql(dim=64, iters=6),
+)
+def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return C.power_iteration(emb, "embedding", "vec_id", dim=64, iters=6)
+
+
+@query(
     "embeddings_rq_train",
     # Residual-quantizer training (Chen 2010) — the THIRD codebook
     # family beside flat k-means cells and PQ subspaces: stage 1 is a

@@ -312,3 +312,23 @@ def test_kcenter_oracle_mirrors_early_stop(spark):
     )
     assert got == want
     assert len(got) == 3  # coverage complete at 3 distinct points
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    """Synthetic anisotropic cloud: variance along dim 1 is ~25x any
+    other dim, so after 6 rounds the L-inf-normalized vector must peak
+    at dim 1 (|v| = 1024 there) with every other component small."""
+    from cirro_annotation_spark.operators.clustering import power_iteration
+
+    rows = []
+    for i in range(200):
+        main = 0.5 if i % 2 == 0 else -0.5
+        vec = [main] + [((i * j) % 7 - 3) / 100.0 for j in range(1, 8)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = {r["d"]: r["v"] for r in power_iteration(
+        df, "embedding", "vec_id", dim=8, iters=6
+    ).collect()}
+    assert len(v) == 8
+    assert abs(v[1]) == 1024, v
+    assert all(abs(v[d]) < 300 for d in range(2, 9)), v
