@@ -407,6 +407,7 @@ HEADLINE = [
     "docs_domain_quality_gate",
     "docs_boilerplate_lines",
     "embeddings_power_iteration",
+    "agg_hll_md5_registers",
 ]
 
 

@@ -49,17 +49,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-12 WINDOW ROTATION — stalest-first re-verification. The
-    # r11 window went hash-green in CORRECTNESS_r11.json, so the
-    # mechanical stalest set advances to the r5/r6-era families; the
-    # round-12 additions and rows-only->oracle upgrades (minhash sig
-    # verify + full banding pair, ES reservoir, domain quality gate,
-    # boilerplate lines, FFD, power iteration) are never-hash-scored
-    # and sort first. The list below is EXACTLY the output of
+    # ROUND-12 WINDOW ROTATION — stalest-first re-verification; the
+    # round-12 additions and rows-only->oracle upgrades sort first
+    # (never hash-scored). EXACTLY the output of
     # scripts/rotate_priority.py; tests/test_registry.py recomputes it
-    # from CORRECTNESS_r*.json history and asserts equality — no
-    # hand-maintained membership.
+    # from CORRECTNESS_r*.json history and asserts equality.
     # ------------------------------------------------------------------
+    "agg_hll_md5_registers",  # last green r-1
     "dedup_minhash_pairs",  # last green r-1
     "dedup_minhash_sig_verify",  # last green r-1
     "dedup_near_minhash",  # last green r-1
@@ -109,7 +105,6 @@ PRIORITY: list[str] = [
     "events_rollup_multigrain",  # last green r6
     "events_value_histogram",  # last green r6
     "pipeline_embedding_centroids",  # last green r6
-    "q10_returned_items",  # last green r6
 ]
 
 

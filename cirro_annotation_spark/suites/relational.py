@@ -1465,6 +1465,78 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_md5_registers",
+    # The ORACLE-CHECKED member of the HLL family (r12): Spark's native
+    # Datasketches sketch (agg_hll_mergeable / agg_approx_distinct)
+    # stays rows-only because its xxhash64 internals have no DuckDB
+    # twin — so this query builds an ENGINE-NEUTRAL HLL on the md5
+    # lattice and hash-checks its REGISTERS, the sketch state itself:
+    # bucket = first 12 md5 bits (m=4096), rho = leading-zero count of
+    # the next 52 bits + 1 via the probed-identical bin() length (no
+    # floats anywhere). The same row set proves the MERGEABILITY
+    # contract exactly: registers from the even/odd user_id halves
+    # max-merge into precisely the all-rows register (merged_eq TRUE on
+    # every bucket — max is the HLL merge operator). The float estimate
+    # is deliberately NOT emitted: registers are the mergeable,
+    # engine-exact artifact a 100 TB pipeline persists; estimation is a
+    # driver-side read-off.
+    #
+    # Scale shape: one map-side-combined (bucket, max-rho) aggregate —
+    # 4096 cells per partition whatever the stream size; user ids never
+    # shuffle raw (bucket+rho travel).
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
+                  AS BIGINT) AS rest
+      FROM (SELECT DISTINCT user_id FROM events)),
+    r AS (
+      SELECT user_id, bucket,
+             CASE WHEN rest > 0
+                  THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
+                  ELSE CAST(53 AS BIGINT) END AS rho
+      FROM h)
+    SELECT bucket,
+           MAX(rho) AS r_all,
+           MAX(CASE WHEN user_id % 2 = 0 THEN rho END) AS r_even,
+           MAX(CASE WHEN user_id % 2 = 1 THEN rho END) AS r_odd,
+           GREATEST(COALESCE(MAX(CASE WHEN user_id % 2 = 0 THEN rho END), 0),
+                    COALESCE(MAX(CASE WHEN user_id % 2 = 1 THEN rho END), 0))
+             = MAX(rho) AS merged_eq
+    FROM r GROUP BY bucket
+    """,
+)
+def agg_hll_md5_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "events").select("user_id").distinct()
+    hexs = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(hexs, 1, 3), 16, 10).cast("long")
+    rest = F.conv(F.substring(hexs, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(rest > 0, 53 - F.length(F.bin(rest)))
+        .otherwise(F.lit(53))
+        .cast("long")
+    )
+    r = d.select(
+        "user_id", bucket.alias("bucket"), rho.alias("rho")
+    )
+    even = F.max(F.when(F.col("user_id") % 2 == 0, F.col("rho")))
+    odd = F.max(F.when(F.col("user_id") % 2 == 1, F.col("rho")))
+    return r.groupBy("bucket").agg(
+        F.max("rho").alias("r_all"),
+        even.alias("r_even"),
+        odd.alias("r_odd"),
+        (
+            F.greatest(
+                F.coalesce(even, F.lit(0)), F.coalesce(odd, F.lit(0))
+            )
+            == F.max("rho")
+        ).alias("merged_eq"),
+    )
+
+
+@query(
     "basket_rules_lift",
     # Market-basket association rules over order baskets (Agrawal
     # support/confidence/lift, public literature): pairwise co-purchase
