@@ -408,6 +408,7 @@ HEADLINE = [
     "docs_boilerplate_lines",
     "embeddings_power_iteration",
     "agg_hll_md5_registers",
+    "stream_hll_registers_stream",
 ]
 
 

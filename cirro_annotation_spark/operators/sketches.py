@@ -74,3 +74,41 @@ def heavy_hitters_exact(df: DataFrame, col: str, m: int) -> DataFrame:
         .filter(F.col("cnt") * (m + 1) > F.col("n_total"))
         .select(col, "cnt")
     )
+
+
+def hll_md5_register_cells(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Engine-neutral HLL register maintenance over ``key_col`` — the
+    sketch STATE, exact and mergeable, shared by the batch query and
+    its streaming twin (the merge operator is max, so the same
+    aggregation is valid per micro-batch in complete mode).
+
+    bucket = first 12 md5 bits (m=4096); rho = leading-zero count of
+    the next 52 bits + 1, via the bin()-length identity probed equal
+    Spark-vs-DuckDB. r_even/r_odd are the half-corpus registers whose
+    per-bucket max must equal r_all — the mergeability contract as a
+    hash-checked column. One map-side-combined aggregate; keys never
+    shuffle raw (bucket + rho travel)."""
+    hexs = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(hexs, 1, 3), 16, 10).cast("long")
+    rest = F.conv(F.substring(hexs, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(rest > 0, 53 - F.length(F.bin(rest)))
+        .otherwise(F.lit(53))
+        .cast("long")
+    )
+    r = df.select(
+        F.col(key_col), bucket.alias("bucket"), rho.alias("rho")
+    )
+    even = F.max(F.when(F.col(key_col) % 2 == 0, F.col("rho")))
+    odd = F.max(F.when(F.col(key_col) % 2 == 1, F.col("rho")))
+    return r.groupBy("bucket").agg(
+        F.max("rho").alias("r_all"),
+        even.alias("r_even"),
+        odd.alias("r_odd"),
+        (
+            F.greatest(
+                F.coalesce(even, F.lit(0)), F.coalesce(odd, F.lit(0))
+            )
+            == F.max("rho")
+        ).alias("merged_eq"),
+    )

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "embeddings_power_iteration",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
+    "stream_hll_registers_stream",  # last green r-1
     "join_multiway",  # last green r5
     "join_range_band",  # last green r5
     "join_salted_skew",  # last green r5
@@ -104,7 +105,6 @@ PRIORITY: list[str] = [
     "docs_repetition_ratio",  # last green r6
     "events_rollup_multigrain",  # last green r6
     "events_value_histogram",  # last green r6
-    "pipeline_embedding_centroids",  # last green r6
 ]
 
 

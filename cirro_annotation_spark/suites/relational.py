@@ -1464,6 +1464,35 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(merged))
 
 
+# Shared by agg_hll_md5_registers and its streaming twin
+# (stream_hll_registers_stream — the stream maintains the same cells).
+# rho is a per-user function and max is distinct-invariant, so no
+# DISTINCT is needed on either engine.
+_HLL_REG_ORACLE = """
+    WITH h AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
+                  AS BIGINT) AS rest
+      FROM events),
+    r AS (
+      SELECT user_id, bucket,
+             CASE WHEN rest > 0
+                  THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
+                  ELSE CAST(53 AS BIGINT) END AS rho
+      FROM h)
+    SELECT bucket,
+           MAX(rho) AS r_all,
+           MAX(CASE WHEN user_id % 2 = 0 THEN rho END) AS r_even,
+           MAX(CASE WHEN user_id % 2 = 1 THEN rho END) AS r_odd,
+           GREATEST(COALESCE(MAX(CASE WHEN user_id % 2 = 0 THEN rho END), 0),
+                    COALESCE(MAX(CASE WHEN user_id % 2 = 1 THEN rho END), 0))
+             = MAX(rho) AS merged_eq
+    FROM r GROUP BY bucket
+"""
+
+
 @query(
     "agg_hll_md5_registers",
     # The ORACLE-CHECKED member of the HLL family (r12): Spark's native
@@ -1484,55 +1513,15 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale shape: one map-side-combined (bucket, max-rho) aggregate —
     # 4096 cells per partition whatever the stream size; user ids never
     # shuffle raw (bucket+rho travel).
-    oracle="""
-    WITH h AS (
-      SELECT user_id,
-             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
-                  AS BIGINT) AS bucket,
-             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
-                  AS BIGINT) AS rest
-      FROM (SELECT DISTINCT user_id FROM events)),
-    r AS (
-      SELECT user_id, bucket,
-             CASE WHEN rest > 0
-                  THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
-                  ELSE CAST(53 AS BIGINT) END AS rho
-      FROM h)
-    SELECT bucket,
-           MAX(rho) AS r_all,
-           MAX(CASE WHEN user_id % 2 = 0 THEN rho END) AS r_even,
-           MAX(CASE WHEN user_id % 2 = 1 THEN rho END) AS r_odd,
-           GREATEST(COALESCE(MAX(CASE WHEN user_id % 2 = 0 THEN rho END), 0),
-                    COALESCE(MAX(CASE WHEN user_id % 2 = 1 THEN rho END), 0))
-             = MAX(rho) AS merged_eq
-    FROM r GROUP BY bucket
-    """,
+    oracle=_HLL_REG_ORACLE,
 )
 def agg_hll_md5_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "events").select("user_id").distinct()
-    hexs = F.md5(F.col("user_id").cast("string"))
-    bucket = F.conv(F.substring(hexs, 1, 3), 16, 10).cast("long")
-    rest = F.conv(F.substring(hexs, 4, 13), 16, 10).cast("long")
-    rho = (
-        F.when(rest > 0, 53 - F.length(F.bin(rest)))
-        .otherwise(F.lit(53))
-        .cast("long")
+    from cirro_annotation_spark.operators.sketches import (
+        hll_md5_register_cells,
     )
-    r = d.select(
-        "user_id", bucket.alias("bucket"), rho.alias("rho")
-    )
-    even = F.max(F.when(F.col("user_id") % 2 == 0, F.col("rho")))
-    odd = F.max(F.when(F.col("user_id") % 2 == 1, F.col("rho")))
-    return r.groupBy("bucket").agg(
-        F.max("rho").alias("r_all"),
-        even.alias("r_even"),
-        odd.alias("r_odd"),
-        (
-            F.greatest(
-                F.coalesce(even, F.lit(0)), F.coalesce(odd, F.lit(0))
-            )
-            == F.max("rho")
-        ).alias("merged_eq"),
+
+    return hll_md5_register_cells(
+        t(spark, sf_dir, "events").select("user_id")
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.streaming import events as STRM
 from cirro_annotation_spark.suites.util import t
+from cirro_annotation_spark.suites.relational import _HLL_REG_ORACLE
 from cirro_annotation_spark.suites.windows import _EWMA_DAILY_ORACLE
 
 _TUMBLING_ORACLE = """
@@ -552,6 +553,27 @@ def stream_top_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, _window_type_counts
     )
     return _rank_top3(counts)
+
+
+@query("stream_hll_registers_stream", oracle=_HLL_REG_ORACLE)
+def stream_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch maintenance (r12): the STREAM
+    maintains the engine-neutral md5-HLL registers — (bucket, max rho)
+    cells plus the even/odd half registers — through a real micro-batch
+    drain, held to the SAME oracle as the batch twin
+    (agg_hll_md5_registers). max is the HLL merge operator, so the
+    complete-mode aggregation is exactly the production shape: each
+    micro-batch max-merges into 4096 bounded state cells, and
+    yesterday's registers union with today's without recounting
+    history. Keys never shuffle raw (bucket + rho travel)."""
+    from cirro_annotation_spark.operators.sketches import (
+        hll_md5_register_cells,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.run_streaming_over_parquet(
+        spark, path, lambda s: hll_md5_register_cells(s.select("user_id"))
+    )
 
 
 @query("stream_dedup_bloom")  # probabilistic interior — rows-only, like
