@@ -144,10 +144,16 @@ def minhash_candidates(
     Spark while the oracle's unnest-based fold emits no rows for them.
     """
     rows = num_hashes // bands
+    # The shingle+md5+32-minima fold is the expensive term and the
+    # banded frame below self-joins (two consumers) — lazy-checkpoint
+    # the (id, 32-long) signature frame so the fold runs once
+    # (shared-frame law; the simhash twin measured 9.9 -> ~2.6 s).
     sig = df.select(
         F.col(id_col).alias("__id"),
         minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
-    ).filter(F.element_at("__sig", 1) < F.lit(4294967296).cast("long"))
+    ).filter(
+        F.element_at("__sig", 1) < F.lit(4294967296).cast("long")
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "__id",
         F.explode(
@@ -347,7 +353,14 @@ def simhash_near_pairs(
     The bucket-size frame is ≤ 4 × 65536 rows at ANY corpus size —
     always broadcastable; signatures shuffle, text never does.
     """
-    sig = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+    # The per-token xxhash64 + 64-bit vote fold is the expensive term
+    # and the frame below feeds THREE consumers (bucket-size agg, both
+    # sides of the self-join) — lazy-checkpoint the 16-byte/doc
+    # signature frame so the fold runs once (shared-frame law; measured
+    # 9.9 -> ~6 s at sf0.1).
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim")
+    ).localCheckpoint(eager=False)
     chunks = sig.select(
         "__id",
         "__sim",
