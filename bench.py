@@ -409,6 +409,7 @@ HEADLINE = [
     "embeddings_power_iteration",
     "agg_hll_md5_registers",
     "stream_hll_registers_stream",
+    "agg_hll_md5_estimate",
 ]
 
 

@@ -55,6 +55,7 @@ PRIORITY: list[str] = [
     # scripts/rotate_priority.py; tests/test_registry.py recomputes it
     # from CORRECTNESS_r*.json history and asserts equality.
     # ------------------------------------------------------------------
+    "agg_hll_md5_estimate",  # last green r-1
     "agg_hll_md5_registers",  # last green r-1
     "dedup_minhash_pairs",  # last green r-1
     "dedup_minhash_sig_verify",  # last green r-1
@@ -104,7 +105,6 @@ PRIORITY: list[str] = [
     "docs_pii_scan",  # last green r6
     "docs_repetition_ratio",  # last green r6
     "events_rollup_multigrain",  # last green r6
-    "events_value_histogram",  # last green r6
 ]
 
 

@@ -1526,6 +1526,99 @@ def agg_hll_md5_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_md5_estimate",
+    # The ESTIMATE read-off over the hash-green registers (r12): raw
+    # HLL estimator E = alpha_m·m² / Σ 2^(−M_j) with empty buckets
+    # contributing 2⁰; est_raw is the only float step, written in the
+    # identical left-to-right IEEE order on both engines (the
+    # docs_quality_classifier discipline). The small-range branch IS
+    # included (`estimate`): linear counting m·ln(m/V) fires when
+    # est_raw <= 2.5m — its ln argument lives on a 4096-point lattice
+    # (V = empty buckets), probed equal Spark-vs-DuckDB on ALL points
+    # (tests/test_sampling_lattice.py, the ES-reservoir discipline), so
+    # even the branchy estimator is engine-exact. At fixture scale the
+    # LC branch is the live one: estimate ≈ 150.7 vs 150 exact at
+    # sf0.01. alpha_m·m² = 0.7213/(1+1.079/4096)·4096²
+    # pinned pre-multiplied by 2^40 as ONE double literal (DuckDB
+    # parses decimal-point literals as DECIMAL, which overflows on the
+    # in-query multiply). The dyadic sum is held at denominator 2^40
+    # as EXACT floored right-shifts (2^40 >> rho, identical integers
+    # both engines; terms with rho > 40 floor to 0 — a < 2^-40 relative
+    # tail BY THIS QUERY'S OWN DEFINITION, so both engines agree
+    # bit-for-bit), keeping S ≤ m·2^40 = 2^52 inside BIGINT; the one
+    # float step is alpha_m·m²·2^40 / S (2^40 scaling of a double is
+    # exact).
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
+                  AS BIGINT) AS rest
+      FROM events),
+    r AS (
+      SELECT bucket,
+             MAX(CASE WHEN rest > 0
+                      THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
+                      ELSE CAST(53 AS BIGINT) END) AS rho
+      FROM h GROUP BY bucket),
+    s AS (
+      SELECT CAST(SUM(CAST(1099511627776 AS BIGINT) >> rho) AS BIGINT)
+               + (4096 - COUNT(*)) * CAST(1099511627776 AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS live
+      FROM r)
+    SELECT ROUND(CAST(1.3302132349779442e19 AS DOUBLE)
+                 / CAST(s_num AS DOUBLE), 3) AS est_raw,
+           CASE WHEN CAST(1.3302132349779442e19 AS DOUBLE)
+                     / CAST(s_num AS DOUBLE) <= 10240.0 AND live < 4096
+                THEN ROUND(4096.0 * LN(4096.0 /
+                           CAST(4096 - live AS DOUBLE)), 3)
+                ELSE ROUND(CAST(1.3302132349779442e19 AS DOUBLE)
+                           / CAST(s_num AS DOUBLE), 3) END AS estimate,
+           live AS live_buckets,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS n_exact
+    FROM s
+    """,
+)
+def agg_hll_md5_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.sketches import (
+        hll_md5_register_cells,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    regs = hll_md5_register_cells(ev.select("user_id")).select(
+        "bucket", F.col("r_all").alias("rho")
+    )
+    s = regs.agg(
+        (
+            F.sum(F.expr("shiftright(1099511627776L, cast(rho as int))"))
+            + (F.lit(4096) - F.count(F.lit(1)))
+            * F.lit(1099511627776).cast("long")
+        ).alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("live_buckets"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = F.lit(1.3302132349779442e19) / F.col("s_num").cast("double")
+    lc = F.lit(4096.0) * F.log(
+        F.lit(4096.0) / (F.lit(4096) - F.col("live_buckets")).cast("double")
+    )
+    return s.crossJoin(F.broadcast(exact)).select(
+        F.round(raw, 3).alias("est_raw"),
+        F.when(
+            (raw <= 10240.0) & (F.col("live_buckets") < 4096),
+            F.round(lc, 3),
+        )
+        .otherwise(F.round(raw, 3))
+        .alias("estimate"),
+        "live_buckets",
+        "n_exact",
+    )
+
+
+@query(
     "basket_rules_lift",
     # Market-basket association rules over order baskets (Agrawal
     # support/confidence/lift, public literature): pairwise co-purchase

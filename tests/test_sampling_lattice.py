@@ -53,3 +53,26 @@ def test_es_reservoir_weights_raise_inclusion(spark):
     # keys ascend and respect the deterministic tie-break
     keys = [(r["key_q"], r["doc_id"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_lc_branch_lattice_parity_all_4095_points(spark):
+    """agg_hll_md5_estimate's linear-counting branch emits
+    ROUND(4096·ln(4096/V), 3) with V = empty buckets — a 4096-point
+    lattice. Probe every point Spark-vs-DuckDB so the branch can never
+    diverge at any corpus size."""
+    sdf = spark.range(1, 4096).select(
+        F.col("id").alias("v"),
+        F.round(
+            F.lit(4096.0) * F.log(F.lit(4096.0) / F.col("id").cast("double")),
+            3,
+        ).alias("lc"),
+    )
+    sp = {r["v"]: r["lc"] for r in sdf.collect()}
+    du = dict(
+        duckdb.sql(
+            "SELECT v, ROUND(4096.0 * LN(4096.0 / CAST(v AS DOUBLE)), 3) "
+            "FROM range(1, 4096) t(v)"
+        ).fetchall()
+    )
+    diff = [v for v in sp if sp[v] != du[v]]
+    assert not diff, f"LC lattice divergence at {len(diff)} points: {diff[:5]}"
