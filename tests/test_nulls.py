@@ -120,3 +120,48 @@ def test_stratified_hash_rates_deterministic(spark):
     first = pick(df)
     again = pick(df.repartition(13))
     assert first == again and len(first) > 0
+
+
+def test_r12_queries_survive_null_and_empty_text(spark):
+    """Round-12 corpus queries against a hostile fixture: NULL text,
+    empty text, whitespace-only text, and a lone normal doc. No crash;
+    degenerate docs either drop out (no lines/shingles) or score
+    sanely; the one normal doc always survives."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        (1, None, "srcA", 0),
+        (2, "", "srcA", 0),
+        (3, "   ", "srcA", 3),
+        (4, "alpha beta gamma delta " * 10, "srcA", 230),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars int"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+
+        # boilerplate: only doc 4 has tokens -> only doc 4 in output
+        bl = {r["doc_id"] for r in
+              QUERIES["docs_boilerplate_lines"](spark, tmp).collect()}
+        assert bl == {4}
+
+        # quality gate scores docs with LENGTH(text) > 0 (3 and 4)
+        gate = {r["doc_id"]: r["kept"] for r in
+                QUERIES["docs_domain_quality_gate"](spark, tmp).collect()}
+        assert set(gate) == {3, 4} and gate[4]
+
+        # ES reservoir keeps n_chars > 0 rows only (3 and 4)
+        es = {r["doc_id"] for r in
+              QUERIES["sample_es_reservoir"](spark, tmp).collect()}
+        assert es == {3, 4}
+
+        # minhash signature verify: NULL/empty docs yield the sentinel
+        # minima (4294967296) for every seed — present, not crashed
+        sig = QUERIES["dedup_minhash_sig_verify"](spark, tmp).collect()
+        assert len(sig) == 4 * 32
+        sentinel = {r["doc_id"] for r in sig if r["minval"] == 4294967296}
+        assert sentinel == {1, 2, 3}
