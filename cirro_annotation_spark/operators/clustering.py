@@ -751,20 +751,46 @@ def power_iteration(
     each round is two tiny joins + one 1-row broadcast max, lazily
     checkpointed so lineage doesn't recompute (the k-center lesson).
     """
-    q = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(quantize_expr(vec_col)).alias("pd", "x"),
-    ).select("vec_id", (F.col("pd") + 1).alias("d"), F.col("x").cast("long"))
     n1 = df.select(F.count(F.lit(1)).cast("long").alias("n"))
-    a = q.select("vec_id", F.col("d").alias("d1"), F.col("x").alias("x1"))
-    b = q.select("vec_id", F.col("d").alias("d2"), F.col("x").alias("x2"))
-    c = (
-        a.join(b, "vec_id")
+    # The Gram matrix is symmetric: generate ONLY the upper triangle,
+    # and do it SCAN-LOCALLY — a nested posexplode over array slices
+    # (x1 paired with qv[d1:]) emits the dim·(dim+1)/2 products per
+    # vector with NO self-join and no vec_id shuffle at all; the only
+    # exchange left is the (d1, d2) partial aggregate. The strict half
+    # mirrors afterwards on the 2080-cell model frame.
+    e1 = df.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_expr(vec_col).alias("__qv"),
+    ).select(
+        "vec_id",
+        "__qv",
+        F.posexplode("__qv").alias("p1", "x1"),
+    )
+    e2 = e1.select(
+        (F.col("p1") + 1).alias("d1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.posexplode(
+            F.slice(F.col("__qv"), F.col("p1") + 1, F.lit(dim))
+        ).alias("p2off", "x2"),
+    )
+    half = (
+        e2.select(
+            "d1",
+            (F.col("d1") + F.col("p2off")).alias("d2"),
+            (F.col("x1") * F.col("x2").cast("long")).alias("prod"),
+        )
         .groupBy("d1", "d2")
-        .agg(F.sum(F.col("x1") * F.col("x2")).alias("s"))
+        .agg(F.sum("prod").alias("s"))
         .join(F.broadcast(n1))
         .select("d1", "d2", F.expr("s div n").alias("c"))
+        # the mirror union below reads this frame twice — checkpoint
+        # HERE so the data-sized aggregate runs once
         .localCheckpoint(eager=False)
+    )
+    c = half.unionByName(
+        half.filter(F.col("d1") < F.col("d2")).select(
+            F.col("d2").alias("d1"), F.col("d1").alias("d2"), "c"
+        )
     )
     v = c.select(F.col("d1").alias("d")).distinct().select(
         "d", F.lit(int(v_scale)).cast("long").alias("v")
