@@ -124,6 +124,19 @@ DOC_QUERIES = [
     # travel; payload bytes never shuffle)
     "multimodal_payload_dedup",
     "docs_readability_flesch",
+    # round 12: URL prefilter (salted bounded host cap), C4 boilerplate
+    # rewrite (fingerprint freq + broadcast bad set), FineWeb per-source
+    # percentile gate (value-grain cells), A-ES weighted reservoir
+    # (TakeOrdered), FFD packing (per-shard Arrow state)
+    "docs_url_canonical_dedup",
+    "docs_boilerplate_lines",
+    "docs_domain_quality_gate",
+    "sample_es_reservoir",
+    "pipeline_pack_ffd",
+    # round 12: md5-lattice MinHash banding (now fully oracle-backed;
+    # N-clone corpora are the adversarial intra-cluster-pair case)
+    "dedup_minhash_pairs",
+    "dedup_near_minhash",
 ]
 
 # doc_id-slice-free but pair-quadratic on N-clone corpora (every
@@ -157,6 +170,9 @@ EMB_QUERIES = [
     # passes + TakeOrderedAndProject(1) each; clone tiers multiply the
     # scan, never the k x dim model state
     "embeddings_kcenter_coreset",
+    # round 12: spectral trainer — scan-local upper-triangle Gram, one
+    # (d1,d2) exchange; iteration runs on model frames
+    "embeddings_power_iteration",
 ]
 
 

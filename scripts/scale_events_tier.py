@@ -142,6 +142,11 @@ EVENT_QUERIES = [
     "events_anomaly_consensus",
     "stream_holt_winters_stream",
     "events_forecast_accuracy",
+    # round 12: engine-neutral HLL — 4096 register cells at any volume,
+    # batch + streaming drain + estimate read-off
+    "agg_hll_md5_registers",
+    "stream_hll_registers_stream",
+    "agg_hll_md5_estimate",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
