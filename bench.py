@@ -410,6 +410,7 @@ HEADLINE = [
     "agg_hll_md5_registers",
     "stream_hll_registers_stream",
     "agg_hll_md5_estimate",
+    "events_hll_daily_dau",
 ]
 
 

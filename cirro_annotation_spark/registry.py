@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
+    "events_hll_daily_dau",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
@@ -104,7 +105,6 @@ PRIORITY: list[str] = [
     "corpus_health_report",  # last green r6
     "docs_pii_scan",  # last green r6
     "docs_repetition_ratio",  # last green r6
-    "events_rollup_multigrain",  # last green r6
 ]
 
 

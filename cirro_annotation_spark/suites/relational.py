@@ -1619,6 +1619,102 @@ def agg_hll_md5_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hll_daily_dau",
+    # Approximate daily-active-users — THE production use of mergeable
+    # distinct sketches (r12): per (day, bucket) register maintenance,
+    # then a per-day estimate read-off with the same two engine-exact
+    # branches as agg_hll_md5_estimate (dyadic 2^40 register sum + LC
+    # ln on the fully-probed 4096-point lattice). At 100 TB yesterday's
+    # per-day registers persist and merge with today's by max — this
+    # query IS that artifact plus its read-off, held beside the exact
+    # count so the error is visible per day.
+    #
+    # Scale shape: one (day, bucket) map-side-combined aggregate —
+    # days × 4096 cells at any volume; ids never shuffle raw.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
+                  AS BIGINT) AS rest
+      FROM events),
+    r AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN rest > 0
+                      THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
+                      ELSE CAST(53 AS BIGINT) END) AS rho
+      FROM h GROUP BY day, bucket),
+    s AS (
+      SELECT day,
+             CAST(SUM(CAST(1099511627776 AS BIGINT) >> rho) AS BIGINT)
+               + (4096 - COUNT(*)) * CAST(1099511627776 AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS live
+      FROM r GROUP BY day),
+    x AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1)
+    SELECT s.day,
+           CASE WHEN CAST(1.3302132349779442e19 AS DOUBLE)
+                     / CAST(s_num AS DOUBLE) <= 10240.0 AND live < 4096
+                THEN ROUND(4096.0 * LN(4096.0 /
+                           CAST(4096 - live AS DOUBLE)), 3)
+                ELSE ROUND(CAST(1.3302132349779442e19 AS DOUBLE)
+                           / CAST(s_num AS DOUBLE), 3) END AS dau_estimate,
+           live AS live_buckets,
+           x.n_exact
+    FROM s JOIN x ON s.day = x.day
+    """,
+)
+def events_hll_daily_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hexs = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(hexs, 1, 3), 16, 10).cast("long")
+    rest = F.conv(F.substring(hexs, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(rest > 0, 53 - F.length(F.bin(rest)))
+        .otherwise(F.lit(53))
+        .cast("long")
+    )
+    regs = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    s = regs.groupBy("day").agg(
+        (
+            F.sum(F.expr("shiftright(1099511627776L, cast(rho as int))"))
+            + (F.lit(4096) - F.count(F.lit(1)))
+            * F.lit(1099511627776).cast("long")
+        ).alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("live_buckets"),
+    )
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = F.lit(1.3302132349779442e19) / F.col("s_num").cast("double")
+    lc = F.lit(4096.0) * F.log(
+        F.lit(4096.0) / (F.lit(4096) - F.col("live_buckets")).cast("double")
+    )
+    return s.join(exact, "day").select(
+        "day",
+        F.when(
+            (raw <= 10240.0) & (F.col("live_buckets") < 4096),
+            F.round(lc, 3),
+        )
+        .otherwise(F.round(raw, 3))
+        .alias("dau_estimate"),
+        "live_buckets",
+        "n_exact",
+    )
+
+
+@query(
     "basket_rules_lift",
     # Market-basket association rules over order baskets (Agrawal
     # support/confidence/lift, public literature): pairwise co-purchase

@@ -147,6 +147,7 @@ EVENT_QUERIES = [
     "agg_hll_md5_registers",
     "stream_hll_registers_stream",
     "agg_hll_md5_estimate",
+    "events_hll_daily_dau",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
