@@ -608,3 +608,50 @@ def test_bounded_rank_per_key_mega_host(spark):
     want |= {("tiny-a.example.com", 20_000 + i, i + 1) for i in range(3)}
     want |= {("tiny-b.example.com", 30_000 + i, i + 1) for i in range(5)}
     assert got == want
+
+
+def test_bounded_rank_per_key_equals_unbounded_window_random(spark):
+    """Randomized equivalence: for arbitrary (key, order) multisets the
+    salted two-phase rank must return exactly what the unbounded
+    per-key window would for ranks <= k — any k, any duplicate/skew
+    pattern, any salt bucketing. (Deterministic seeds; order col is
+    unique per key by construction since rank ties would be
+    partitioning-dependent in BOTH shapes.)"""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cirro_annotation_spark.operators.dedup import bounded_rank_per_key
+
+    rng = random.Random(12012)
+    for trial in range(3):
+        n_keys = rng.randint(1, 6)
+        rows = []
+        used = set()
+        for _ in range(rng.randint(1, 400)):
+            key = f"k{rng.randint(0, n_keys)}"
+            order = rng.randint(-1000, 1000)
+            if (key, order) in used:
+                continue
+            used.add((key, order))
+            rows.append((order, key))
+        k = rng.randint(1, 7)
+        salt = rng.choice([1, 2, 16, 64])
+        df = spark.createDataFrame(rows, "doc_id long, host string")
+        got = {
+            (r.host, r.doc_id, r.rnk_k)
+            for r in bounded_rank_per_key(
+                df, "host", "doc_id", k=k, salt_buckets=salt
+            ).collect()
+        }
+        w = Window.partitionBy("host").orderBy("doc_id")
+        want = {
+            (r.host, r.doc_id, r.rnk)
+            for r in df.withColumn(
+                "rnk", F.row_number().over(w).cast("long")
+            )
+            .filter(F.col("rnk") <= k)
+            .collect()
+        }
+        assert got == want, f"trial {trial} k={k} salt={salt}"
