@@ -411,6 +411,7 @@ HEADLINE = [
     "stream_hll_registers_stream",
     "agg_hll_md5_estimate",
     "events_hll_daily_dau",
+    "events_hll_rolling_wau",
 ]
 
 

@@ -1715,6 +1715,139 @@ def events_hll_daily_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hll_rolling_wau",
+    # Rolling 7-day active users FROM THE DAILY SKETCHES (r12) — the
+    # payoff events_rolling_active_users' docstring promises ("at 100
+    # TB swap the exact final count_distinct for an HLL merge with the
+    # identical plan"): sketch UNION is per-bucket max, so the WAU
+    # curve comes from a <= 7-row fan-out over the days × 4096 CELL
+    # frame — no re-scan of the stream, no distinct (user, day)
+    # collapse at read time. The exact WAU sits beside the estimate per
+    # day so the error is visible. Same two-branch estimator, same
+    # fully-probed lattices.
+    #
+    # Scale shape: the stream is touched once (the day-grain register
+    # aggregate); everything after runs on days × 4096 cells — the
+    # window-union is sketch algebra, not data movement.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
+                  AS BIGINT) AS rest
+      FROM events),
+    r AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN rest > 0
+                      THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
+                      ELSE CAST(53 AS BIGINT) END) AS rho
+      FROM h GROUP BY day, bucket),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(DATE '2024-01-01',
+                  DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+    w AS (
+      SELECT s.day AS day, r.bucket, MAX(r.rho) AS rho
+      FROM spine s JOIN r
+        ON r.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+      GROUP BY s.day, r.bucket),
+    agg AS (
+      SELECT day,
+             CAST(SUM(CAST(1099511627776 AS BIGINT) >> rho) AS BIGINT)
+               + (4096 - COUNT(*)) * CAST(1099511627776 AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS live
+      FROM w GROUP BY day),
+    ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    x AS (
+      SELECT s.day AS day,
+             CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau_exact
+      FROM spine s JOIN ud
+        ON ud.d BETWEEN s.day - INTERVAL 6 DAY AND s.day
+      GROUP BY s.day)
+    SELECT agg.day,
+           CASE WHEN CAST(1.3302132349779442e19 AS DOUBLE)
+                     / CAST(s_num AS DOUBLE) <= 10240.0 AND live < 4096
+                THEN ROUND(4096.0 * LN(4096.0 /
+                           CAST(4096 - live AS DOUBLE)), 3)
+                ELSE ROUND(CAST(1.3302132349779442e19 AS DOUBLE)
+                           / CAST(s_num AS DOUBLE), 3) END AS wau_estimate,
+           live AS live_buckets,
+           x.wau_exact
+    FROM agg JOIN x ON agg.day = x.day
+    """,
+)
+def events_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hexs = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(hexs, 1, 3), 16, 10).cast("long")
+    rest = F.conv(F.substring(hexs, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(rest > 0, 53 - F.length(F.bin(rest)))
+        .otherwise(F.lit(53))
+        .cast("long")
+    )
+    regs = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        # the cell frame feeds the windowed union AND nothing else, but
+        # the stream-scan above must not re-run for the exact twin —
+        # that one re-reads the table independently (one scan each).
+    )
+    spine = spark.range(30).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("day")
+    )
+    w = (
+        spine.join(
+            regs,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    s = w.groupBy("day").agg(
+        (
+            F.sum(F.expr("shiftright(1099511627776L, cast(rho as int))"))
+            + (F.lit(4096) - F.count(F.lit(1)))
+            * F.lit(1099511627776).cast("long")
+        ).alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("live_buckets"),
+    )
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    x = (
+        spine.join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau_exact"))
+    )
+    raw = F.lit(1.3302132349779442e19) / F.col("s_num").cast("double")
+    lc = F.lit(4096.0) * F.log(
+        F.lit(4096.0) / (F.lit(4096) - F.col("live_buckets")).cast("double")
+    )
+    return s.join(x, "day").select(
+        "day",
+        F.when(
+            (raw <= 10240.0) & (F.col("live_buckets") < 4096),
+            F.round(lc, 3),
+        )
+        .otherwise(F.round(raw, 3))
+        .alias("wau_estimate"),
+        "live_buckets",
+        "wau_exact",
+    )
+
+
+@query(
     "basket_rules_lift",
     # Market-basket association rules over order baskets (Agrawal
     # support/confidence/lift, public literature): pairwise co-purchase
