@@ -412,6 +412,7 @@ HEADLINE = [
     "agg_hll_md5_estimate",
     "events_hll_daily_dau",
     "events_hll_rolling_wau",
+    "events_hll_segment_overlap",
 ]
 
 

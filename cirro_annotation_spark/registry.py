@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "embeddings_power_iteration",  # last green r-1
     "events_hll_daily_dau",  # last green r-1
     "events_hll_rolling_wau",  # last green r-1
+    "events_hll_segment_overlap",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
@@ -104,7 +105,6 @@ PRIORITY: list[str] = [
     "agg_quarter_over_quarter",  # last green r6
     "agg_stats_moments",  # last green r6
     "corpus_health_report",  # last green r6
-    "docs_pii_scan",  # last green r6
 ]
 
 

@@ -1847,6 +1847,166 @@ def events_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared estimator read-off (two-branch, fully-probed lattices) — used
+# by the overlap query below on three different register sets.
+def _hll_estimate_from(s_num: F.Column, live: F.Column) -> F.Column:
+    raw = F.lit(1.3302132349779442e19) / s_num.cast("double")
+    lc = F.lit(4096.0) * F.log(
+        F.lit(4096.0) / (F.lit(4096) - live).cast("double")
+    )
+    return F.when((raw <= 10240.0) & (live < 4096), F.round(lc, 3)).otherwise(
+        F.round(raw, 3)
+    )
+
+
+_HLL_EST_DUCK = """CASE WHEN CAST(1.3302132349779442e19 AS DOUBLE)
+                     / CAST({s} AS DOUBLE) <= 10240.0 AND {v} < 4096
+                THEN ROUND(4096.0 * LN(4096.0 /
+                           CAST(4096 - {v} AS DOUBLE)), 3)
+                ELSE ROUND(CAST(1.3302132349779442e19 AS DOUBLE)
+                           / CAST({s} AS DOUBLE), 3) END"""
+
+
+@query(
+    "events_hll_segment_overlap",
+    # Audience overlap by SKETCH SET ALGEBRA (r12): distinct-user
+    # intersection of two DAY segments via inclusion-exclusion —
+    # |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    # per-bucket max of the two register sets (no data movement, pure
+    # cell algebra). The textbook use of mergeable sketches for
+    # cross-segment audience questions a 100 TB event store cannot
+    # answer by re-scanning per pair. Exact intersection sits beside
+    # the estimate. All three estimates go through the same two-branch
+    # engine-exact read-off; the final subtraction is one IEEE add/sub
+    # chain on already-rounded doubles — identical both engines.
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS seg, user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 4, 13))
+                  AS BIGINT) AS rest
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+                     OR CAST(ts AS DATE) = DATE '2024-01-02'),
+    r AS (
+      SELECT seg, bucket,
+             MAX(CASE WHEN rest > 0
+                      THEN CAST(53 - LENGTH(bin(rest)) AS BIGINT)
+                      ELSE CAST(53 AS BIGINT) END) AS rho
+      FROM h GROUP BY seg, bucket),
+    u AS (
+      SELECT bucket, MAX(rho) AS rho FROM r GROUP BY bucket),
+    sums AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(1099511627776 AS BIGINT) >> rho) AS BIGINT)
+           + (4096 - COUNT(*)) * CAST(1099511627776 AS BIGINT)
+         FROM r WHERE seg = DATE '2024-01-01') AS s_a,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM r
+         WHERE seg = DATE '2024-01-01') AS v_a,
+        (SELECT CAST(SUM(CAST(1099511627776 AS BIGINT) >> rho) AS BIGINT)
+           + (4096 - COUNT(*)) * CAST(1099511627776 AS BIGINT)
+         FROM r WHERE seg = DATE '2024-01-02') AS s_b,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM r
+         WHERE seg = DATE '2024-01-02') AS v_b,
+        (SELECT CAST(SUM(CAST(1099511627776 AS BIGINT) >> rho) AS BIGINT)
+           + (4096 - COUNT(*)) * CAST(1099511627776 AS BIGINT)
+         FROM u) AS s_u,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS v_u),
+    x AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+        SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        INTERSECT
+        SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'))
+    SELECT {_HLL_EST_DUCK.format(s='s_a', v='v_a')} AS est_a,
+           {_HLL_EST_DUCK.format(s='s_b', v='v_b')} AS est_b,
+           {_HLL_EST_DUCK.format(s='s_u', v='v_u')} AS est_union,
+           ROUND({_HLL_EST_DUCK.format(s='s_a', v='v_a')}
+                 + {_HLL_EST_DUCK.format(s='s_b', v='v_b')}
+                 - {_HLL_EST_DUCK.format(s='s_u', v='v_u')}, 3)
+             AS est_intersection,
+           x.n_exact AS intersection_exact
+    FROM sums CROSS JOIN x
+    """,
+)
+def events_hll_segment_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.to_date("ts").isin("2024-01-01", "2024-01-02")
+    )
+    hexs = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(hexs, 1, 3), 16, 10).cast("long")
+    rest = F.conv(F.substring(hexs, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(rest > 0, 53 - F.length(F.bin(rest)))
+        .otherwise(F.lit(53))
+        .cast("long")
+    )
+    regs = (
+        ev.select(
+            F.to_date("ts").alias("seg"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("seg", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        # feeds the two per-type sums AND the union max — tiny cell
+        # frame, checkpoint so the stream scan runs once
+        .localCheckpoint(eager=False)
+    )
+
+    def sums_of(df: DataFrame, sa: str, va: str) -> DataFrame:
+        return df.agg(
+            (
+                F.sum(
+                    F.expr("shiftright(1099511627776L, cast(rho as int))")
+                )
+                + (F.lit(4096) - F.count(F.lit(1)))
+                * F.lit(1099511627776).cast("long")
+            ).alias(sa),
+            F.count(F.lit(1)).cast("long").alias(va),
+        )
+
+    a = sums_of(
+        regs.filter(F.col("seg") == F.lit("2024-01-01").cast("date")),
+        "s_a",
+        "v_a",
+    )
+    b = sums_of(
+        regs.filter(F.col("seg") == F.lit("2024-01-02").cast("date")),
+        "s_b",
+        "v_b",
+    )
+    u = sums_of(
+        regs.groupBy("bucket").agg(F.max("rho").alias("rho")), "s_u", "v_u"
+    )
+    seg_a = ev.filter(
+        F.to_date("ts") == F.lit("2024-01-01").cast("date")
+    ).select("user_id")
+    seg_b = ev.filter(
+        F.to_date("ts") == F.lit("2024-01-02").cast("date")
+    ).select("user_id")
+    x = (
+        seg_a.intersect(seg_b)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    est_a = _hll_estimate_from(F.col("s_a"), F.col("v_a"))
+    est_b = _hll_estimate_from(F.col("s_b"), F.col("v_b"))
+    est_u = _hll_estimate_from(F.col("s_u"), F.col("v_u"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(x))
+        .select(
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            F.round(est_a + est_b - est_u, 3).alias("est_intersection"),
+            F.col("n_exact").alias("intersection_exact"),
+        )
+    )
+
+
 @query(
     "basket_rules_lift",
     # Market-basket association rules over order baskets (Agrawal

@@ -149,6 +149,7 @@ EVENT_QUERIES = [
     "agg_hll_md5_estimate",
     "events_hll_daily_dau",
     "events_hll_rolling_wau",
+    "events_hll_segment_overlap",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
