@@ -48,13 +48,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    # ------------------------------------------------------------------
-    # ROUND-12 WINDOW ROTATION — stalest-first re-verification; the
-    # round-12 additions and rows-only->oracle upgrades sort first
-    # (never hash-scored). EXACTLY the output of
-    # scripts/rotate_priority.py; tests/test_registry.py recomputes it
-    # from CORRECTNESS_r*.json history and asserts equality.
-    # ------------------------------------------------------------------
     "agg_hll_md5_estimate",  # last green r-1
     "agg_hll_md5_registers",  # last green r-1
     "dedup_minhash_pairs",  # last green r-1
@@ -63,9 +56,14 @@ PRIORITY: list[str] = [
     "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
+    "events_acf_ljung_box",  # last green r-1
+    "events_changepoint_binseg",  # last green r-1
     "events_hll_daily_dau",  # last green r-1
     "events_hll_rolling_wau",  # last green r-1
     "events_hll_segment_overlap",  # last green r-1
+    "events_user_streaks",  # last green r-1
+    "graph_degree_assortativity",  # last green r-1
+    "layout_zorder_stats",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
@@ -100,11 +98,6 @@ PRIORITY: list[str] = [
     "window_rank_topk_per_group",  # last green r5
     "window_running_sum",  # last green r5
     "window_time_range_sum",  # last green r5
-    "window_zscore_anomaly",  # last green r5
-    "agg_percentiles_exact",  # last green r6
-    "agg_quarter_over_quarter",  # last green r6
-    "agg_stats_moments",  # last green r6
-    "corpus_health_report",  # last green r6
 ]
 
 

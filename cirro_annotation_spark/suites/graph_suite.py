@@ -451,3 +451,103 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_rank",
         )
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    # Newman degree assortativity over the part co-occurrence graph:
+    # Pearson correlation of the (deg_u, deg_v) pairs at the two ends
+    # of every edge, symmetrized so each undirected edge contributes
+    # both orientations (making sx=sy and the statistic orientation-
+    # free). Positive r: hubs link to hubs (social-style); negative:
+    # hubs link to leaves (technological/dedup-cluster-style) — the
+    # one-number summary used to pick between hub-aware and uniform
+    # partitioning strategies for a link graph. Moment sums use
+    # DECIMAL(38,0) on Spark / HUGEINT in DuckDB: at a 10x tier m2*sxy
+    # passes 1e18 and silent int64 wraparound would corrupt the
+    # statistic (consensus-overflow precedent). The final cast to
+    # double rounds the same exact integer on both engines.
+    # Scale: degrees are one groupBy over edge ends; the ends frame
+    # joins edges to the degree table twice on node id (both shuffles
+    # on well-spread part keys) and collapses to ONE row.
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      ) ends GROUP BY node
+    ),
+    pairs AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+      UNION ALL
+      SELECT db.d AS dx, da.d AS dy
+      FROM edges e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+             CAST(SUM(dx) AS HUGEINT) AS sx, CAST(SUM(dy) AS HUGEINT) AS sy,
+             CAST(SUM(dx * dy) AS HUGEINT) AS sxy,
+             CAST(SUM(dx * dx) AS HUGEINT) AS sxx,
+             CAST(SUM(dy * dy) AS HUGEINT) AS syy
+      FROM pairs
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+                 SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE) *
+                      CAST(m2 * syy - sy * sy AS DOUBLE)), 6) + 0
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("dsrc"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("ddst"))
+    joined = edges.join(da, F.col("src") == F.col("na")).join(
+        db, F.col("dst") == F.col("nb")
+    )
+    pairs = joined.select(
+        F.col("dsrc").alias("dx"), F.col("ddst").alias("dy")
+    ).unionAll(joined.select(F.col("ddst").alias("dx"), F.col("dsrc").alias("dy")))
+    dec = "decimal(38,0)"
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("m2"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+    )
+    num = (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

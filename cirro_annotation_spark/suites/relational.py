@@ -2924,3 +2924,84 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_growth_ppm"
         ),
     )
+
+
+@query(
+    "layout_zorder_stats",
+    # Z-order (Morton curve) layout audit — the Delta OPTIMIZE ZORDER /
+    # Iceberg sort-order shape, stats-twin of operators/layout.py's
+    # write_zordered. Both dimensions are quantized to 16 equal-width
+    # cells over their exact [min, max] (pure integer arithmetic:
+    # (v-lo)*16 div (hi-lo+1)), bit-interleaved into an 8-bit Morton
+    # value, and bucketed into 8 "files" by the curve's high 3 bits
+    # (z div 32 — range bucketing, NO global sort). The per-file
+    # min/max of BOTH source columns is exactly the zone-map a parquet
+    # footer would carry: each file spans 1/4 of the partkey domain
+    # AND 1/2 of the suppkey domain, so a predicate on EITHER column
+    # prunes — the property a single-key sort cannot give. The oracle
+    # mirrors the bit math as div/mod arithmetic (engine-portable);
+    # Spark uses shiftright/bitwiseAND (operators/layout.py
+    # interleave_bits, whole-stage codegen, no UDF). Scale: bounds are
+    # a 1-row broadcast; the z-value is a scan-local expression; the
+    # only shuffle is the 8-group aggregate. The production writer
+    # (write_zordered) adds repartitionByRange on the same value.
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(l_partkey) AS BIGINT) AS pk_lo,
+             CAST(MAX(l_partkey) AS BIGINT) AS pk_hi,
+             CAST(MIN(l_suppkey) AS BIGINT) AS sk_lo,
+             CAST(MAX(l_suppkey) AS BIGINT) AS sk_hi
+      FROM lineitem
+    ),
+    q AS (
+      SELECT l_partkey, l_suppkey,
+             ((l_partkey - pk_lo) * 16) // (pk_hi - pk_lo + 1) AS qx,
+             ((l_suppkey - sk_lo) * 16) // (sk_hi - sk_lo + 1) AS qy
+      FROM lineitem CROSS JOIN bounds
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             (  ((qx // 1) % 2) * 2   + ((qy // 1) % 2) * 1
+              + ((qx // 2) % 2) * 8   + ((qy // 2) % 2) * 4
+              + ((qx // 4) % 2) * 32  + ((qy // 4) % 2) * 16
+              + ((qx // 8) % 2) * 128 + ((qy // 8) % 2) * 64) AS zv
+      FROM q
+    )
+    SELECT CAST(zv // 32 AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS pk_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS sk_max
+    FROM z GROUP BY zv // 32
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.layout import interleave_bits
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").cast("long").alias("pk_lo"),
+        F.max("l_partkey").cast("long").alias("pk_hi"),
+        F.min("l_suppkey").cast("long").alias("sk_lo"),
+        F.max("l_suppkey").cast("long").alias("sk_hi"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("((l_partkey - pk_lo) * 16L) div (pk_hi - pk_lo + 1L)").alias("qx"),
+        F.expr("((l_suppkey - sk_lo) * 16L) div (sk_hi - sk_lo + 1L)").alias("qy"),
+    )
+    z = q.withColumn(
+        "zv", interleave_bits([F.col("qy"), F.col("qx")], bits=4)
+    )
+    return (
+        z.groupBy(F.expr("zv div 32").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("pk_min"),
+            F.max("l_partkey").cast("long").alias("pk_max"),
+            F.min("l_suppkey").cast("long").alias("sk_min"),
+            F.max("l_suppkey").cast("long").alias("sk_max"),
+        )
+    )

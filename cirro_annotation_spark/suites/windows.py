@@ -4145,3 +4145,264 @@ def events_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(f.e_model * 1000000L) div greatest(f.e_naive, 1L)"
         ).alias("mase_ppm"),
     )
+
+
+@query(
+    "events_user_streaks",
+    # Gaps-and-islands: per-user longest consecutive-day activity
+    # streak — the classic engagement metric (DAU streaks) and the
+    # canonical "islands" SQL shape. The island key is pure integer
+    # algebra (epoch-day minus the per-user row_number), so the whole
+    # query is exact: distinct day grain -> one keyed window ->
+    # two keyed aggregates. Scale: the window partitions by user_id
+    # (well-distributed), state per user is its active-day count, and
+    # nothing ever materializes more than (user, day) pairs — the
+    # same shuffle a per-user DAU rollup already pays at 100 TB.
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, day_idx,
+             day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx ASC) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day_idx").asc())
+    runs = days.withColumn(
+        "grp", F.col("day_idx") - F.row_number().over(w).cast("long")
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "events_acf_ljung_box",
+    # Autocorrelation diagnostics: ACF of the daily event-count series
+    # at day-lags 1..7 plus the cumulative Ljung-Box Q statistic — the
+    # residual-whiteness test run after every forecast fit (sits
+    # beside events_holt_winters_daily / events_forecast_backtest).
+    # Exactness: with S=sum(y), SS=sum(y^2) and per-lag pair sums
+    # P,A,B, the lag-k sample autocovariance scaled by n^2 is the
+    # INTEGER n^2*P - n*S*(A+B) + c*S^2, and the variance scale is
+    # n^2*SS - n*S^2 — one IEEE division yields bit-identical doubles
+    # on both engines. Q accumulates r_k^2/(n-k) in lag order (same
+    # addition order both sides). Pairing is by CALENDAR day (b.d =
+    # a.d + k), so gaps in the series are honest, not papered over.
+    # Scale: daily agg collapses the stream to ~n_days rows; the lag
+    # join is (7 x n_days) on a broadcast-size frame.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM daily
+    ),
+    lags AS (SELECT CAST(k AS BIGINT) AS lag FROM range(1, 8) r(k)),
+    pairs AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(a.y * b.y) AS BIGINT) AS p,
+             CAST(SUM(a.y) AS BIGINT) AS sa,
+             CAST(SUM(b.y) AS BIGINT) AS sb
+      FROM lags l CROSS JOIN daily a JOIN daily b ON b.d = a.d + l.lag
+      GROUP BY l.lag
+    ),
+    acf AS (
+      SELECT p.lag, p.c AS n_pairs, t.n AS n,
+             CAST(t.n * t.n * p.p - t.n * t.s * (p.sa + p.sb)
+                  + p.c * t.s * t.s AS DOUBLE) /
+             CAST(t.n * t.n * t.ss - t.n * t.s * t.s AS DOUBLE) AS r
+      FROM pairs p CROSS JOIN tot t
+    )
+    SELECT lag, n_pairs, ROUND(r, 6) + 0 AS acf,
+           ROUND(n * (n + 2) * SUM(r * r / (n - lag))
+                   OVER (ORDER BY lag ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) + 0 AS lb_q
+    FROM acf
+    """,
+)
+def events_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("p"),
+            F.sum("ya").cast("long").alias("sa"),
+            F.sum("yb").cast("long").alias("sb"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("c") * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("ss") - F.col("n") * F.col("s") * F.col("s")
+    ).cast("double")
+    acf = pairs.crossJoin(F.broadcast(tot)).select(
+        "lag", F.col("c").alias("n_pairs"), "n", (num / den).alias("r")
+    )
+    w = Window.orderBy(F.col("lag").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qsum = F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))).over(w)
+    return acf.select(
+        "lag",
+        "n_pairs",
+        F.round("r", 6).alias("acf"),
+        F.round(F.col("n") * (F.col("n") + 2) * qsum, 6).alias("lb_q"),
+    )
+
+
+@query(
+    "events_changepoint_binseg",
+    # Binary-segmentation changepoint scan: for every candidate split
+    # day s, the reduction in total SSE from splitting the daily-count
+    # series at s is (L^2/n1 + R^2/n2) - S^2/n (means-only algebra —
+    # the within-segment variance terms cancel). L, R, S, n1, n2 are
+    # exact integers from one cumulative window over the daily frame,
+    # so each gain is two IEEE divisions of identical integers on both
+    # engines -> bit-identical doubles -> the argmax ranking cannot
+    # diverge. Top-5 candidate splits returned (the first binseg
+    # round; recursing on the winner's halves is the full algorithm).
+    # Scale: the stream collapses to one row per day before any
+    # window; the scan is O(n_days) on a driver-irrelevant frame.
+    # Int64 headroom: L,S <= total events; L^2*n overflows past
+    # ~3e8 events/day-sum — the daily grain keeps that 10^10 away.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS BIGINT) AS t,
+             CAST(SUM(y) OVER (ORDER BY day ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS l1,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(y) OVER () AS BIGINT) AS s
+      FROM daily
+    ),
+    gains AS (
+      SELECT day, t AS n_left, n - t AS n_right,
+             l1 AS sum_left, s - l1 AS sum_right,
+             CAST(l1 * l1 * (n - t) + (s - l1) * (s - l1) * t AS DOUBLE)
+               / CAST(t * (n - t) AS DOUBLE)
+               - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+      FROM idx WHERE t < n
+    )
+    SELECT day AS split_day, n_left, n_right, sum_left, sum_right,
+           ROUND(gain, 6) + 0 AS gain, gain_rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, day ASC)
+                     AS BIGINT) AS gain_rank
+      FROM gains
+    ) ranked
+    WHERE gain_rank <= 5
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w_cum = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy(F.col("day").asc()))
+        .cast("long")
+        .alias("t"),
+        F.sum("y").over(w_cum).cast("long").alias("l1"),
+    ).crossJoin(F.broadcast(tot))
+    l2 = F.col("s") - F.col("l1")
+    gain = (
+        (F.col("l1") * F.col("l1") * (F.col("n") - F.col("t")) + l2 * l2 * F.col("t"))
+        .cast("double")
+        / (F.col("t") * (F.col("n") - F.col("t"))).cast("double")
+        - (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    )
+    gains = idx.filter(F.col("t") < F.col("n")).select(
+        "day",
+        F.col("t").alias("n_left"),
+        (F.col("n") - F.col("t")).alias("n_right"),
+        F.col("l1").alias("sum_left"),
+        l2.alias("sum_right"),
+        gain.alias("gain"),
+    )
+    w_rank = Window.orderBy(F.col("gain").desc(), F.col("day").asc())
+    return (
+        gains.withColumn("gain_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("gain_rank") <= 5)
+        .select(
+            F.col("day").alias("split_day"),
+            "n_left",
+            "n_right",
+            "sum_left",
+            "sum_right",
+            F.round("gain", 6).alias("gain"),
+            "gain_rank",
+        )
+    )

@@ -150,6 +150,12 @@ EVENT_QUERIES = [
     "events_hll_daily_dau",
     "events_hll_rolling_wau",
     "events_hll_segment_overlap",
+    # round 12b: gaps-and-islands streaks (user-keyed, day grain),
+    # ACF/Ljung-Box + binseg changepoint (both collapse to the
+    # calendar-bounded daily frame before any window)
+    "events_user_streaks",
+    "events_acf_ljung_box",
+    "events_changepoint_binseg",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

@@ -49,6 +49,11 @@ QUERIES = [
     "sql_pivot_status",
     "supplier_scorecard",
     "orders_monthly_growth",
+    # round 12b: assortativity (pair enumeration scales with lineitem
+    # even though the DISTINCT edge set is copy-invariant) and the
+    # Morton-layout zone-map audit (scan-local z expression)
+    "graph_degree_assortativity",
+    "layout_zorder_stats",
 ]
 
 

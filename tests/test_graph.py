@@ -420,3 +420,30 @@ def test_link_prediction_planted_twins_rank_first(spark, tmp_path):
     assert top["aa_score"] == want_aa
     # customer 4 appears in NO pair
     assert all(4 not in (r["cust_a"], r["cust_b"]) for r in out)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star K_{1,3} (hub co-occurring with one leaf per order) has
+    every edge joining deg-3 to deg-1: perfect disassortativity,
+    r = -1 exactly."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    # orders (1,2,3) each contain the hub part 10 and one leaf part
+    rows = [
+        (1, 10, 1, 1), (1, 20, 1, 2),
+        (2, 10, 1, 1), (2, 30, 1, 2),
+        (3, 10, 1, 1), (3, 40, 1, 2),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int"
+        ).toPandas().to_parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = QUERIES["graph_degree_assortativity"](spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0]["n_edges"] == 3
+    assert out[0]["assortativity"] == -1.0

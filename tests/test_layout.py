@@ -108,3 +108,29 @@ def test_compact_parquet_bounds_file_count(spark, events, tmp_path):
     # sorted compaction -> a mid-range value band skips at least half
     lo, hi = _value_band(events)
     assert L.rowgroup_overlap_fraction(dst, "value", lo, hi) <= 0.5
+
+
+def test_zorder_stats_zone_maps_narrow(spark):
+    """layout_zorder_stats on the sf0.001 lineitem: 8 files, every
+    row accounted for, and each file's zone map spans at most ~1/4 of
+    the partkey domain and ~1/2 of the suppkey domain (+1 cell of
+    quantization slack) — the property that makes predicates on EITHER
+    column prune files."""
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+    from cirro_annotation_spark.suites.util import t as read_t
+
+    load_all_suites()
+    sf = "/root/testdata/sf0.001"
+    li = read_t(spark, sf, "lineitem")
+    total = li.count()
+    pk_lo, pk_hi, sk_lo, sk_hi = li.selectExpr(
+        "min(l_partkey)", "max(l_partkey)", "min(l_suppkey)", "max(l_suppkey)"
+    ).first()
+    out = QUERIES["layout_zorder_stats"](spark, sf).collect()
+    assert sum(r["n_rows"] for r in out) == total
+    assert {r["file_id"] for r in out} <= set(range(8))
+    pk_cell = (pk_hi - pk_lo + 1) / 16
+    sk_cell = (sk_hi - sk_lo + 1) / 16
+    for r in out:
+        assert r["pk_max"] - r["pk_min"] <= 4 * pk_cell + pk_cell
+        assert r["sk_max"] - r["sk_min"] <= 8 * sk_cell + sk_cell

@@ -640,3 +640,107 @@ def test_conformal_qhat_rule_hand_computed(spark, tmp_path):
     # residuals (1, 1, 0) are all <= 50 -> coverage 1e6 ppm.
     assert r["qhat_cents"] == 50
     assert r["coverage_ppm"] == 1_000_000
+
+
+def test_user_streaks_islands_arithmetic(spark):
+    """Gaps-and-islands on a planted fixture: user 1 active on days
+    1-3, 5, 7-8 (streaks 3/1/2); user 2 active once with duplicate
+    same-day events (dedup to one active day)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = []
+    eid = 0
+    for d in (1, 2, 3, 5, 7, 8):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, d, 12, 0), 1, "view", 1.0, "{}"))
+    for _ in range(3):  # three events, same day -> one active day
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 10, 9, 0), 2, "view", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["user_id"]: (r["max_streak"], r["active_days"], r["n_streaks"])
+            for r in QUERIES["events_user_streaks"](spark, tmp).collect()
+        }
+    assert out == {1: (3, 6, 3), 2: (1, 1, 1)}
+
+
+def test_acf_alternating_series_signs(spark):
+    """An alternating daily count (1,3,1,3,...) must give strongly
+    negative lag-1 ACF, positive lag-2, and a cumulative Ljung-Box Q
+    that never decreases with lag."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        for _ in range(1 if d % 2 else 3):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, d, 8, 0), 1, "view", 1.0, "{}")
+            )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = sorted(
+            QUERIES["events_acf_ljung_box"](spark, tmp).collect(),
+            key=lambda r: r["lag"],
+        )
+    assert [r["lag"] for r in out] == list(range(1, 8))
+    # dense series: n_pairs = n - lag
+    assert [r["n_pairs"] for r in out] == [20 - k for k in range(1, 8)]
+    assert out[0]["acf"] < -0.8
+    assert out[1]["acf"] > 0.8
+    qs = [r["lb_q"] for r in out]
+    assert all(b >= a for a, b in zip(qs, qs[1:]))
+
+
+def test_changepoint_finds_planted_step(spark):
+    """A 5/day -> 50/day step after day 10 must rank the day-10 split
+    first, with exact segment sums."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        for _ in range(5 if d <= 10 else 50):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, d, 8, 0), 1, "view", 1.0, "{}")
+            )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["gain_rank"]: r
+            for r in QUERIES["events_changepoint_binseg"](spark, tmp).collect()
+        }
+    best = out[1]
+    assert str(best["split_day"]) == "2024-01-10"
+    assert best["n_left"] == 10 and best["n_right"] == 10
+    assert best["sum_left"] == 50 and best["sum_right"] == 500
