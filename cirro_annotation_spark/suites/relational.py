@@ -2655,10 +2655,13 @@ def lineitem_shiplag_percentiles(
     # the exact Gini coefficient of customer lifetime value (rank-sum
     # formula G = (2*Sum(r*m) - (n+1)*Sum(m)) / (n*Sum(m)) on ascending
     # money ranks) and the top-decile revenue share, both in exact ppm.
-    # Magnitude discipline: money floored to whole DOLLARS keeps
-    # (num mod den) * 1e6 inside BIGINT at driver scales; the ppm uses
-    # TWO-STAGE flooring ((a div b)*K + ((a mod b)*K) div b — the KN
-    # precedent) so no product ever needs 128 bits. Ranks come from ONE
+    # Magnitude discipline: money floored to whole DOLLARS, and the
+    # gini ppm uses THREE-STAGE flooring — floor(a*1e6/b) = (a div b)*1e6
+    # + ((a%b)*1e3 div b)*1e3 + (((a%b)*1e3 % b)*1e3) div b (the KN
+    # precedent, one more stage) — so the largest product is b*1e3:
+    # the 10x lineitem tier pushes b = n*s_m past 1e14 and the old
+    # (a%b)*1e6 term past int64 (caught by the tier run, round 12b);
+    # b*1e3 stays inside int64 through the 100x tier. Ranks come from ONE
     # distributed global rank over (segment, money, custkey) — segment
     # ranks are recovered by subtracting per-segment offsets (5-row
     # broadcast), so no per-segment single-partition window either.
@@ -2687,8 +2690,10 @@ def lineitem_shiplag_percentiles(
       FROM sized GROUP BY segment)
     SELECT segment, n, s_m AS total_dollars,
            (2 * s_rm - (n + 1) * s_m) // (n * s_m) * 1000000
-             + (((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000000)
-               // (n * s_m) AS gini_ppm,
+             + (((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000)
+               // (n * s_m) * 1000
+             + ((((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000)
+                % (n * s_m)) * 1000 // (n * s_m) AS gini_ppm,
            (s_top * 1000000) // s_m AS top10_share_ppm
     FROM agg
     """,
@@ -2740,8 +2745,10 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_m").alias("total_dollars"),
         F.expr(
             "(2 * s_rm - (n + 1) * s_m) div (n * s_m) * 1000000L"
-            " + (((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000000L)"
-            " div (n * s_m)"
+            " + (((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000L)"
+            " div (n * s_m) * 1000L"
+            " + ((((2 * s_rm - (n + 1) * s_m) % (n * s_m)) * 1000L)"
+            " % (n * s_m)) * 1000L div (n * s_m)"
         ).alias("gini_ppm"),
         F.expr("(s_top * 1000000L) div s_m").alias("top10_share_ppm"),
     )
