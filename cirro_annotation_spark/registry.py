@@ -50,11 +50,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY: list[str] = [
     "agg_hll_md5_estimate",  # last green r-1
     "agg_hll_md5_registers",  # last green r-1
+    "agg_mode_per_group",  # last green r-1
+    "agg_weighted_median",  # last green r-1
     "dedup_minhash_pairs",  # last green r-1
     "dedup_minhash_sig_verify",  # last green r-1
     "dedup_near_minhash",  # last green r-1
     "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
+    "docs_k_anonymity",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
     "events_acf_ljung_box",  # last green r-1
     "events_changepoint_binseg",  # last green r-1
@@ -66,7 +69,9 @@ PRIORITY: list[str] = [
     "layout_zorder_stats",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
+    "sort_skyline_pareto",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
+    "text_rouge_pairs",  # last green r-1
     "join_multiway",  # last green r5
     "join_range_band",  # last green r5
     "join_salted_skew",  # last green r5
@@ -93,11 +98,6 @@ PRIORITY: list[str] = [
     "stream_tumbling_stream",  # last green r5
     "text_langid",  # last green r5
     "text_tfidf_top",  # last green r5
-    "text_token_stats",  # last green r5
-    "window_funnel_stages",  # last green r5
-    "window_rank_topk_per_group",  # last green r5
-    "window_running_sum",  # last green r5
-    "window_time_range_sum",  # last green r5
 ]
 
 

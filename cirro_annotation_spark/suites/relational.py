@@ -3012,3 +3012,164 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("sk_max"),
         )
     )
+
+
+@query(
+    "sort_skyline_pareto",
+    # Skyline / Pareto-frontier operator (Börzsönyi et al., ICDE 2001):
+    # the part coordinates (minimize p_retailprice, maximize p_size)
+    # that no other part dominates. The Spark plan is the distributed
+    # two-phase shape: (1) collapse to distinct coordinates and keep
+    # only the max-size point per price (same-price smaller sizes are
+    # dominated by definition), (2) LOCAL skyline per price-bucket — a
+    # bucket-keyed window, fully parallel, which can only over-keep
+    # (a local non-dominated point may still lose globally, never the
+    # reverse), (3) a global running-max pass over the tiny survivor
+    # set. At 100 TB phase 2 does the data-sized work bucket-parallel;
+    # phase 3 sees per-bucket frontiers only. The oracle is the naive
+    # O(n²) NOT EXISTS dominance test — maximally different plan, same
+    # rows. Strict-dominance ties: equal coordinates are one grouped
+    # row; equal size at higher price / equal price at lower size are
+    # dominated (covered by the >= / > split in the oracle).
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_pts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT price, size, n_pts FROM pts i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts j
+      WHERE (j.price < i.price AND j.size >= i.size)
+         OR (j.price <= i.price AND j.size > i.size))
+    """,
+)
+def sort_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        t(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+    )
+    # per price only the max-size coordinate can survive
+    w_price = Window.partitionBy("price").orderBy(F.col("size").desc())
+    top = pts.withColumn("rn", F.row_number().over(w_price)).filter(
+        F.col("rn") == 1
+    )
+    # phase 2: bucket-local skyline (parallel; only over-keeps)
+    bucketed = top.withColumn("bucket", F.floor(F.col("price") / 100))
+    w_loc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("pmax", F.max("size").over(w_loc)).filter(
+        F.col("pmax").isNull() | (F.col("size") > F.col("pmax"))
+    )
+    # phase 3: exact global pass over the per-bucket frontiers
+    w_glob = Window.orderBy(F.col("price").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        local.withColumn("gmax", F.max("size").over(w_glob))
+        .filter(F.col("gmax").isNull() | (F.col("size") > F.col("gmax")))
+        .select("price", "size", "n_pts")
+    )
+
+
+@query(
+    "agg_weighted_median",
+    # Weighted median (the order statistic percentile_exact cannot
+    # express): smallest extendedprice v per returnflag such that the
+    # quantity-weighted mass at or below v reaches half the total.
+    # Exact integers: quantities are whole units (cast long), the
+    # threshold test is 2*cum >= total — no division anywhere. The
+    # plan pre-aggregates to VALUE GRAIN (group by flag+price summing
+    # weight) before the one keyed cumulative window — the same
+    # value-grain discipline as agg_percentiles_exact, so the window
+    # input scales with distinct prices per flag, not rows.
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, v, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM vals
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = vals.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(w_tot).cast("long").alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    # Statistical mode with a DETERMINISTIC tie-break (count desc, then
+    # smallest user_id) — engines' built-in mode() leaves ties
+    # unspecified, so the portable spelling is count + rank, which is
+    # also the one that distributes: the (type, user) count is a
+    # map-side-combined aggregate, and the rank-1 filter plans as
+    # WindowGroupLimit (per-input-partition top-1 before the final
+    # sort group — the per-key rank-cap audit, PLANS.md r12).
+    oracle="""
+    SELECT event_type, user_id AS modal_user, cnt AS n_events FROM (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id ASC) AS rn
+      FROM events GROUP BY event_type, user_id
+    ) ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("modal_user"),
+            F.col("cnt").alias("n_events"),
+        )
+    )

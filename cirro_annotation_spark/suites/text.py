@@ -4640,3 +4640,180 @@ def docs_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("flesch_micro").alias("min_flesch_micro"),
         F.max("flesch_micro").alias("max_flesch_micro"),
     )
+
+
+# ROUGE shares dedup's frozen candidate fixture so the Jaccard and
+# ROUGE overlap families are computed over the SAME pair list.
+from cirro_annotation_spark.suites.dedup import _GOLDEN_CANDIDATES as _ROUGE_PAIRS  # noqa: E402
+
+_ROUGE_CAND_VALUES = ", ".join(f"({a}, {b})" for a, b in _ROUGE_PAIRS)
+
+
+@query(
+    "text_rouge_pairs",
+    # ROUGE-N on the pinned near-duplicate candidate pairs — the
+    # n-gram-overlap evaluation metric (Lin 2004) every summarization /
+    # decontamination pipeline reports, computed as pure integer
+    # algebra: clipped overlap = sum over shared grams of
+    # min(count_a, count_b); F1 = 2*ov/(la+lb) exactly (the harmonic
+    # mean of ov/la and ov/lb), emitted as ppm by integer division.
+    # The pair list is suites/dedup.py's _GOLDEN_CANDIDATES (the same
+    # frozen fixture dedup_minhash_verify hash-checks Jaccard on), so
+    # the two overlap families are directly comparable. Zero-overlap
+    # (pair, n) combinations drop out on both engines (inner join on
+    # shared grams). Scale: gram counts are a per-doc scan-local
+    # aggregate; only the 26 pinned docs' grams ever join.
+    oracle=f"""
+    WITH cand(id_a, id_b) AS (VALUES {_ROUGE_CAND_VALUES}),
+    docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+      WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ),
+    uni AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS n, tok AS gram
+      FROM docs, unnest(toks) AS u(tok)
+    ),
+    bi AS (
+      SELECT doc_id, CAST(2 AS BIGINT) AS n,
+             toks[i] || ' ' || toks[i + 1] AS gram
+      FROM docs, unnest(range(1, GREATEST(len(toks), 1))) AS r(i)
+    ),
+    grams AS (
+      SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) g
+      GROUP BY doc_id, n, gram
+    ),
+    lens AS (
+      SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS len
+      FROM grams GROUP BY doc_id, n
+    ),
+    ov AS (
+      SELECT c.id_a, c.id_b, a.n,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS overlap
+      FROM cand c
+      JOIN grams a ON a.doc_id = c.id_a
+      JOIN grams b ON b.doc_id = c.id_b AND b.n = a.n AND b.gram = a.gram
+      GROUP BY c.id_a, c.id_b, a.n
+    )
+    SELECT o.id_a, o.id_b, o.n, o.overlap,
+           la.len AS len_a, lb.len AS len_b,
+           (2 * o.overlap * 1000000) // (la.len + lb.len) AS f1_ppm
+    FROM ov o
+    JOIN lens la ON la.doc_id = o.id_a AND la.n = o.n
+    JOIN lens lb ON lb.doc_id = o.id_b AND lb.n = o.n
+    """,
+)
+def text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = spark.createDataFrame(
+        list(_ROUGE_PAIRS), "id_a long, id_b long"
+    )
+    ids = sorted({i for p in _ROUGE_PAIRS for i in p})
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+            ).alias("toks"),
+        )
+    )
+    uni = toks.select(
+        "doc_id",
+        F.lit(1).cast("long").alias("n"),
+        F.explode("toks").alias("gram"),
+    )
+    bi_arr = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = toks.select(
+        "doc_id",
+        F.lit(2).cast("long").alias("n"),
+        F.explode(bi_arr).alias("gram"),
+    )
+    grams = (
+        uni.unionAll(bi)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lens = grams.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("long").alias("len")
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n"),
+        F.col("gram"),
+        F.col("c").alias("ca"),
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("gid_b"),
+        F.col("n").alias("nb"),
+        F.col("gram").alias("gramb"),
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        cand.join(ga, "id_a")
+        .join(
+            gb,
+            (F.col("id_b") == F.col("gid_b"))
+            & (F.col("n") == F.col("nb"))
+            & (F.col("gram") == F.col("gramb")),
+        )
+        .groupBy("id_a", "id_b", "n")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap"))
+    )
+    la = lens.select(
+        F.col("doc_id").alias("id_a"), "n", F.col("len").alias("len_a")
+    )
+    lb = lens.select(
+        F.col("doc_id").alias("id_b"), "n", F.col("len").alias("len_b")
+    )
+    return (
+        ov.join(la, ["id_a", "n"])
+        .join(lb, ["id_b", "n"])
+        .select(
+            "id_a",
+            "id_b",
+            "n",
+            "overlap",
+            "len_a",
+            "len_b",
+            F.expr("(2 * overlap * 1000000L) div (len_a + len_b)").alias(
+                "f1_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "docs_k_anonymity",
+    # k-anonymity audit over quasi-identifiers (Sweeney 2002) — the
+    # governance twin of docs_pii_scan: group the corpus by the
+    # quasi-identifier tuple (lang, source, 100-char length band) and
+    # report each equivalence class's size k; classes with k below the
+    # threshold (5) are re-identification risks that a release gate
+    # would suppress or generalize. Pure grouped count — map-side
+    # combined, one shuffle on the QI tuple at any corpus size.
+    oracle="""
+    SELECT lang, source, n_chars // 100 AS chars_band,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           COUNT(*) < 5 AS at_risk
+    FROM documents GROUP BY lang, source, n_chars // 100
+    """,
+)
+def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(
+            "lang", "source", F.expr("n_chars div 100").alias("chars_band")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .withColumn("at_risk", F.col("k") < 5)
+    )

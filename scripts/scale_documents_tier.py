@@ -142,6 +142,14 @@ DOC_QUERIES = [
 # doc_id-slice-free but pair-quadratic on N-clone corpora (every
 # window duplicated): the SA path is gated to <=10x like the other
 # dup-span interiors (see the note above DOC_QUERIES usage).
+DOC_QUERIES += [
+    # round 12b: k-anonymity audit (QI-tuple grouped count, corpus-wide)
+    # — text_rouge_pairs is a doc_id-slice kernel (pinned 26 pairs in
+    # copy 0), so it is correctness-checked at the tier but not timed
+    # as a corpus-wide scan here.
+    "docs_k_anonymity",
+]
+
 SA_QUERIES = ["docs_dup_span_sa"]
 
 # Embedding-QA queries need the EMBEDDINGS table scaled, not documents —

@@ -141,3 +141,91 @@ def test_basket_lift_definition_on_tiny_corpus(spark):
     ranks = [r["rule_rank"] for r in rows]
     assert ranks == sorted(ranks) and ranks[0] == 1
     assert all(0 < r["conf_ab"] <= 1 for r in rows)
+
+
+def test_skyline_pareto_hostile_ties(spark):
+    """Skyline dominance edge cases: equal-price/equal-size duplicates
+    collapse to one surviving coordinate; equal size at higher price
+    and equal price at smaller size are dominated; incomparable points
+    all survive."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    # (partkey, price, size): skyline should be (10.0,9) and (5.0,4)
+    rows = [
+        (1, 10.0, 9), (2, 10.0, 9),   # duplicate coordinate, n_pts=2
+        (3, 12.0, 9),                 # equal size, higher price -> dominated
+        (4, 10.0, 7),                 # equal price, smaller size -> dominated
+        (5, 5.0, 4),                  # incomparable (cheaper, smaller)
+        (6, 6.0, 3),                  # dominated by (5.0, 4)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "p_partkey long, p_retailprice double, p_size int"
+        ).toPandas().to_parquet(os.path.join(tmp, "part.parquet"))
+        out = {
+            (r["price"], r["size"]): r["n_pts"]
+            for r in QUERIES["sort_skyline_pareto"](spark, tmp).collect()
+        }
+    assert out == {(10.0, 9): 2, (5.0, 4): 1}
+
+
+def test_weighted_median_exact_threshold(spark):
+    """Weighted median = smallest value whose cumulative weight reaches
+    half the total: weights 1,1,8 over values 10,20,30 -> median 30;
+    exactly-half boundary (2*cw == tw) picks the lower value."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        # grp A: total 10, cum at 30 is 10 -> first 2*cw>=10 at v=30? No:
+        # cum(10)=1, cum(20)=2, cum(30)=10 -> 2*2 < 10, median=30
+        (1, 1, 1, "A", 1.0, 10.0),
+        (1, 2, 2, "A", 1.0, 20.0),
+        (1, 3, 3, "A", 8.0, 30.0),
+        # grp B: equal halves 5/5 -> 2*5 >= 10 at the LOWER value 100
+        (2, 1, 1, "B", 5.0, 100.0),
+        (2, 2, 2, "B", 5.0, 200.0),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_linenumber int, "
+            "l_returnflag string, l_quantity double, l_extendedprice double",
+        ).toPandas().to_parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = {
+            r["l_returnflag"]: (r["weighted_median"], r["total_weight"])
+            for r in QUERIES["agg_weighted_median"](spark, tmp).collect()
+        }
+    assert out == {"A": (30.0, 10), "B": (100.0, 10)}
+
+
+def test_mode_tiebreak_smallest_user(spark):
+    """Two users tie at 2 events for type 'x' -> the smaller user_id
+    wins deterministically."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        (i, datetime(2024, 1, 1 + i), u, "x", 1.0, "{}")
+        for i, u in enumerate([7, 7, 3, 3, 9])
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = QUERIES["agg_mode_per_group"](spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0]["modal_user"] == 3 and out[0]["n_events"] == 2

@@ -822,3 +822,38 @@ def test_domain_quality_gate_threshold_is_exact_p30(spark):
     for i in range(2, 10):
         assert out[i] == (i * 100000, 200000, True)
     assert out[100] == (500000, 500000, True)
+
+
+def test_rouge_identical_and_disjoint_pairs(spark):
+    """ROUGE-F1 sanity on planted docs: an identical pair scores
+    exactly 1e6 ppm for both n=1 and n=2; a token-disjoint pair drops
+    out entirely (no shared grams on either engine)."""
+    import os
+    import tempfile
+
+    import cirro_annotation_spark.suites.text as TX
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    pairs = TX._ROUGE_PAIRS
+    a, b = pairs[0]          # will be identical docs
+    c, d = pairs[1]          # will be disjoint docs
+    docs = {a: "alpha beta gamma alpha", b: "alpha beta gamma alpha",
+            c: "one two three", d: "four five six"}
+    # every other pinned id gets a filler doc so the isin() filter finds it
+    for x, y in pairs[2:]:
+        docs.setdefault(x, "filler doc text")
+        docs.setdefault(y, "filler doc text")
+    rows = [(i, txt, "en", "src", len(txt)) for i, txt in docs.items()]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            (r["id_a"], r["id_b"], r["n"]): r["f1_ppm"]
+            for r in QUERIES["text_rouge_pairs"](spark, tmp).collect()
+        }
+    assert out[(a, b, 1)] == 1_000_000
+    assert out[(a, b, 2)] == 1_000_000
+    assert (c, d, 1) not in out and (c, d, 2) not in out
