@@ -60,10 +60,12 @@ PRIORITY: list[str] = [
     "docs_k_anonymity",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
     "events_acf_ljung_box",  # last green r-1
+    "events_attribution_linear",  # last green r-1
     "events_changepoint_binseg",  # last green r-1
     "events_hll_daily_dau",  # last green r-1
     "events_hll_rolling_wau",  # last green r-1
     "events_hll_segment_overlap",  # last green r-1
+    "events_max_drawdown",  # last green r-1
     "events_user_streaks",  # last green r-1
     "graph_degree_assortativity",  # last green r-1
     "layout_zorder_stats",  # last green r-1
@@ -71,6 +73,8 @@ PRIORITY: list[str] = [
     "sample_es_reservoir",  # last green r-1
     "sort_skyline_pareto",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
+    "text_langid_kappa",  # last green r-1
+    "text_langid_reliability",  # last green r-1
     "text_rouge_pairs",  # last green r-1
     "join_multiway",  # last green r5
     "join_range_band",  # last green r5
@@ -94,10 +98,6 @@ PRIORITY: list[str] = [
     "stream_sliding_batch",  # last green r5
     "stream_sliding_stream",  # last green r5
     "stream_stateful_counts",  # last green r5
-    "stream_tumbling_batch",  # last green r5
-    "stream_tumbling_stream",  # last green r5
-    "text_langid",  # last green r5
-    "text_tfidf_top",  # last green r5
 ]
 
 

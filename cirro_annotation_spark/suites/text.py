@@ -4817,3 +4817,193 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .withColumn("at_risk", F.col("k") < 5)
     )
+
+
+# Shared SQL fragment: per-doc stopword hit counts for the four
+# langid languages (the text_langid_confusion vote fold, exposed as
+# counts so the agreement/calibration statistics below can reuse it).
+_LANGID_HITS_SQL = """
+    SELECT doc_id, lang, LEN(toks) AS n_tok,
+           LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS h_de,
+           LEN(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+           LEN(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS h_es,
+           LEN(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS h_fr
+    FROM (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                        x -> x <> ''),
+                            x -> LOWER(x)) AS toks
+      FROM documents)
+"""
+
+_LANGID_PRED_CASE = """
+    CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END
+"""
+
+
+@query(
+    "text_langid_kappa",
+    # Cohen's kappa between the langid heuristic and the labeled lang
+    # column — chance-corrected agreement, the statistic an annotation
+    # pipeline reports where raw accuracy misleads on skewed label
+    # mixes. EXACT integer interior: kappa = (N*sum_diag - sum_k
+    # row_k*col_k) / (N^2 - sum_k row_k*col_k) over the confusion-cell
+    # counts (multiply po/pe through by N^2), one IEEE division at the
+    # end. Margins full-outer-join on category so a class present on
+    # only one side contributes 0 product. Headroom: terms are <= N^2 —
+    # int64-safe to N ~ 3e9 docs. Scale: everything after the vote fold
+    # runs on <= n_langs^2 cells.
+    oracle=f"""
+    WITH hits AS ({_LANGID_HITS_SQL}),
+    pred AS (
+      SELECT lang, {_LANGID_PRED_CASE} AS lang_pred FROM hits
+    ),
+    cells AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred
+    ),
+    rows_m AS (SELECT lang AS k, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY lang),
+    cols_m AS (SELECT lang_pred AS k, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY lang_pred),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT) AS diag
+      FROM cells
+    ),
+    pe AS (
+      SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0)) AS BIGINT) AS prod
+      FROM rows_m FULL OUTER JOIN cols_m USING (k)
+    )
+    SELECT nn AS n_docs, diag AS n_agree,
+           ROUND(CAST(nn * diag - prod AS DOUBLE) /
+                 CAST(nn * nn - prod AS DOUBLE), 6) + 0 AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", X.langid_stopword_votes("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_m = cells.groupBy(F.col("lang").alias("k")).agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    cols_m = cells.groupBy(F.col("lang_pred").alias("k")).agg(
+        F.sum("n").cast("long").alias("col_n")
+    )
+    prod = (
+        rows_m.join(cols_m, "k", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("row_n"), F.lit(0))
+                * F.coalesce(F.col("col_n"), F.lit(0))
+            ).alias("p")
+        )
+        .agg(F.sum("p").cast("long").alias("prod"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    num = (F.col("nn") * F.col("diag") - F.col("prod")).cast("double")
+    den = (F.col("nn") * F.col("nn") - F.col("prod")).cast("double")
+    return tot.crossJoin(F.broadcast(prod)).select(
+        F.col("nn").alias("n_docs"),
+        F.col("diag").alias("n_agree"),
+        F.round(num / den, 6).alias("kappa"),
+    )
+
+
+@query(
+    "text_langid_reliability",
+    # Reliability-by-evidence for the langid vote: bucket docs by how
+    # much EVIDENCE the winning language had (top-language stopword
+    # hits per token, in 5-percentage-point bands) and report accuracy
+    # per band — the curve that tells a curation pipeline where to set
+    # its evidence floor (accept above, route to review below). The
+    # naive confidence h_max/h_total is degenerate on clean corpora
+    # (single-language docs score exactly 1.0 — measured at sf0.01),
+    # so evidence DENSITY is the axis with signal. All exact integers:
+    # density_ppm = (h_max*1e6) div n_tok, bin = min(density_ppm div
+    # 5e4, 9), acc_ppm = (n_correct*1e6) div n_docs. Docs with zero
+    # stopword hits ('und') are excluded on both engines. Scale: one
+    # vote-fold scan, then a <=10-cell aggregate.
+    oracle=f"""
+    WITH hits AS ({_LANGID_HITS_SQL}),
+    scored AS (
+      SELECT lang, {_LANGID_PRED_CASE} AS lang_pred,
+             GREATEST(h_de, h_en, h_es, h_fr) AS h_max,
+             n_tok
+      FROM hits
+    ),
+    conf AS (
+      SELECT lang, lang_pred,
+             (h_max * 1000000) // n_tok AS density_ppm
+      FROM scored WHERE h_max > 0 AND n_tok > 0
+    )
+    SELECT LEAST(density_ppm // 50000, 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           (CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // COUNT(*) AS acc_ppm,
+           CAST(SUM(density_ppm) AS BIGINT) AS density_sum_ppm
+    FROM conf GROUP BY LEAST(density_ppm // 50000, 9)
+    """,
+)
+def text_langid_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.text import STOPWORDS, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.transform(tokens("text"), lambda x: F.lower(x))
+
+    def _matcher(words: list[str]):
+        # Closure factory: PySpark hands (element, index) to 2-arg
+        # lambdas, so a `sw=sw` default arg would receive the index
+        # Column (the langid_stopword_votes precedent).
+        sw = F.array(*[F.lit(w) for w in words])
+        return lambda x: F.array_contains(sw, x)
+
+    hit_cols = {}
+    for lang in sorted(STOPWORDS):
+        hit_cols[lang] = F.size(
+            F.filter(toks, _matcher(STOPWORDS[lang]))
+        ).cast("long")
+    hits = d.select(
+        "lang",
+        X.langid_stopword_votes("text").alias("lang_pred"),
+        F.greatest(*hit_cols.values()).alias("h_max"),
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+    conf = hits.filter((F.col("h_max") > 0) & (F.col("n_tok") > 0)).select(
+        "lang",
+        "lang_pred",
+        F.expr("(h_max * 1000000L) div n_tok").alias("density_ppm"),
+    )
+    correct = F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0)
+    return (
+        conf.groupBy(
+            F.least(
+                F.expr("density_ppm div 50000"), F.lit(9).cast("long")
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.sum("density_ppm").cast("long").alias("density_sum_ppm"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_correct",
+            F.expr("(n_correct * 1000000L) div n_docs").alias("acc_ppm"),
+            "density_sum_ppm",
+        )
+    )

@@ -4406,3 +4406,144 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_rank",
         )
     )
+
+
+@query(
+    "events_max_drawdown",
+    # Maximum drawdown of the cumulative daily value series — the
+    # risk/health statistic beside OHLC and CUSUM: run the daily cents
+    # totals cumulatively, track the running peak, and report the
+    # worst peak-to-trough drop (deepest first, earliest day on ties).
+    # Whole series in BIGINT cents (per-event ROUND(value*100) then
+    # integer sums), so peak, trough, and depth are exact; the only
+    # ratio (depth vs peak) is ppm by integer division. Scale: the
+    # stream collapses to the calendar-bounded daily frame before the
+    # cumulative windows (the binseg/ACF discipline).
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             CAST(SUM(cents) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM daily
+    ),
+    peaks AS (
+      SELECT day, c,
+             CAST(MAX(c) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+      FROM cum
+    )
+    SELECT day AS trough_day, peak AS peak_cents, c AS trough_cents,
+           peak - c AS drawdown_cents,
+           ((peak - c) * 1000000) // GREATEST(peak, 1) AS drawdown_ppm
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY peak - c DESC, day ASC) AS rn
+      FROM peaks
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_cum = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peaks = daily.select(
+        "day",
+        F.sum("cents").over(w_cum).cast("long").alias("c"),
+    ).withColumn("peak", F.max("c").over(w_cum).cast("long"))
+    dd = F.col("peak") - F.col("c")
+    w_rank = Window.orderBy(dd.desc(), F.col("day").asc())
+    return (
+        peaks.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("peak").alias("peak_cents"),
+            F.col("c").alias("trough_cents"),
+            dd.alias("drawdown_cents"),
+            F.expr(
+                "((peak - c) * 1000000L) div greatest(peak, 1L)"
+            ).alias("drawdown_ppm"),
+        )
+    )
+
+
+@query(
+    "events_attribution_linear",
+    # Linear multi-touch attribution — the fair-share counterpart of
+    # events_attribution_last_touch: every click/view in the 7 days
+    # before a purchase shares the conversion credit equally. Credit
+    # stays exact: each touch earns 1e6 div n ppm (floored uniformly
+    # per conversion — deterministic), aggregated per channel. The
+    # join is user-keyed equi + time-band (touch in [purchase-7d,
+    # purchase)), so fan-out is bounded by a user's 7-day touch count
+    # — the join_interval_overlap discipline, never events².
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.p_id, t.channel
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    sized AS (
+      SELECT p_id, channel,
+             CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touches
+      FROM pairs
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions,
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
+    FROM sized GROUP BY channel
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("p_id", "channel")
+    w_conv = Window.partitionBy("p_id")
+    sized = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w_conv).cast("long")
+    )
+    return sized.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("p_id").cast("long").alias("n_conversions"),
+        F.sum(F.expr("1000000L div n_touches")).cast("long").alias("credit_ppm"),
+    )

@@ -148,6 +148,10 @@ DOC_QUERIES += [
     # copy 0), so it is correctness-checked at the tier but not timed
     # as a corpus-wide scan here.
     "docs_k_anonymity",
+    # round 12b wave 3: agreement + reliability stats (vote-fold scan,
+    # then <= n_langs^2 / 10-cell aggregates)
+    "text_langid_kappa",
+    "text_langid_reliability",
 ]
 
 SA_QUERIES = ["docs_dup_span_sa"]

@@ -156,6 +156,10 @@ EVENT_QUERIES = [
     "events_user_streaks",
     "events_acf_ljung_box",
     "events_changepoint_binseg",
+    # round 12b wave 3: drawdown (daily-grain cumulative windows) and
+    # linear attribution (user-keyed band join, 7-day fan-out bound)
+    "events_max_drawdown",
+    "events_attribution_linear",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

@@ -857,3 +857,29 @@ def test_rouge_identical_and_disjoint_pairs(spark):
     assert out[(a, b, 1)] == 1_000_000
     assert out[(a, b, 2)] == 1_000_000
     assert (c, d, 1) not in out and (c, d, 2) not in out
+
+
+def test_kappa_perfect_and_chance_agreement(spark):
+    """Cohen's kappa sanity: a corpus the heuristic labels perfectly
+    scores kappa = 1.0 exactly (N*diag - prod == N^2 - prod)."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        (1, "the cat of the house and the dog to go", "en", "s", 10),
+        (2, "der hund und die katze das haus zu gehen", "de", "s", 10),
+        (3, "el perro y la casa de que el gato", "es", "s", 10),
+        (4, "le chien et la maison de les chats", "fr", "s", 10),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = QUERIES["text_langid_kappa"](spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 4 and out[0]["n_agree"] == 4
+    assert out[0]["kappa"] == 1.0

@@ -744,3 +744,66 @@ def test_changepoint_finds_planted_step(spark):
     assert str(best["split_day"]) == "2024-01-10"
     assert best["n_left"] == 10 and best["n_right"] == 10
     assert best["sum_left"] == 50 and best["sum_right"] == 500
+
+
+def test_max_drawdown_planted_series(spark):
+    """Daily cents 100, 50, 120, 30, 80: cumulative 100,150,270,300,380
+    never falls — drawdown 0 — so flip signs on two days to plant a
+    real trough: 100, 50, -120, -30, 80 -> cum 100,150,30,0,80; peak
+    150; max drawdown 150 at day 4 (earliest deepest)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    vals = [100.0, 50.0, -120.0, -30.0, 80.0]
+    rows = [
+        (i, datetime(2024, 1, 1 + i, 12, 0), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = QUERIES["events_max_drawdown"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["trough_day"]) == "2024-01-04"
+    assert r["peak_cents"] == 15000 and r["trough_cents"] == 0
+    assert r["drawdown_cents"] == 15000 and r["drawdown_ppm"] == 1000000
+
+
+def test_linear_attribution_equal_shares(spark):
+    """One purchase preceded by 3 touches (2 clicks, 1 view) inside the
+    window and 1 click outside it: clicks earn 2*(1e6 div 3), view
+    earns 1*(1e6 div 3); the stale touch earns nothing."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "click", 1.0, "{}"),   # 9 days before: stale
+        (2, datetime(2024, 1, 5), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 6), 1, "view", 1.0, "{}"),
+        (4, datetime(2024, 1, 7), 1, "click", 1.0, "{}"),
+        (5, datetime(2024, 1, 10), 1, "purchase", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["channel"]: (r["n_touches"], r["n_conversions"], r["credit_ppm"])
+            for r in QUERIES["events_attribution_linear"](spark, tmp).collect()
+        }
+    share = 1_000_000 // 3
+    assert out == {"click": (2, 1, 2 * share), "view": (1, 1, share)}
