@@ -71,11 +71,13 @@ PRIORITY: list[str] = [
     "layout_zorder_stats",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
+    "sim_silhouette_ivf",  # last green r-1
     "sort_skyline_pareto",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
     "text_langid_kappa",  # last green r-1
     "text_langid_reliability",  # last green r-1
     "text_rouge_pairs",  # last green r-1
+    "text_zipf_slope",  # last green r-1
     "join_multiway",  # last green r5
     "join_range_band",  # last green r5
     "join_salted_skew",  # last green r5
@@ -96,8 +98,6 @@ PRIORITY: list[str] = [
     "stream_join_stream",  # last green r5
     "stream_session_window",  # last green r5
     "stream_sliding_batch",  # last green r5
-    "stream_sliding_stream",  # last green r5
-    "stream_stateful_counts",  # last green r5
 ]
 
 

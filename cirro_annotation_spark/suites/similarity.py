@@ -1754,3 +1754,94 @@ def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return C.kcenter_greedy(emb, "embedding", "vec_id", k=8)
+
+
+def _silhouette_oracle() -> str:
+    """Simplified (centroid-based) silhouette over the pinned IVF
+    centroids, fully EXACT: vectors and centroids are floored onto the
+    x1000 integer lattice before any distance, so cell assignment,
+    second-nearest distance, and the per-point score s_ppm =
+    (b-a)*1e6 div max(b,1) are all integer arithmetic — no ulp-tie
+    argument needed anywhere (stronger than the IVF search oracle,
+    which relies on argmin discreteness over float sums)."""
+    values = _cent_values()
+    return f"""
+    WITH cent(cell, cv) AS (
+      VALUES {values}),
+    ci AS (SELECT cell, dim, CAST(FLOOR(x * 1000) AS BIGINT) AS c
+           FROM (SELECT cell, UNNEST(cv) AS x,
+                        GENERATE_SUBSCRIPTS(cv, 1) AS dim FROM cent) q1),
+    ei AS (SELECT vec_id, dim, CAST(FLOOR(x * 1000) AS BIGINT) AS v
+           FROM (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                        GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+                 FROM embeddings) q2),
+    d AS (SELECT e.vec_id, c.cell,
+                 CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d
+          FROM ei e JOIN ci c USING (dim) GROUP BY e.vec_id, c.cell),
+    ranked AS (SELECT vec_id, cell, d,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell) AS rn
+               FROM d),
+    ab AS (SELECT r1.vec_id, r1.cell AS own_cell, r1.d AS a, r2.d AS b
+           FROM ranked r1 JOIN ranked r2
+             ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2)
+    SELECT own_cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(((b - a) * 1000000) // GREATEST(b, 1)) // COUNT(*)
+                AS BIGINT) AS mean_s_ppm,
+           CAST(MIN(((b - a) * 1000000) // GREATEST(b, 1)) AS BIGINT)
+             AS min_s_ppm,
+           CAST(MAX(((b - a) * 1000000) // GREATEST(b, 1)) AS BIGINT)
+             AS max_s_ppm
+    FROM ab GROUP BY own_cell
+    """
+
+
+@query("sim_silhouette_ivf", oracle=_silhouette_oracle())
+def sim_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report for the pinned IVF quantizer: the
+    simplified silhouette s = (b - a)/max(a, b) per vector (a = squared
+    distance to its own cell's centroid, b = to the second-nearest),
+    aggregated per cell — the metric that says which IVF cells are
+    well-separated and which need re-training. EXACT interior: vectors
+    and centroids are floored onto the x1000 integer lattice first, so
+    every distance, the assignment argmin, and s_ppm are integers (the
+    power-iteration lattice discipline applied to an eval metric).
+    Scale: k scan-local codegen folds per row (zip_with + aggregate
+    over broadcast literals — no explode, no per-dim shuffle), then an
+    8-cell aggregate; the sort of the k-element distance array is
+    per-row constant work."""
+    import math
+
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    vi = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    rows = emb.select("vec_id", vi.alias("vi"))
+    structs = []
+    for j, c in enumerate(CENTROIDS):
+        cj = F.array(*[F.lit(int(math.floor(x * 1000))) for x in c])
+        dj = F.aggregate(
+            F.zip_with(F.col("vi"), cj, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(dj.alias("d"), F.lit(j).cast("long").alias("cell"))
+        )
+    darr = F.array_sort(F.array(*structs))
+    ab = rows.select(
+        F.element_at(darr, 1)["cell"].alias("own_cell"),
+        F.element_at(darr, 1)["d"].alias("a"),
+        F.element_at(darr, 2)["d"].alias("b"),
+    ).withColumn(
+        "s_ppm", F.expr("((b - a) * 1000000L) div greatest(b, 1L)")
+    )
+    return ab.groupBy(F.col("own_cell").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("sum(s_ppm) div count(1)").cast("long").alias("mean_s_ppm"),
+        F.min("s_ppm").cast("long").alias("min_s_ppm"),
+        F.max("s_ppm").cast("long").alias("max_s_ppm"),
+    )

@@ -5007,3 +5007,76 @@ def text_langid_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "density_sum_ppm",
         )
     )
+
+
+@query(
+    "text_zipf_slope",
+    # Zipf's-law fit: OLS slope of ln(freq) against ln(rank) over the
+    # top-100 terms — the one-number corpus-health companion to
+    # text_zipf_histogram (a healthy natural-language corpus slopes
+    # near -1; synthetic/templated text flattens). Rank selection is
+    # exact (count + deterministic (tf desc, token) rank); the ln sums
+    # are floats at ROUND 6 — the docs_token_entropy precedent (sum
+    # order ulps are ~1e-15 relative, invisible at 6 decimals).
+    # Scale: term counting is the map-side-combined aggregate; the OLS
+    # runs on a 100-row frame.
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                      x -> x <> '')) AS token
+            FROM documents) toks
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT tf, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC)
+                      AS BIGINT) AS rnk
+      FROM tf QUALIFY rnk <= 100
+    ),
+    pts AS (SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(tf AS DOUBLE)) AS y
+            FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0 AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             + 0 AS intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    ranked = (
+        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

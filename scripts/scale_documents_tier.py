@@ -152,6 +152,13 @@ DOC_QUERIES += [
     # then <= n_langs^2 / 10-cell aggregates)
     "text_langid_kappa",
     "text_langid_reliability",
+    # round 12b wave 4: Zipf OLS (100-row fit after the tf aggregate)
+    "text_zipf_slope",
+]
+
+EMB_EXTRA = [
+    # round 12b wave 4: exact-lattice silhouette over pinned centroids
+    "sim_silhouette_ivf",
 ]
 
 SA_QUERIES = ["docs_dup_span_sa"]
@@ -250,7 +257,7 @@ def main() -> int:
     # 100× — see the idempotence block below). It only runs at tiers
     # the harness can hold; the composed exact→minhash path afterwards
     # is the 100× shape.
-    queries = DOC_QUERIES + EMB_QUERIES + (
+    queries = DOC_QUERIES + EMB_QUERIES + EMB_EXTRA + (
         # N-clone corpora are the adversarial case for the quadratic
         # interiors: minhash verify pairs scale as clones² (every clone
         # lands in the same LSH bucket) and docs_dup_span_coverage's

@@ -510,3 +510,27 @@ def test_binary_topk_query_self_match_and_recall(spark, sf_dir):
     }
     got = {r["vec_id"] for r in out}
     assert len(got & exact) >= 5
+
+
+def test_silhouette_perfect_at_centroids(spark):
+    """Vectors placed exactly AT the pinned centroids: a = 0, so
+    s_ppm = (b*1e6) div b = exactly 1e6 for every cell (integer
+    division is exact here), one vector per cell."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+    from cirro_annotation_spark.suites._ivf_centroids import CENTROIDS
+
+    load_all_suites()
+    rows = [(i, [float(x) for x in c], 0) for i, c in enumerate(CENTROIDS)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).toPandas().to_parquet(os.path.join(tmp, "embeddings.parquet"))
+        out = QUERIES["sim_silhouette_ivf"](spark, tmp).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_vecs"] == 1
+        assert r["mean_s_ppm"] == 1_000_000
+        assert r["min_s_ppm"] == r["max_s_ppm"] == 1_000_000

@@ -883,3 +883,28 @@ def test_kappa_perfect_and_chance_agreement(spark):
     assert len(out) == 1
     assert out[0]["n_docs"] == 4 and out[0]["n_agree"] == 4
     assert out[0]["kappa"] == 1.0
+
+
+def test_zipf_slope_negative_on_powerlaw(spark):
+    """A corpus with term frequencies 64,32,16,8,4,2,1 (freq = 2^-rank
+    shape) must fit a clearly negative slope; n_terms counts the
+    distinct vocabulary (7 < the 100 cap)."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    text = " ".join(
+        " ".join([f"w{i}"] * (2 ** (6 - i))) for i in range(7)
+    )
+    rows = [(1, text, "en", "s", len(text))]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = QUERIES["text_zipf_slope"](spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0]["n_terms"] == 7
+    assert out[0]["slope"] < -1.0
