@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY: list[str] = [
     "agg_hll_md5_estimate",  # last green r-1
     "agg_hll_md5_registers",  # last green r-1
+    "agg_kmv_distinct",  # last green r-1
     "agg_mode_per_group",  # last green r-1
     "agg_weighted_median",  # last green r-1
     "dedup_minhash_pairs",  # last green r-1
@@ -69,6 +70,7 @@ PRIORITY: list[str] = [
     "events_user_streaks",  # last green r-1
     "graph_degree_assortativity",  # last green r-1
     "layout_zorder_stats",  # last green r-1
+    "orders_abc_analysis",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "sample_es_reservoir",  # last green r-1
     "sim_silhouette_ivf",  # last green r-1
@@ -96,8 +98,6 @@ PRIORITY: list[str] = [
     "sim_topk_ivf",  # last green r5
     "stream_dedup_watermark",  # last green r5
     "stream_join_stream",  # last green r5
-    "stream_session_window",  # last green r5
-    "stream_sliding_batch",  # last green r5
 ]
 
 

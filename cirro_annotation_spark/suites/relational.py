@@ -3173,3 +3173,200 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_events"),
         )
     )
+
+
+@query(
+    "orders_abc_analysis",
+    # ABC (Pareto 80/95) revenue classification of parts — the
+    # inventory-analytics member beside RFM and Gini. Class membership
+    # is exact: cents revenue per part, cumulative share compared by
+    # integer cross-multiplication (cum*100 <= tot*80), never a float
+    # percentage. The Spark plan is a TRUE DISTRIBUTED PREFIX SUM:
+    # global_rank (range-partitioned two-pass rank), 8192-wide rank
+    # buckets, per-bucket sums rolled into offsets on the tiny bucket
+    # frame (single-partition window over n/8192 rows — bounded by
+    # construction), offsets broadcast back, within-bucket cumulative
+    # window. No data-sized single-partition window anywhere — the
+    # shape a 100 TB revenue ledger needs. The oracle uses the naive
+    # global window (same arithmetic, different plan).
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cents) OVER () AS BIGINT) AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, cents, tot,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) AS BIGINT) // MAX(tot) * 1000000
+             + (CAST(SUM(cents) AS BIGINT) % MAX(tot)) * 1000
+               // MAX(tot) * 1000
+             + ((CAST(SUM(cents) AS BIGINT) % MAX(tot)) * 1000 % MAX(tot))
+               * 1000 // MAX(tot) AS revenue_share_ppm
+    FROM classed GROUP BY abc_class
+    """,
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.dedup import global_rank
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = global_rank(
+        rev.withColumn("neg", -F.col("cents")), ["neg", "l_partkey"]
+    ).withColumn("bkt", F.expr("(rnk - 1) div 8192"))
+    bsum = ranked.groupBy("bkt").agg(F.sum("cents").cast("long").alias("bs"))
+    w_off = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("bs").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("tot"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("rnk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        ranked.join(F.broadcast(off), "bkt")
+        .withColumn(
+            "cum",
+            (F.col("off") + F.sum("cents").over(w_in)).cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    classed = cum.withColumn(
+        "abc_class",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        # three-stage ppm flooring (the Gini overflow lesson): class-A
+        # cents * 1e6 passes int64 at the 10x tier; the largest product
+        # here is tot * 1000, good through the 100x tier.
+        F.expr(
+            "sum(cents) div max(tot) * 1000000L"
+            " + (sum(cents) % max(tot)) * 1000L div max(tot) * 1000L"
+            " + ((sum(cents) % max(tot)) * 1000L % max(tot)) * 1000L"
+            " div max(tot)"
+        )
+        .cast("long")
+        .alias("revenue_share_ppm"),
+    )
+
+
+@query(
+    "agg_kmv_distinct",
+    # KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+    # OTHER classical mergeable distinct sketch beside the HLL family,
+    # and unlike HLL it is FULLY exact as a fixture: the sketch state
+    # is the k smallest md5 hash values (52-bit lattice), the estimate
+    # is the exact seen count while the sketch is not full (n < k — the
+    # sf0.01 gate exercises this branch) and (k-1)*2^52 div kth_min
+    # (one integer division) once it fills (the 100x tier), and the merge
+    # contract is proven as a hash-checked column — the bottom-k of
+    # (bottom-k(even users) UNION bottom-k(odd users)) must reproduce
+    # kth_min exactly. Duplicate users collapse by hashing (DISTINCT
+    # hv), so the sketch sees the value domain, not the row stream.
+    # Scale: each bottom-k is a TakeOrderedAndProject (k rows per
+    # input partition travel, never the domain); k=256 of model state.
+    oracle="""
+    WITH hv AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h,
+             user_id % 2 AS half
+      FROM events
+    ),
+    all_k AS (
+      SELECT h FROM (SELECT DISTINCT h FROM hv) d ORDER BY h LIMIT 256
+    ),
+    even_k AS (
+      SELECT h FROM (SELECT DISTINCT h FROM hv WHERE half = 0) d
+      ORDER BY h LIMIT 256
+    ),
+    odd_k AS (
+      SELECT h FROM (SELECT DISTINCT h FROM hv WHERE half = 1) d
+      ORDER BY h LIMIT 256
+    ),
+    merged_k AS (
+      SELECT h FROM (SELECT h FROM even_k UNION SELECT h FROM odd_k) u
+      ORDER BY h LIMIT 256
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MAX(h) AS BIGINT) AS kth_min,
+           CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                     ELSE (COUNT(*) - 1) * 4503599627370496 // MAX(h) END
+                AS BIGINT) AS est_distinct,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_distinct,
+           (SELECT MAX(h) FROM merged_k) = MAX(h) AS merged_eq
+    FROM all_k
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id")
+    hv = ev.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+        (F.col("user_id") % 2).alias("half"),
+    ).distinct()
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        return df.select("h").distinct().orderBy(F.col("h").asc()).limit(256)
+
+    all_k = bottom_k(hv)
+    even_k = bottom_k(hv.filter(F.col("half") == 0))
+    odd_k = bottom_k(hv.filter(F.col("half") == 1))
+    merged_k = bottom_k(even_k.unionAll(odd_k))
+    kth = all_k.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("h").cast("long").alias("kth_min"),
+    )
+    merged = merged_k.agg(F.max("h").cast("long").alias("m_kth"))
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        kth.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "k",
+            "kth_min",
+            F.expr(
+                "CASE WHEN k < 256 THEN k"
+                " ELSE ((k - 1) * 4503599627370496L) div kth_min END"
+            )
+            .cast("long")
+            .alias("est_distinct"),
+            "exact_distinct",
+            (F.col("m_kth") == F.col("kth_min")).alias("merged_eq"),
+        )
+    )

@@ -160,6 +160,9 @@ EVENT_QUERIES = [
     # linear attribution (user-keyed band join, 7-day fan-out bound)
     "events_max_drawdown",
     "events_attribution_linear",
+    # round 12b wave 5: KMV bottom-k sketch (TakeOrdered, k rows per
+    # partition travel; formula branch live at the tier)
+    "agg_kmv_distinct",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole

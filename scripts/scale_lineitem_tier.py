@@ -54,6 +54,8 @@ QUERIES = [
     # Morton-layout zone-map audit (scan-local z expression)
     "graph_degree_assortativity",
     "layout_zorder_stats",
+    # round 12b wave 5: ABC classification (distributed prefix sum)
+    "orders_abc_analysis",
 ]
 
 

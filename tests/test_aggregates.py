@@ -229,3 +229,65 @@ def test_mode_tiebreak_smallest_user(spark):
         out = QUERIES["agg_mode_per_group"](spark, tmp).collect()
     assert len(out) == 1
     assert out[0]["modal_user"] == 3 and out[0]["n_events"] == 2
+
+
+def test_abc_classes_planted_shares(spark):
+    """Revenues 80/15/5: boundaries sit exactly on the 80% and 95%
+    cross-multiplied thresholds -> classes A/B/C with exact ppm
+    shares."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    # one lineitem row per part; price*100 = cents
+    rows = [
+        (1, 1, 1, 1, 1.0, 0.80),
+        (2, 2, 1, 1, 1.0, 0.15),
+        (3, 3, 1, 1, 1.0, 0.05),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double",
+        ).toPandas().to_parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = {
+            r["abc_class"]: (r["n_parts"], r["revenue_cents"],
+                             r["revenue_share_ppm"])
+            for r in QUERIES["orders_abc_analysis"](spark, tmp).collect()
+        }
+    assert out == {
+        "A": (1, 80, 800000),
+        "B": (1, 15, 150000),
+        "C": (1, 5, 50000),
+    }
+
+
+def test_kmv_not_full_is_exact(spark):
+    """With 10 distinct users the 256-slot sketch is not full: the
+    estimate equals the exact count, k equals the seen-domain size,
+    and the half-merge reproduces kth_min."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        (i, datetime(2024, 1, 1 + (i % 20)), i % 10, "view", 1.0, "{}")
+        for i in range(50)  # 50 events, 10 distinct users
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = QUERIES["agg_kmv_distinct"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k"] == 10 and r["est_distinct"] == 10
+    assert r["exact_distinct"] == 10 and r["merged_eq"] is True
