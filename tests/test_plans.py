@@ -689,3 +689,47 @@ def test_r12_plan_shapes(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in gate
+
+
+def test_r12b_plan_shapes(spark, sf_dir):
+    """Round-12b plan pins: (a) layout_zorder_stats computes the Morton
+    value scan-locally — no Python UDF anywhere, bounds arrive via
+    BroadcastExchange (the nested-loop broadcast of the 1-row frame);
+    (b) agg_mode_per_group's rank-1 filter plans as WindowGroupLimit
+    (per-input-partition top-1 before the final sort group); (c)
+    orders_abc_analysis carries its offset and total frames as
+    broadcasts — no data-sized single-partition exchange; (d)
+    events_attribution_linear's band join is a real equi-join on
+    user_id (no CartesianProduct); (e) sim_silhouette_ivf is pure
+    scan-side codegen — no explode (Generate) and no shuffle before
+    the final 8-cell aggregate's single exchange."""
+    from cirro_annotation_spark.plans import count_exchanges
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    z = plan("layout_zorder_stats")
+    assert "BroadcastExchange" in z or "BroadcastNestedLoopJoin" in z
+    assert "BatchEvalPython" not in z and "PythonUDF" not in z
+
+    mode = plan("agg_mode_per_group")
+    assert "WindowGroupLimit" in mode
+
+    abc = plan("orders_abc_analysis")
+    assert abc.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in abc or abc.count("BroadcastHashJoin") >= 2
+
+    attr = plan("events_attribution_linear")
+    assert "CartesianProduct" not in attr
+
+    sil = QUERIES["sim_silhouette_ivf"](spark, sf_dir)
+    assert "Generate" not in plan("sim_silhouette_ivf")
+    assert count_exchanges(sil) == 1
