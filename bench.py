@@ -413,6 +413,29 @@ HEADLINE = [
     "events_hll_daily_dau",
     "events_hll_rolling_wau",
     "events_hll_segment_overlap",
+    # round 12b: time-series diagnostics, layout/skyline, eval stats,
+    # privacy audits, the KMV/bitmap distinct structures
+    "events_user_streaks",
+    "events_acf_ljung_box",
+    "events_changepoint_binseg",
+    "graph_degree_assortativity",
+    "layout_zorder_stats",
+    "sort_skyline_pareto",
+    "agg_weighted_median",
+    "agg_mode_per_group",
+    "text_rouge_pairs",
+    "docs_k_anonymity",
+    "text_langid_kappa",
+    "text_langid_reliability",
+    "events_max_drawdown",
+    "events_attribution_linear",
+    "sim_silhouette_ivf",
+    "text_zipf_slope",
+    "orders_abc_analysis",
+    "agg_kmv_distinct",
+    "agg_bitmap_distinct",
+    "stream_bitmap_distinct_stream",
+    "docs_dp_noisy_counts",
 ]
 
 

@@ -112,3 +112,37 @@ def hll_md5_register_cells(df: DataFrame, key_col: str = "user_id") -> DataFrame
             == F.max("rho")
         ).alias("merged_eq"),
     )
+
+
+def bitmap_word_cells(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """EXACT distinct-count bitmap cells over a non-negative integer key
+    — the roaring-bitmap shape on open primitives: word_id = key div 32,
+    one set bit per present key, OR as the merge operator. Unlike the
+    HLL/KMV sketches this is exact at any size; the cost is state
+    proportional to the key domain / 32 (the roaring trade). wd_even /
+    wd_odd are the half-corpus words whose OR must reproduce wd — the
+    mergeability contract as data (the HLL merged-register pattern).
+    One map-side-combined aggregate; keys never shuffle raw (word + bit
+    travel). OR is the merge operator, so the same aggregation is valid
+    per micro-batch in complete mode (the streaming twin)."""
+    k = F.col(key_col)
+    # F.shiftleft takes a literal shift count; the column-valued shift
+    # needs the SQL form.
+    bit = F.expr(f"shiftleft(1L, CAST({key_col} % 32 AS INT))")
+    return (
+        df.select(
+            F.expr(f"{key_col} div 32").cast("long").alias("word_id"),
+            bit.alias("b"),
+            (k % 2 == 0).alias("is_even"),
+        )
+        .groupBy("word_id")
+        .agg(
+            F.expr("bit_or(b)").cast("long").alias("wd"),
+            F.expr("bit_or(CASE WHEN is_even THEN b ELSE 0L END)")
+            .cast("long")
+            .alias("wd_even"),
+            F.expr("bit_or(CASE WHEN NOT is_even THEN b ELSE 0L END)")
+            .cast("long")
+            .alias("wd_odd"),
+        )
+    )

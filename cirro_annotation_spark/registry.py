@@ -48,6 +48,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
+    "agg_bitmap_distinct",  # last green r-1
     "agg_hll_md5_estimate",  # last green r-1
     "agg_hll_md5_registers",  # last green r-1
     "agg_kmv_distinct",  # last green r-1
@@ -58,6 +59,7 @@ PRIORITY: list[str] = [
     "dedup_near_minhash",  # last green r-1
     "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
+    "docs_dp_noisy_counts",  # last green r-1
     "docs_k_anonymity",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
     "events_acf_ljung_box",  # last green r-1
@@ -75,6 +77,7 @@ PRIORITY: list[str] = [
     "sample_es_reservoir",  # last green r-1
     "sim_silhouette_ivf",  # last green r-1
     "sort_skyline_pareto",  # last green r-1
+    "stream_bitmap_distinct_stream",  # last green r-1
     "stream_hll_registers_stream",  # last green r-1
     "text_langid_kappa",  # last green r-1
     "text_langid_reliability",  # last green r-1
@@ -95,9 +98,6 @@ PRIORITY: list[str] = [
     "sessionize_gap",  # last green r5
     "sim_centroid_per_label",  # last green r5
     "sim_topk_cosine",  # last green r5
-    "sim_topk_ivf",  # last green r5
-    "stream_dedup_watermark",  # last green r5
-    "stream_join_stream",  # last green r5
 ]
 
 

@@ -3370,3 +3370,61 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_kth") == F.col("kth_min")).alias("merged_eq"),
         )
     )
+
+
+# Shared by agg_bitmap_distinct and its streaming twin
+# (stream_bitmap_distinct_stream): per-word exact bitmap cells with the
+# even/odd half-words proving the OR-merge contract.
+_BITMAP_CELLS_ORACLE = """
+    SELECT user_id // 32 AS word_id,
+           CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+                AS BIGINT) AS wd,
+           CAST(BIT_OR(CASE WHEN user_id % 2 = 0
+                            THEN CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)
+                            ELSE 0 END) AS BIGINT) AS wd_even,
+           CAST(BIT_OR(CASE WHEN user_id % 2 = 1
+                            THEN CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)
+                            ELSE 0 END) AS BIGINT) AS wd_odd
+    FROM events GROUP BY user_id // 32
+"""
+
+
+@query(
+    "agg_bitmap_distinct",
+    # EXACT distinct count as bitmap algebra — the third member of the
+    # distinct-structure family (HLL: approximate registers; KMV:
+    # bottom-k sample; this: the exact roaring-bitmap shape). One set
+    # bit per present user in 32-bit words keyed by user div 32;
+    # distinct = sum(bit_count(word)); the even/odd half-words OR-merge
+    # into exactly the full word on every cell (merged_eq) — OR is the
+    # merge operator, which is what makes per-partition / per-day
+    # bitmaps unionable without recounting at 100 TB. State is domain/32
+    # words (the roaring trade: exactness for domain-proportional
+    # state); keys never shuffle raw.
+    oracle=f"""
+    WITH w AS ({_BITMAP_CELLS_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(BIT_COUNT(wd)) AS BIGINT) AS distinct_users,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_distinct,
+           BOOL_AND((wd_even | wd_odd) = wd) AS merged_eq
+    FROM w
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.sketches import bitmap_word_cells
+
+    ev = t(spark, sf_dir, "events").select("user_id")
+    cells = bitmap_word_cells(ev)
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        cells.agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.bit_count("wd")).cast("long").alias("distinct_users"),
+            F.expr("bool_and((wd_even | wd_odd) = wd)").alias("merged_eq"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select("n_words", "distinct_users", "exact_distinct", "merged_eq")
+    )

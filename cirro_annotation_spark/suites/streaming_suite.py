@@ -802,3 +802,25 @@ def stream_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     )
     return hw_from_daily(daily)
+
+
+@query(
+    "stream_bitmap_distinct_stream",
+    # Streaming EXACT distinct maintenance: the stream OR-merges the
+    # per-word bitmap cells per micro-batch (OR is the merge operator,
+    # so complete-mode aggregation is the production shape — exactly
+    # the stream_hll_registers_stream pattern with exactness instead
+    # of approximation). Shares the batch cell oracle verbatim.
+    oracle=__import__(
+        "cirro_annotation_spark.suites.relational", fromlist=["x"]
+    )._BITMAP_CELLS_ORACLE,
+)
+def stream_bitmap_distinct_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cirro_annotation_spark.operators.sketches import bitmap_word_cells
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return STRM.run_streaming_over_parquet(
+        spark, path, lambda s: bitmap_word_cells(s.select("user_id"))
+    )

@@ -5080,3 +5080,60 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "docs_dp_noisy_counts",
+    # Seeded differential-privacy release: per-source document counts
+    # with Laplace noise — the governance sibling of docs_k_anonymity
+    # (suppress small classes there; perturb published counts here).
+    # The noise is Laplace(scale=2 counts, i.e. eps=0.5 at sensitivity
+    # 1) via the inverse-exponential construction sign * scale * Exp(1):
+    # u comes from the first 16 md5 bits of the source key mapped onto
+    # the (2b+1)/131072 micro-log lattice, whose floor(-ln(u)*1e6) is
+    # probed EQUAL on all 65536 points Spark-vs-DuckDB
+    # (tests/test_sampling_lattice.py — the ES-reservoir lattice), and
+    # the sign comes from the next md5 bit; everything after the
+    # probed floor is integer arithmetic. Seeding noise from the key
+    # makes the release REPRODUCIBLE (same table -> same publication);
+    # a production release salts the hash per publication epoch.
+    # Scale: one grouped count, then per-group constant arithmetic.
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    seeded AS (
+      SELECT source, n,
+             CAST(('0x' || substring(md5(source), 1, 4)) AS BIGINT) AS b,
+             CASE WHEN CAST(('0x' || substring(md5(source), 5, 1)) AS BIGINT)
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM counts
+    )
+    SELECT source,
+           CAST(n * 1000000
+                + sgn * 2 * CAST(FLOOR(-LN((2 * b + 1) / 131072.0) * 1000000)
+                                 AS BIGINT) AS BIGINT) AS noisy_count_micro
+    FROM seeded
+    """,
+)
+def docs_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    h = F.md5(F.col("source"))
+    b = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    mag = F.floor(
+        -F.log((2 * b + 1) / F.lit(131072.0)) * 1000000
+    ).cast("long")
+    return counts.select(
+        "source",
+        (F.col("n") * 1000000 + sgn * 2 * mag)
+        .cast("long")
+        .alias("noisy_count_micro"),
+    )

@@ -154,6 +154,9 @@ DOC_QUERIES += [
     "text_langid_reliability",
     # round 12b wave 4: Zipf OLS (100-row fit after the tf aggregate)
     "text_zipf_slope",
+    # round 12b wave 6: seeded DP release (grouped count + per-group
+    # constant arithmetic)
+    "docs_dp_noisy_counts",
 ]
 
 EMB_EXTRA = [

@@ -163,6 +163,10 @@ EVENT_QUERIES = [
     # round 12b wave 5: KMV bottom-k sketch (TakeOrdered, k rows per
     # partition travel; formula branch live at the tier)
     "agg_kmv_distinct",
+    # round 12b wave 6: exact bitmap distinct (words scale with the id
+    # domain/32 — sparse cells at the shifted-id tier) + stream twin
+    "agg_bitmap_distinct",
+    "stream_bitmap_distinct_stream",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
