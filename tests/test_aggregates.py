@@ -291,3 +291,136 @@ def test_kmv_not_full_is_exact(spark):
     r = out[0]
     assert r["k"] == 10 and r["est_distinct"] == 10
     assert r["exact_distinct"] == 10 and r["merged_eq"] is True
+
+
+def test_skyline_two_phase_equals_naive_randomized(spark):
+    """Randomized equivalence: the two-phase (bucket-local then global)
+    skyline must return exactly the naive O(n²) dominance survivors
+    for arbitrary point multisets — any duplicate/tie pattern, any
+    bucket boundary placement. (Deterministic seeds; Python computes
+    the naive frontier over distinct coordinates.)"""
+    import os
+    import random
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rng = random.Random(22012)
+    for trial in range(3):
+        pts = [
+            (rng.randint(0, 40) * 25.0, rng.randint(1, 12))
+            for _ in range(rng.randint(1, 300))
+        ]
+        from collections import Counter
+
+        coord_n = Counter(pts)
+        coords = set(coord_n)
+        naive = {
+            (p, s): n
+            for (p, s), n in coord_n.items()
+            if not any(
+                (q < p and u >= s) or (q <= p and u > s)
+                for (q, u) in coords
+            )
+        }
+        rows = [
+            (i, p, s) for i, (p, s) in enumerate(pts)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows, "p_partkey long, p_retailprice double, p_size int"
+            ).toPandas().to_parquet(os.path.join(tmp, "part.parquet"))
+            got = {
+                (r["price"], r["size"]): r["n_pts"]
+                for r in QUERIES["sort_skyline_pareto"](spark, tmp).collect()
+            }
+        assert got == naive, f"trial {trial}"
+
+
+def test_user_streaks_randomized_vs_bruteforce(spark):
+    """Randomized equivalence: the islands arithmetic must match a
+    brute-force Python streak scan for arbitrary per-user day sets."""
+    import os
+    import random
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rng = random.Random(7312)
+    days_by_user = {
+        u: sorted(rng.sample(range(1, 28), rng.randint(1, 20)))
+        for u in range(1, 8)
+    }
+    want = {}
+    for u, days in days_by_user.items():
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        want[u] = (max(streaks), len(days), len(streaks))
+    rows = []
+    eid = 0
+    for u, days in days_by_user.items():
+        for d in days:
+            eid += 1
+            rows.append((eid, datetime(2024, 1, d, 9, 0), u, "view", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r["user_id"]: (r["max_streak"], r["active_days"], r["n_streaks"])
+            for r in QUERIES["events_user_streaks"](spark, tmp).collect()
+        }
+    assert got == want
+
+
+def test_weighted_median_randomized_vs_bruteforce(spark):
+    """Randomized equivalence: the cumulative-weight threshold pick
+    must match a brute-force weighted-median scan for arbitrary
+    integer-weight multisets."""
+    import os
+    import random
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rng = random.Random(9412)
+    rows, want = [], {}
+    oid = 0
+    for gi, grp in enumerate(["A", "B", "C"]):
+        vals = sorted(
+            {rng.randint(1, 50) * 10.0 for _ in range(rng.randint(1, 30))}
+        )
+        weights = [rng.randint(1, 9) for _ in vals]
+        tot = sum(weights)
+        cum = 0
+        for v, w in zip(vals, weights):
+            cum += w
+            if 2 * cum >= tot:
+                want[grp] = (v, tot)
+                break
+        for i, (v, w) in enumerate(zip(vals, weights)):
+            oid += 1
+            rows.append((oid, i + 1, 1, grp, float(w), v))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_linenumber int, "
+            "l_returnflag string, l_quantity double, l_extendedprice double",
+        ).toPandas().to_parquet(os.path.join(tmp, "lineitem.parquet"))
+        got = {
+            r["l_returnflag"]: (r["weighted_median"], r["total_weight"])
+            for r in QUERIES["agg_weighted_median"](spark, tmp).collect()
+        }
+    assert got == want
