@@ -436,6 +436,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "stream_bitmap_distinct_stream",
     "docs_dp_noisy_counts",
+    "graph_lp_modularity",
 ]
 
 

@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "events_max_drawdown",  # last green r-1
     "events_user_streaks",  # last green r-1
     "graph_degree_assortativity",  # last green r-1
+    "graph_lp_modularity",  # last green r-1
     "layout_zorder_stats",  # last green r-1
     "orders_abc_analysis",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "scalar_from_json_struct",  # last green r5
     "sessionize_gap",  # last green r5
     "sim_centroid_per_label",  # last green r5
-    "sim_topk_cosine",  # last green r5
 ]
 
 

@@ -551,3 +551,114 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m2") / 2).cast("long").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+_LP_MODULARITY_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    lp AS (SELECT * FROM ({_LPA_ORACLE}) lp_result),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    dc AS (
+      SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS dsum
+      FROM lp l JOIN deg d ON d.node = l.node GROUP BY l.label
+    ),
+    within AS (
+      SELECT a.label, CAST(COUNT(*) AS BIGINT) AS w2
+      FROM edges e
+      JOIN lp a ON a.node = e.src
+      JOIN lp b ON b.node = e.dst AND b.label = a.label
+      GROUP BY a.label
+    ),
+    cells AS (
+      SELECT dc.label, dc.dsum, COALESCE(w.w2, 0) AS w2
+      FROM dc LEFT JOIN within w ON w.label = dc.label
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tm FROM edges)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(MAX(tm) / 2 AS BIGINT) AS m_edges,
+           ROUND(CAST(MAX(tm) * SUM(w2) - SUM(dsum * dsum) AS DOUBLE) /
+                 CAST(MAX(tm) * MAX(tm) AS DOUBLE), 6) + 0 AS modularity
+    FROM cells CROSS JOIN tot
+    """
+
+
+@query(
+    "graph_lp_modularity",
+    # Newman modularity Q of the label-propagation communities — the
+    # quality score that says whether LPA found real structure
+    # (Q ≈ 0: no better than random given the degree sequence). EXACT
+    # interior: with the mirrored edge list (|E| = 2m), (2m)²·Q =
+    # 2m·Σ_c within_c − Σ_c (Σdeg_c)² — all integers (within_c counts
+    # mirrored intra-community edges, so the usual m_c/m term needs no
+    # factor juggling); one IEEE division at the end. Headroom: Σdeg_c
+    # ≤ 2m, squared ≤ 4m² — int64-safe to m ≈ 1.5e9 edges. Scale: two
+    # label joins against the (node, label) frame (2-int rows), then
+    # community-grain aggregates; the LP rounds themselves are the
+    # budgeted cost (graph_label_propagation's plan notes).
+    oracle=_LP_MODULARITY_ORACLE,
+)
+def graph_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.graph import label_propagation
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    edges = edges.localCheckpoint(eager=False)
+    lp = label_propagation(edges, rounds=3, assume_distinct=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dc = (
+        lp.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("dsum"))
+    )
+    la = lp.select(F.col("node").alias("src"), F.col("label").alias("lab_a"))
+    lb = lp.select(F.col("node").alias("dst"), F.col("label").alias("lab_b"))
+    within = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w2"))
+    )
+    cells = dc.join(within, "label", "left").select(
+        "label", "dsum", F.coalesce(F.col("w2"), F.lit(0)).alias("w2")
+    )
+    tm = edges.agg(F.count(F.lit(1)).cast("long").alias("tm"))
+    num = (
+        F.max("tm") * F.sum("w2") - F.sum(F.col("dsum") * F.col("dsum"))
+    ).cast("double")
+    den = (F.max("tm") * F.max("tm")).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tm))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            (F.max("tm") / 2).cast("long").alias("m_edges"),
+            F.round(num / den, 6).alias("modularity"),
+        )
+    )

@@ -447,3 +447,36 @@ def test_assortativity_star_is_minus_one(spark):
     assert len(out) == 1
     assert out[0]["n_edges"] == 3
     assert out[0]["assortativity"] == -1.0
+
+
+def test_lp_modularity_bipartite_oscillation_exact(spark):
+    """Synchronous LP on a bipartite star OSCILLATES (the classic
+    two-coloring flip), so after 3 rounds each disjoint star splits
+    into {center} and {leaves} — 4 communities, zero intra-community
+    edges, and modularity EXACTLY -(sum D_c^2)/(2m)^2 = -4*4/64 =
+    -0.25. The test pins that the query reports the honest algebra of
+    the synchronous fixed-round state (both engines replay the same
+    rounds), not an idealized converged community."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    # component 1: customer 1 with suppliers 1,2; component 2:
+    # customer 2 with suppliers 3,4 -> 4 undirected edges, 2 components
+    orders = [(1, 1), (2, 1), (3, 2), (4, 2)]
+    lineitem = [(1, 1), (2, 2), (3, 3), (4, 4)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long"
+        ).toPandas().to_parquet(os.path.join(tmp, "orders.parquet"))
+        spark.createDataFrame(
+            lineitem, "l_orderkey long, l_suppkey long"
+        ).toPandas().to_parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = QUERIES["graph_lp_modularity"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["m_edges"] == 4
+    assert r["n_communities"] == 4
+    assert r["modularity"] == -0.25
