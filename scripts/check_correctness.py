@@ -96,6 +96,12 @@ def main() -> int:
     names = args.names or list(qs)
 
     con = duckdb.connect()
+    # Spill guard (round-12b incident): an oracle that is naive-by-design
+    # (unrolled LPA at a 10x tier) once spilled 42 GB into a repo-cwd
+    # .tmp/ and filled the box. Route DuckDB temp under /tmp and cap it
+    # so a runaway oracle fails fast instead of exhausting the disk.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    con.execute("SET max_temp_directory_size='20GiB'")
     for tbl in TABLES:
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{args.sf_dir}/{tbl}.parquet')"
