@@ -437,6 +437,7 @@ HEADLINE = [
     "stream_bitmap_distinct_stream",
     "docs_dp_noisy_counts",
     "graph_lp_modularity",
+    "profile_shuffle_skew",
 ]
 
 

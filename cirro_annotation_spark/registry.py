@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "layout_zorder_stats",  # last green r-1
     "orders_abc_analysis",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
+    "profile_shuffle_skew",  # last green r-1
     "sample_es_reservoir",  # last green r-1
     "sim_silhouette_ivf",  # last green r-1
     "sort_skyline_pareto",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "rag_retrieve_context",  # last green r5
     "scalar_from_json_struct",  # last green r5
     "sessionize_gap",  # last green r5
-    "sim_centroid_per_label",  # last green r5
 ]
 
 

@@ -3428,3 +3428,79 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact))
         .select("n_words", "distinct_users", "exact_distinct", "merged_eq")
     )
+
+
+def _skew_cte(table: str, key: str) -> str:
+    """One key's 64-bucket histogram over the engine-neutral md5
+    bucketing (what a hash shuffle sees, minus the engine's hash fn —
+    value-multiplicity skew is hash-invariant for any decent hash)."""
+    return f"""
+      SELECT '{table}.{key}' AS shuffle_key,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+             CAST(MAX(c) * 64 * 1000000 // SUM(c) AS BIGINT) AS hot_ppm
+      FROM (
+        SELECT CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 64 AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+      ) h
+    """
+
+
+@query(
+    "profile_shuffle_skew",
+    # Shuffle-skew diagnostics — the measurement BEHIND the salting
+    # decision (join_salted_skew, bounded_rank_per_key): bucket each
+    # candidate shuffle key into 64 engine-neutral md5 buckets and
+    # report the hottest bucket's load relative to uniform (hot_ppm =
+    # max*64*1e6 div n; 1e6 = perfectly even, 64e6 = everything in one
+    # bucket). Value-multiplicity skew is hash-invariant, so the md5
+    # histogram predicts what ANY decent hash partitioner will see.
+    # All integers. Headroom: max*64*1e6 stays in int64 to ~1.4e11
+    # rows per table. Scale: one map-side-combined (key-bucket) count
+    # per audited key; the per-key frame is 64 cells.
+    oracle=f"""
+    {_skew_cte("lineitem", "l_orderkey")}
+    UNION ALL
+    {_skew_cte("lineitem", "l_partkey")}
+    UNION ALL
+    {_skew_cte("lineitem", "l_suppkey")}
+    UNION ALL
+    {_skew_cte("events", "user_id")}
+    """,
+)
+def profile_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(table: str, key: str) -> DataFrame:
+        h = (
+            t(spark, sf_dir, table)
+            .select(
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col(key).cast("string")), 1, 4),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 64
+                ).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        return h.agg(
+            F.lit(f"{table}.{key}").alias("shuffle_key"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket_rows"),
+            F.expr("max(c) * 64L * 1000000L div sum(c)")
+            .cast("long")
+            .alias("hot_ppm"),
+        )
+
+    return (
+        one("lineitem", "l_orderkey")
+        .unionByName(one("lineitem", "l_partkey"))
+        .unionByName(one("lineitem", "l_suppkey"))
+        .unionByName(one("events", "user_id"))
+    )

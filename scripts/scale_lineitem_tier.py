@@ -56,6 +56,8 @@ QUERIES = [
     "layout_zorder_stats",
     # round 12b wave 5: ABC classification (distributed prefix sum)
     "orders_abc_analysis",
+    # round 12b wave 8: shuffle-skew diagnostics (64-cell per-key frames)
+    "profile_shuffle_skew",
 ]
 
 
