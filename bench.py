@@ -438,6 +438,7 @@ HEADLINE = [
     "docs_dp_noisy_counts",
     "graph_lp_modularity",
     "profile_shuffle_skew",
+    "pipeline_feature_store",
 ]
 
 

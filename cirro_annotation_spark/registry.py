@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "graph_lp_modularity",  # last green r-1
     "layout_zorder_stats",  # last green r-1
     "orders_abc_analysis",  # last green r-1
+    "pipeline_feature_store",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "profile_shuffle_skew",  # last green r-1
     "sample_es_reservoir",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "quantile_bucket_global",  # last green r5
     "rag_retrieve_context",  # last green r5
     "scalar_from_json_struct",  # last green r5
-    "sessionize_gap",  # last green r5
 ]
 
 

@@ -4547,3 +4547,73 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_id").cast("long").alias("n_conversions"),
         F.sum(F.expr("1000000L div n_touches")).cast("long").alias("credit_ppm"),
     )
+
+
+@query(
+    "pipeline_feature_store",
+    # Feature-store materialization — the feature-engineering pass a
+    # training pipeline runs nightly: per (user, active day), the
+    # day's activity plus its history features (previous-day lag,
+    # calendar 7-day rolling sum, recency gap). All exact integers:
+    # counts, cents (per-event ROUND(value*100) then sums), epoch-day
+    # arithmetic. ONE user-keyed exchange serves both window specs
+    # (row lag and calendar RANGE frame share the partition key);
+    # per-user state is its active-day history — the same shuffle a
+    # per-user rollup pays. The rolling frame is a RANGE over the
+    # integer day index, so gaps are honest (a 7-day window, not a
+    # 7-ROW window).
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day_idx, n, cents,
+           CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day_idx ASC
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll7_n,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY day_idx ASC
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll7_cents,
+           LAG(n) OVER (PARTITION BY user_id ORDER BY day_idx ASC)
+             AS prev_n,
+           day_idx - LAG(day_idx) OVER (PARTITION BY user_id
+                                        ORDER BY day_idx ASC) AS gap_days
+    FROM daily
+    """,
+)
+def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day_idx").asc())
+        .rangeBetween(-6, Window.currentRow)
+    )
+    w_row = Window.partitionBy("user_id").orderBy(F.col("day_idx").asc())
+    return daily.select(
+        "user_id",
+        "day_idx",
+        "n",
+        "cents",
+        F.sum("n").over(w_range).cast("long").alias("roll7_n"),
+        F.sum("cents").over(w_range).cast("long").alias("roll7_cents"),
+        F.lag("n").over(w_row).alias("prev_n"),
+        (F.col("day_idx") - F.lag("day_idx").over(w_row)).alias("gap_days"),
+    )

@@ -167,6 +167,9 @@ EVENT_QUERIES = [
     # domain/32 — sparse cells at the shifted-id tier) + stream twin
     "agg_bitmap_distinct",
     "stream_bitmap_distinct_stream",
+    # round 12b wave 9: feature-store materialization (one user-keyed
+    # exchange, calendar RANGE frames)
+    "pipeline_feature_store",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
