@@ -439,6 +439,7 @@ HEADLINE = [
     "graph_lp_modularity",
     "profile_shuffle_skew",
     "pipeline_feature_store",
+    "events_ccf_lead_lag",
 ]
 
 

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "embeddings_power_iteration",  # last green r-1
     "events_acf_ljung_box",  # last green r-1
     "events_attribution_linear",  # last green r-1
+    "events_ccf_lead_lag",  # last green r-1
     "events_changepoint_binseg",  # last green r-1
     "events_hll_daily_dau",  # last green r-1
     "events_hll_rolling_wau",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "q8_market_share",  # last green r5
     "quantile_bucket_global",  # last green r5
     "rag_retrieve_context",  # last green r5
-    "scalar_from_json_struct",  # last green r5
 ]
 
 

@@ -4617,3 +4617,110 @@ def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("n").over(w_row).alias("prev_n"),
         (F.col("day_idx") - F.lag("day_idx").over(w_row)).alias("gap_days"),
     )
+
+
+@query(
+    "events_ccf_lead_lag",
+    # Cross-correlation function between the daily VIEW and PURCHASE
+    # count series at day-lags -7..+7 — the lead/lag diagnostic beside
+    # the within-series ACF (events_acf_ljung_box): a peak at positive
+    # lag says views LEAD purchases by that many days. Identical
+    # integer-lattice discipline: with per-series totals (n, Sx, SSx,
+    # Sy, SSy) and per-lag pair sums (c, P=Σx·y, A=Σx, B=Σy), the
+    # numerator scaled by n² is the exact integer n²P − nSy·A − nSx·B
+    # + c·Sx·Sy and the scale is sqrt((n²SSx−nSx²)(n²SSy−nSy²)) —
+    # computed once, lag-independent. Pairing is by calendar day
+    # (y.d = x.d + k), gaps honest. Scale: two day-grain collapses,
+    # then a (15 × n_days) join on broadcast-size frames.
+    oracle="""
+    WITH dx AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    dy AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tx AS (SELECT CAST(COUNT(*) AS BIGINT) AS nx, CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(x * x) AS BIGINT) AS ssx FROM dx),
+    ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ny, CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y * y) AS BIGINT) AS ssy FROM dy),
+    lags AS (SELECT CAST(k - 7 AS BIGINT) AS lag FROM range(0, 15) r(k)),
+    pairs AS (
+      SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(a.x * b.y) AS BIGINT) AS p,
+             CAST(SUM(a.x) AS BIGINT) AS sa,
+             CAST(SUM(b.y) AS BIGINT) AS sb
+      FROM lags l CROSS JOIN dx a JOIN dy b ON b.d = a.d + l.lag
+      GROUP BY l.lag
+    ),
+    n AS (SELECT LEAST(nx, ny) AS n, sx, ssx, sy, ssy
+          FROM tx CROSS JOIN ty)
+    SELECT p.lag, p.c AS n_pairs,
+           ROUND(CAST(n.n * n.n * p.p - n.n * n.sy * p.sa
+                      - n.n * n.sx * p.sb + p.c * n.sx * n.sy AS DOUBLE) /
+                 SQRT(CAST(n.n * n.n * n.ssx - n.n * n.sx * n.sx AS DOUBLE) *
+                      CAST(n.n * n.n * n.ssy - n.n * n.sy * n.sy AS DOUBLE)),
+                 6) + 0 AS ccf
+    FROM pairs p CROSS JOIN n
+    """,
+)
+def events_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def daily(tp: str, col: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == tp)
+            .groupBy(
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+                .cast("long")
+                .alias("d")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    dx, dy = daily("view", "x"), daily("purchase", "y")
+    tx = dx.agg(
+        F.count(F.lit(1)).cast("long").alias("nx"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssx"),
+    )
+    ty = dy.agg(
+        F.count(F.lit(1)).cast("long").alias("ny"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssy"),
+    )
+    n = tx.crossJoin(ty).select(
+        F.least("nx", "ny").alias("n"), "sx", "ssx", "sy", "ssy"
+    )
+    lags = spark.range(0, 15).select((F.col("id") - 7).alias("lag"))
+    a = dx.select(F.col("d").alias("da"), "x")
+    b = dy.select(F.col("d").alias("db"), "y")
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("p"),
+            F.sum("x").cast("long").alias("sa"),
+            F.sum("y").cast("long").alias("sb"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("sy") * F.col("sa")
+        - F.col("n") * F.col("sx") * F.col("sb")
+        + F.col("c") * F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("n") * F.col("ssx") - F.col("n") * F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("n") * F.col("ssy") - F.col("n") * F.col("sy") * F.col("sy")).cast("double")
+    )
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "lag",
+        F.col("c").alias("n_pairs"),
+        F.round(num / den, 6).alias("ccf"),
+    )

@@ -170,6 +170,7 @@ EVENT_QUERIES = [
     # round 12b wave 9: feature-store materialization (one user-keyed
     # exchange, calendar RANGE frames)
     "pipeline_feature_store",
+    "events_ccf_lead_lag",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
