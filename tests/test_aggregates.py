@@ -424,3 +424,46 @@ def test_weighted_median_randomized_vs_bruteforce(spark):
             for r in QUERIES["agg_weighted_median"](spark, tmp).collect()
         }
     assert got == want
+
+
+def test_abc_distributed_prefix_sum_randomized_vs_naive(spark):
+    """Randomized equivalence: the global_rank + bucket-offset prefix
+    sum must classify exactly as the naive ordered running total, for
+    arbitrary revenue multisets including ties (tie-break partkey)."""
+    import os
+    import random
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rng = random.Random(31415)
+    for trial in range(2):
+        parts = {}
+        for pk in range(1, rng.randint(5, 120)):
+            parts[pk] = rng.randint(1, 40) * 5  # cents, many ties
+        # naive classification
+        tot = sum(parts.values())
+        cum = 0
+        want = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+        for pk, cents in sorted(parts.items(), key=lambda x: (-x[1], x[0])):
+            cum += cents
+            cls = "A" if cum * 100 <= tot * 80 else (
+                "B" if cum * 100 <= tot * 95 else "C")
+            want[cls][0] += 1
+            want[cls][1] += cents
+        want = {k: tuple(v) for k, v in want.items() if v[0]}
+        rows = [
+            (pk, pk, 1, 1, 1.0, cents / 100.0) for pk, cents in parts.items()
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows,
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, l_extendedprice double",
+            ).toPandas().to_parquet(os.path.join(tmp, "lineitem.parquet"))
+            got = {
+                r["abc_class"]: (r["n_parts"], r["revenue_cents"])
+                for r in QUERIES["orders_abc_analysis"](spark, tmp).collect()
+            }
+        assert got == want, f"trial {trial}"
