@@ -440,6 +440,7 @@ HEADLINE = [
     "profile_shuffle_skew",
     "pipeline_feature_store",
     "events_ccf_lead_lag",
+    "dedup_template_mask",
 ]
 
 

@@ -57,6 +57,7 @@ PRIORITY: list[str] = [
     "dedup_minhash_pairs",  # last green r-1
     "dedup_minhash_sig_verify",  # last green r-1
     "dedup_near_minhash",  # last green r-1
+    "dedup_template_mask",  # last green r-1
     "docs_boilerplate_lines",  # last green r-1
     "docs_domain_quality_gate",  # last green r-1
     "docs_dp_noisy_counts",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "q21_waiting_supplier",  # last green r5
     "q8_market_share",  # last green r5
     "quantile_bucket_global",  # last green r5
-    "rag_retrieve_context",  # last green r5
 ]
 
 

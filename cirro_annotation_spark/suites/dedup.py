@@ -1392,3 +1392,61 @@ def pipeline_entity_resolution_incremental(
         F.coalesce("component", "label").alias("entity_id"),
     )
     return _golden_records(docs, labeled)
+
+
+@query(
+    "dedup_template_mask",
+    # Template mining (the Drain / log-template shape) over the event
+    # stream: an event's rendered line (event_type + its JSON props)
+    # with every digit run masked to '#' is its TEMPLATE — the 10k raw
+    # events collapse to one template per event type while the raw
+    # fingerprints stay 100-way distinct, which is exactly the
+    # log-aggregation win (group the stream's infinite value noise
+    # into its finite message shapes). n_raw_distinct counts the raw
+    # variants each template unified; exemplar is the smallest
+    # event_id. Scale: one scan computes both fingerprints; the
+    # shuffle carries (masked_sha, raw_sha, event_id, user_id) — the
+    # rendered line never leaves its scan (the dedup_exact
+    # discipline).
+    oracle="""
+    WITH fp AS (
+      SELECT event_id, user_id,
+             sha256(REGEXP_REPLACE(REGEXP_REPLACE(
+                      LOWER(CONCAT_WS(' ', event_type, props)), '[0-9]+', '#', 'g'),
+                    '\\s+', ' ', 'g')) AS masked_sha,
+             sha256(REGEXP_REPLACE(LOWER(CONCAT_WS(' ', event_type, props)),
+                    '\\s+', ' ', 'g')) AS raw_sha
+      FROM events
+    )
+    SELECT masked_sha AS template_id,
+           CAST(COUNT(*) AS BIGINT) AS n_instances,
+           CAST(COUNT(DISTINCT raw_sha) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS exemplar_event_id
+    FROM fp GROUP BY masked_sha
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    line = F.lower(F.concat_ws(" ", F.col("event_type"), F.col("props")))
+    masked = F.regexp_replace(
+        F.regexp_replace(line, "[0-9]+", "#"), r"\s+", " "
+    )
+    raw = F.regexp_replace(line, r"\s+", " ")
+    fp = ev.select(
+        "event_id",
+        "user_id",
+        F.sha2(masked, 256).alias("masked_sha"),
+        F.sha2(raw, 256).alias("raw_sha"),
+    )
+    return (
+        fp.groupBy(F.col("masked_sha").alias("template_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_instances"),
+            F.countDistinct("raw_sha").cast("long").alias("n_raw_distinct"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("event_id").cast("long").alias("exemplar_event_id"),
+        )
+        .filter(F.col("n_instances") >= 2)
+    )

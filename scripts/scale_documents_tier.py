@@ -157,6 +157,8 @@ DOC_QUERIES += [
     # round 12b wave 6: seeded DP release (grouped count + per-group
     # constant arithmetic)
     "docs_dp_noisy_counts",
+    # round 12b wave 11: template mining (fingerprint-grain shuffle)
+    "dedup_template_mask",
 ]
 
 EMB_EXTRA = [
