@@ -441,6 +441,7 @@ HEADLINE = [
     "pipeline_feature_store",
     "events_ccf_lead_lag",
     "dedup_template_mask",
+    "events_anova_hour_of_day",
 ]
 
 

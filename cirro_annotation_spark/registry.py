@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "docs_k_anonymity",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
     "events_acf_ljung_box",  # last green r-1
+    "events_anova_hour_of_day",  # last green r-1
     "events_attribution_linear",  # last green r-1
     "events_ccf_lead_lag",  # last green r-1
     "events_changepoint_binseg",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "q1_pricing_summary",  # last green r5
     "q21_waiting_supplier",  # last green r5
     "q8_market_share",  # last green r5
-    "quantile_bucket_global",  # last green r5
 ]
 
 

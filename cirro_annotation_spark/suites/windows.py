@@ -4724,3 +4724,90 @@ def events_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_pairs"),
         F.round(num / den, 6).alias("ccf"),
     )
+
+
+@query(
+    "events_anova_hour_of_day",
+    # One-way ANOVA: does hour-of-day explain event volume? F-statistic
+    # over the COMPLETE (hour x day) grid of counts (missing cells are
+    # real zeros, generated by a cross join — dropping them would bias
+    # every mean). The complete grid gives every hour the same n, which
+    # is what makes the statistic EXACT: with A = sum_h(k*S_h - S)^2
+    # and B = N*sum(y^2) - S^2 (both integers), F = A*(N-k) /
+    # ((k-1)*(B*k - A)) — a single division of exact integers (the
+    # between/within decomposition's denominators cancel on the common
+    # grid). Headroom: A*(N-k) ~ 1.7e18 at the 100x tier — inside
+    # int64; past that the moments need DECIMAL (assortativity
+    # precedent). Scale: the stream collapses to the 24 x n_days cell
+    # grid before any window; the grid cross join is 24 x calendar.
+    oracle="""
+    WITH hours AS (SELECT CAST(h AS BIGINT) AS hour FROM range(0, 24) t(h)),
+    days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    cells AS (
+      SELECT g.hour, g.day, COALESCE(c.y, 0) AS y
+      FROM (SELECT hour, day FROM hours CROSS JOIN days) g
+      LEFT JOIN (
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+      ) c ON c.hour = g.hour AND c.day = g.day
+    ),
+    per_hour AS (
+      SELECT hour, CAST(SUM(y) AS BIGINT) AS sh FROM cells GROUP BY hour
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM cells
+    ),
+    parts AS (
+      SELECT CAST(SUM((24 * p.sh - t.s) * (24 * p.sh - t.s)) AS BIGINT) AS a,
+             MAX(t.nn) AS nn, MAX(t.s) AS s, MAX(t.ss) AS ss
+      FROM per_hour p CROSS JOIN tot t
+    )
+    SELECT CAST(24 AS BIGINT) AS k, nn // 24 AS n_days, nn AS n_cells,
+           ROUND(CAST(a * (nn - 24) AS DOUBLE) /
+                 CAST(23 * ((nn * ss - s * s) * 24 - a) AS DOUBLE), 6) + 0
+             AS f_stat
+    FROM parts
+    """,
+)
+def events_anova_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hours = spark.range(0, 24).select(F.col("id").alias("hour"))
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    counts = ev.groupBy(
+        F.hour("ts").cast("long").alias("hour"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    grid = hours.crossJoin(days)
+    cells = grid.join(counts, ["hour", "day"], "left").select(
+        "hour", "day", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    per_hour = cells.groupBy("hour").agg(F.sum("y").cast("long").alias("sh"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    parts = per_hour.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (24 * F.col("sh") - F.col("s")) * (24 * F.col("sh") - F.col("s"))
+        )
+        .cast("long")
+        .alias("a"),
+        F.max("nn").alias("nn"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+    )
+    f = (F.col("a") * (F.col("nn") - 24)).cast("double") / (
+        23 * ((F.col("nn") * F.col("ss") - F.col("s") * F.col("s")) * 24 - F.col("a"))
+    ).cast("double")
+    return parts.select(
+        F.lit(24).cast("long").alias("k"),
+        (F.col("nn") / 24).cast("long").alias("n_days"),
+        F.col("nn").alias("n_cells"),
+        F.round(f, 6).alias("f_stat"),
+    )

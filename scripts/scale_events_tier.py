@@ -171,6 +171,8 @@ EVENT_QUERIES = [
     # exchange, calendar RANGE frames)
     "pipeline_feature_store",
     "events_ccf_lead_lag",
+    "dedup_template_mask",
+    "events_anova_hour_of_day",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
