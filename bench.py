@@ -442,6 +442,7 @@ HEADLINE = [
     "events_ccf_lead_lag",
     "dedup_template_mask",
     "events_anova_hour_of_day",
+    "events_benford_first_digit",
 ]
 
 

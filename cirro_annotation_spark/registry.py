@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "events_acf_ljung_box",  # last green r-1
     "events_anova_hour_of_day",  # last green r-1
     "events_attribution_linear",  # last green r-1
+    "events_benford_first_digit",  # last green r-1
     "events_ccf_lead_lag",  # last green r-1
     "events_changepoint_binseg",  # last green r-1
     "events_hll_daily_dau",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "pivot_widen",  # last green r5
     "q1_pricing_summary",  # last green r5
     "q21_waiting_supplier",  # last green r5
-    "q8_market_share",  # last green r5
 ]
 
 

@@ -4811,3 +4811,82 @@ def events_anova_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_cells"),
         F.round(f, 6).alias("f_stat"),
     )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed ONCE as pinned
+# literals (they are mathematical constants — embedding them keeps the
+# query free of any engine log10 ulp question).
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@query(
+    "events_benford_first_digit",
+    # Benford's-law first-digit audit of the value column — the
+    # forensic-analytics screen (fabricated or unit-mixed numbers drift
+    # from the log distribution). First digit extracted STRUCTURALLY
+    # (cents -> string -> first char: no float log anywhere); observed
+    # shares in exact ppm by integer division; the expected Benford
+    # shares are pinned integer literals (mathematical constants), so
+    # the whole report is integer arithmetic end to end. Zero/negative
+    # cents are excluded on both engines (Benford applies to positive
+    # magnitudes). Scale: one scan-local digit extraction, then a
+    # 9-cell aggregate.
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events
+      WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0
+    ),
+    expected(d, benford_ppm) AS (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())}),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+      FROM digits GROUP BY d
+    )
+    SELECT e.d AS first_digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           COALESCE(o.n_obs, 0) * 1000000 // MAX(o.n_total) OVER ()
+             AS share_ppm,
+           CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+           ABS(COALESCE(o.n_obs, 0) * 1000000 // MAX(o.n_total) OVER ()
+               - e.benford_ppm) AS gap_ppm
+    FROM expected e LEFT JOIN obs o ON o.d = e.d
+    """,
+)
+def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digits = (
+        t(spark, sf_dir, "events")
+        .select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d"))
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()],
+        "first_digit long, benford_ppm long",
+    )
+    joined = (
+        expected.join(obs, expected.first_digit == obs.d, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            "benford_ppm",
+            "n_total",
+        )
+    )
+    share = F.expr("n_obs * 1000000L div n_total")
+    return joined.select(
+        "first_digit",
+        "n_obs",
+        share.cast("long").alias("share_ppm"),
+        "benford_ppm",
+        F.abs(share - F.col("benford_ppm")).cast("long").alias("gap_ppm"),
+    )

@@ -173,6 +173,7 @@ EVENT_QUERIES = [
     "events_ccf_lead_lag",
     "dedup_template_mask",
     "events_anova_hour_of_day",
+    "events_benford_first_digit",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
