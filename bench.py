@@ -443,6 +443,7 @@ HEADLINE = [
     "dedup_template_mask",
     "events_anova_hour_of_day",
     "events_benford_first_digit",
+    "orders_duplicate_payments",
 ]
 
 

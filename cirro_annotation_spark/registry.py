@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "graph_lp_modularity",  # last green r-1
     "layout_zorder_stats",  # last green r-1
     "orders_abc_analysis",  # last green r-1
+    "orders_duplicate_payments",  # last green r-1
     "pipeline_feature_store",  # last green r-1
     "pipeline_pack_ffd",  # last green r-1
     "profile_shuffle_skew",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "pipeline_training_data",  # last green r5
     "pivot_widen",  # last green r5
     "q1_pricing_summary",  # last green r5
-    "q21_waiting_supplier",  # last green r5
 ]
 
 

@@ -3504,3 +3504,67 @@ def profile_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", "l_suppkey"))
         .unionByName(one("events", "user_id"))
     )
+
+
+@query(
+    "orders_duplicate_payments",
+    # Duplicate-payment audit (the AP forensic screen beside the
+    # Benford digit test): pairs of orders by the SAME customer with
+    # suspiciously similar amounts (within $5,000) placed within 30
+    # days — the double-invoice / split-invoice candidate list an
+    # auditor reviews. Exact integers throughout (cents, epoch days,
+    # absolute gaps); canonical pair order (orderkey_a < orderkey_b).
+    # Scale: equi-join on custkey bounds the fan-out to each
+    # customer's own order count (the interval-join discipline) — the
+    # band predicates prune inside the key group, never a cross join.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_idx
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           ABS(a.cents - b.cents) AS amount_gap_cents,
+           ABS(a.day_idx - b.day_idx) AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND ABS(a.cents - b.cents) <= 500000
+     AND ABS(a.day_idx - b.day_idx) <= 30
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(F.col("a.cents") - F.col("b.cents")) <= 500000)
+            & (F.abs(F.col("a.day_idx") - F.col("b.day_idx")) <= 30),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias(
+                "amount_gap_cents"
+            ),
+            F.abs(F.col("a.day_idx") - F.col("b.day_idx")).alias("day_gap"),
+        )
+    )

@@ -58,6 +58,9 @@ QUERIES = [
     "orders_abc_analysis",
     # round 12b wave 8: shuffle-skew diagnostics (64-cell per-key frames)
     "profile_shuffle_skew",
+    # round 12b wave 14: duplicate-payment audit (custkey-bounded pairs;
+    # tier replication PLANTS true duplicates the audit must find)
+    "orders_duplicate_payments",
 ]
 
 
