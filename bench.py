@@ -444,6 +444,7 @@ HEADLINE = [
     "events_anova_hour_of_day",
     "events_benford_first_digit",
     "orders_duplicate_payments",
+    "sample_systematic_every_k",
 ]
 
 

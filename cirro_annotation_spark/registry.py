@@ -83,6 +83,7 @@ PRIORITY: list[str] = [
     "pipeline_pack_ffd",  # last green r-1
     "profile_shuffle_skew",  # last green r-1
     "sample_es_reservoir",  # last green r-1
+    "sample_systematic_every_k",  # last green r-1
     "sim_silhouette_ivf",  # last green r-1
     "sort_skyline_pareto",  # last green r-1
     "stream_bitmap_distinct_stream",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "pipeline_pack_sequences",  # last green r5
     "pipeline_training_data",  # last green r5
     "pivot_widen",  # last green r5
-    "q1_pricing_summary",  # last green r5
 ]
 
 

@@ -3568,3 +3568,33 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("a.day_idx") - F.col("b.day_idx")).alias("day_gap"),
         )
     )
+
+
+@query(
+    "sample_systematic_every_k",
+    # Systematic sampling (the survey-methods member of the sampling
+    # family beside hash-Bernoulli, stratified, weighted, reservoir):
+    # order the frame by a stable key and take every 50th row starting
+    # at a fixed offset — equal-probability, deterministic,
+    # order-structured (catches periodicity hash sampling hides). The
+    # rank comes from operators.dedup.global_rank (range-partitioned
+    # two-pass — no single-partition window), so the selection is the
+    # textbook rank % k == offset on exact integers.
+    oracle="""
+    SELECT o_orderkey, o_custkey, rnk FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS BIGINT)
+               AS rnk
+      FROM orders
+    ) ranked
+    WHERE rnk % 50 = 7
+    """,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cirro_annotation_spark.operators.dedup import global_rank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ranked = global_rank(o, ["o_orderkey"])
+    return ranked.filter(F.col("rnk") % 50 == 7).select(
+        "o_orderkey", "o_custkey", "rnk"
+    )

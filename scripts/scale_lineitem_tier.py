@@ -61,6 +61,7 @@ QUERIES = [
     # round 12b wave 14: duplicate-payment audit (custkey-bounded pairs;
     # tier replication PLANTS true duplicates the audit must find)
     "orders_duplicate_payments",
+    "sample_systematic_every_k",
 ]
 
 
