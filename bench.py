@@ -445,6 +445,8 @@ HEADLINE = [
     "events_benford_first_digit",
     "orders_duplicate_payments",
     "sample_systematic_every_k",
+    "agg_iqr_outlier_fences",
+    "events_runs_test",
 ]
 
 

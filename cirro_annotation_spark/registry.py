@@ -51,6 +51,7 @@ PRIORITY: list[str] = [
     "agg_bitmap_distinct",  # last green r-1
     "agg_hll_md5_estimate",  # last green r-1
     "agg_hll_md5_registers",  # last green r-1
+    "agg_iqr_outlier_fences",  # last green r-1
     "agg_kmv_distinct",  # last green r-1
     "agg_mode_per_group",  # last green r-1
     "agg_weighted_median",  # last green r-1
@@ -73,6 +74,7 @@ PRIORITY: list[str] = [
     "events_hll_rolling_wau",  # last green r-1
     "events_hll_segment_overlap",  # last green r-1
     "events_max_drawdown",  # last green r-1
+    "events_runs_test",  # last green r-1
     "events_user_streaks",  # last green r-1
     "graph_degree_assortativity",  # last green r-1
     "graph_lp_modularity",  # last green r-1
@@ -96,8 +98,6 @@ PRIORITY: list[str] = [
     "join_range_band",  # last green r5
     "join_salted_skew",  # last green r5
     "pipeline_pack_sequences",  # last green r5
-    "pipeline_training_data",  # last green r5
-    "pivot_widen",  # last green r5
 ]
 
 

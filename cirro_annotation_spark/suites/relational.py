@@ -3598,3 +3598,96 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") % 50 == 7).select(
         "o_orderkey", "o_custkey", "rnk"
     )
+
+
+@query(
+    "agg_iqr_outlier_fences",
+    # Tukey box-plot fences per market segment — the IQR member of the
+    # robust-outlier family (events has MAD and z-score; this is the
+    # quartile rule finance dashboards draw): Q1/Q3 as EXACT order
+    # statistics (the value at rank ceil(p*n) — the portable type-1
+    # definition spelled identically on both engines, no interpolation,
+    # no engine quantile-flavor question), fences at Q1-1.5*IQR /
+    # Q3+1.5*IQR in cents arithmetic (3*IQR/2 stays integral via the
+    # *2 trick: fences carried as 2x-cents), and the outlier counts
+    # outside them. Scale: per-segment rank via one keyed window over
+    # the value-grain frame; everything after is per-segment constant.
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                   ORDER BY cents ASC) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM v
+    ),
+    q AS (
+      SELECT segment, MAX(n) AS n,
+             CAST(MIN(CASE WHEN 4 * rn >= n THEN cents END) AS BIGINT) AS q1,
+             CAST(MIN(CASE WHEN 4 * rn >= 3 * n THEN cents END) AS BIGINT)
+               AS q3
+      FROM ranked GROUP BY segment
+    ),
+    f AS (
+      SELECT segment, n, q1, q3,
+             2 * q1 - 3 * (q3 - q1) AS lo2,   -- 2x-cents fences
+             2 * q3 + 3 * (q3 - q1) AS hi2
+      FROM q
+    )
+    SELECT f.segment, f.n, f.q1 AS q1_cents, f.q3 AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * v.cents < f.lo2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN 2 * v.cents > f.hi2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_outliers
+    FROM f JOIN v ON v.segment = f.segment
+    GROUP BY f.segment, f.n, f.q1, f.q3
+    """,
+)
+def agg_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("cents").asc())
+    ranked = v.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment"))
+        .cast("long")
+        .alias("n"),
+    )
+    q = ranked.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(4 * F.col("rn") >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(4 * F.col("rn") >= 3 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("q3"),
+    )
+    f = q.select(
+        "segment",
+        "n",
+        "q1",
+        "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    return (
+        v.join(F.broadcast(f), "segment")
+        .groupBy("segment", "n", F.col("q1").alias("q1_cents"),
+                 F.col("q3").alias("q3_cents"))
+        .agg(
+            F.sum((2 * F.col("cents") < F.col("lo2")).cast("long"))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum((2 * F.col("cents") > F.col("hi2")).cast("long"))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+    )

@@ -4890,3 +4890,90 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benford_ppm",
         F.abs(share - F.col("benford_ppm")).cast("long").alias("gap_ppm"),
     )
+
+
+@query(
+    "events_runs_test",
+    # Wald–Wolfowitz runs test on the daily-count series: are the
+    # day-over-day up/down moves random, or is there momentum /
+    # mean-reversion? Count sign runs among the non-zero deltas
+    # (a run starts where the sign differs from the previous sign),
+    # then z = (R - mu) / sigma with mu = 2*n_up*n_down/n + 1 and
+    # sigma² = (mu-1)(mu-2)/(n-1). EXACT interior: signs, run starts,
+    # and counts are integers off one ordered window; mu and sigma
+    # are evaluated as the identical rational expression both engines
+    # (single divisions of exact integers), z rounded at 6. Ties
+    # (delta = 0) are dropped — the standard treatment — identically
+    # on both sides. Scale: day-grain collapse before the one window.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    delta AS (
+      SELECT day, y - LAG(y) OVER (ORDER BY day ASC) AS d
+      FROM daily
+    ),
+    signs AS (
+      SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+      FROM delta WHERE d IS NOT NULL AND d <> 0
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN s = LAG(s) OVER (ORDER BY day ASC)
+                  THEN 0 ELSE 1 END AS run_start
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(run_start) AS BIGINT) AS n_runs
+      FROM runs
+    )
+    SELECT n_up, n_down, n_runs,
+           ROUND((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1)) /
+                 SQRT((2.0 * n_up * n_down / (n_up + n_down) + 1 - 1) *
+                      (2.0 * n_up * n_down / (n_up + n_down) + 1 - 2) /
+                      (n_up + n_down - 1)), 6) + 0 AS z_score
+    FROM agg
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy(F.col("day").asc())
+    delta = daily.select(
+        "day", (F.col("y") - F.lag("y").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
+    signs = delta.select(
+        "day", F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
+    )
+    runs = signs.select(
+        "s",
+        F.when(F.col("s") == F.lag("s").over(w), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("run_start"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum("run_start").cast("long").alias("n_runs"),
+    )
+    mu = 2.0 * F.col("n_up") * F.col("n_down") / (F.col("n_up") + F.col("n_down")) + 1
+    sigma = F.sqrt(
+        (mu - 1) * (mu - 2) / (F.col("n_up") + F.col("n_down") - 1)
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round((F.col("n_runs") - mu) / sigma, 6).alias("z_score"),
+    )

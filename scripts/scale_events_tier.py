@@ -174,6 +174,7 @@ EVENT_QUERIES = [
     "dedup_template_mask",
     "events_anova_hour_of_day",
     "events_benford_first_digit",
+    "events_runs_test",
     # stream_static_enrich is NOT run via its scored form here: its
     # output is 1:1 with the input (10M rows at 100×) and the scored
     # harness drains to a MEMORY sink, which materializes the whole
