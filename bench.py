@@ -447,6 +447,7 @@ HEADLINE = [
     "sample_systematic_every_k",
     "agg_iqr_outlier_fences",
     "events_runs_test",
+    "docs_source_vocab_overlap",
 ]
 
 

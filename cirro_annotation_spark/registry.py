@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "docs_domain_quality_gate",  # last green r-1
     "docs_dp_noisy_counts",  # last green r-1
     "docs_k_anonymity",  # last green r-1
+    "docs_source_vocab_overlap",  # last green r-1
     "embeddings_power_iteration",  # last green r-1
     "events_acf_ljung_box",  # last green r-1
     "events_anova_hour_of_day",  # last green r-1
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "join_multiway",  # last green r5
     "join_range_band",  # last green r5
     "join_salted_skew",  # last green r5
-    "pipeline_pack_sequences",  # last green r5
 ]
 
 

@@ -5137,3 +5137,77 @@ def docs_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_count_micro"),
     )
+
+
+@query(
+    "docs_source_vocab_overlap",
+    # Source-level vocabulary overlap — the corpus-comparison
+    # diagnostic behind source selection (two feeds with ~identical
+    # vocabularies are redundant; a source with low overlap against
+    # every other is either a new domain or garbage): exact Jaccard of
+    # the distinct-token vocabularies for every source PAIR, in ppm by
+    # integer division (|A∩B| via a self-join of the (source, token)
+    # vocab frame, |A∪B| = |A|+|B|−|A∩B|). Scale: the vocab frame is
+    # tokens × sources AFTER distinct (vocabulary-grain, not
+    # corpus-grain); the pair join is keyed on token — the classic
+    # inverted-index co-occurrence shape, never a cross join of
+    # corpora.
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, LOWER(tok) AS token
+      FROM (SELECT source,
+                   UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents) raw
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS both
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.both AS n_shared,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           i.both * 1000000 // (sa.v + sb.v - i.both) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(X.tokens("text")).alias("tok"))
+        .select("source", F.lower(F.col("tok")).alias("token"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), F.col("token").alias("tb"))
+    inter = (
+        a.join(b, (F.col("token") == F.col("tb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "n_shared * 1000000L div (vocab_a + vocab_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

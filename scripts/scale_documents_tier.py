@@ -159,6 +159,7 @@ DOC_QUERIES += [
     "docs_dp_noisy_counts",
     # round 12b wave 11: template mining (fingerprint-grain shuffle)
     "dedup_template_mask",
+    "docs_source_vocab_overlap",
 ]
 
 EMB_EXTRA = [
