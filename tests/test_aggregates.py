@@ -467,3 +467,28 @@ def test_abc_distributed_prefix_sum_randomized_vs_naive(spark):
                 for r in QUERIES["orders_abc_analysis"](spark, tmp).collect()
             }
         assert got == want, f"trial {trial}"
+
+
+def test_iqr_fences_planted_outlier(spark):
+    """9 balances 100..900 plus one 100000-cent outlier: Q1/Q3 are the
+    exact type-1 order statistics and exactly one high outlier falls
+    outside the Tukey fence."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    vals = [float(v) for v in range(1, 10)] + [1000.0]  # dollars
+    rows = [(i, f"c{i}", 1, v, "SEG") for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal double, c_mktsegment string"
+        ).toPandas().to_parquet(os.path.join(tmp, "customer.parquet"))
+        out = QUERIES["agg_iqr_outlier_fences"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    # n=10: q1 at rank ceil(10/4)=3 -> 300 cents; q3 at rank ceil(30/4)=8 -> 800
+    assert r["q1_cents"] == 300 and r["q3_cents"] == 800
+    assert r["n_low_outliers"] == 0 and r["n_high_outliers"] == 1

@@ -908,3 +908,30 @@ def test_zipf_slope_negative_on_powerlaw(spark):
     assert len(out) == 1
     assert out[0]["n_terms"] == 7
     assert out[0]["slope"] < -1.0
+
+
+def test_vocab_overlap_identical_and_disjoint(spark):
+    """Two sources with identical vocabularies score exactly 1e6 ppm;
+    a disjoint third source scores 0 against both."""
+    import os
+    import tempfile
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 17),
+        (2, "gamma beta alpha alpha", "en", "s2", 22),
+        (3, "delta epsilon", "en", "s3", 13),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            (r["source_a"], r["source_b"]): r["jaccard_ppm"]
+            for r in QUERIES["docs_source_vocab_overlap"](spark, tmp).collect()
+        }
+    assert out[("s1", "s2")] == 1_000_000
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out  # inner join: 0 shared drops

@@ -807,3 +807,30 @@ def test_linear_attribution_equal_shares(spark):
         }
     share = 1_000_000 // 3
     assert out == {"click": (2, 1, 2 * share), "view": (1, 1, share)}
+
+
+def test_runs_test_alternating_is_positive(spark):
+    """A perfectly alternating daily series has the maximum number of
+    runs -> strongly positive z (more runs than chance)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+
+    load_all_suites()
+    rows, eid = [], 0
+    for d in range(1, 22):
+        for _ in range(1 if d % 2 else 5):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, d, 9, 0), 1, "v", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+        out = QUERIES["events_runs_test"](spark, tmp).collect()
+    r = out[0]
+    assert r["n_runs"] == r["n_up"] + r["n_down"]  # every delta flips sign
+    assert r["z_score"] > 2.0
