@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "agg_bitmap_distinct",  # last green r-1
-    "agg_hll_md5_estimate",  # last green r-1
-    "agg_hll_md5_registers",  # last green r-1
-    "agg_iqr_outlier_fences",  # last green r-1
-    "agg_kmv_distinct",  # last green r-1
-    "agg_mode_per_group",  # last green r-1
-    "agg_weighted_median",  # last green r-1
-    "dedup_minhash_pairs",  # last green r-1
-    "dedup_minhash_sig_verify",  # last green r-1
-    "dedup_near_minhash",  # last green r-1
-    "dedup_template_mask",  # last green r-1
-    "docs_boilerplate_lines",  # last green r-1
-    "docs_domain_quality_gate",  # last green r-1
-    "docs_dp_noisy_counts",  # last green r-1
-    "docs_k_anonymity",  # last green r-1
-    "docs_source_vocab_overlap",  # last green r-1
-    "embeddings_power_iteration",  # last green r-1
-    "events_acf_ljung_box",  # last green r-1
-    "events_anova_hour_of_day",  # last green r-1
-    "events_attribution_linear",  # last green r-1
-    "events_benford_first_digit",  # last green r-1
-    "events_ccf_lead_lag",  # last green r-1
-    "events_changepoint_binseg",  # last green r-1
-    "events_hll_daily_dau",  # last green r-1
-    "events_hll_rolling_wau",  # last green r-1
-    "events_hll_segment_overlap",  # last green r-1
-    "events_max_drawdown",  # last green r-1
-    "events_runs_test",  # last green r-1
-    "events_user_streaks",  # last green r-1
-    "graph_degree_assortativity",  # last green r-1
-    "graph_lp_modularity",  # last green r-1
-    "layout_zorder_stats",  # last green r-1
-    "orders_abc_analysis",  # last green r-1
-    "orders_duplicate_payments",  # last green r-1
-    "pipeline_feature_store",  # last green r-1
-    "pipeline_pack_ffd",  # last green r-1
-    "profile_shuffle_skew",  # last green r-1
-    "sample_es_reservoir",  # last green r-1
-    "sample_systematic_every_k",  # last green r-1
-    "sim_silhouette_ivf",  # last green r-1
-    "sort_skyline_pareto",  # last green r-1
-    "stream_bitmap_distinct_stream",  # last green r-1
-    "stream_hll_registers_stream",  # last green r-1
-    "text_langid_kappa",  # last green r-1
-    "text_langid_reliability",  # last green r-1
-    "text_rouge_pairs",  # last green r-1
-    "text_zipf_slope",  # last green r-1
-    "join_multiway",  # last green r5
-    "join_range_band",  # last green r5
-    "join_salted_skew",  # last green r5
+    "pipeline_pack_sequences",  # last green r5
+    "pipeline_training_data",  # last green r5
+    "pivot_widen",  # last green r5
+    "q1_pricing_summary",  # last green r5
+    "q21_waiting_supplier",  # last green r5
+    "q8_market_share",  # last green r5
+    "quantile_bucket_global",  # last green r5
+    "rag_retrieve_context",  # last green r5
+    "scalar_from_json_struct",  # last green r5
+    "sessionize_gap",  # last green r5
+    "sim_centroid_per_label",  # last green r5
+    "sim_topk_cosine",  # last green r5
+    "sim_topk_ivf",  # last green r5
+    "stream_dedup_watermark",  # last green r5
+    "stream_join_stream",  # last green r5
+    "stream_session_window",  # last green r5
+    "stream_sliding_batch",  # last green r5
+    "stream_sliding_stream",  # last green r5
+    "stream_stateful_counts",  # last green r5
+    "stream_tumbling_batch",  # last green r5
+    "stream_tumbling_stream",  # last green r5
+    "text_langid",  # last green r5
+    "text_tfidf_top",  # last green r5
+    "text_token_stats",  # last green r5
+    "window_funnel_stages",  # last green r5
+    "window_rank_topk_per_group",  # last green r5
+    "window_running_sum",  # last green r5
+    "window_time_range_sum",  # last green r5
+    "window_zscore_anomaly",  # last green r5
+    "agg_percentiles_exact",  # last green r6
+    "agg_quarter_over_quarter",  # last green r6
+    "agg_stats_moments",  # last green r6
+    "corpus_health_report",  # last green r6
+    "docs_pii_scan",  # last green r6
+    "docs_repetition_ratio",  # last green r6
+    "events_rollup_multigrain",  # last green r6
+    "events_value_histogram",  # last green r6
+    "pipeline_embedding_centroids",  # last green r6
+    "q10_returned_items",  # last green r6
+    "q11_important_stock",  # last green r6
+    "q12_priority_by_returnflag",  # last green r6
+    "q13_customer_distribution",  # last green r6
+    "q14_promo_effect",  # last green r6
+    "q15_top_supplier",  # last green r6
+    "q16_part_supplier_variety",  # last green r6
+    "q17_small_quantity_revenue",  # last green r6
+    "q18_large_volume_customer",  # last green r6
+    "q19_disjunctive_revenue",  # last green r6
+    "q20_excess_suppliers",  # last green r6
+    "q22_dormant_high_balance",  # last green r6
 ]
 
 
