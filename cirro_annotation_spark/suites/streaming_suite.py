@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from cirro_annotation_spark.registry import query
 from cirro_annotation_spark.streaming import events as STRM
 from cirro_annotation_spark.suites.util import t
-from cirro_annotation_spark.suites.relational import _HLL_REG_ORACLE
+from cirro_annotation_spark.suites.relational import (
+    _BITMAP_CELLS_ORACLE,
+    _HLL_REG_ORACLE,
+)
 from cirro_annotation_spark.suites.windows import _EWMA_DAILY_ORACLE
 
 _TUMBLING_ORACLE = """
@@ -811,9 +814,7 @@ def stream_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so complete-mode aggregation is the production shape — exactly
     # the stream_hll_registers_stream pattern with exactness instead
     # of approximation). Shares the batch cell oracle verbatim.
-    oracle=__import__(
-        "cirro_annotation_spark.suites.relational", fromlist=["x"]
-    )._BITMAP_CELLS_ORACLE,
+    oracle=_BITMAP_CELLS_ORACLE,
 )
 def stream_bitmap_distinct_stream(
     spark: SparkSession, sf_dir: str

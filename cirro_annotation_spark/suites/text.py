@@ -5018,8 +5018,12 @@ def text_langid_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact (count + deterministic (tf desc, token) rank); the ln sums
     # are floats at ROUND 6 — the docs_token_entropy precedent (sum
     # order ulps are ~1e-15 relative, invisible at 6 decimals).
-    # Scale: term counting is the map-side-combined aggregate; the OLS
-    # runs on a 100-row frame.
+    # Scale: term counting is the map-side-combined aggregate; top-100
+    # selection is orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no vocabulary-wide single-partition sort), and only the
+    # 100-row survivor frame sees a window for rank assignment
+    # (ADVICE r12: the previous shape ranked the full vocabulary
+    # through one unpartitioned row_number window).
     oracle="""
     WITH tf AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
@@ -5054,10 +5058,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    top100 = tf.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(100)
     w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
     ranked = (
-        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 100)
+        top100.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select(
             F.log(F.col("rnk").cast("double")).alias("x"),
             F.log(F.col("tf").cast("double")).alias("y"),

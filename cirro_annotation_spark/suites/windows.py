@@ -4322,8 +4322,12 @@ def events_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round; recursing on the winner's halves is the full algorithm).
     # Scale: the stream collapses to one row per day before any
     # window; the scan is O(n_days) on a driver-irrelevant frame.
-    # Int64 headroom: L,S <= total events; L^2*n overflows past
-    # ~3e8 events/day-sum — the daily grain keeps that 10^10 away.
+    # The moment products L^2*(n-t) run in DECIMAL(38,0) on Spark /
+    # HUGEINT in DuckDB (the assortativity precedent, ADVICE r12):
+    # past ~3e8 total events int64 would wrap silently on Spark while
+    # DuckDB raises — exact wide-integer arithmetic keeps the gains
+    # correct at any tier, and the final cast to double rounds the
+    # same exact integer on both engines.
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
@@ -4342,9 +4346,11 @@ def events_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains AS (
       SELECT day, t AS n_left, n - t AS n_right,
              l1 AS sum_left, s - l1 AS sum_right,
-             CAST(l1 * l1 * (n - t) + (s - l1) * (s - l1) * t AS DOUBLE)
+             CAST(CAST(l1 AS HUGEINT) * l1 * (n - t)
+                  + CAST(s - l1 AS HUGEINT) * (s - l1) * t AS DOUBLE)
                / CAST(t * (n - t) AS DOUBLE)
-               - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+               - CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS gain
       FROM idx WHERE t < n
     )
     SELECT day AS split_day, n_left, n_right, sum_left, sum_right,
@@ -4378,11 +4384,16 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").over(w_cum).cast("long").alias("l1"),
     ).crossJoin(F.broadcast(tot))
     l2 = F.col("s") - F.col("l1")
+    dec = "decimal(38,0)"
     gain = (
-        (F.col("l1") * F.col("l1") * (F.col("n") - F.col("t")) + l2 * l2 * F.col("t"))
-        .cast("double")
+        (
+            F.col("l1").cast(dec) * F.col("l1").cast(dec)
+            * (F.col("n") - F.col("t")).cast(dec)
+            + l2.cast(dec) * l2.cast(dec) * F.col("t").cast(dec)
+        ).cast("double")
         / (F.col("t") * (F.col("n") - F.col("t"))).cast("double")
-        - (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+        - (F.col("s").cast(dec) * F.col("s").cast(dec)).cast("double")
+        / F.col("n").cast("double")
     )
     gains = idx.filter(F.col("t") < F.col("n")).select(
         "day",
