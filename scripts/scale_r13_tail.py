@@ -1,0 +1,204 @@
+"""Tier evidence for the round-12b tail (VERDICT r12 items 3 & 6).
+
+The eight queries that landed in the final r12b wave have COVERAGE
+and PLANS rows but no SCALE.md tier rows — this runner produces them
+without re-timing the ~100 queries the per-family tier scripts cover
+(that evidence already exists). It reuses the family builders
+verbatim, times ONLY the tail queries, and prints the
+check_correctness command that gates each batch at the tier.
+
+Tiers:
+  events 100x (10M rows)     events_runs_test, events_benford_first_digit,
+                             events_anova_hour_of_day, dedup_template_mask,
+                             events_ccf_lead_lag
+  lineitem 100x (15M orders) orders_duplicate_payments,
+                             sample_systematic_every_k
+  documents 100x (50k docs)  docs_source_vocab_overlap
+  customer 100x (15M rows)   agg_iqr_outlier_fences  (custom build here:
+                             customer replicated with shifted custkey —
+                             the only table the query reads)
+
+Plus the VERDICT item-6 skew proof: a /tmp/sf_hotcust dir cloned from
+the lineitem tier whose orders table plants ONE customer with 10,000
+orders (spread across 2,400 days and a $240k amount range so the
+30-day/$5k bands keep output pairs sparse while the custkey equi-join
+still evaluates the full 1e8 within-key combination space — the
+worst-case hot key the PLANS.md fan-out-bound argument must survive).
+
+Usage: python scripts/scale_r13_tail.py [events|lineitem|docs|customer|hotcust ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+TAIL = {
+    "events": (
+        "scale_events_tier",
+        100,
+        [
+            "events_runs_test",
+            "events_benford_first_digit",
+            "events_anova_hour_of_day",
+            "dedup_template_mask",
+            "events_ccf_lead_lag",
+        ],
+    ),
+    "lineitem": (
+        "scale_lineitem_tier",
+        100,
+        ["orders_duplicate_payments", "sample_systematic_every_k"],
+    ),
+    "docs": (
+        "scale_documents_tier",
+        100,
+        ["docs_source_vocab_overlap"],
+    ),
+}
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_customer(n_copies: int) -> str:
+    out_dir = f"/tmp/sf_customer{n_copies}x"
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    copies = []
+    for i in range(n_copies):
+        t = src
+        if i:
+            t = t.set_column(
+                t.schema.get_field_index("c_custkey"), "c_custkey",
+                pc.add(t["c_custkey"], i * 10_000_000),
+            )
+        copies.append(t)
+    big = pa.concat_tables(copies)
+    pq.write_table(big, f"{out_dir}/customer.parquet", row_group_size=65536)
+    for name in ALL_TABLES:
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"customer: {big.num_rows} rows ({n_copies}x) -> {out_dir}")
+    return out_dir
+
+
+def build_hotcust(base_dir: str) -> str:
+    """Clone the lineitem-tier orders and plant one 10k-order customer.
+
+    The planted orders spread across 2,400 distinct days and a $240k
+    amount range (24 amount x 100 day lattice cells, 100 orders per
+    amount step) so band survivors stay sparse (~each order pairs with
+    its 4-5 lattice neighbours) while the custkey group itself is the
+    1e8-combination worst case.
+    """
+    out_dir = "/tmp/sf_hotcust"
+    os.makedirs(out_dir, exist_ok=True)
+    orders = pq.read_table(f"{base_dir}/orders.parquet")
+    hot_key = 999_999_937  # outside every replicated custkey range
+    n_hot = 10_000
+    base_key = 5_000_000_000
+    okeys = pa.array([base_key + i for i in range(n_hot)], pa.int64())
+    custs = pa.array([hot_key] * n_hot, pa.int64())
+    # lattice: day = 1995-01-01 + (i % 100)*24 days (0..2376);
+    # price = 10_000 + (i // 100) * 10_000 dollars (24 steps, $240k span)
+    import datetime as dt
+
+    d0 = dt.datetime(1995, 1, 1)
+    dates = pa.array(
+        [d0 + dt.timedelta(days=(i % 100) * 24) for i in range(n_hot)],
+        pa.timestamp("us"),
+    )
+    prices = pa.array(
+        [10_000.0 + (i // 100) * 10_000.0 for i in range(n_hot)],
+        pa.float64(),
+    )
+    sch = orders.schema
+    cols = []
+    for f in sch:
+        if f.name == "o_orderkey":
+            cols.append(okeys.cast(f.type))
+        elif f.name == "o_custkey":
+            cols.append(custs.cast(f.type))
+        elif f.name == "o_orderdate":
+            cols.append(dates.cast(f.type))
+        elif f.name == "o_totalprice":
+            cols.append(prices.cast(f.type))
+        else:
+            cols.append(pa.concat_arrays([orders[f.name].chunk(0)[:1]] * n_hot).cast(f.type))
+    hot = pa.Table.from_arrays(cols, schema=sch)
+    big = pa.concat_tables([orders, hot])
+    pq.write_table(big, f"{out_dir}/orders.parquet", row_group_size=65536)
+    for name in ALL_TABLES:
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{base_dir}/{name}.parquet", dst)
+    print(f"hotcust: {big.num_rows} orders (planted {n_hot} @ custkey {hot_key})")
+    return out_dir
+
+
+def run_queries(out_dir: str, names: list[str]) -> None:
+    from cirro_annotation_spark.registry import QUERIES, load_all_suites
+    from cirro_annotation_spark.session import get_spark
+
+    load_all_suites()
+    spark = get_spark("scale-r13-tail")
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, out_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(f"{name:32s} {time.perf_counter() - t0:8.3f} s", flush=True)
+    print(
+        f"oracle gate: python scripts/check_correctness.py "
+        f"--sf-dir {out_dir} {' '.join(names)}"
+    )
+
+
+def _load(mod_name: str):
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        mod_name, os.path.join(here, f"{mod_name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main() -> int:
+    # The 100x events tier needs the executor-sized heap the family
+    # script defaults (session-window state at 10M rows).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    targets = sys.argv[1:] or ["events", "lineitem", "docs", "customer", "hotcust"]
+    for tgt in targets:
+        if tgt in TAIL:
+            mod_name, n, names = TAIL[tgt]
+            out_dir = _load(mod_name).build(n)
+            run_queries(out_dir, names)
+        elif tgt == "customer":
+            run_queries(build_customer(100), ["agg_iqr_outlier_fences"])
+        elif tgt == "hotcust":
+            base = "/tmp/sf_lineitem100x"
+            if not os.path.exists(f"{base}/orders.parquet"):
+                base = _load("scale_lineitem_tier").build(100)
+            run_queries(build_hotcust(base), ["orders_duplicate_payments"])
+        else:
+            raise SystemExit(f"unknown target {tgt}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
