@@ -18,14 +18,17 @@ Tiers:
                              customer replicated with shifted custkey —
                              the only table the query reads)
 
-Plus the VERDICT item-6 skew proof: a /tmp/sf_hotcust dir cloned from
-the lineitem tier whose orders table plants ONE customer with 10,000
-orders (spread across 2,400 days and a $240k amount range so the
-30-day/$5k bands keep output pairs sparse while the custkey equi-join
-still evaluates the full 1e8 within-key combination space — the
-worst-case hot key the PLANS.md fan-out-bound argument must survive).
+Plus the VERDICT item-6 skew proof: hotcust / hotcust01 dirs whose
+orders table plants ONE customer with 10,000 orders on a sparse
+amount/day lattice — band survivors are exactly 9,900 pairs, but the
+custkey equi-join must evaluate the 1e4 x 1e4 within-key combination
+space on a single key — the worst-case hot key the PLANS.md
+fan-out-bound argument must survive. hotcust stacks the plant on the
+100x tier (timing evidence); hotcust01 stacks it on sf0.1 (the
+oracle-gateable variant — see the note at that target).
 
-Usage: python scripts/scale_r13_tail.py [events|lineitem|docs|customer|hotcust ...]
+Usage: python scripts/scale_r13_tail.py
+           [events|lineitem|docs|customer|hotcust|hotcust01 ...]
 """
 from __future__ import annotations
 
@@ -94,16 +97,16 @@ def build_customer(n_copies: int) -> str:
     return out_dir
 
 
-def build_hotcust(base_dir: str) -> str:
+def build_hotcust(base_dir: str, out_dir: str = "/tmp/sf_hotcust") -> str:
     """Clone the lineitem-tier orders and plant one 10k-order customer.
 
-    The planted orders spread across 2,400 distinct days and a $240k
-    amount range (24 amount x 100 day lattice cells, 100 orders per
-    amount step) so band survivors stay sparse (~each order pairs with
-    its 4-5 lattice neighbours) while the custkey group itself is the
-    1e8-combination worst case.
+    The planted orders form a 100 amount-step x 100 day-cell lattice
+    (steps $10k apart — wider than the $5k band; day cells 24 days
+    apart — only ADJACENT cells fall inside the 30-day band), so the
+    band survivors are exactly 100 x 99 = 9,900 pairs while the
+    custkey group itself is the ~5e7-combination worst case the
+    equi-join must grind through on one key.
     """
-    out_dir = "/tmp/sf_hotcust"
     os.makedirs(out_dir, exist_ok=True)
     orders = pq.read_table(f"{base_dir}/orders.parquet")
     hot_key = 999_999_937  # outside every replicated custkey range
@@ -112,7 +115,7 @@ def build_hotcust(base_dir: str) -> str:
     okeys = pa.array([base_key + i for i in range(n_hot)], pa.int64())
     custs = pa.array([hot_key] * n_hot, pa.int64())
     # lattice: day = 1995-01-01 + (i % 100)*24 days (0..2376);
-    # price = 10_000 + (i // 100) * 10_000 dollars (24 steps, $240k span)
+    # price = 10_000 + (i // 100) * 10_000 dollars (100 steps, $1M span)
     import datetime as dt
 
     d0 = dt.datetime(1995, 1, 1)
@@ -195,6 +198,17 @@ def main() -> int:
             if not os.path.exists(f"{base}/orders.parquet"):
                 base = _load("scale_lineitem_tier").build(100)
             run_queries(build_hotcust(base), ["orders_duplicate_payments"])
+        elif tgt == "hotcust01":
+            # sf0.1 base + the planted hot customer: the band-survivor
+            # output stays comparator-sized here, so THIS is the
+            # variant the DuckDB oracle gates (the 100x-replica tiers
+            # plant ~100 identical copies of every order, whose
+            # billions of true-duplicate pairs overwhelm the
+            # comparator, not the operator — see SCALE.md round 13).
+            run_queries(
+                build_hotcust(SRC, out_dir="/tmp/sf_hotcust01"),
+                ["orders_duplicate_payments"],
+            )
         else:
             raise SystemExit(f"unknown target {tgt}")
     return 0
