@@ -3610,8 +3610,19 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no engine quantile-flavor question), fences at Q1-1.5*IQR /
     # Q3+1.5*IQR in cents arithmetic (3*IQR/2 stays integral via the
     # *2 trick: fences carried as 2x-cents), and the outlier counts
-    # outside them. Scale: per-segment rank via one keyed window over
-    # the value-grain frame; everything after is per-segment constant.
+    # outside them. Scale (value-grain rewrite, r13): the scan
+    # collapses to (segment, cents, count) via a map-side-combined
+    # groupBy FIRST, so the per-segment cumulative window sorts
+    # distinct balance values (≤1.1M possible cents), not rows — at a
+    # 100× tier that is 66k value rows instead of 1.5M, and the
+    # window input stays flat however many customers share a balance.
+    # min cents with 4*cum(v) ≥ n is EXACTLY min cents with a row
+    # rank satisfying 4*rn ≥ n (the largest rank at value v is its
+    # cumulative count), so the row-rank oracle is unchanged. The
+    # outlier counts re-aggregate the same value-grain frame against
+    # broadcast fences — no second row-grain pass. Honest ceiling:
+    # window parallelism is |segments| (5); a petabyte tier would
+    # range-partition within segment (the global_rank shape) first.
     oracle="""
     WITH v AS (
       SELECT c_mktsegment AS segment,
@@ -3652,21 +3663,29 @@ def agg_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("segment").orderBy(F.col("cents").asc())
-    ranked = v.select(
+    counts = v.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy(F.col("cents").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
         "segment",
         "cents",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("segment"))
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy("segment"))
         .cast("long")
         .alias("n"),
     )
     q = ranked.groupBy("segment").agg(
         F.max("n").alias("n"),
-        F.min(F.when(4 * F.col("rn") >= F.col("n"), F.col("cents")))
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("cents")))
         .cast("long")
         .alias("q1"),
-        F.min(F.when(4 * F.col("rn") >= 3 * F.col("n"), F.col("cents")))
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("cents")))
         .cast("long")
         .alias("q3"),
     )
@@ -3679,14 +3698,14 @@ def agg_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
     )
     return (
-        v.join(F.broadcast(f), "segment")
+        counts.join(F.broadcast(f), "segment")
         .groupBy("segment", "n", F.col("q1").alias("q1_cents"),
                  F.col("q3").alias("q3_cents"))
         .agg(
-            F.sum((2 * F.col("cents") < F.col("lo2")).cast("long"))
+            F.sum(F.when(2 * F.col("cents") < F.col("lo2"), F.col("c")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_low_outliers"),
-            F.sum((2 * F.col("cents") > F.col("hi2")).cast("long"))
+            F.sum(F.when(2 * F.col("cents") > F.col("hi2"), F.col("c")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_high_outliers"),
         )
