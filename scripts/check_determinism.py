@@ -1,0 +1,93 @@
+"""Cross-config determinism sweep (round-13 verification-depth axis).
+
+The DuckDB oracle gate proves Spark-vs-oracle agreement at ONE Spark
+configuration. This harness proves Spark-vs-Spark agreement across two
+deliberately different configurations of the same session jar:
+
+  A: the driver-like vanilla session (default 200 shuffle partitions,
+     AQE off — whatever bare Spark does)
+  B: spark.newSession() with shuffle.partitions=7 and AQE on — fewer,
+     larger partitions means every hash aggregate and join builds its
+     per-partition partials over DIFFERENT row groupings, and AQE may
+     re-plan joins entirely.
+
+Any query whose result depends on partition count — an order-dependent
+float accumulation surfacing past the 1e-9 canonical rounding, a
+tie-break resolved by arrival order, a limit-without-order — hashes
+differently between A and B. This is the failure class the oracle gate
+can mask (both engines can agree at config A yet the result be
+config-dependent), and it matters at 100 TB because a production
+cluster never runs the fixture partition count.
+
+rows-only queries (no DuckDB oracle: native sketch interiors, xxhash64
+banding, streaming Bloom) get their FIRST value-level check here:
+their interiors are engine-private but must still be deterministic.
+
+Usage:
+    python scripts/check_determinism.py [--sf-dir /root/testdata/sf0.01] [query ...]
+
+Exit 1 if any query's (rowcount, schema, value-hash) differs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "cc", os.path.join(here, "check_correctness.py")
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    import __spark_entry__ as se
+
+    spark_a = cc._vanilla_spark()
+    spark_b = spark_a.newSession()
+    spark_b.conf.set("spark.sql.shuffle.partitions", "7")
+    spark_b.conf.set("spark.sql.adaptive.enabled", "true")
+
+    qs = se.queries()
+    names = args.names or list(qs)
+
+    n_fail = 0
+    for name in names:
+        try:
+            pa_ = cc._canon(qs[name](spark_a, args.sf_dir).toPandas())
+            pb_ = cc._canon(qs[name](spark_b, args.sf_dir).toPandas())
+            ok = (
+                len(pa_) == len(pb_)
+                and list(pa_.columns) == list(pb_.columns)
+                and cc._hash(pa_) == cc._hash(pb_)
+            )
+            if not ok:
+                n_fail += 1
+            print(
+                f"{'SAME' if ok else 'DIFF':6s} {name:35s} "
+                f"rows {len(pa_)}/{len(pb_)}",
+                flush=True,
+            )
+        except Exception:
+            n_fail += 1
+            err = traceback.format_exc().splitlines()[-1]
+            print(f"ERR    {name:35s} {err[:120]}", flush=True)
+
+    print(f"\n{len(names) - n_fail}/{len(names)} deterministic")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
