@@ -10,6 +10,11 @@ deliberately different configurations of the same session jar:
      larger partitions means every hash aggregate and join builds its
      per-partition partials over DIFFERENT row groupings, and AQE may
      re-plan joins entirely.
+  C: spark.newSession() with files.maxPartitionBytes=1m and
+     openCostInBytes=0 — many tiny input splits, so the MAP side
+     (scan-local partial aggregates, per-partition combiners) sees a
+     different row grouping too; A/B vary the reduce side, C varies
+     the scan side.
 
 Any query whose result depends on partition count — an order-dependent
 float accumulation surfacing past the 1e-9 canonical rounding, a
@@ -59,6 +64,10 @@ def main() -> int:
     spark_b = spark_a.newSession()
     spark_b.conf.set("spark.sql.shuffle.partitions", "7")
     spark_b.conf.set("spark.sql.adaptive.enabled", "true")
+    spark_c = spark_a.newSession()
+    spark_c.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark_c.conf.set("spark.sql.files.openCostInBytes", "0")
+    sessions = [spark_a, spark_b, spark_c]
 
     qs = se.queries()
     names = args.names or list(qs)
@@ -66,18 +75,22 @@ def main() -> int:
     n_fail = 0
     for name in names:
         try:
-            pa_ = cc._canon(qs[name](spark_a, args.sf_dir).toPandas())
-            pb_ = cc._canon(qs[name](spark_b, args.sf_dir).toPandas())
-            ok = (
-                len(pa_) == len(pb_)
-                and list(pa_.columns) == list(pb_.columns)
-                and cc._hash(pa_) == cc._hash(pb_)
+            frames = [
+                cc._canon(qs[name](s, args.sf_dir).toPandas())
+                for s in sessions
+            ]
+            ref = frames[0]
+            ok = all(
+                len(f) == len(ref)
+                and list(f.columns) == list(ref.columns)
+                and cc._hash(f) == cc._hash(ref)
+                for f in frames[1:]
             )
             if not ok:
                 n_fail += 1
             print(
                 f"{'SAME' if ok else 'DIFF':6s} {name:35s} "
-                f"rows {len(pa_)}/{len(pb_)}",
+                f"rows {'/'.join(str(len(f)) for f in frames)}",
                 flush=True,
             )
         except Exception:
