@@ -122,21 +122,31 @@ def tune_existing(spark: SparkSession) -> SparkSession:
 
     The driver hands ``entry(spark)``/``queries()`` an existing session;
     memory/master are fixed by then, but SQL confs are still settable.
+
+    Two conf classes are pinned here. SEMANTICS confs (timezone, NTZ
+    inference, Arrow transport) are required for correct answers and
+    are ALWAYS set. LAYOUT confs (AQE, shuffle partitions, input-split
+    sizing) only shape the physical plan; results must be identical
+    under any of them. The determinism harness
+    (scripts/check_determinism.py) proves exactly that by setting the
+    session-local sentinel ``spark.cirro.tuneLayout=false`` and pinning
+    its own divergent layout confs per session — without the sentinel
+    this function re-converged every harness session onto one layout
+    at the first table read, making the cross-config comparison
+    vacuous (round-13 review finding).
     """
-    for k, v in (
+    tune_layout = True
+    try:
+        tune_layout = (
+            spark.conf.get("spark.cirro.tuneLayout", "true") != "false"
+        )
+    except Exception:
+        pass
+    layout_confs = (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.shuffle.partitions", str(default_parallelism())),
-        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        # The round-4 driver session inferred events.ts as TIMESTAMP_NTZ
-        # (micros parquet + Spark 4's inferTimestampNTZ default), breaking
-        # every unix_micros call site; disable the inference here so reads
-        # on a foreign session resolve ts as TIMESTAMP. nanosAsLong is
-        # applied per-file in catalog.read_table iff the footer shows
-        # nanos — unconditional would be dead config against micros files.
-        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         # Input-split sizing for THIS harness's data shape: the fixtures
         # are single small parquet files (0.6-11 MB) whose scan-stage
         # work is compute-heavy (folds, md5, levenshtein), so the 128 MB
@@ -156,9 +166,22 @@ def tune_existing(spark: SparkSession) -> SparkSession:
             _max_partition_bytes_override(),
         ),
         ("spark.sql.files.openCostInBytes", str(64 * 1024)),
-    ):
+    )
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # The round-4 driver session inferred events.ts as TIMESTAMP_NTZ
+        # (micros parquet + Spark 4's inferTimestampNTZ default), breaking
+        # every unix_micros call site; disable the inference here so reads
+        # on a foreign session resolve ts as TIMESTAMP. nanosAsLong is
+        # applied per-file in catalog.read_table iff the footer shows
+        # nanos — unconditional would be dead config against micros files.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ) + (layout_confs if tune_layout else ()):
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the hosting driver; keep going
     return spark
+
+

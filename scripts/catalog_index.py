@@ -58,10 +58,17 @@ def main() -> int:
     path = os.path.join(repo, "COVERAGE.md")
     text = open(path).read()
     block = render()
-    if BEGIN in text:
-        pre = text[: text.index(BEGIN)]
-        post = text[text.index(END) + len(END) :].lstrip("\n")
+    begin_at = text.find(BEGIN)
+    end_at = text.find(END)
+    if begin_at >= 0 and end_at > begin_at:
+        pre = text[:begin_at]
+        post = text[end_at + len(END) :].lstrip("\n")
         text = pre + block + post
+    elif begin_at >= 0:
+        # END marker lost or misplaced (the drift class this tool
+        # heals): drop everything from BEGIN on and regenerate, rather
+        # than crashing or splicing from inconsistent offsets.
+        text = text[:begin_at].rstrip("\n") + "\n\n" + block
     else:
         text = text.rstrip("\n") + "\n\n" + block
     with open(path, "w") as fh:

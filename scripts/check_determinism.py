@@ -4,17 +4,24 @@ The DuckDB oracle gate proves Spark-vs-oracle agreement at ONE Spark
 configuration. This harness proves Spark-vs-Spark agreement across two
 deliberately different configurations of the same session jar:
 
-  A: the driver-like vanilla session (default 200 shuffle partitions,
-     AQE off — whatever bare Spark does)
-  B: spark.newSession() with shuffle.partitions=7 and AQE on — fewer,
-     larger partitions means every hash aggregate and join builds its
-     per-partition partials over DIFFERENT row groupings, and AQE may
-     re-plan joins entirely.
-  C: spark.newSession() with files.maxPartitionBytes=1m and
-     openCostInBytes=0 — many tiny input splits, so the MAP side
-     (scan-local partial aggregates, per-partition combiners) sees a
-     different row grouping too; A/B vary the reduce side, C varies
-     the scan side.
+  A: default 200 shuffle partitions, AQE off, 128 MB input splits —
+     what bare Spark does
+  B: shuffle.partitions=7 and AQE on — fewer, larger partitions means
+     every hash aggregate and join builds its per-partition partials
+     over DIFFERENT row groupings, and AQE may re-plan joins entirely
+  C: files.maxPartitionBytes=1m and openCostInBytes=0 — many tiny
+     input splits, so the MAP side (scan-local partial aggregates,
+     per-partition combiners) sees a different row grouping too; A/B
+     vary the reduce side, C varies the scan side.
+
+Every session sets the ``spark.cirro.tuneLayout=false`` sentinel, which
+tells the engine's tune_existing() (invoked by suites/util.t and the
+streaming readers at every query's first table read) to pin only the
+SEMANTICS confs (UTC, NTZ inference, Arrow) and leave the layout confs
+above alone. Without the sentinel tune_existing re-converged all three
+sessions onto one layout at the first read, and the whole comparison
+silently tested one config three times (round-13 review finding — the
+first 350/350 results were vacuous and were re-run after the fix).
 
 Any query whose result depends on partition count — an order-dependent
 float accumulation surfacing past the 1e-9 canonical rounding, a
@@ -43,6 +50,33 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Per-config layout confs. The tuneLayout sentinel MUST accompany them
+# or tune_existing() re-pins the layout at the first table read.
+CONFIGS = {
+    "A-vanilla": {},
+    "B-shuffle7-aqe": {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.adaptive.enabled": "true",
+    },
+    "C-splits1m": {
+        "spark.sql.files.maxPartitionBytes": "1m",
+        "spark.sql.files.openCostInBytes": "0",
+    },
+}
+
+
+def build_sessions(base):
+    """base plus newSession()s, one per CONFIGS entry, sentinel set on all."""
+    sessions = []
+    for i, (_, confs) in enumerate(CONFIGS.items()):
+        s = base if i == 0 else base.newSession()
+        s.conf.set("spark.cirro.tuneLayout", "false")
+        for k, v in confs.items():
+            s.conf.set(k, v)
+        sessions.append(s)
+    return sessions
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -61,13 +95,7 @@ def main() -> int:
     import __spark_entry__ as se
 
     spark_a = cc._vanilla_spark()
-    spark_b = spark_a.newSession()
-    spark_b.conf.set("spark.sql.shuffle.partitions", "7")
-    spark_b.conf.set("spark.sql.adaptive.enabled", "true")
-    spark_c = spark_a.newSession()
-    spark_c.conf.set("spark.sql.files.maxPartitionBytes", "1m")
-    spark_c.conf.set("spark.sql.files.openCostInBytes", "0")
-    sessions = [spark_a, spark_b, spark_c]
+    sessions = build_sessions(spark_a)
 
     qs = se.queries()
     names = args.names or list(qs)

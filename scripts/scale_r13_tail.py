@@ -13,8 +13,8 @@ Tiers:
                              events_ccf_lead_lag
   lineitem 100x (15M orders) orders_duplicate_payments,
                              sample_systematic_every_k
-  documents 100x (50k docs)  docs_source_vocab_overlap
-  customer 100x (15M rows)   agg_iqr_outlier_fences  (custom build here:
+  documents 100x (500k docs) docs_source_vocab_overlap
+  customer 100x (1.5M rows)  agg_iqr_outlier_fences  (custom build here:
                              customer replicated with shifted custkey —
                              the only table the query reads)
 

@@ -9,8 +9,7 @@ full 350-query sweep runs via scripts/check_determinism.py; this
 keeps the four oracle-less queries' slice in the default suite).
 
 sf0.001 keeps this under ~2 min; the full-scale runs live in the
-script sweeps (SCALE.md round-13 record: 350/350 at sf0.01 and
-sf0.1 under all three configs).
+script sweeps (see the SCALE.md round-13 determinism record).
 """
 from __future__ import annotations
 
@@ -30,9 +29,9 @@ ROWS_ONLY = [
 ]
 
 
-def _cc():
+def _load(script: str, name: str):
     spec = importlib.util.spec_from_file_location(
-        "cc_det", os.path.join(REPO, "scripts", "check_correctness.py")
+        name, os.path.join(REPO, "scripts", script)
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -41,15 +40,20 @@ def _cc():
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_is_config_deterministic(spark, name):
-    cc = _cc()
+    cc = _load("check_correctness.py", "cc_det")
+    cd = _load("check_determinism.py", "cd_det")
     from cirro_annotation_spark.registry import QUERIES, load_all_suites
 
     load_all_suites()
-    alt = spark.newSession()
-    alt.conf.set("spark.sql.shuffle.partitions", "7")
-    alt.conf.set("spark.sql.adaptive.enabled", "true")
-    ref = cc._canon(QUERIES[name](spark, SF_DIR).toPandas())
-    got = cc._canon(QUERIES[name](alt, SF_DIR).toPandas())
-    assert list(got.columns) == list(ref.columns)
-    assert len(got) == len(ref)
-    assert cc._hash(got) == cc._hash(ref)
+    # build_sessions sets the spark.cirro.tuneLayout sentinel so
+    # tune_existing doesn't re-converge the configs at the first table
+    # read (the round-13 vacuous-gate finding); the base session here
+    # is a fresh newSession so the shared pytest session's confs are
+    # not mutated.
+    sess_a, sess_b, sess_c = cd.build_sessions(spark.newSession())
+    ref = cc._canon(QUERIES[name](sess_a, SF_DIR).toPandas())
+    for alt in (sess_b, sess_c):
+        got = cc._canon(QUERIES[name](alt, SF_DIR).toPandas())
+        assert list(got.columns) == list(ref.columns)
+        assert len(got) == len(ref)
+        assert cc._hash(got) == cc._hash(ref)
