@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "pipeline_pack_sequences",  # last green r5
-    "pipeline_training_data",  # last green r5
-    "pivot_widen",  # last green r5
-    "q1_pricing_summary",  # last green r5
-    "q21_waiting_supplier",  # last green r5
-    "q8_market_share",  # last green r5
-    "quantile_bucket_global",  # last green r5
-    "rag_retrieve_context",  # last green r5
-    "scalar_from_json_struct",  # last green r5
-    "sessionize_gap",  # last green r5
-    "sim_centroid_per_label",  # last green r5
-    "sim_topk_cosine",  # last green r5
-    "sim_topk_ivf",  # last green r5
-    "stream_dedup_watermark",  # last green r5
-    "stream_join_stream",  # last green r5
-    "stream_session_window",  # last green r5
-    "stream_sliding_batch",  # last green r5
-    "stream_sliding_stream",  # last green r5
-    "stream_stateful_counts",  # last green r5
-    "stream_tumbling_batch",  # last green r5
-    "stream_tumbling_stream",  # last green r5
-    "text_langid",  # last green r5
-    "text_tfidf_top",  # last green r5
-    "text_token_stats",  # last green r5
-    "window_funnel_stages",  # last green r5
-    "window_rank_topk_per_group",  # last green r5
-    "window_running_sum",  # last green r5
-    "window_time_range_sum",  # last green r5
-    "window_zscore_anomaly",  # last green r5
-    "agg_percentiles_exact",  # last green r6
-    "agg_quarter_over_quarter",  # last green r6
-    "agg_stats_moments",  # last green r6
-    "corpus_health_report",  # last green r6
-    "docs_pii_scan",  # last green r6
-    "docs_repetition_ratio",  # last green r6
-    "events_rollup_multigrain",  # last green r6
-    "events_value_histogram",  # last green r6
-    "pipeline_embedding_centroids",  # last green r6
-    "q10_returned_items",  # last green r6
-    "q11_important_stock",  # last green r6
-    "q12_priority_by_returnflag",  # last green r6
-    "q13_customer_distribution",  # last green r6
-    "q14_promo_effect",  # last green r6
-    "q15_top_supplier",  # last green r6
-    "q16_part_supplier_variety",  # last green r6
-    "q17_small_quantity_revenue",  # last green r6
-    "q18_large_volume_customer",  # last green r6
-    "q19_disjunctive_revenue",  # last green r6
-    "q20_excess_suppliers",  # last green r6
-    "q22_dormant_high_balance",  # last green r6
+    "q2_min_cost_supplier",  # last green r6
+    "q3_shipping_priority",  # last green r6
+    "q4_order_priority",  # last green r6
+    "q5_local_supplier_volume",  # last green r6
+    "q7_nation_volume",  # last green r6
+    "q9_product_profit",  # last green r6
+    "sample_stratified_hash",  # last green r6
+    "scalar_hof_exists_forall",  # last green r6
+    "scalar_map_funcs",  # last green r6
+    "sim_knn_join_batch",  # last green r6
+    "sim_near_dup_lsh",  # last green r6
+    "split_train_eval",  # last green r6
+    "sql_exists_subquery",  # last green r6
+    "stream_cdc_apply",  # last green r6
+    "stream_join_batch",  # last green r6
+    "stream_session_stream",  # last green r6
+    "stream_static_enrich",  # last green r6
+    "text_decontaminate_ngram",  # last green r6
+    "text_langid_confusion",  # last green r6
+    "text_zipf_histogram",  # last green r6
+    "window_lag_delta",  # last green r6
+    "window_moving_avg",  # last green r6
+    "window_retention_cohorts",  # last green r6
+    "asof_join_nearest_purchase",  # last green r7
+    "docs_dup_span_coverage",  # last green r7
+    "docs_dup_span_removal",  # last green r7
+    "docs_expectations_report",  # last green r7
+    "docs_per_source_cap",  # last green r7
+    "docs_quality_classifier",  # last green r7
+    "docs_table_diff",  # last green r7
+    "docs_unigram_perplexity",  # last green r7
+    "embeddings_centroid_drift",  # last green r7
+    "embeddings_covariance",  # last green r7
+    "events_ab_conversion_ztest",  # last green r7
+    "events_attribution_last_touch",  # last green r7
+    "events_cohort_ltv",  # last green r7
+    "events_cusum_daily",  # last green r7
+    "events_daily_correlation",  # last green r7
+    "events_heavy_hitters",  # last green r7
+    "events_interpolate_linear",  # last green r7
+    "events_ks_drift",  # last green r7
+    "events_mad_outliers",  # last green r7
+    "events_psi_drift",  # last green r7
+    "events_quantile_histogram",  # last green r7
+    "events_rolling_active_users",  # last green r7
+    "events_scd2_history",  # last green r7
+    "multimodal_phash_buckets",  # last green r7
+    "pipeline_curation_report",  # last green r7
+    "sample_fixed_k_hash",  # last green r7
+    "sample_mixture_weighted",  # last green r7
 ]
 
 
