@@ -774,6 +774,70 @@ def global_rank(
     ).drop("__pid")
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Per-group cumulative sum of ``value_col`` in ``order_cols`` order,
+    as column ``cum`` — without the per-group single-reducer window
+    (``sum().over(Window.partitionBy(group).orderBy(order))`` has
+    parallelism = |groups|, the VERDICT r13 item-5 ceiling when groups
+    are a 5-value segment key).
+
+    Same two-pass shape as :func:`global_rank`, generalized to grouped
+    sums: range-repartition on (group, order) — a group spanning several
+    partitions lands in CONSECUTIVE partition ids because
+    RangePartitioner assigns ordered key ranges to ordered pids — then
+    cumulate locally per (pid, group) and add per-(pid, group) offsets
+    (bounded driver model state: at most num_partitions x |groups|
+    rows, collected once and re-broadcast). Requires (group_cols +
+    order_cols) to be a UNIQUE key of ``df`` (the caller's frame is
+    value-grain, e.g. one row per (segment, cents)).
+    """
+    key = [*group_cols, *order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *key)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        part.groupBy("__pid", *group_cols)
+        .agg(F.sum(value_col).cast("long").alias("__s"))
+        .collect()
+    )
+    spark = df.sparkSession
+    if not totals:
+        return df.withColumn("cum", F.lit(None).cast("long")).limit(0)
+    by_group: dict[tuple, list] = {}
+    for r in totals:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    rows = []
+    for g, rs in by_group.items():
+        acc = 0
+        for r in sorted(rs, key=lambda r: r["__pid"]):
+            rows.append((r["__pid"], *g, acc))
+            acc += r["__s"]
+    off = spark.createDataFrame(
+        rows, ["__pid", *group_cols, "__off"]
+    ).withColumn("__off", F.col("__off").cast("long"))
+    w = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn("__cum_local", F.sum(value_col).over(w))
+        .join(F.broadcast(off), ["__pid", *group_cols])
+        .withColumn(
+            "cum", (F.col("__cum_local") + F.col("__off")).cast("long")
+        )
+        .drop("__pid", "__cum_local", "__off")
+    )
+
+
 def bounded_rank_per_key(
     df: DataFrame,
     key_col: str,
