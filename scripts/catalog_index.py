@@ -66,8 +66,19 @@ def main() -> int:
         text = pre + block + post
     elif begin_at >= 0:
         # END marker lost or misplaced (the drift class this tool
-        # heals): drop everything from BEGIN on and regenerate, rather
-        # than crashing or splicing from inconsistent offsets.
+        # heals): drop everything from BEGIN on and regenerate. Warn
+        # with the exact truncation point — hand-written content after
+        # the generated block would be silently deleted otherwise
+        # (ADVICE r13).
+        dropped = len(text) - begin_at - len(block)
+        print(
+            f"WARNING: END marker missing; discarding everything from "
+            f"offset {begin_at} (BEGIN marker) to EOF — if hand-written "
+            f"content followed the generated block ({max(dropped, 0)} "
+            f"chars beyond the regenerated block), restore it from git "
+            f"and re-add the END marker.",
+            file=sys.stderr,
+        )
         text = text[:begin_at].rstrip("\n") + "\n\n" + block
     else:
         text = text.rstrip("\n") + "\n\n" + block

@@ -4,8 +4,10 @@ The DuckDB oracle gate proves Spark-vs-oracle agreement at ONE Spark
 configuration. This harness proves Spark-vs-Spark agreement across two
 deliberately different configurations of the same session jar:
 
-  A: default 200 shuffle partitions, AQE off, 128 MB input splits —
-     what bare Spark does
+  A: default 200 shuffle partitions, AQE explicitly OFF, 128 MB input
+     splits. (Spark 3.2+ enables AQE by default, so "off" must be
+     pinned, not assumed — ADVICE r13: without the explicit pin, A and
+     B both ran adaptive and the sweep's AQE axis was vacuous.)
   B: shuffle.partitions=7 and AQE on — fewer, larger partitions means
      every hash aggregate and join builds its per-partition partials
      over DIFFERENT row groupings, and AQE may re-plan joins entirely
@@ -53,7 +55,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Per-config layout confs. The tuneLayout sentinel MUST accompany them
 # or tune_existing() re-pins the layout at the first table read.
 CONFIGS = {
-    "A-vanilla": {},
+    "A-vanilla": {
+        "spark.sql.adaptive.enabled": "false",
+    },
     "B-shuffle7-aqe": {
         "spark.sql.shuffle.partitions": "7",
         "spark.sql.adaptive.enabled": "true",
@@ -66,10 +70,16 @@ CONFIGS = {
 
 
 def build_sessions(base):
-    """base plus newSession()s, one per CONFIGS entry, sentinel set on all."""
+    """One newSession() per CONFIGS entry, sentinel set on all.
+
+    The base session itself is never handed out and never mutated
+    (ADVICE r13: setting the sentinel on the process-global getOrCreate
+    session left layout tuning disabled for whatever ran afterwards in
+    the same process).
+    """
     sessions = []
-    for i, (_, confs) in enumerate(CONFIGS.items()):
-        s = base if i == 0 else base.newSession()
+    for _, confs in CONFIGS.items():
+        s = base.newSession()
         s.conf.set("spark.cirro.tuneLayout", "false")
         for k, v in confs.items():
             s.conf.set(k, v)

@@ -139,9 +139,22 @@ def build_hotcust(base_dir: str, out_dir: str = "/tmp/sf_hotcust") -> str:
         elif f.name == "o_totalprice":
             cols.append(prices.cast(f.type))
         else:
-            cols.append(pa.concat_arrays([orders[f.name].chunk(0)[:1]] * n_hot).cast(f.type))
+            filler = orders[f.name].combine_chunks()
+            assert len(filler) > 0, f"orders.{f.name} empty — no filler row"
+            cols.append(pa.concat_arrays([filler[:1]] * n_hot).cast(f.type))
     hot = pa.Table.from_arrays(cols, schema=sch)
     big = pa.concat_tables([orders, hot])
+    # ADVICE r13: the planted keys start at 5e9 on the ASSUMPTION that
+    # the replicated tier's shifted orderkeys stay below it — a silent
+    # collision would corrupt the 9,900-pair expectation the skew proof
+    # asserts. Fail loudly instead.
+    import pyarrow.compute as pc
+
+    n_unique = pc.count_distinct(big["o_orderkey"]).as_py()
+    assert n_unique == big.num_rows, (
+        f"o_orderkey collision after planting: {big.num_rows - n_unique} "
+        f"duplicates — raise base_key above the tier's max orderkey"
+    )
     pq.write_table(big, f"{out_dir}/orders.parquet", row_group_size=65536)
     for name in ALL_TABLES:
         dst = f"{out_dir}/{name}.parquet"
