@@ -81,8 +81,23 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--tuned", action="store_true",
                     help="use the engine's get_spark() session instead of vanilla")
+    ap.add_argument(
+        "--write-artifact",
+        action="store_true",
+        help="write CORRECTNESS_r{N}b.json — the session-side mid-round "
+        "artifact the PRIORITY rotation consumes (VERDICT r13 item 3). "
+        "Refused unless the run covers the FULL registry at the driver's "
+        "sf0.01 on the vanilla session: a partial or tuned run must never "
+        "claim round-level greens.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.write_artifact and (args.names or args.tuned
+                                or "sf0.01" not in args.sf_dir):
+        print("--write-artifact requires a full-registry vanilla sf0.01 run",
+              file=sys.stderr)
+        return 2
 
     import __spark_entry__ as se
 
@@ -139,6 +154,26 @@ def main() -> int:
         print(f"{status:10s} {name:35s} {json.dumps(rec)[:160]}", flush=True)
 
     print(f"\n{len(names) - n_fail}/{len(names)} ok")
+
+    if args.write_artifact:
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        past = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        rnd = int(env_rnd) if env_rnd else max(past, default=0) + 1
+        path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}b.json")
+        with open(path, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {path} ({len(results)} rows) — commit together with "
+              "the regenerated PRIORITY (scripts/rotate_priority.py)")
+
     return 1 if n_fail else 0
 
 

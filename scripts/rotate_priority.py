@@ -29,11 +29,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def last_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """name -> most recent round with a driver hash-green row."""
+def last_green_rounds(
+    repo: str = REPO, driver_only: bool = False
+) -> dict[str, int]:
+    """name -> most recent round with a hash-green row.
+
+    Two ledger sources (VERDICT r13 item 3): the driver's round-close
+    CORRECTNESS_r{N}.json AND the session sweep's mid-round
+    CORRECTNESS_r{N}b.json (written by
+    ``check_correctness.py --write-artifact``). With ``driver_only``
+    the artifact files are excluded — that ledger tie-breaks the
+    window so the driver's own 50 slots keep cycling stalest-DRIVER-
+    first even in rounds where the session artifact marks all 350
+    fresh.
+    """
     out: dict[str, int] = {}
+    pat = r"_r(\d+)\.json$" if driver_only else r"_r(\d+)b?\.json$"
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(pat, path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and row.get("hash_match"):
                 out[name] = max(out.get(name, 0), rnd)
@@ -45,15 +61,23 @@ def stalest_window(size: int = 50) -> list[str]:
 
     registry.load_all_suites()
     green = last_green_rounds()
+    green_driver = last_green_rounds(driver_only=True)
     candidates = [n for n in registry.QUERIES if n in registry.ORACLES]
-    ranked = sorted(candidates, key=lambda n: (green.get(n, -1), n))
+    ranked = sorted(
+        candidates,
+        key=lambda n: (green.get(n, -1), green_driver.get(n, -1), n),
+    )
     return ranked[:size]
 
 
 if __name__ == "__main__":
     green = last_green_rounds()
+    green_driver = last_green_rounds(driver_only=True)
     window = stalest_window()
     print("PRIORITY: list[str] = [")
     for n in window:
-        print(f'    "{n}",  # last green r{green.get(n, -1)}')
+        tag = f"driver r{green_driver.get(n, -1)}"
+        if green.get(n, -1) != green_driver.get(n, -1):
+            tag += f", artifact r{green.get(n, -1)}"
+        print(f'    "{n}",  # last green {tag}')
     print("]")

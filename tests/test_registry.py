@@ -29,11 +29,18 @@ def _loaded() -> None:
     registry.load_all_suites()
 
 
-def _last_green() -> dict[str, int]:
-    """name -> most recent driver round with a hash-green row."""
+def _last_green(driver_only: bool = False) -> dict[str, int]:
+    """name -> most recent round with a hash-green row — from the
+    driver's CORRECTNESS_r{N}.json AND the session's mid-round
+    CORRECTNESS_r{N}b.json artifacts (VERDICT r13 item 3), unless
+    ``driver_only``. Mirrors scripts/rotate_priority.py."""
     out: dict[str, int] = {}
+    pat = r"_r(\d+)\.json$" if driver_only else r"_r(\d+)b?\.json$"
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(pat, path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and row.get("hash_match"):
                 out[name] = max(out.get(name, 0), rnd)
@@ -51,12 +58,19 @@ def _driver_scored() -> set[str]:
 def _stalest_window() -> list[str]:
     """The mechanical window: stalest-scored oracle-backed names first.
 
-    Mirrors scripts/rotate_priority.py — key = (last_green_round, name),
-    never-scored = -1 so new queries always claim slots first.
+    Mirrors scripts/rotate_priority.py — key = (last_green_any_round,
+    last_green_driver_round, name), never-scored = -1 so new queries
+    always claim slots first; the driver-only ledger tie-breaks so the
+    driver's 50 slots keep cycling stalest-driver-first even when a
+    session artifact marks all 350 fresh.
     """
     green = _last_green()
+    green_driver = _last_green(driver_only=True)
     candidates = [n for n in registry.QUERIES if n in registry.ORACLES]
-    ranked = sorted(candidates, key=lambda n: (green.get(n, -1), n))
+    ranked = sorted(
+        candidates,
+        key=lambda n: (green.get(n, -1), green_driver.get(n, -1), n),
+    )
     return ranked[:_WINDOW]
 
 
