@@ -21,6 +21,19 @@ the MIN — single-shot timing made round-over-round comparison impossible
 to adjudicate against run-to-run noise (round-3 judge finding). Min is
 the right statistic for a throughput bar: it is the least contaminated
 by concurrent-session contention and GC pauses.
+
+JVM generations (VERDICT r13 item 4): two same-HEAD r13 runs differed by
+39 s (11%) because 350 queries share one JVM — ContextCleaner backlog,
+block-manager pressure from streaming drains and localCheckpoints, and
+an old-gen that never relaxes. The suite therefore runs in
+$SPARK_GRAFT_BENCH_GENERATIONS (default 4) FRESH JVMs: the parent
+re-execs itself per contiguous shard of HEADLINE (SPARK_GRAFT_BENCH_SHARD
+marks a child), each child times its shard on a brand-new SparkSession
+and writes a partial times file, and the parent merges. JVM startup and
+the per-child q1 warmup are outside every timed window, so per-query
+numbers stay comparable with earlier rounds; what changes is that a
+query's time no longer depends on 300 predecessors' heap leftovers.
+Set SPARK_GRAFT_BENCH_GENERATIONS=1 for the old single-JVM behavior.
 """
 from __future__ import annotations
 
@@ -451,7 +464,8 @@ HEADLINE = [
 ]
 
 
-def main() -> int:
+def run_shard(names: list[str]) -> dict[str, float]:
+    """Time one contiguous shard of HEADLINE on a fresh session."""
     from cirro_annotation_spark.session import get_spark
     import __spark_entry__ as se
 
@@ -466,7 +480,7 @@ def main() -> int:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -485,6 +499,51 @@ def main() -> int:
                 spark.catalog.dropTempView(tbl.name)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+    return times
+
+
+def main() -> int:
+    shard_env = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
+    n_gen = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GENERATIONS", "4")))
+
+    if shard_env is not None:
+        # Child mode: time my contiguous shard, dump, exit.
+        shard = int(shard_env)
+        per = (len(HEADLINE) + n_gen - 1) // n_gen
+        names = HEADLINE[shard * per : (shard + 1) * per]
+        times = run_shard(names)
+        with open(os.environ["SPARK_GRAFT_BENCH_SHARD_OUT"], "w") as fh:
+            json.dump(times, fh)
+        return 0
+
+    times = {}
+    if n_gen == 1:
+        times = run_shard(HEADLINE)
+    else:
+        # Parent mode: one fresh JVM per shard (see module docstring).
+        import subprocess
+        import tempfile
+
+        for i in range(n_gen):
+            with tempfile.NamedTemporaryFile(
+                mode="r", suffix=f"_bench_shard{i}.json", delete=False
+            ) as fh:
+                out_path = fh.name
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_SHARD=str(i),
+                SPARK_GRAFT_BENCH_SHARD_OUT=out_path,
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env
+            )
+            if proc.returncode != 0:
+                print(f"shard {i} failed rc={proc.returncode}", file=sys.stderr)
+                return proc.returncode
+            with open(out_path) as fh:
+                times.update(json.load(fh))
+            os.unlink(out_path)
+        times = {n: times[n] for n in HEADLINE if n in times}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -499,13 +558,15 @@ def main() -> int:
         "queries": times,
         "sf": sf_val,
     }
-    # Full per-query detail: first on stdout (for humans / the judge
-    # scrolling up) and persisted to a file the summary line points at.
+    # Full per-query detail goes ONLY to BENCH_DETAIL.json (VERDICT r13
+    # "what's wrong" #4: printing the 14 KB detail line to stdout left a
+    # clipped mid-dict JSON fragment in the driver's ~2000-char tail
+    # capture; the file is the canonical detail, the tail stays clean).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     detail_line = json.dumps(detail)
-    print(detail_line)
+    print(f"per-query detail ({len(times)} queries) -> {detail_path}")
     with open(detail_path, "w") as fh:
         fh.write(detail_line + "\n")
     # Per-round history (VERDICT r10 item 4): BENCH_DETAIL.json alone is
