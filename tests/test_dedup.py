@@ -655,3 +655,41 @@ def test_bounded_rank_per_key_equals_unbounded_window_random(spark):
             .collect()
         }
         assert got == want, f"trial {trial} k={k} salt={salt}"
+
+
+def test_grouped_running_sum_matches_sequential(spark):
+    """Range-partitioned grouped cumsum == a sequential per-group running
+    total on a random value-grain frame (unique (g, v) rows, groups
+    spanning many range partitions), including single-row groups and a
+    group large enough to straddle partition boundaries."""
+    import random
+
+    from cirro_annotation_spark.operators.dedup import grouped_running_sum
+
+    rng = random.Random(13)
+    rows = []
+    for g in ["a", "b", "hot", "z"]:
+        n = 3000 if g == "hot" else rng.randint(1, 40)
+        vals = rng.sample(range(100_000), n)
+        rows += [(g, v, rng.randint(1, 9)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long, c long")
+    got = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_running_sum(df, ["g"], ["v"], "c").collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        acc = 0
+        for _, v, c in sorted(r for r in rows if r[0] == g):
+            acc += c
+            want[(g, v)] = acc
+    assert got == want
+
+
+def test_grouped_running_sum_empty(spark):
+    from cirro_annotation_spark.operators.dedup import grouped_running_sum
+
+    df = spark.createDataFrame([], "g string, v long, c long")
+    out = grouped_running_sum(df, ["g"], ["v"], "c")
+    assert out.count() == 0
+    assert "cum" in out.columns
