@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "q2_min_cost_supplier",  # last green r6
-    "q3_shipping_priority",  # last green r6
-    "q4_order_priority",  # last green r6
-    "q5_local_supplier_volume",  # last green r6
-    "q7_nation_volume",  # last green r6
-    "q9_product_profit",  # last green r6
-    "sample_stratified_hash",  # last green r6
-    "scalar_hof_exists_forall",  # last green r6
-    "scalar_map_funcs",  # last green r6
-    "sim_knn_join_batch",  # last green r6
-    "sim_near_dup_lsh",  # last green r6
-    "split_train_eval",  # last green r6
-    "sql_exists_subquery",  # last green r6
-    "stream_cdc_apply",  # last green r6
-    "stream_join_batch",  # last green r6
-    "stream_session_stream",  # last green r6
-    "stream_static_enrich",  # last green r6
-    "text_decontaminate_ngram",  # last green r6
-    "text_langid_confusion",  # last green r6
-    "text_zipf_histogram",  # last green r6
-    "window_lag_delta",  # last green r6
-    "window_moving_avg",  # last green r6
-    "window_retention_cohorts",  # last green r6
-    "asof_join_nearest_purchase",  # last green r7
-    "docs_dup_span_coverage",  # last green r7
-    "docs_dup_span_removal",  # last green r7
-    "docs_expectations_report",  # last green r7
-    "docs_per_source_cap",  # last green r7
-    "docs_quality_classifier",  # last green r7
-    "docs_table_diff",  # last green r7
-    "docs_unigram_perplexity",  # last green r7
-    "embeddings_centroid_drift",  # last green r7
-    "embeddings_covariance",  # last green r7
-    "events_ab_conversion_ztest",  # last green r7
-    "events_attribution_last_touch",  # last green r7
-    "events_cohort_ltv",  # last green r7
-    "events_cusum_daily",  # last green r7
-    "events_daily_correlation",  # last green r7
-    "events_heavy_hitters",  # last green r7
-    "events_interpolate_linear",  # last green r7
-    "events_ks_drift",  # last green r7
-    "events_mad_outliers",  # last green r7
-    "events_psi_drift",  # last green r7
-    "events_quantile_histogram",  # last green r7
-    "events_rolling_active_users",  # last green r7
-    "events_scd2_history",  # last green r7
-    "multimodal_phash_buckets",  # last green r7
-    "pipeline_curation_report",  # last green r7
-    "sample_fixed_k_hash",  # last green r7
-    "sample_mixture_weighted",  # last green r7
+    "q2_min_cost_supplier",  # last green driver r6, artifact r14
+    "q3_shipping_priority",  # last green driver r6, artifact r14
+    "q4_order_priority",  # last green driver r6, artifact r14
+    "q5_local_supplier_volume",  # last green driver r6, artifact r14
+    "q7_nation_volume",  # last green driver r6, artifact r14
+    "q9_product_profit",  # last green driver r6, artifact r14
+    "sample_stratified_hash",  # last green driver r6, artifact r14
+    "scalar_hof_exists_forall",  # last green driver r6, artifact r14
+    "scalar_map_funcs",  # last green driver r6, artifact r14
+    "sim_knn_join_batch",  # last green driver r6, artifact r14
+    "sim_near_dup_lsh",  # last green driver r6, artifact r14
+    "split_train_eval",  # last green driver r6, artifact r14
+    "sql_exists_subquery",  # last green driver r6, artifact r14
+    "stream_cdc_apply",  # last green driver r6, artifact r14
+    "stream_join_batch",  # last green driver r6, artifact r14
+    "stream_session_stream",  # last green driver r6, artifact r14
+    "stream_static_enrich",  # last green driver r6, artifact r14
+    "text_decontaminate_ngram",  # last green driver r6, artifact r14
+    "text_langid_confusion",  # last green driver r6, artifact r14
+    "text_zipf_histogram",  # last green driver r6, artifact r14
+    "window_lag_delta",  # last green driver r6, artifact r14
+    "window_moving_avg",  # last green driver r6, artifact r14
+    "window_retention_cohorts",  # last green driver r6, artifact r14
+    "asof_join_nearest_purchase",  # last green driver r7, artifact r14
+    "docs_dup_span_coverage",  # last green driver r7, artifact r14
+    "docs_dup_span_removal",  # last green driver r7, artifact r14
+    "docs_expectations_report",  # last green driver r7, artifact r14
+    "docs_per_source_cap",  # last green driver r7, artifact r14
+    "docs_quality_classifier",  # last green driver r7, artifact r14
+    "docs_table_diff",  # last green driver r7, artifact r14
+    "docs_unigram_perplexity",  # last green driver r7, artifact r14
+    "embeddings_centroid_drift",  # last green driver r7, artifact r14
+    "embeddings_covariance",  # last green driver r7, artifact r14
+    "events_ab_conversion_ztest",  # last green driver r7, artifact r14
+    "events_attribution_last_touch",  # last green driver r7, artifact r14
+    "events_cohort_ltv",  # last green driver r7, artifact r14
+    "events_cusum_daily",  # last green driver r7, artifact r14
+    "events_daily_correlation",  # last green driver r7, artifact r14
+    "events_heavy_hitters",  # last green driver r7, artifact r14
+    "events_interpolate_linear",  # last green driver r7, artifact r14
+    "events_ks_drift",  # last green driver r7, artifact r14
+    "events_mad_outliers",  # last green driver r7, artifact r14
+    "events_psi_drift",  # last green driver r7, artifact r14
+    "events_quantile_histogram",  # last green driver r7, artifact r14
+    "events_rolling_active_users",  # last green driver r7, artifact r14
+    "events_scd2_history",  # last green driver r7, artifact r14
+    "multimodal_phash_buckets",  # last green driver r7, artifact r14
+    "pipeline_curation_report",  # last green driver r7, artifact r14
+    "sample_fixed_k_hash",  # last green driver r7, artifact r14
+    "sample_mixture_weighted",  # last green driver r7, artifact r14
 ]
 
 
