@@ -22,18 +22,22 @@ to adjudicate against run-to-run noise (round-3 judge finding). Min is
 the right statistic for a throughput bar: it is the least contaminated
 by concurrent-session contention and GC pauses.
 
-JVM generations (VERDICT r13 item 4): two same-HEAD r13 runs differed by
-39 s (11%) because 350 queries share one JVM — ContextCleaner backlog,
-block-manager pressure from streaming drains and localCheckpoints, and
-an old-gen that never relaxes. The suite therefore runs in
-$SPARK_GRAFT_BENCH_GENERATIONS (default 4) FRESH JVMs: the parent
-re-execs itself per contiguous shard of HEADLINE (SPARK_GRAFT_BENCH_SHARD
-marks a child), each child times its shard on a brand-new SparkSession
-and writes a partial times file, and the parent merges. JVM startup and
-the per-child q1 warmup are outside every timed window, so per-query
-numbers stay comparable with earlier rounds; what changes is that a
-query's time no longer depends on 300 predecessors' heap leftovers.
-Set SPARK_GRAFT_BENCH_GENERATIONS=1 for the old single-JVM behavior.
+JVM generations (VERDICT r13 item 4, tested and REJECTED as default):
+the r13 hypothesis was that same-HEAD spread (39 s / 11%) came from
+350 queries sharing one JVM (ContextCleaner backlog, block-manager
+pressure). SPARK_GRAFT_BENCH_GENERATIONS=N re-execs the suite in N
+fresh JVMs over contiguous HEADLINE shards (SPARK_GRAFT_BENCH_SHARD
+marks a child; startup and per-child q1 warmup outside every timed
+window) — and the r14 five-run A/B says fresh JVMs make it WORSE:
+gen4 totals 417.9/397.0/431.2 s (spread 8.6%) vs interleaved gen1
+totals 372.3/378.6 s (spread 1.7%) at the same HEAD on the same day.
+Accumulated C2/codegen-infrastructure warmth in a long-lived JVM is
+worth ~10% diffusely across all queries, which outweighs the cleaner
+backlog min-of-3 already absorbs; per-JVM compilation timing also adds
+spread. Default is therefore 1 (single JVM, the pre-r14 behavior);
+the generation machinery stays as an opt-in isolation diagnostic.
+Plan regressions are policed by PLAN_FINGERPRINTS.json, not by this
+wall-clock number.
 """
 from __future__ import annotations
 
@@ -504,7 +508,7 @@ def run_shard(names: list[str]) -> dict[str, float]:
 
 def main() -> int:
     shard_env = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
-    n_gen = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GENERATIONS", "4")))
+    n_gen = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GENERATIONS", "1")))
 
     if shard_env is not None:
         # Child mode: time my contiguous shard, dump, exit.
