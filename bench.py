@@ -28,16 +28,15 @@ the r13 hypothesis was that same-HEAD spread (39 s / 11%) came from
 pressure). SPARK_GRAFT_BENCH_GENERATIONS=N re-execs the suite in N
 fresh JVMs over contiguous HEADLINE shards (SPARK_GRAFT_BENCH_SHARD
 marks a child; startup and per-child q1 warmup outside every timed
-window) — and the r14 five-run A/B says fresh JVMs make it WORSE:
-gen4 totals 417.9/397.0/431.2 s (spread 8.6%) vs interleaved gen1
-totals 372.3/378.6 s (spread 1.7%) at the same HEAD on the same day.
-Accumulated C2/codegen-infrastructure warmth in a long-lived JVM is
-worth ~10% diffusely across all queries, which outweighs the cleaner
-backlog min-of-3 already absorbs; per-JVM compilation timing also adds
-spread. Default is therefore 1 (single JVM, the pre-r14 behavior);
-the generation machinery stays as an opt-in isolation diagnostic.
-Plan regressions are policed by PLAN_FINGERPRINTS.json, not by this
-wall-clock number.
+window) — and the r14 six-run same-HEAD A/B (SCALE.md round 14) found
+no benefit in any sample: gen4 totals 417.9/397.0/431.2 s vs gen1
+372.3/378.6/453.7 s, where the last gen1 sample (20% above its own
+config's earlier pair, 40 minutes later) shows hour-scale HOST
+variance dominates any configuration effect. Default is therefore 1
+(single JVM — simpler, directly comparable with r1-r13 history); the
+generation machinery stays as an opt-in isolation diagnostic. Plan
+regressions are policed by PLAN_FINGERPRINTS.json, not by this
+wall-clock number; per-query adjudication uses solo re-measures.
 """
 from __future__ import annotations
 
