@@ -819,7 +819,10 @@ def grouped_running_sum(
         acc = 0
         for r in sorted(rs, key=lambda r: r["__pid"]):
             rows.append((r["__pid"], *g, acc))
-            acc += r["__s"]
+            # sum() over an all-null slice is SQL NULL -> Python None;
+            # treat as 0 so a nullable value_col degrades to SQL-sum
+            # semantics instead of a driver TypeError (code-review r14).
+            acc += r["__s"] or 0
     off = spark.createDataFrame(
         rows, ["__pid", *group_cols, "__off"]
     ).withColumn("__off", F.col("__off").cast("long"))

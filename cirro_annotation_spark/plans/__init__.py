@@ -20,21 +20,41 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
+def read_schema_cols(plan: str) -> list[str]:
+    """Column names across every ReadSchema line of a rendered plan —
+    the single text-level parser shared by scan_read_schema and the
+    fingerprint module (code-review r14: two independent parsers of the
+    same plan text can drift apart silently)."""
+    out: list[str] = []
+    for line in plan.splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:") and "struct<" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            out.extend(f.split(":")[0] for f in inner.split(",") if ":" in f)
+    return out
+
+
+def pushed_filter_scan_count(plan: str) -> int:
+    """Number of scans in a rendered plan with a non-empty PushedFilters
+    list (text-level twin of read_schema_cols)."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("PushedFilters: [")
+        and not line.strip().startswith("PushedFilters: []")
+    )
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
+    """Every scan's filter list non-empty (the strict form the audit
+    table reports: one unpushed scan among several reads as '—')."""
     plan = physical_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names in the parquet ReadSchema (what the scan actually reads)."""
-    plan = physical_plan(df)
-    out: list[str] = []
-    for line in plan.splitlines():
-        line = line.strip()
-        if line.startswith("ReadSchema:"):
-            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            out.extend(f.split(":")[0] for f in inner.split(",") if ":" in f)
-    return out
+    return read_schema_cols(physical_plan(df))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -25,7 +25,7 @@ import re
 
 from pyspark.sql import DataFrame
 
-from . import physical_plan
+from . import physical_plan, pushed_filter_scan_count, read_schema_cols
 
 # Node-kind prefixes that carry scale meaning. A header is attributed to
 # the FIRST prefix that matches, so e.g. "BroadcastExchange" is counted
@@ -79,19 +79,8 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
             if header.startswith(prefix):
                 counts[label] = counts.get(label, 0) + 1
                 break
-    pushed = 0
-    scan_cols = 0
-    for line in plan.splitlines():
-        s = line.strip()
-        if s.startswith("PushedFilters: [") and not s.startswith(
-            "PushedFilters: []"
-        ):
-            pushed += 1
-        elif s.startswith("ReadSchema:") and "struct<" in s:
-            inner = s.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            scan_cols += sum(1 for f in inner.split(",") if ":" in f)
-    counts["pushed_filters"] = pushed
-    counts["scan_cols"] = scan_cols
+    counts["pushed_filters"] = pushed_filter_scan_count(plan)
+    counts["scan_cols"] = len(read_schema_cols(plan))
     return dict(sorted(counts.items()))
 
 

@@ -70,13 +70,16 @@ def main() -> int:
         # with the exact truncation point — hand-written content after
         # the generated block would be silently deleted otherwise
         # (ADVICE r13).
-        dropped = len(text) - begin_at - len(block)
+        # No byte-count estimate: the discarded tail holds the OLD
+        # generated block, whose length is unrelated to the NEW block's,
+        # so any arithmetic here can claim "0 chars" while hand-written
+        # text is in fact deleted (code-review r14).
         print(
-            f"WARNING: END marker missing; discarding everything from "
-            f"offset {begin_at} (BEGIN marker) to EOF — if hand-written "
-            f"content followed the generated block ({max(dropped, 0)} "
-            f"chars beyond the regenerated block), restore it from git "
-            f"and re-add the END marker.",
+            f"WARNING: END marker missing; discarding "
+            f"{len(text) - begin_at} chars from offset {begin_at} (BEGIN "
+            f"marker) to EOF — the stale generated block plus ANY "
+            f"hand-written content after it. If such content existed, "
+            f"restore it from git and re-add the END marker.",
             file=sys.stderr,
         )
         text = text[:begin_at].rstrip("\n") + "\n\n" + block

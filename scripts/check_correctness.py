@@ -93,10 +93,18 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    if args.write_artifact and (args.names or args.tuned
-                                or "sf0.01" not in args.sf_dir):
-        print("--write-artifact requires a full-registry vanilla sf0.01 run",
-              file=sys.stderr)
+    # Path identity, not substring (code-review r14: "sf0.01" in
+    # "/tmp/old_sf0.01_copy" must not let stale data claim round greens).
+    _canonical = os.path.realpath("/root/testdata/sf0.01")
+    if args.write_artifact and (
+        args.names or args.tuned
+        or os.path.realpath(args.sf_dir) != _canonical
+    ):
+        print(
+            "--write-artifact requires a full-registry vanilla run on "
+            f"{_canonical} exactly",
+            file=sys.stderr,
+        )
         return 2
 
     import __spark_entry__ as se

@@ -2,11 +2,13 @@
 gate for EVERY registered query (VERDICT r13 item 2).
 
 Usage:
-    python scripts/plan_fingerprint.py               # regenerate + write
-    python scripts/plan_fingerprint.py --check       # diff vs committed, exit 1 on drift
+    python scripts/plan_fingerprint.py               # diff vs committed (DEFAULT;
+                                                     # exit 1 on drift, never writes)
     python scripts/plan_fingerprint.py q1 ...        # subset diff (never writes)
     python scripts/plan_fingerprint.py --update q1 ...  # merge subset into committed
                                                         # (the deliberate-change path)
+    python scripts/plan_fingerprint.py --write       # full regeneration — OVERWRITES
+                                                     # the gate file; explicit only
 
 Fingerprints are taken at sf0.01 on the engine's tuned session (the same
 layout every suite query pins via tune_existing, so vanilla/tuned produce
@@ -56,8 +58,14 @@ def generate(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
-    ap.add_argument("--check", action="store_true")
-    ap.add_argument("--update", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="diff vs committed (the DEFAULT behavior)")
+    ap.add_argument("--update", action="store_true",
+                    help="merge named queries' fresh fingerprints into the "
+                         "committed file (deliberate plan change)")
+    ap.add_argument("--write", action="store_true",
+                    help="full regeneration, OVERWRITING the committed file "
+                         "— re-baselines the gate; diff first")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
@@ -75,23 +83,27 @@ def main() -> int:
         print(f"updated {len(current)} entries in {OUT}")
         return 0
 
-    if args.check or args.queries:
-        from cirro_annotation_spark.plans.fingerprint import diff_fingerprints
+    if args.write and not args.queries:
+        # The only path that overwrites the whole gate file — explicit
+        # opt-in (code-review r14: a flagless run must never silently
+        # re-baseline the gate it implements).
+        with open(OUT, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {OUT} ({len(current)} queries)")
+        return 0
 
-        committed = json.load(open(OUT)) if os.path.exists(OUT) else {}
-        if args.queries:
-            committed = {k: v for k, v in committed.items() if k in current}
-        drift = diff_fingerprints(committed, current)
-        for line in drift:
-            print(line)
-        print(f"{len(drift)} drifted / {len(current)} checked")
-        return 1 if drift else 0
+    # Default (and --check): diff against committed, never write.
+    from cirro_annotation_spark.plans.fingerprint import diff_fingerprints
 
-    with open(OUT, "w") as f:
-        json.dump(current, f, indent=1, sort_keys=True)
-        f.write("\n")
-    print(f"wrote {OUT} ({len(current)} queries)")
-    return 0
+    committed = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    if args.queries:
+        committed = {k: v for k, v in committed.items() if k in current}
+    drift = diff_fingerprints(committed, current)
+    for line in drift:
+        print(line)
+    print(f"{len(drift)} drifted / {len(current)} checked")
+    return 1 if drift else 0
 
 
 if __name__ == "__main__":

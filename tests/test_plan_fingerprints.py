@@ -51,7 +51,8 @@ def test_plan_fingerprints_match_committed(spark) -> None:
     drift = diff_fingerprints(committed, current)
     assert not drift, (
         f"{len(drift)} plan fingerprints drifted from PLAN_FINGERPRINTS.json "
-        "— if the plan change is deliberate, regenerate with "
-        "`python scripts/plan_fingerprint.py` in the SAME commit:\n"
+        "— if the plan change is deliberate, run "
+        "`python scripts/plan_fingerprint.py --update <names>` and commit "
+        "the JSON in the SAME commit:\n"
         + "\n".join(drift[:40])
     )

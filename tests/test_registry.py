@@ -48,9 +48,16 @@ def _last_green(driver_only: bool = False) -> dict[str, int]:
 
 
 def _driver_scored() -> set[str]:
-    """Every query name with a driver CORRECTNESS row in any past round."""
+    """Every query name with a DRIVER CORRECTNESS row in any past round.
+
+    Driver files only (`_r(\\d+).json`) — the session-written
+    CORRECTNESS_r{N}b.json artifacts must not count here, or a family
+    only ever checked by the session sweep would read as driver-covered
+    (the round-2 gate-blindness class this guard exists for)."""
     scored: set[str] = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        if not re.search(r"_r(\d+)\.json$", path):
+            continue
         scored.update(json.load(open(path)).keys())
     return scored
 
