@@ -40,7 +40,10 @@ their interiors are engine-private but must still be deterministic.
 Usage:
     python scripts/check_determinism.py [--sf-dir /root/testdata/sf0.01] [query ...]
 
-Exit 1 if any query's (rowcount, schema, value-hash) differs.
+Exit 1 if any query's (rowcount, schema, value-hash) differs — except
+the BOUNDED_ESTIMATE set (native Datasketches HIP estimates,
+layout-dependent by design), where float columns must agree within
+REL_TOL and everything else exactly; those print BOUND instead of SAME.
 """
 from __future__ import annotations
 
@@ -87,6 +90,50 @@ def build_sessions(base):
     return sessions
 
 
+# Native-sketch estimates whose floats are partition-LAYOUT-dependent BY
+# DESIGN (round-14 finding, surfaced the moment config A genuinely
+# turned AQE off at sf0.1): Datasketches HLL uses the HIP estimator
+# while a sketch ingests raw updates and abandons it on union, so a
+# source whose rows land in ONE input split (single partial, HIP) and
+# the same source split across many (union of partials, composite
+# estimator) legitimately report slightly different estimates — both
+# inside the published error bound. The REGISTERS are layout-invariant;
+# the engine-neutral md5-register family (agg_hll_md5_*) is the
+# hash-deterministic twin and stays under the exact gate. For the
+# queries below, the gate re-aligns rows on the declared key columns,
+# checks every non-estimate column exactly, and each declared estimate
+# column within REL_TOL across configs (mirroring the <2%-of-exact
+# bound tests/test_sketch_hll.py pins; observed at sf0.1: per-source
+# 1482-1507 vs 1494 for exact 1500 -- multi-partial union vs
+# single-partial HIP). Spark's own approx_count_distinct (HLL++, plain
+# register max, no HIP) is NOT in this set -- it hash-matches exactly
+# across layouts.
+BOUNDED_ESTIMATE = {
+    "agg_hll_mergeable": {
+        "keys": ["event_type"],
+        "est": ["estimate", "merged_estimate"],
+    },
+}
+REL_TOL = 0.02
+
+
+def _bounded_ok(frames, keys, est) -> bool:
+    ref = frames[0].sort_values(keys).reset_index(drop=True)
+    for f in frames[1:]:
+        if len(f) != len(ref) or list(f.columns) != list(ref.columns):
+            return False
+        f = f.sort_values(keys).reset_index(drop=True)
+        for col in ref.columns:
+            a, b = ref[col], f[col]
+            if col in est:
+                av, bv = a.to_numpy("float64"), b.to_numpy("float64")
+                if not (abs(av - bv) <= REL_TOL * abs(av)).all():
+                    return False
+            elif not a.equals(b):
+                return False
+    return True
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -118,16 +165,22 @@ def main() -> int:
                 for s in sessions
             ]
             ref = frames[0]
-            ok = all(
-                len(f) == len(ref)
-                and list(f.columns) == list(ref.columns)
-                and cc._hash(f) == cc._hash(ref)
-                for f in frames[1:]
-            )
+            if name in BOUNDED_ESTIMATE:
+                spec = BOUNDED_ESTIMATE[name]
+                ok = _bounded_ok(frames, spec["keys"], spec["est"])
+                status = "BOUND" if ok else "DIFF"
+            else:
+                ok = all(
+                    len(f) == len(ref)
+                    and list(f.columns) == list(ref.columns)
+                    and cc._hash(f) == cc._hash(ref)
+                    for f in frames[1:]
+                )
+                status = "SAME" if ok else "DIFF"
             if not ok:
                 n_fail += 1
             print(
-                f"{'SAME' if ok else 'DIFF':6s} {name:35s} "
+                f"{status:6s} {name:35s} "
                 f"rows {'/'.join(str(len(f)) for f in frames)}",
                 flush=True,
             )
