@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "q2_min_cost_supplier",  # last green driver r6, artifact r14
-    "q3_shipping_priority",  # last green driver r6, artifact r14
-    "q4_order_priority",  # last green driver r6, artifact r14
-    "q5_local_supplier_volume",  # last green driver r6, artifact r14
-    "q7_nation_volume",  # last green driver r6, artifact r14
-    "q9_product_profit",  # last green driver r6, artifact r14
-    "sample_stratified_hash",  # last green driver r6, artifact r14
-    "scalar_hof_exists_forall",  # last green driver r6, artifact r14
-    "scalar_map_funcs",  # last green driver r6, artifact r14
-    "sim_knn_join_batch",  # last green driver r6, artifact r14
-    "sim_near_dup_lsh",  # last green driver r6, artifact r14
-    "split_train_eval",  # last green driver r6, artifact r14
-    "sql_exists_subquery",  # last green driver r6, artifact r14
-    "stream_cdc_apply",  # last green driver r6, artifact r14
-    "stream_join_batch",  # last green driver r6, artifact r14
-    "stream_session_stream",  # last green driver r6, artifact r14
-    "stream_static_enrich",  # last green driver r6, artifact r14
-    "text_decontaminate_ngram",  # last green driver r6, artifact r14
-    "text_langid_confusion",  # last green driver r6, artifact r14
-    "text_zipf_histogram",  # last green driver r6, artifact r14
-    "window_lag_delta",  # last green driver r6, artifact r14
-    "window_moving_avg",  # last green driver r6, artifact r14
-    "window_retention_cohorts",  # last green driver r6, artifact r14
-    "asof_join_nearest_purchase",  # last green driver r7, artifact r14
-    "docs_dup_span_coverage",  # last green driver r7, artifact r14
-    "docs_dup_span_removal",  # last green driver r7, artifact r14
-    "docs_expectations_report",  # last green driver r7, artifact r14
-    "docs_per_source_cap",  # last green driver r7, artifact r14
-    "docs_quality_classifier",  # last green driver r7, artifact r14
-    "docs_table_diff",  # last green driver r7, artifact r14
-    "docs_unigram_perplexity",  # last green driver r7, artifact r14
-    "embeddings_centroid_drift",  # last green driver r7, artifact r14
-    "embeddings_covariance",  # last green driver r7, artifact r14
-    "events_ab_conversion_ztest",  # last green driver r7, artifact r14
-    "events_attribution_last_touch",  # last green driver r7, artifact r14
-    "events_cohort_ltv",  # last green driver r7, artifact r14
-    "events_cusum_daily",  # last green driver r7, artifact r14
-    "events_daily_correlation",  # last green driver r7, artifact r14
-    "events_heavy_hitters",  # last green driver r7, artifact r14
-    "events_interpolate_linear",  # last green driver r7, artifact r14
-    "events_ks_drift",  # last green driver r7, artifact r14
-    "events_mad_outliers",  # last green driver r7, artifact r14
-    "events_psi_drift",  # last green driver r7, artifact r14
-    "events_quantile_histogram",  # last green driver r7, artifact r14
-    "events_rolling_active_users",  # last green driver r7, artifact r14
-    "events_scd2_history",  # last green driver r7, artifact r14
-    "multimodal_phash_buckets",  # last green driver r7, artifact r14
-    "pipeline_curation_report",  # last green driver r7, artifact r14
-    "sample_fixed_k_hash",  # last green driver r7, artifact r14
-    "sample_mixture_weighted",  # last green driver r7, artifact r14
+    "sim_cosine_int8",  # last green driver r7, artifact r14
+    "sim_semantic_dedup",  # last green driver r7, artifact r14
+    "sim_topk_ivfpq",  # last green driver r7, artifact r14
+    "sim_topk_lsh_multiprobe",  # last green driver r7, artifact r14
+    "sim_topk_matryoshka",  # last green driver r7, artifact r14
+    "sim_topk_pq",  # last green driver r7, artifact r14
+    "stream_distinct_users_hourly",  # last green driver r7, artifact r14
+    "stream_histogram_batch",  # last green driver r7, artifact r14
+    "stream_histogram_stream",  # last green driver r7, artifact r14
+    "stream_join_left_batch",  # last green driver r7, artifact r14
+    "text_bm25_topk",  # last green driver r7, artifact r14
+    "agg_string_concat_ordered",  # last green driver r8, artifact r14
+    "basket_rules_lift",  # last green driver r8, artifact r14
+    "docs_ccnet_buckets",  # last green driver r8, artifact r14
+    "docs_chi_square_langs",  # last green driver r8, artifact r14
+    "docs_dsir_weights",  # last green driver r8, artifact r14
+    "docs_ngram_novelty",  # last green driver r8, artifact r14
+    "docs_token_entropy",  # last green driver r8, artifact r14
+    "docs_top_mass_per_source",  # last green driver r8, artifact r14
+    "embeddings_dim_clip_report",  # last green driver r8, artifact r14
+    "embeddings_kmeans_train",  # last green driver r8, artifact r14
+    "embeddings_norm_stats",  # last green driver r8, artifact r14
+    "embeddings_pq_train",  # last green driver r8, artifact r14
+    "embeddings_prototype_prune",  # last green driver r8, artifact r14
+    "events_cms_user_counts",  # last green driver r8, artifact r14
+    "events_daily_quantiles",  # last green driver r8, artifact r14
+    "events_daily_trend",  # last green driver r8, artifact r14
+    "events_interarrival_stats",  # last green driver r8, artifact r14
+    "events_ohlc_daily",  # last green driver r8, artifact r14
+    "events_session_paths",  # last green driver r8, artifact r14
+    "events_type_transitions",  # last green driver r8, artifact r14
+    "multimodal_vad_segments",  # last green driver r8, artifact r14
+    "orders_open_per_day",  # last green driver r8, artifact r14
+    "pipeline_corpus_funnel",  # last green driver r8, artifact r14
+    "pipeline_corpus_materialize",  # last green driver r8, artifact r14
+    "pipeline_dataset_card",  # last green driver r8, artifact r14
+    "pipeline_funnel_incremental",  # last green driver r8, artifact r14
+    "pipeline_length_buckets",  # last green driver r8, artifact r14
+    "profile_lineitem",  # last green driver r8, artifact r14
+    "q6_revenue_forecast",  # last green driver r8, artifact r14
+    "rag_hybrid_rrf",  # last green driver r8, artifact r14
+    "sample_flatten_length_dist",  # last green driver r8, artifact r14
+    "sample_unimax_budget",  # last green driver r8, artifact r14
+    "sample_weighted_k",  # last green driver r8, artifact r14
+    "scalar_explode_outer",  # last green driver r8, artifact r14
+    "sim_ann_recall_report",  # last green driver r8, artifact r14
+    "sim_hard_negatives",  # last green driver r8, artifact r14
+    "sim_ivf_cell_stats",  # last green driver r8, artifact r14
+    "sim_topk_lsh",  # last green driver r8, artifact r14
+    "split_kfold_assign",  # last green driver r8, artifact r14
 ]
 
 
