@@ -547,13 +547,24 @@ def main() -> int:
                 print(f"shard {i} failed rc={proc.returncode}", file=sys.stderr)
                 return proc.returncode
             with open(out_path) as fh:
-                times.update(json.load(fh))
+                shard_times = json.load(fh)
             os.unlink(out_path)
+            dup = [n for n in shard_times if n in times]
+            if dup:
+                raise SystemExit(
+                    f"shard {i} re-reported {len(dup)} queries already "
+                    f"timed by an earlier shard (broken slicing): {dup[:5]}"
+                )
+            times.update(shard_times)
         # Loud, not silent: a shard that lost queries (broken slicing,
         # truncated child output) must not shrink the suite and fake a
-        # speedup against BENCH_r{N} history (code-review r14).
+        # speedup against BENCH_r{N} history (code-review r14). A real
+        # raise, not assert — `python -O` strips asserts (ADVICE r14).
         missing = [n for n in HEADLINE if n not in times]
-        assert not missing, f"shards lost {len(missing)} queries: {missing[:5]}"
+        if missing:
+            raise SystemExit(
+                f"shards lost {len(missing)} queries: {missing[:5]}"
+            )
         times = {n: times[n] for n in HEADLINE}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

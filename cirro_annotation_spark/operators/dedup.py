@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cirro_annotation_spark.operators.text import fingerprint_sha, tokens
 
@@ -795,7 +796,10 @@ def grouped_running_sum(
     (bounded driver model state: at most num_partitions x |groups|
     rows, collected once and re-broadcast). Requires (group_cols +
     order_cols) to be a UNIQUE key of ``df`` (the caller's frame is
-    value-grain, e.g. one row per (segment, cents)).
+    value-grain, e.g. one row per (segment, cents)). NULL group values
+    form their own group (SQL GROUP BY semantics): the offset frame is
+    built with an explicit schema and joined back null-safely, so a
+    NULL-keyed group cumulates instead of vanishing (ADVICE r14).
     """
     key = [*group_cols, *order_cols]
     part = (
@@ -823,21 +827,33 @@ def grouped_running_sum(
             # treat as 0 so a nullable value_col degrades to SQL-sum
             # semantics instead of a driver TypeError (code-review r14).
             acc += r["__s"] or 0
-    off = spark.createDataFrame(
-        rows, ["__pid", *group_cols, "__off"]
-    ).withColumn("__off", F.col("__off").cast("long"))
+    # Explicit schema: an all-None group column would defeat type
+    # inference, and the group fields must keep part's exact types so
+    # the null-safe join below compares like with like (ADVICE r14).
+    off_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType(), False)]
+        + [part.schema[c] for c in group_cols]
+        + [T.StructField("__off", T.LongType(), False)]
+    )
+    off = spark.createDataFrame(rows, off_schema)
     w = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = part.withColumn("__cum_local", F.sum(value_col).over(w)).alias("l")
+    # eqNullSafe on the group keys: a NULL group is a real group here
+    # (groupBy produced a NULL-keyed total), so the plain USING join's
+    # NULL-never-matches rule would silently drop those rows.
+    cond = F.col("l.__pid") == F.col("o.__pid")
+    for c in group_cols:
+        cond = cond & F.col(f"l.`{c}`").eqNullSafe(F.col(f"o.`{c}`"))
     return (
-        part.withColumn("__cum_local", F.sum(value_col).over(w))
-        .join(F.broadcast(off), ["__pid", *group_cols])
+        local.join(F.broadcast(off.alias("o")), cond)
         .withColumn(
             "cum", (F.col("__cum_local") + F.col("__off")).cast("long")
         )
-        .drop("__pid", "__cum_local", "__off")
+        .select(*[F.col(f"l.`{c}`") for c in df.columns], F.col("cum"))
     )
 
 

@@ -30,7 +30,22 @@ def read_schema_cols(plan: str) -> list[str]:
         line = line.strip()
         if line.startswith("ReadSchema:") and "struct<" in line:
             inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            out.extend(f.split(":")[0] for f in inner.split(",") if ":" in f)
+            # Bracket-depth-aware split: a nested field like
+            # payload:struct<a:int,b:int> is ONE top-level column, not
+            # three — naive comma-splitting miscounted the fingerprint
+            # scan_cols axis for nested schemas (ADVICE r14).
+            depth, start = 0, 0
+            fields: list[str] = []
+            for i, ch in enumerate(inner):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    fields.append(inner[start:i])
+                    start = i + 1
+            fields.append(inner[start:])
+            out.extend(f.split(":")[0] for f in fields if ":" in f)
     return out
 
 

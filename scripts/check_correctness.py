@@ -176,6 +176,20 @@ def main() -> int:
         env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
         rnd = int(env_rnd) if env_rnd else max(past, default=0) + 1
         path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}b.json")
+        # Inference is max(driver rounds)+1 — correct mid-round, but a
+        # second sweep the same round (or one run after the driver's
+        # close file lands) would silently overwrite the artifact or
+        # attribute greens to a round that hasn't happened, inflating
+        # freshness in the PRIORITY rotation (ADVICE r14). Overwriting
+        # requires saying which round you mean.
+        if env_rnd is None and os.path.exists(path):
+            print(
+                f"refusing to overwrite existing {os.path.basename(path)} "
+                "with an inferred round number; set SPARK_GRAFT_ROUND "
+                "explicitly to re-record this round's artifact",
+                file=sys.stderr,
+            )
+            return 2
         with open(path, "w") as fh:
             json.dump(results, fh, indent=1, sort_keys=True)
             fh.write("\n")

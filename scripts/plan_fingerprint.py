@@ -69,12 +69,24 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
+    # Validate flag/name combinations BEFORE the (minutes-long) generate
+    # pass: --write with names used to fall through to diff-only mode,
+    # so a user who believed they re-baselined had written nothing
+    # (ADVICE r14).
+    if args.write and args.queries:
+        print(
+            "--write takes no names (it overwrites the WHOLE gate file); "
+            "use --update <query ...> for a targeted merge",
+            file=sys.stderr,
+        )
+        return 2
+    if args.update and not args.queries:
+        print("--update requires explicit query names", file=sys.stderr)
+        return 2
+
     current = generate(args.queries or None, args.sf_dir)
 
     if args.update:
-        if not args.queries:
-            print("--update requires explicit query names", file=sys.stderr)
-            return 2
         committed = json.load(open(OUT)) if os.path.exists(OUT) else {}
         committed.update(current)
         with open(OUT, "w") as f:
@@ -83,10 +95,11 @@ def main() -> int:
         print(f"updated {len(current)} entries in {OUT}")
         return 0
 
-    if args.write and not args.queries:
+    if args.write:
         # The only path that overwrites the whole gate file — explicit
         # opt-in (code-review r14: a flagless run must never silently
-        # re-baseline the gate it implements).
+        # re-baseline the gate it implements). Name validation above
+        # guarantees args.queries is empty here.
         with open(OUT, "w") as f:
             json.dump(current, f, indent=1, sort_keys=True)
             f.write("\n")

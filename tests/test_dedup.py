@@ -693,3 +693,35 @@ def test_grouped_running_sum_empty(spark):
     out = grouped_running_sum(df, ["g"], ["v"], "c")
     assert out.count() == 0
     assert "cum" in out.columns
+
+
+def test_grouped_running_sum_null_group(spark):
+    """A NULL group key is a real group (SQL GROUP BY semantics): its
+    rows must cumulate, not vanish through a non-null-safe join back
+    onto the offset frame (ADVICE r14). Covers the all-None-group
+    extreme, where schema inference on the offset frame would fail."""
+    from cirro_annotation_spark.operators.dedup import grouped_running_sum
+
+    rows = [(None, v, v + 1) for v in range(200)] + [
+        ("a", v, 2) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, c long")
+    out = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_running_sum(df, ["g"], ["v"], "c").collect()
+    }
+    assert len(out) == 250, "NULL-group rows were dropped"
+    acc = 0
+    for v in range(200):
+        acc += v + 1
+        assert out[(None, v)] == acc
+    assert out[("a", 49)] == 100
+
+    all_null = spark.createDataFrame(
+        [(None, v, 1) for v in range(120)], "g string, v long, c long"
+    )
+    got = {
+        r["v"]: r["cum"]
+        for r in grouped_running_sum(all_null, ["g"], ["v"], "c").collect()
+    }
+    assert got == {v: v + 1 for v in range(120)}

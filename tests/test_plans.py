@@ -733,3 +733,20 @@ def test_r12b_plan_shapes(spark, sf_dir):
     sil = QUERIES["sim_silhouette_ivf"](spark, sf_dir)
     assert "Generate" not in plan("sim_silhouette_ivf")
     assert count_exchanges(sil) == 1
+
+
+def test_read_schema_cols_nested_struct_counts_top_level():
+    """Bracket-depth parsing: nested struct/map fields are ONE top-level
+    column each — the naive comma split miscounted them, and the count
+    feeds the committed fingerprint scan_cols axis (ADVICE r14)."""
+    from cirro_annotation_spark.plans import read_schema_cols
+
+    plan = (
+        "(1) Scan parquet\n"
+        "ReadSchema: struct<id:bigint,payload:struct<a:int,b:int>,"
+        "tags:array<string>,kv:map<string,struct<x:int,y:int>>,s:string>\n"
+    )
+    assert read_schema_cols(plan) == ["id", "payload", "tags", "kv", "s"]
+
+    flat = "ReadSchema: struct<l_extendedprice:decimal(12,2),l_discount:decimal(12,2)>"
+    assert read_schema_cols(flat) == ["l_extendedprice", "l_discount"]
