@@ -9,6 +9,9 @@ Usage:
                                                         # (the deliberate-change path)
     python scripts/plan_fingerprint.py --write       # full regeneration — OVERWRITES
                                                      # the gate file; explicit only
+    python scripts/plan_fingerprint.py --plans-md    # render PLANS.md's audit table
+                                                     # from the COMMITTED json (no
+                                                     # Spark; MANUAL section preserved)
 
 Fingerprints are taken at sf0.01 on the engine's tuned session (the same
 layout every suite query pins via tune_existing, so vanilla/tuned produce
@@ -55,6 +58,63 @@ def generate(
     return out
 
 
+# Everything at or below this marker in an existing PLANS.md is
+# hand-written (eager-action inventory, bounded-window notes, ad-hoc
+# excerpts) and survives regeneration.
+MANUAL_MARKER = "<!-- MANUAL -->"
+
+# Node classes summed into the PLANS.md convenience columns. The JSON
+# keeps them separate (the gate diffs exact per-class counts); the
+# rendered table groups them the way a human scans for scale smells.
+_BROADCAST_KEYS = ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+_PYTHON_KEYS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                "BatchEvalPython")
+
+
+def render_plans_md(out_path: str = os.path.join(REPO, "PLANS.md")) -> None:
+    """PLANS.md audit table for ALL registered queries, rendered from the
+    committed PLAN_FINGERPRINTS.json — the one plan tool (VERDICT r14
+    item 5: plan_audit.py's ~170-query executed-plan audit is superseded
+    by the 350-query committed gate; its codegen-stage column was the
+    only executed-plan-exclusive signal and is retired — the gate pins
+    exact node-class counts instead, which is strictly stronger for
+    regression detection)."""
+    committed: dict[str, dict[str, int]] = json.load(open(OUT))
+    lines = [
+        "# PLANS — physical-plan audit of all registered queries",
+        "",
+        "Rendered by `scripts/plan_fingerprint.py --plans-md` from the "
+        "committed PLAN_FINGERPRINTS.json (sf0.01 pre-execution plans — "
+        "the same file tests/test_plan_fingerprints.py enforces at HEAD).",
+        "Columns: shuffles = Exchange count; pushed = scans with non-empty "
+        "PushedFilters / total scans; cols = total ReadSchema width; "
+        "bcast = broadcast joins (hash + nested-loop); smj = sort-merge "
+        "joins; py = Arrow/Pandas python-boundary nodes (row-at-a-time "
+        "BatchEvalPython is zero registry-wide and gate-enforced).",
+        "",
+        "| query | shuffles | pushed | cols | bcast | smj | py |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in sorted(committed):
+        fp = committed[name]
+        lines.append(
+            f"| {name} | {fp.get('Exchange', 0)} "
+            f"| {fp.get('pushed_filters', 0)}/{fp.get('Scan', 0)} "
+            f"| {fp.get('scan_cols', 0)} "
+            f"| {sum(fp.get(k, 0) for k in _BROADCAST_KEYS)} "
+            f"| {fp.get('SortMergeJoin', 0)} "
+            f"| {sum(fp.get(k, 0) for k in _PYTHON_KEYS)} |"
+        )
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if MANUAL_MARKER in prev:
+            manual = "\n" + MANUAL_MARKER + prev.split(MANUAL_MARKER, 1)[1]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + manual)
+    print(f"wrote {out_path} ({len(committed)} queries)")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
@@ -67,7 +127,17 @@ def main() -> int:
                     help="full regeneration, OVERWRITING the committed file "
                          "— re-baselines the gate; diff first")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--plans-md", action="store_true",
+                    help="render PLANS.md from the committed json "
+                         "(no Spark session; MANUAL section preserved)")
     args = ap.parse_args()
+
+    if args.plans_md:
+        if args.queries or args.write or args.update:
+            print("--plans-md takes no other flags or names", file=sys.stderr)
+            return 2
+        render_plans_md()
+        return 0
 
     # Validate flag/name combinations BEFORE the (minutes-long) generate
     # pass: --write with names used to fall through to diff-only mode,
