@@ -1701,7 +1701,12 @@ def events_hll_daily_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = F.lit(4096.0) * F.log(
         F.lit(4096.0) / (F.lit(4096) - F.col("live_buckets")).cast("double")
     )
-    return s.join(exact, "day").select(
+    # Explicit broadcast: both sides are day-grain (<= |days| rows at
+    # ANY data scale), but Catalyst's size estimate for the exact
+    # branch tracks the events scan, so past the 10 MB threshold the
+    # planner would degrade this bounded join to sort-merge (observed
+    # at sf0.1 on the rolling-WAU twin — r15 sf-stability pass).
+    return s.join(F.broadcast(exact), "day").select(
         "day",
         F.when(
             (raw <= 10240.0) & (F.col("live_buckets") < 4096),
@@ -1834,7 +1839,11 @@ def events_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = F.lit(4096.0) * F.log(
         F.lit(4096.0) / (F.lit(4096) - F.col("live_buckets")).cast("double")
     )
-    return s.join(x, "day").select(
+    # Explicit broadcast: s and x are day-grain (<= 30 spine rows at
+    # ANY data scale), but Catalyst sizes the exact branch from the
+    # events scan — at sf0.1 this bounded join degraded to sort-merge
+    # (the one sf-sensitive plan in the r15 sf-stability pass).
+    return s.join(F.broadcast(x), "day").select(
         "day",
         F.when(
             (raw <= 10240.0) & (F.col("live_buckets") < 4096),
