@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "sim_cosine_int8",  # last green driver r7, artifact r14
-    "sim_semantic_dedup",  # last green driver r7, artifact r14
-    "sim_topk_ivfpq",  # last green driver r7, artifact r14
-    "sim_topk_lsh_multiprobe",  # last green driver r7, artifact r14
-    "sim_topk_matryoshka",  # last green driver r7, artifact r14
-    "sim_topk_pq",  # last green driver r7, artifact r14
-    "stream_distinct_users_hourly",  # last green driver r7, artifact r14
-    "stream_histogram_batch",  # last green driver r7, artifact r14
-    "stream_histogram_stream",  # last green driver r7, artifact r14
-    "stream_join_left_batch",  # last green driver r7, artifact r14
-    "text_bm25_topk",  # last green driver r7, artifact r14
-    "agg_string_concat_ordered",  # last green driver r8, artifact r14
-    "basket_rules_lift",  # last green driver r8, artifact r14
-    "docs_ccnet_buckets",  # last green driver r8, artifact r14
-    "docs_chi_square_langs",  # last green driver r8, artifact r14
-    "docs_dsir_weights",  # last green driver r8, artifact r14
-    "docs_ngram_novelty",  # last green driver r8, artifact r14
-    "docs_token_entropy",  # last green driver r8, artifact r14
-    "docs_top_mass_per_source",  # last green driver r8, artifact r14
-    "embeddings_dim_clip_report",  # last green driver r8, artifact r14
-    "embeddings_kmeans_train",  # last green driver r8, artifact r14
-    "embeddings_norm_stats",  # last green driver r8, artifact r14
-    "embeddings_pq_train",  # last green driver r8, artifact r14
-    "embeddings_prototype_prune",  # last green driver r8, artifact r14
-    "events_cms_user_counts",  # last green driver r8, artifact r14
-    "events_daily_quantiles",  # last green driver r8, artifact r14
-    "events_daily_trend",  # last green driver r8, artifact r14
-    "events_interarrival_stats",  # last green driver r8, artifact r14
-    "events_ohlc_daily",  # last green driver r8, artifact r14
-    "events_session_paths",  # last green driver r8, artifact r14
-    "events_type_transitions",  # last green driver r8, artifact r14
-    "multimodal_vad_segments",  # last green driver r8, artifact r14
-    "orders_open_per_day",  # last green driver r8, artifact r14
-    "pipeline_corpus_funnel",  # last green driver r8, artifact r14
-    "pipeline_corpus_materialize",  # last green driver r8, artifact r14
-    "pipeline_dataset_card",  # last green driver r8, artifact r14
-    "pipeline_funnel_incremental",  # last green driver r8, artifact r14
-    "pipeline_length_buckets",  # last green driver r8, artifact r14
-    "profile_lineitem",  # last green driver r8, artifact r14
-    "q6_revenue_forecast",  # last green driver r8, artifact r14
-    "rag_hybrid_rrf",  # last green driver r8, artifact r14
-    "sample_flatten_length_dist",  # last green driver r8, artifact r14
-    "sample_unimax_budget",  # last green driver r8, artifact r14
-    "sample_weighted_k",  # last green driver r8, artifact r14
-    "scalar_explode_outer",  # last green driver r8, artifact r14
-    "sim_ann_recall_report",  # last green driver r8, artifact r14
-    "sim_hard_negatives",  # last green driver r8, artifact r14
-    "sim_ivf_cell_stats",  # last green driver r8, artifact r14
-    "sim_topk_lsh",  # last green driver r8, artifact r14
-    "split_kfold_assign",  # last green driver r8, artifact r14
+    "sim_cosine_int8",  # last green driver r7, artifact r15
+    "sim_semantic_dedup",  # last green driver r7, artifact r15
+    "sim_topk_ivfpq",  # last green driver r7, artifact r15
+    "sim_topk_lsh_multiprobe",  # last green driver r7, artifact r15
+    "sim_topk_matryoshka",  # last green driver r7, artifact r15
+    "sim_topk_pq",  # last green driver r7, artifact r15
+    "stream_distinct_users_hourly",  # last green driver r7, artifact r15
+    "stream_histogram_batch",  # last green driver r7, artifact r15
+    "stream_histogram_stream",  # last green driver r7, artifact r15
+    "stream_join_left_batch",  # last green driver r7, artifact r15
+    "text_bm25_topk",  # last green driver r7, artifact r15
+    "agg_string_concat_ordered",  # last green driver r8, artifact r15
+    "basket_rules_lift",  # last green driver r8, artifact r15
+    "docs_ccnet_buckets",  # last green driver r8, artifact r15
+    "docs_chi_square_langs",  # last green driver r8, artifact r15
+    "docs_dsir_weights",  # last green driver r8, artifact r15
+    "docs_ngram_novelty",  # last green driver r8, artifact r15
+    "docs_token_entropy",  # last green driver r8, artifact r15
+    "docs_top_mass_per_source",  # last green driver r8, artifact r15
+    "embeddings_dim_clip_report",  # last green driver r8, artifact r15
+    "embeddings_kmeans_train",  # last green driver r8, artifact r15
+    "embeddings_norm_stats",  # last green driver r8, artifact r15
+    "embeddings_pq_train",  # last green driver r8, artifact r15
+    "embeddings_prototype_prune",  # last green driver r8, artifact r15
+    "events_cms_user_counts",  # last green driver r8, artifact r15
+    "events_daily_quantiles",  # last green driver r8, artifact r15
+    "events_daily_trend",  # last green driver r8, artifact r15
+    "events_interarrival_stats",  # last green driver r8, artifact r15
+    "events_ohlc_daily",  # last green driver r8, artifact r15
+    "events_session_paths",  # last green driver r8, artifact r15
+    "events_type_transitions",  # last green driver r8, artifact r15
+    "multimodal_vad_segments",  # last green driver r8, artifact r15
+    "orders_open_per_day",  # last green driver r8, artifact r15
+    "pipeline_corpus_funnel",  # last green driver r8, artifact r15
+    "pipeline_corpus_materialize",  # last green driver r8, artifact r15
+    "pipeline_dataset_card",  # last green driver r8, artifact r15
+    "pipeline_funnel_incremental",  # last green driver r8, artifact r15
+    "pipeline_length_buckets",  # last green driver r8, artifact r15
+    "profile_lineitem",  # last green driver r8, artifact r15
+    "q6_revenue_forecast",  # last green driver r8, artifact r15
+    "rag_hybrid_rrf",  # last green driver r8, artifact r15
+    "sample_flatten_length_dist",  # last green driver r8, artifact r15
+    "sample_unimax_budget",  # last green driver r8, artifact r15
+    "sample_weighted_k",  # last green driver r8, artifact r15
+    "scalar_explode_outer",  # last green driver r8, artifact r15
+    "sim_ann_recall_report",  # last green driver r8, artifact r15
+    "sim_hard_negatives",  # last green driver r8, artifact r15
+    "sim_ivf_cell_stats",  # last green driver r8, artifact r15
+    "sim_topk_lsh",  # last green driver r8, artifact r15
+    "split_kfold_assign",  # last green driver r8, artifact r15
 ]
 
 
