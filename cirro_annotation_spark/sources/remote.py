@@ -50,6 +50,7 @@ __all__ = [
     "LocalFsCatalog",
     "RemoteHttpCatalog",
     "resolve_id",
+    "resolve_dataset_ref",
     "resolve_dataset_files",
     "dataset_cache_dir",
     "cache_dataset",
@@ -102,6 +103,33 @@ class Catalog(Protocol):
     def list_files(self, project_id: str, dataset_id: str) -> list[FileRef]: ...
 
     def fetch_file(self, file: FileRef, target_path: str) -> None: ...
+
+
+def _safe_component(value: str, what: str) -> str:
+    """Validate a single catalog-supplied path component: no separators,
+    no '..', not absolute. The catalog is REMOTE input — a malicious or
+    malformed portal must not be able to steer local writes outside the
+    cache root (code-review r15)."""
+    if (
+        not value
+        or value in (".", "..")
+        or "/" in value
+        or "\\" in value
+        or os.path.isabs(value)
+    ):
+        raise ValueError(f"unsafe {what} from catalog: {value!r}")
+    return value
+
+
+def _safe_relpath(name: str) -> str:
+    """Validate a catalog-supplied file name as a strictly-descending
+    relative path (subdirs allowed, traversal not)."""
+    if os.path.isabs(name) or "\\" in name:
+        raise ValueError(f"unsafe file name from catalog: {name!r}")
+    parts = name.split("/")
+    if any(p in ("", ".", "..") for p in parts):
+        raise ValueError(f"unsafe file name from catalog: {name!r}")
+    return name
 
 
 def resolve_id(refs, name_or_id: str) -> str:
@@ -198,6 +226,12 @@ class LocalFsCatalog:
 
     def list_files(self, project_id: str, dataset_id: str) -> list[FileRef]:
         data_root = os.path.join(self._dataset_dir(project_id, dataset_id), "data")
+        if not os.path.isdir(data_root):
+            # loud, not [] — an empty listing here would be blamed on the
+            # caller's extension filter downstream (code-review r15)
+            raise KeyError(
+                f"dataset {dataset_id!r} has no data/ subtree at {data_root}"
+            )
         out: list[FileRef] = []
         for dirpath, _dirnames, filenames in os.walk(data_root):
             for fn in filenames:
@@ -250,12 +284,20 @@ class RemoteHttpCatalog:
         with urllib.request.urlopen(f"{base}{path}") as resp:  # pragma: no cover
             return json.load(resp)
 
+    @staticmethod
+    def _q(segment: str) -> str:
+        """Percent-encode one URL path segment (ids are portal input —
+        a '/', '#', '?', or space must not re-shape the path)."""
+        from urllib.parse import quote
+
+        return quote(segment, safe="")
+
     def list_projects(self) -> list[ProjectRef]:
         rows = self._get_json("/projects")
         return [ProjectRef(id=r["id"], name=r["name"]) for r in rows]
 
     def find_datasets(self, project_id: str) -> list[DatasetRef]:
-        rows = self._get_json(f"/projects/{project_id}/datasets")
+        rows = self._get_json(f"/projects/{self._q(project_id)}/datasets")
         return [
             DatasetRef(
                 id=r["id"],
@@ -267,7 +309,9 @@ class RemoteHttpCatalog:
         ]
 
     def list_files(self, project_id: str, dataset_id: str) -> list[FileRef]:
-        rows = self._get_json(f"/projects/{project_id}/datasets/{dataset_id}/files")
+        rows = self._get_json(
+            f"/projects/{self._q(project_id)}/datasets/{self._q(dataset_id)}/files"
+        )
         return [
             FileRef(name=r["name"], uri=r["uri"], size=r.get("size", 0)) for r in rows
         ]
@@ -289,6 +333,17 @@ def _extension_filter(files: list[FileRef], extensions: list[str]) -> list[FileR
     return [f for f in files if any(f.name.endswith(ext) for ext in extensions)]
 
 
+def resolve_dataset_ref(
+    catalog: Catalog, project: str, dataset: str
+) -> DatasetRef:
+    """Project name-or-id → id (``:78``), dataset name-or-id → ref
+    (``:79-86``) — the cheap catalog walk, no file listing."""
+    project_id = resolve_id(catalog.list_projects(), project)
+    datasets = catalog.find_datasets(project_id)
+    dataset_id = resolve_id(datasets, dataset)
+    return next(d for d in datasets if d.id == dataset_id)
+
+
 def resolve_dataset_files(
     catalog: Catalog,
     project: str,
@@ -298,18 +353,21 @@ def resolve_dataset_files(
     """The catalog walk of ``get_dataset`` minus the download: project
     name-or-id → id (``:78``), dataset name-or-id → ref (``:79-86``),
     file listing filtered by extension (``:91-94``)."""
-    project_id = resolve_id(catalog.list_projects(), project)
-    datasets = catalog.find_datasets(project_id)
-    dataset_id = resolve_id(datasets, dataset)
-    ref = next(d for d in datasets if d.id == dataset_id)
-    files = _extension_filter(catalog.list_files(project_id, dataset_id), extensions)
+    ref = resolve_dataset_ref(catalog, project, dataset)
+    files = _extension_filter(catalog.list_files(ref.project_id, ref.id), extensions)
     return ref, files
 
 
 def dataset_cache_dir(cache_root: str, ref: DatasetRef) -> str:
     """The reference's deterministic cache path
-    ``temp/{process}/{project}/{dataset}`` (``run_annotate.py:88``)."""
-    return os.path.join(cache_root, ref.process_id, ref.project_id, ref.id)
+    ``temp/{process}/{project}/{dataset}`` (``run_annotate.py:88``).
+    Each component is validated — ids come from the (remote) catalog."""
+    return os.path.join(
+        cache_root,
+        _safe_component(ref.process_id, "process_id"),
+        _safe_component(ref.project_id, "project_id"),
+        _safe_component(ref.id, "dataset id"),
+    )
 
 
 def cache_dataset(
@@ -321,15 +379,33 @@ def cache_dataset(
 ) -> str:
     """``get_dataset`` end-to-end for the small-file control plane:
     resolve, then fetch into the deterministic cache dir — but ONLY when
-    the dir is empty (the reference's idempotency check at ``:90``; a
-    non-empty cache short-circuits the listing AND the download).
-    Returns the cache directory path (``:101``)."""
-    ref, files = resolve_dataset_files(catalog, project, dataset, extensions)
+    the dir is absent/empty (the reference's idempotency check at
+    ``:90``; a warm cache short-circuits the file listing AND the
+    download — only the cheap project/dataset resolution runs).
+    Returns the cache directory path (``:101``).
+
+    The fetch is ALL-OR-NOTHING: files land in a staging dir that is
+    renamed into place only after every fetch succeeds, so a partial
+    failure can never leave a non-empty cache that later calls would
+    mistake for complete (code-review r15)."""
+    ref = resolve_dataset_ref(catalog, project, dataset)
     data_dir = dataset_cache_dir(cache_root, ref)
-    os.makedirs(data_dir, exist_ok=True)
-    if len(os.listdir(data_dir)) == 0:
+    if os.path.isdir(data_dir) and len(os.listdir(data_dir)) > 0:
+        return data_dir
+    files = _extension_filter(catalog.list_files(ref.project_id, ref.id), extensions)
+    staging = data_dir + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    try:
         for f in files:
-            catalog.fetch_file(f, os.path.join(data_dir, f.name))
+            catalog.fetch_file(f, os.path.join(staging, _safe_relpath(f.name)))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if os.path.isdir(data_dir):  # the empty dir a prior run left behind
+        os.rmdir(data_dir)
+    os.replace(staging, data_dir)
     return data_dir
 
 

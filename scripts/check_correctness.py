@@ -107,6 +107,38 @@ def main() -> int:
         )
         return 2
 
+    artifact_path = None
+    if args.write_artifact:
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        past = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        rnd = int(env_rnd) if env_rnd else max(past, default=0) + 1
+        artifact_path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}b.json")
+        # Inference is max(driver rounds)+1 — correct mid-round, but a
+        # second sweep the same round (or one run after the driver's
+        # close file lands) would silently overwrite the artifact or
+        # attribute greens to a round that hasn't happened, inflating
+        # freshness in the PRIORITY rotation (ADVICE r14). Overwriting
+        # requires saying which round you mean — and the refusal fires
+        # HERE, before the minutes-long sweep, not after it
+        # (code-review r15).
+        if env_rnd is None and os.path.exists(artifact_path):
+            print(
+                f"refusing to overwrite existing "
+                f"{os.path.basename(artifact_path)} with an inferred round "
+                "number; set SPARK_GRAFT_ROUND explicitly to re-record "
+                "this round's artifact",
+                file=sys.stderr,
+            )
+            return 2
+
     import __spark_entry__ as se
 
     if args.tuned:
@@ -163,38 +195,16 @@ def main() -> int:
 
     print(f"\n{len(names) - n_fail}/{len(names)} ok")
 
-    if args.write_artifact:
-        import glob
-        import re
-
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        past = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"_r(\d+)\.json$", p))
-        ]
-        env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        rnd = int(env_rnd) if env_rnd else max(past, default=0) + 1
-        path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}b.json")
-        # Inference is max(driver rounds)+1 — correct mid-round, but a
-        # second sweep the same round (or one run after the driver's
-        # close file lands) would silently overwrite the artifact or
-        # attribute greens to a round that hasn't happened, inflating
-        # freshness in the PRIORITY rotation (ADVICE r14). Overwriting
-        # requires saying which round you mean.
-        if env_rnd is None and os.path.exists(path):
-            print(
-                f"refusing to overwrite existing {os.path.basename(path)} "
-                "with an inferred round number; set SPARK_GRAFT_ROUND "
-                "explicitly to re-record this round's artifact",
-                file=sys.stderr,
-            )
-            return 2
-        with open(path, "w") as fh:
+    if artifact_path is not None:
+        # Written even when queries failed: the rotation ledger consumes
+        # per-query hash_match rows, so a red query keeps its old
+        # last-green round (and rotates into PRIORITY sooner) while the
+        # passing queries' greens still count.
+        with open(artifact_path, "w") as fh:
             json.dump(results, fh, indent=1, sort_keys=True)
             fh.write("\n")
-        print(f"wrote {path} ({len(results)} rows) — commit together with "
-              "the regenerated PRIORITY (scripts/rotate_priority.py)")
+        print(f"wrote {artifact_path} ({len(results)} rows) — commit together "
+              "with the regenerated PRIORITY (scripts/rotate_priority.py)")
 
     return 1 if n_fail else 0
 

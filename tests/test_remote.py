@@ -159,3 +159,94 @@ def test_missing_project_and_dataset_raise(portal):
         cat.find_datasets("nope")
     with pytest.raises(KeyError):
         cat.list_files("proj-a", "nope")
+
+
+def test_missing_data_subtree_is_loud(portal):
+    """A dataset dir without data/ raises instead of listing [] — an
+    empty listing would be blamed on the extension filter downstream."""
+    os.makedirs(os.path.join(portal, "proj-b", "hollow"))
+    with pytest.raises(KeyError, match="data/ subtree"):
+        LocalFsCatalog(portal).list_files("proj-b", "hollow")
+
+
+def test_warm_cache_skips_file_listing(portal, tmp_path):
+    """Reference run_annotate.py:90 — a non-empty cache short-circuits
+    the (expensive) file listing, not just the download."""
+    cat = LocalFsCatalog(portal)
+    cache_root = str(tmp_path / "temp")
+    cache_dataset(cat, "proj-a", "d-111", [".csv"], cache_root)
+
+    calls = []
+    orig = LocalFsCatalog.list_files
+    cat.list_files = lambda *a: calls.append(a) or orig(cat, *a)
+    out = cache_dataset(cat, "proj-a", "d-111", [".csv"], cache_root)
+    assert calls == [] and os.path.isdir(out)
+
+
+def test_partial_fetch_failure_leaves_no_cache(portal, tmp_path):
+    """All-or-nothing staging: a fetch that dies mid-way must not leave
+    a non-empty cache dir a later call would mistake for complete."""
+    cat = LocalFsCatalog(portal)
+    cache_root = str(tmp_path / "temp")
+
+    fetched = []
+
+    def failing_fetch(file, target):
+        if fetched:  # first file lands, second blows up
+            raise OSError("simulated network failure")
+        fetched.append(file.name)
+        LocalFsCatalog.fetch_file(cat, file, target)
+
+    cat.fetch_file = failing_fetch
+    with pytest.raises(OSError, match="simulated"):
+        cache_dataset(cat, "proj-a", "d-111", [".csv", ".tsv"], cache_root)
+    assert fetched  # the failure really was mid-fetch
+    expected = os.path.join(cache_root, "nf-core", "proj-a", "d-111")
+    assert not os.path.exists(expected) and not os.path.exists(
+        expected + ".staging"
+    )
+
+    # recovery: a clean catalog retries from scratch and completes
+    cat.fetch_file = lambda f, t: LocalFsCatalog.fetch_file(cat, f, t)
+    out = cache_dataset(cat, "proj-a", "d-111", [".csv", ".tsv"], cache_root)
+    assert sorted(os.listdir(out)) == ["counts.csv", "nested"]
+
+
+def test_catalog_supplied_paths_are_sanitized(portal, tmp_path):
+    """A malicious/malformed catalog must not steer writes outside the
+    cache root — neither via file names nor via dataset/process ids."""
+    from cirro_annotation_spark.sources.remote import (
+        DatasetRef,
+        FileRef,
+        dataset_cache_dir,
+    )
+
+    cat = LocalFsCatalog(portal)
+    evil_name = FileRef(name="../escape.csv", uri="file:///dev/null")
+    cat.list_files = lambda *a: [evil_name]
+    with pytest.raises(ValueError, match="unsafe file name"):
+        cache_dataset(cat, "proj-a", "d-111", [".csv"], str(tmp_path / "t"))
+
+    for bad in ("..", "a/b", "/abs", ""):
+        with pytest.raises(ValueError, match="unsafe"):
+            dataset_cache_dir(
+                str(tmp_path), DatasetRef(id=bad, name="x", project_id="p", process_id="q")
+            )
+    abs_file = FileRef(name="/etc/passwd", uri="file:///etc/passwd")
+    cat.list_files = lambda *a: [abs_file]
+    with pytest.raises(ValueError, match="unsafe file name"):
+        cache_dataset(cat, "proj-a", "d-111", ["passwd"], str(tmp_path / "t2"))
+
+
+def test_http_catalog_percent_encodes_path_segments():
+    from cirro_annotation_spark.sources.remote import RemoteHttpCatalog
+
+    cat = RemoteHttpCatalog("http://portal.example")
+    seen = []
+    cat._get_json = lambda path: seen.append(path) or []
+    cat.find_datasets("proj a/b")
+    cat.list_files("p#1", "d?2")
+    assert seen == [
+        "/projects/proj%20a%2Fb/datasets",
+        "/projects/p%231/datasets/d%3F2/files",
+    ]
