@@ -541,17 +541,25 @@ def connected_components_star(
     Returns (vertex, component) for every vertex in ``edges``, component
     = min reachable vertex id — same contract as connected_components.
     """
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
+    # One eager checkpoint of the cast edge list: all_vertices and e
+    # both derive from it, so the upstream pair-generation plan (often a
+    # full MinHash/LSH pipeline) runs ONCE, not once per consumer
+    # (code-review r15, second pass).
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    # all_vertices comes from the RAW edges: a vertex appearing only in
+    # a self-loop must still be emitted as its own singleton component
+    # (connected_components does; dropping it here would make the
+    # _auto fallback visibly change the vertex set — code-review r15).
+    all_vertices = (
+        raw.select(F.col("u").alias("vertex"))
+        .union(raw.select(F.col("v").alias("vertex")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_vertices = (
-        e.select(F.col("u").alias("vertex"))
-        .union(e.select(F.col("v").alias("vertex")))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -677,11 +685,9 @@ def jaccard_prefix_join(
     buckets are bounded because a stop word (max df) sorts LAST and
     rarely enters any prefix.
     """
-    from cirro_annotation_spark.operators.text import tokens as _tokens
-
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(_tokens(text_col)).alias("toks"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
     ).localCheckpoint(eager=True)  # feeds DF agg, prefixes, and verify
     tok = sets.select("id", F.explode("toks").alias("tok"), F.size("toks").alias("n"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
@@ -801,6 +807,22 @@ def grouped_running_sum(
     built with an explicit schema and joined back null-safely, so a
     NULL-keyed group cumulates instead of vanishing (ADVICE r14).
     """
+    vdt = df.schema[value_col].dataType
+    vt = vdt.typeName()
+    integral = vt in ("byte", "short", "integer", "long") or (
+        isinstance(vdt, T.DecimalType) and vdt.scale == 0
+    )
+    if not integral:
+        # The per-partition offsets truncate with cast('long') while the
+        # local cumsum does not — for fractional values the result would
+        # depend on where range-partition boundaries fall, violating the
+        # boundary-independence contract (code-review r15). Integer
+        # grain (cents, counts) is the documented domain; scale floats
+        # to a fixed-point long before calling.
+        raise TypeError(
+            f"grouped_running_sum requires an integral value_col; "
+            f"{value_col!r} is {vt} — scale to fixed-point (e.g. cents) first"
+        )
     key = [*group_cols, *order_cols]
     part = (
         df.repartitionByRange(num_partitions, *key)
@@ -870,13 +892,35 @@ def bounded_rank_per_key(
     matter (VERDICT r11 "what's wrong" #3: a mega-key funnels its whole
     population into one window partition).
 
-    Phase 1 ranks within (key, salt(order_col)) and keeps <= k rows per
-    salt bucket, so a mega-key spreads over ``salt_buckets`` partitions;
+    Phase 1 ranks within (key, salt) and keeps <= k rows per salt
+    bucket, so a mega-key spreads over ``salt_buckets`` partitions;
     phase 2 re-ranks the <= k * salt_buckets survivors per key — bounded
     partition state for ANY key distribution. Both phases are plain
-    shuffles of (key, order) pairs; deterministic (salt is a hash of
-    the order column, no rand())."""
-    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    shuffles of (key, order) pairs; deterministic (salt is a hash, no
+    rand()). The salt hashes every HASHABLE column, not just
+    ``order_col``: a mega-key whose order values are heavily tied
+    (constant timestamp / score — the common real skew shape) would
+    otherwise land every tied row in ONE bucket and reproduce the
+    single-reducer straggler the operator exists to prevent
+    (code-review r15); map-typed passthrough columns are skipped
+    because xxhash64 rejects MAP anywhere in its input. Any
+    deterministic bucket assignment keeps top-k correct: a row dropped
+    in phase 1 has >= k rows ranked at-or-before it within its bucket,
+    hence within its key. Ranks among equal order values follow
+    row_number's arbitrary-but-stable tie order, as with the plain
+    window. Residual funnel: rows IDENTICAL in every hashable column
+    still share a bucket — unavoidable under value-determinism (any
+    salt that spreads them must draw on physical position, making
+    phase-1 survivorship layout-dependent for rows that differ
+    elsewhere); if exact-duplicate mega-rows are your skew shape,
+    collapse them to (row, count) first — cheaper than ranking them
+    anyway."""
+    from cirro_annotation_spark.operators.joins import _hashable
+
+    salt_cols = [
+        F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+    ] or [F.col(order_col)]
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
     w1 = Window.partitionBy(key_col, "__salt").orderBy(order_col)
     local = (
         df.withColumn("__salt", salt)

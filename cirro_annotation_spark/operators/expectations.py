@@ -45,10 +45,24 @@ def in_range(col: str, lo, hi) -> Rule:
 
 
 def in_set(col: str, values: list) -> Rule:
-    vals = ",".join(str(v) for v in values)
-    pred = ~F.col(col).isin(values)
+    """A ``None`` among ``values`` means "NULL is allowed". It must not
+    reach ``isin``: SQL ``x IN (a, NULL)`` is NULL (never TRUE) for any
+    non-member x, and the conditional violation count treats NULL as 0
+    — the rule would silently stop counting real violations while still
+    flagging actual NULLs, the exact inverse of the caller's intent
+    (code-review r15)."""
+    # None renders as "NULL" in the label: str(None) == 'None' would
+    # make in_set(['ok', None]) and in_set(['ok', 'None']) — opposite
+    # semantics — share a rule name (code-review r15).
+    vals = ",".join("NULL" if v is None else str(v) for v in values)
+    non_null = [v for v in values if v is not None]
+    pred = ~F.col(col).isin(non_null)
+    if None in values:
+        pred = pred & F.col(col).isNotNull()
+    else:
+        pred = pred | F.col(col).isNull()
     return {"rule": f"in_set[{vals}]", "col": col, "kind": "predicate",
-            "pred": pred | F.col(col).isNull()}
+            "pred": pred}
 
 
 def matches_regex(col: str, pattern: str) -> Rule:

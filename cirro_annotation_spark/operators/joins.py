@@ -9,6 +9,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """Whether xxhash64 accepts this type: MAP is rejected anywhere in
+    the type tree (Spark DATATYPE_MISMATCH.HASH_MAP_TYPE)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -61,9 +74,29 @@ def asof_join(
         pack.alias("__right"),
     ).withColumn("__is_left", F.lit(0))
     unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    # Third sort key: (ts, is_left) is not a total order when the right
+    # side holds duplicate (key, ts) rows — last() would then pick a
+    # partition-internals-dependent row (code-review r15). xxhash64 over
+    # the HASHABLE right value columns (xxhash64 rejects MAP anywhere in
+    # the type tree) makes the pick deterministic — max hash wins; left
+    # rows hash constant NULLs and keep their position among equal-ts
+    # lefts. If every value column is map-typed the tie-break degrades
+    # to a constant (duplicate-(key, ts) picks are then undefined among
+    # rows differing only in maps — documented, not silent: maps aren't
+    # orderable or hashable, so no engine-neutral total order exists).
+    hashable_vals = [
+        F.col(f"__right.{c + suffix}")
+        for c in right_value_cols
+        if _hashable(right.schema[c].dataType)
+    ]
+    tie = (
+        F.xxhash64(F.col("__right.__rts"), *hashable_vals)
+        if hashable_vals
+        else F.lit(0)
+    )
     w = (
         Window.partitionBy(partition_key)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), tie.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last("__right", ignorenulls=True).over(w)

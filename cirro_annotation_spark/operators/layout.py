@@ -58,8 +58,18 @@ def quantize_by_quantiles(
 def interleave_bits(cols: list[F.Column], bits: int = 8) -> F.Column:
     """Morton/Z-value: bit-interleave k already-quantized integer columns
     (each in [0, 2^bits)) into one long. Pure shift/and arithmetic —
-    whole-stage-codegen'd, no UDF."""
+    whole-stage-codegen'd, no UDF.
+
+    ``len(cols) * bits`` must fit in the 63 value bits of a long:
+    Java's shiftleft masks the count mod 64, so an overflowing lane
+    would silently alias onto bit 0's lane and corrupt the curve
+    (code-review r15) — refuse instead."""
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"interleave of {k} columns x {bits} bits needs {k * bits} "
+            "bits; a long holds 63 — lower bits= or drop columns"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for j, c in enumerate(cols):

@@ -202,8 +202,22 @@ def table_diff(
     output.
     """
     def fp(df: DataFrame) -> DataFrame:
+        # Digest of PER-COLUMN digests: concat_ws over raw values drops
+        # NULLs (and their separator) and lets values embedding the
+        # separator shift bytes across column boundaries — both collide
+        # distinct rows into one digest and a real change vanishes from
+        # the diff (code-review r15, twice). Hashing each column first
+        # makes every field fixed-width ("N" for NULL, 32 hex chars
+        # otherwise), so no value can reshape the frame; collisions now
+        # require breaking md5 itself.
         digest = F.md5(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
+                    for c in compare_cols
+                ],
+            )
         )
         return df.select(F.col(key), digest.alias("__fp"))
 

@@ -35,8 +35,26 @@ def l2_norm(a: F.Column) -> F.Column:
     )
 
 
+def _cosine(dotp: F.Column, norm_prod: F.Column) -> F.Column:
+    """dot/norms with degenerate inputs mapped to NULL instead of NaN.
+
+    A zero-norm vector (0/0), a NaN element (NaN anywhere poisons both
+    dot and norm), or an Inf element (Inf/Inf) all make the raw
+    division NaN — and Spark's NaN (unlike numpy's) sorts FIRST under
+    desc and passes >= filters, so the garbage vector would rank #1 in
+    every top-k and "match" every near-dup threshold. nanvl maps every
+    such case to NULL, which fails thresholds and sorts last, matching
+    the Arrow/numpy twins where NaN >= t is False (code-review r15,
+    both passes). The norm product is additionally nullif'd so a
+    nonzero dot over a zero norm (impossible for real vectors, cheap
+    to guard) cannot slip through as +/-Inf."""
+    return F.nanvl(
+        dotp / F.nullif(norm_prod, F.lit(0.0)), F.lit(None).cast("double")
+    )
+
+
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return _cosine(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_to_query(v: F.Column, query_vec: list[float]) -> F.Column:
@@ -47,7 +65,7 @@ def cosine_to_query(v: F.Column, query_vec: list[float]) -> F.Column:
     so the value is bit-identical to cosine(v, lit(q))."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    return dot(v, q) / (l2_norm(v) * F.lit(qn))
+    return _cosine(dot(v, q), l2_norm(v) * F.lit(qn))
 
 
 def query_vector_frame(
@@ -74,7 +92,7 @@ def cosine_vs_query_frame(v: F.Column) -> F.Column:
     """Cosine of ``v`` against the joined-in ``__qv``/``__qn`` columns of a
     :func:`query_vector_frame` (same arithmetic as
     :func:`cosine_to_query`, query norm reused per row)."""
-    return dot(v, F.col("__qv")) / (l2_norm(v) * F.col("__qn"))
+    return _cosine(dot(v, F.col("__qv")), l2_norm(v) * F.col("__qn"))
 
 
 def topk_cosine_bruteforce_q(
@@ -285,8 +303,6 @@ def ivf_topk_cosine(
     nprobe=4 the candidate scan is ~1/4 of the corpus; at 100 TB the
     cell id becomes a parquet partition column and unprobed cells are
     pruned at the file level (never read)."""
-    import math as _math
-
     def _d2(a: list[float], b: list[float]) -> float:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
@@ -388,7 +404,7 @@ def near_dup_pairs_cosine(
         lsh_bucket(v, planes).alias("__bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
-    sim = dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    sim = _cosine(dot(F.col("a.__v"), F.col("b.__v")), F.col("a.__n") * F.col("b.__n"))
     return (
         a.join(
             b,
@@ -427,8 +443,6 @@ def knn_join(
     ``corpus_vec_col`` defaults to ``query_vec_col`` when both frames
     name their vector column the same way.
     """
-    from pyspark.sql import Window
-
     corpus_vec_col = corpus_vec_col or query_vec_col
     qv = F.col(query_vec_col).cast("array<double>")
     cv = F.col(corpus_vec_col).cast("array<double>")
@@ -442,7 +456,7 @@ def knn_join(
         cv.alias("__cv"),
         l2_norm(cv).alias("__cn"),
     )
-    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    sim = _cosine(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim")
     )
@@ -490,7 +504,7 @@ def semantic_dedup_removed(
         l2_norm(v).alias("__n"),
     )
     a, b = sl.alias("a"), sl.alias("b")
-    sim = dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    sim = _cosine(dot(F.col("a.__v"), F.col("b.__v")), F.col("a.__n") * F.col("b.__n"))
     pairs = (
         a.join(
             b,

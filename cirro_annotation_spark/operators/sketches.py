@@ -99,8 +99,12 @@ def hll_md5_register_cells(df: DataFrame, key_col: str = "user_id") -> DataFrame
     r = df.select(
         F.col(key_col), bucket.alias("bucket"), rho.alias("rho")
     )
-    even = F.max(F.when(F.col(key_col) % 2 == 0, F.col("rho")))
-    odd = F.max(F.when(F.col(key_col) % 2 == 1, F.col("rho")))
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # odd key (-3 % 2 = -1) would fall in NEITHER half and falsify
+    # merged_eq on correct data (code-review r15). The oracle twin uses
+    # ((k % 2) + 2) % 2 — the same non-negative parity.
+    even = F.max(F.when(F.pmod(F.col(key_col), F.lit(2)) == 0, F.col("rho")))
+    odd = F.max(F.when(F.pmod(F.col(key_col), F.lit(2)) == 1, F.col("rho")))
     return r.groupBy("bucket").agg(
         F.max("rho").alias("r_all"),
         even.alias("r_even"),

@@ -1484,10 +1484,10 @@ _HLL_REG_ORACLE = """
       FROM h)
     SELECT bucket,
            MAX(rho) AS r_all,
-           MAX(CASE WHEN user_id % 2 = 0 THEN rho END) AS r_even,
-           MAX(CASE WHEN user_id % 2 = 1 THEN rho END) AS r_odd,
-           GREATEST(COALESCE(MAX(CASE WHEN user_id % 2 = 0 THEN rho END), 0),
-                    COALESCE(MAX(CASE WHEN user_id % 2 = 1 THEN rho END), 0))
+           MAX(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN rho END) AS r_even,
+           MAX(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN rho END) AS r_odd,
+           GREATEST(COALESCE(MAX(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN rho END), 0),
+                    COALESCE(MAX(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN rho END), 0))
              = MAX(rho) AS merged_eq
     FROM r GROUP BY bucket
 """

@@ -725,3 +725,72 @@ def test_grouped_running_sum_null_group(spark):
         for r in grouped_running_sum(all_null, ["g"], ["v"], "c").collect()
     }
     assert got == {v: v + 1 for v in range(120)}
+
+
+def test_bounded_rank_per_key_tied_order_values_spread(spark):
+    """A mega-key with a CONSTANT order value must still spread across
+    salt buckets (salt hashes all columns, not just order_col — salting
+    on the tied order value alone put every row in one bucket)."""
+    from cirro_annotation_spark.operators.dedup import bounded_rank_per_key
+
+    rows = [("hot", 0, i) for i in range(500)] + [("cold", 1, 0)]
+    df = spark.createDataFrame(rows, "host string, score long, doc_id long")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(64))
+    n_buckets = df.filter(F.col("host") == "hot").select(salt.alias("s")).distinct().count()
+    assert n_buckets > 16  # 500 distinct rows over 64 buckets
+
+    out = bounded_rank_per_key(df, "host", "score", k=3).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["host"], []).append(r["rnk_k"])
+    assert sorted(per_key["hot"]) == [1, 2, 3]
+    assert per_key["cold"] == [1]
+
+
+def test_cc_star_keeps_self_loop_only_vertices(spark):
+    """A vertex appearing ONLY in a self-loop must be a singleton
+    component in BOTH algorithms — the _auto fallback must not change
+    the vertex set (code-review r15)."""
+    from cirro_annotation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    prop = {(r["vertex"], r["component"]) for r in connected_components(edges).collect()}
+    star = {
+        (r["vertex"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert prop == star == {(1, 1), (2, 1), (3, 1), (5, 5)}
+
+
+def test_bounded_rank_with_map_column_and_decimal_running_sum(spark):
+    """Map-typed passthrough columns must not break the all-hashable
+    salt; decimal(18,0) is a legal grouped_running_sum value type
+    (code-review r15 second pass)."""
+    from cirro_annotation_spark.operators.dedup import (
+        bounded_rank_per_key,
+        grouped_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [("h", i, {"m": i}) for i in range(10)],
+        "host string, doc_id long, meta map<string,long>",
+    )
+    out = bounded_rank_per_key(df, "host", "doc_id", k=3).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+    dec = spark.createDataFrame([(1, 1, 5), (1, 2, 7)], "g long, o long, v long").select(
+        "g", "o", F.col("v").cast("decimal(18,0)").alias("v")
+    )
+    got = {r["o"]: r["cum"] for r in grouped_running_sum(dec, ["g"], ["o"], "v").collect()}
+    assert got == {1: 5, 2: 12}
+
+    import pytest as _pytest
+
+    frac = spark.createDataFrame([(1, 1, 0.5)], "g long, o long, v double")
+    with _pytest.raises(TypeError, match="integral"):
+        grouped_running_sum(frac, ["g"], ["o"], "v")

@@ -71,3 +71,33 @@ def test_empty_rules_raise(spark):
     df = spark.createDataFrame([(1, "a", 2)], "id long, name string, score long")
     with pytest.raises(ValueError, match="at least one rule"):
         E.expectations_report(df, [])
+
+
+def test_in_set_with_none_means_null_allowed(spark):
+    """A None in the allowed list must mean 'NULL allowed' — previously
+    it poisoned isin into SQL NULL, counting ZERO violations for any
+    out-of-set value (code-review r15)."""
+    from cirro_annotation_spark.operators import expectations as E
+
+    df = spark.createDataFrame(
+        [("ok",), ("bad",), (None,), ("err",)], "status string"
+    )
+    rep = {
+        r["rule"]: r["violations"]
+        for r in E.expectations_report(
+            df,
+            [
+                E.in_set("status", ["ok", "err", None]),
+                E.in_set("status", ["ok", "err"]),
+            ],
+        ).collect()
+    }
+    assert rep["in_set[ok,err,NULL]"] == 1  # only 'bad'
+    assert rep["in_set[ok,err]"] == 2  # 'bad' and the NULL
+
+
+def test_in_set_label_distinguishes_null_from_none_string(spark):
+    from cirro_annotation_spark.operators import expectations as E
+
+    assert E.in_set("c", ["ok", None])["rule"] == "in_set[ok,NULL]"
+    assert E.in_set("c", ["ok", "None"])["rule"] == "in_set[ok,None]"

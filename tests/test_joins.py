@@ -232,3 +232,50 @@ def test_asof_nearest_single_exchange_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_asof_duplicate_right_ts_is_deterministic(spark):
+    """Two right rows at the same (key, ts): the attached value must be
+    the same on every run/layout — the xxhash64 struct tie-break
+    (code-review r15). Pinned against the max-hash rule itself."""
+    ts0 = 1_700_000_000
+    ldf = spark.createDataFrame([(1, 0, ts0 + 100)], "id long, k long, sec long").select(
+        "id", "k", F.timestamp_seconds("sec").alias("ts")
+    )
+    dup_vals = [10.0, 20.0, 30.0]
+    rdf = spark.createDataFrame(
+        [(0, ts0 + 50, v) for v in dup_vals], "k long, sec long, val double"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "val")
+
+    picks = set()
+    for nparts in (1, 2, 5):
+        out = asof_join(
+            ldf, rdf.repartition(nparts), "k", "ts", "ts", ["val"]
+        ).first()
+        picks.add(out["val_asof"])
+    assert len(picks) == 1, picks
+    # the winner is the max-xxhash64 struct, by contract
+    hashed = rdf.select(
+        "val",
+        F.xxhash64(
+            F.struct(F.col("ts").alias("__rts"), F.col("val").alias("val_asof"))
+        ).alias("h"),
+    ).collect()
+    want = max(hashed, key=lambda r: r["h"])["val"]
+    assert picks == {want}
+
+
+def test_asof_map_typed_value_column_still_works(spark):
+    """xxhash64 rejects MAP — the tie-break must skip map-typed value
+    columns instead of blowing up the whole join (code-review r15
+    second pass)."""
+    ts0 = 1_700_000_000
+    ldf = spark.createDataFrame([(1, 0, ts0 + 10)], "id long, k long, sec long").select(
+        "id", "k", F.timestamp_seconds("sec").alias("ts")
+    )
+    rdf = spark.createDataFrame(
+        [(0, ts0 + 5, {"a": 1}, 7.0)],
+        "k long, sec long, payload map<string,long>, val double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "payload", "val")
+    out = asof_join(ldf, rdf, "k", "ts", "ts", ["payload", "val"]).first()
+    assert out["val_asof"] == 7.0 and out["payload_asof"] == {"a": 1}

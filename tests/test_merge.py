@@ -384,3 +384,37 @@ def test_merge_mixed_schema_affected_set_keeps_evolved_column(spark, tmp_path):
     assert rows[10] == (-1, None)   # merge-2 update
     assert rows[90] == (-1, None)
     assert rows[99] == (198, None)  # kept old-schema row
+
+
+def test_table_diff_null_shift_is_a_change(spark):
+    """('x', NULL) -> (NULL, 'x') must be reported 'changed' — concat_ws
+    alone dropped NULLs and their separator, digesting both sides
+    identically (code-review r15)."""
+    from cirro_annotation_spark.operators.merge import table_diff
+
+    a = spark.createDataFrame([(1, "x", None), (2, "y", "z")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, None, "x"), (2, "y", "z")], "k long, c1 string, c2 string")
+    out = {r["k"]: r["status"] for r in table_diff(a, b, "k", ["c1", "c2"]).collect()}
+    assert out == {1: "changed"}
+
+
+def test_table_diff_value_containing_separator_tags(spark):
+    """The \\x00/\\x01 tags themselves must not create false equality for
+    values that embed them."""
+    from cirro_annotation_spark.operators.merge import table_diff
+
+    a = spark.createDataFrame([(1, "\x01a", "b")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "\x01a", "b")], "k long, c1 string, c2 string")
+    assert table_diff(a, b, "k", ["c1", "c2"]).count() == 0
+
+
+def test_table_diff_separator_embedding_values(spark):
+    """Values embedding the separator/tag bytes must not shift across
+    column boundaries: per-column digests make fields fixed-width
+    (code-review r15 second pass)."""
+    from cirro_annotation_spark.operators.merge import table_diff
+
+    a = spark.createDataFrame([(1, "x\x1f\x01y", "z")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "x", "y\x1f\x01z")], "k long, c1 string, c2 string")
+    out = {r["k"]: r["status"] for r in table_diff(a, b, "k", ["c1", "c2"]).collect()}
+    assert out == {1: "changed"}

@@ -534,3 +534,59 @@ def test_silhouette_perfect_at_centroids(spark):
         assert r["n_vecs"] == 1
         assert r["mean_s_ppm"] == 1_000_000
         assert r["min_s_ppm"] == r["max_s_ppm"] == 1_000_000
+
+
+def test_zero_norm_vector_excluded_everywhere(spark):
+    """A zero-norm embedding has no defined cosine: it must never rank
+    in a top-k, never pass a near-dup threshold, and the Spark path must
+    agree with the numpy twin (where NaN >= t is False). Before the r15
+    _nz guard, 0/0 = NaN ranked FIRST under desc and passed >= filters."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = S.topk_cosine_bruteforce(df, "embedding", "vec_id", [1.0, 0.0], k=4)
+    got = [r["vec_id"] for r in top.collect()]
+    # zero vector sorts LAST (NULL), never first
+    assert got[0] == 0 and got[-1] == 2
+    assert top.filter(F.col("vec_id") == 2).first()["cosine_sim"] is None
+
+    # all-pairs near-dup: zero vector matches nothing even at threshold 0
+    pairs = S.near_dup_pairs_cosine(
+        df, "embedding", "vec_id", threshold=0.0, n_planes=1, dim=2
+    )
+    ids = {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}
+    assert 2 not in ids
+
+    # SemDeDup: zero vector neither removed nor a keeper
+    removed = S.semantic_dedup_removed(
+        df, "embedding", "vec_id", centroids=[[1.0, 0.0]], threshold=0.0
+    )
+    touched = {x for r in removed.collect() for x in (r["vec_id"], r["keeper_id"])}
+    assert 2 not in touched
+
+
+def test_zero_norm_cosine_is_null_not_nan(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    row = df.select(
+        S.cosine(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(2.0))
+        ).alias("c"),
+        S.cosine_to_query(F.array(F.lit(0.0), F.lit(0.0)), [1.0, 2.0]).alias("cq"),
+    ).first()
+    assert row["c"] is None and row["cq"] is None
+
+
+def test_nan_vector_excluded_like_zero_vector(spark):
+    """A NaN-poisoned embedding must behave exactly like a zero-norm
+    one: NULL cosine, never ranked, never matched (nanvl guard —
+    code-review r15 second pass)."""
+    rows = [(0, [1.0, 0.0]), (1, [float("nan"), 1.0]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = S.topk_cosine_bruteforce(df, "embedding", "vec_id", [1.0, 0.0], k=3)
+    got = [r["vec_id"] for r in top.collect()]
+    assert got[0] == 0 and got[-1] == 1
+    assert top.filter(F.col("vec_id") == 1).first()["cosine_sim"] is None
+    pairs = S.near_dup_pairs_cosine(
+        df, "embedding", "vec_id", threshold=0.0, n_planes=1, dim=2
+    )
+    assert 1 not in {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}

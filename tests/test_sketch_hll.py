@@ -42,3 +42,16 @@ def test_hll_query_shape(spark):
     assert len(rows) == 5
     for r in rows:
         assert abs(r.estimate - r.exact_distinct) / r.exact_distinct < 0.05
+
+
+def test_register_halves_cover_negative_keys(spark):
+    """pmod parity: every key lands in exactly one half, so the merged
+    register equals r_all even with negative ids (Spark's signed % put
+    negative odd keys in neither half — code-review r15)."""
+    from cirro_annotation_spark.operators.sketches import hll_md5_register_cells
+
+    df = spark.createDataFrame(
+        [(k,) for k in (-7, -4, -3, -2, -1, 0, 1, 2, 3)], "user_id long"
+    )
+    out = hll_md5_register_cells(df).collect()
+    assert out and all(r["merged_eq"] for r in out)
