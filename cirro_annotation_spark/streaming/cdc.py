@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -77,11 +77,20 @@ def _recover(base_path: str) -> None:
         return
     parent = os.path.dirname(base_path) or "."
     prefix = os.path.basename(base_path) + ".staging-"
+    # Temporal order, two ways: staging names carry a nanos timestamp
+    # (like operators/merge.py's millis names), and the sort key is
+    # st_mtime, not the name — a lexical sort over random suffixes
+    # would promote a STALE leftover snapshot with ~50% probability and
+    # then delete both the good base and the correct staged result
+    # (code-review r15).
     staged = sorted(
-        os.path.join(parent, d)
-        for d in os.listdir(parent)
-        if d.startswith(prefix)
-        and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+        (
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(prefix)
+            and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+        ),
+        key=os.path.getmtime,
     )
     if staged:  # roll forward to the newest complete staging dir
         os.rename(staged[-1], base_path)
@@ -104,7 +113,7 @@ def _swap_in(latest: DataFrame, base_path: str) -> None:
     """
     if latest.isEmpty():
         latest = latest.repartition(1)
-    staging = f"{base_path}.staging-{uuid.uuid4().hex[:8]}"
+    staging = f"{base_path}.staging-{time.time_ns()}"
     latest.write.mode("overwrite").parquet(staging)
     old = base_path + ".old"
     if os.path.exists(old):
@@ -114,6 +123,15 @@ def _swap_in(latest: DataFrame, base_path: str) -> None:
     os.rename(staging, base_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+    # A staging dir from an earlier crashed swap (complete but never
+    # promoted) must not outlive a SUCCESSFUL swap: recovery prefers
+    # the newest staged result, which after this point is strictly
+    # older than the live base (code-review r15).
+    parent = os.path.dirname(base_path) or "."
+    prefix = os.path.basename(base_path) + ".staging-"
+    for d in os.listdir(parent):
+        if d.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def read_cdc_base(spark: SparkSession, base_path: str) -> DataFrame:
@@ -166,11 +184,14 @@ def apply_cdc_batch(
         F.col("__rn") == 1
     )
     if tombstone_horizon is not None:
+        # Scalar max, not an unpartitioned window: Window.partitionBy()
+        # funnels the whole merged base through ONE task per micro-batch
+        # (code-review r15). One extra driver-side job per batch buys a
+        # fully parallel filter.
         horizon = F.expr(f"INTERVAL {tombstone_horizon}")
-        latest = latest.withColumn(
-            "__max_ts", F.max("ts").over(Window.partitionBy())
-        ).filter(
-            (F.col("op") != "d") | (F.col("ts") >= F.col("__max_ts") - horizon)
+        max_ts = merged.agg(F.max("ts")).first()[0]
+        latest = latest.filter(
+            (F.col("op") != "d") | (F.col("ts") >= F.lit(max_ts) - horizon)
         )
     latest = latest.select("key", "ts", "seq", "op", "payload").localCheckpoint(
         eager=True

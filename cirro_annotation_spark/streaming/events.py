@@ -48,18 +48,41 @@ def _read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
 
     tune_existing(spark)
     nanos = parquet_ts_unit(parquet_path) == "ns"
-    if nanos:
-        # Vectorized reader rejects TIMESTAMP(NANOS); read as long and
-        # truncate to micros exactly like DuckDB/pandas do.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_TIMESTAMP)
-        .option("pathGlobFilter", os.path.basename(parquet_path))
-        .parquet(os.path.dirname(parquet_path))
-    )
-    if nanos:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    if not nanos:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA_TIMESTAMP)
+            .option("pathGlobFilter", os.path.basename(parquet_path))
+            .parquet(os.path.dirname(parquet_path))
+        )
+    # Vectorized reader rejects TIMESTAMP(NANOS); read as long and
+    # truncate to micros exactly like DuckDB/pandas do. The legacy conf
+    # is save/restored around the source build — the same contract
+    # catalog.read_table keeps for batch (a LATER raw nanos read on this
+    # session must error loudly, not silently arrive as bigint); the
+    # explicit bigint schema means triggers never re-infer, so the
+    # restore is safe before the drain runs (pinned by the ns-flavor
+    # parity tests in test_testdata_canary.py) (code-review r15).
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(conf_key, None)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("pathGlobFilter", os.path.basename(parquet_path))
+            .parquet(os.path.dirname(parquet_path))
+        )
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        except Exception:
+            pass
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -102,6 +125,35 @@ def session_agg(events: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
+def _drain(
+    spark: SparkSession, sdf: DataFrame, mode: str, prefix: str
+) -> DataFrame:
+    """Run a bounded streaming frame to completion through a memory sink
+    and return the materialized result — the one drain implementation
+    every operator in this module shares (code-review r15: the block was
+    copy-pasted 8x, and none of the copies dropped its sink view).
+
+    The memory sink's temp view is dropped AFTER the eager
+    localCheckpoint (the checkpointed partitions no longer reference the
+    sink), so repeated invocations on one long-lived session — a 350-
+    query sweep, bench rounds — do not accumulate full result sets in
+    driver memory."""
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def run_streaming_over_parquet(
     spark: SparkSession,
     parquet_path: str,
@@ -116,22 +168,8 @@ def run_streaming_over_parquet(
     changes to Kafka and the sink to a real table; the aggregation
     dataflow — the part this engine owns — is identical.
     """
-    name = "stream_out_" + uuid.uuid4().hex[:8]
     stream = _read_events_stream(spark, parquet_path).withWatermark("ts", watermark)
-    q = (
-        transform(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # Snapshot executor-side (no driver round-trip): localCheckpoint
-    # materializes the sink's partitions so the result outlives the query.
-    return spark.table(name).localCheckpoint(eager=True)
+    return _drain(spark, transform(stream), "complete", "stream_out_")
 
 
 def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -155,7 +193,6 @@ def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
         state.update((total,))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
 
-    name = "stream_state_" + uuid.uuid4().hex[:8]
     stream = (
         _read_events_stream(spark, parquet_path)
         .groupBy("user_id")
@@ -167,17 +204,7 @@ def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    return _drain(spark, stream, "update", "stream_state_")
 
 
 def stateful_user_stats_tws(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -250,7 +277,6 @@ def stateful_user_stats_tws(spark: SparkSession, parquet_path: str) -> DataFrame
         provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    name = "stream_tws_" + uuid.uuid4().hex[:8]
     try:
         stream = (
             _read_events_stream(spark, parquet_path)
@@ -262,22 +288,13 @@ def stateful_user_stats_tws(spark: SparkSession, parquet_path: str) -> DataFrame
                 timeMode="None",
             )
         )
-        q = (
-            stream.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        out = _drain(spark, stream, "update", "stream_tws_")
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
-    return spark.table(name).localCheckpoint(eager=True)
+    return out
 
 
 def purchase_click_pairs(
@@ -332,7 +349,6 @@ def stream_stream_join(spark: SparkSession, parquet_path: str) -> DataFrame:
     once. This is the canonical enrichment-join (clicks→purchases,
     impressions→conversions) Structured Streaming was built for.
     """
-    name = "stream_join_" + uuid.uuid4().hex[:8]
     src = _read_events_stream(spark, parquet_path)
     purchases = src.filter(F.col("event_type") == "purchase").withWatermark(
         "ts", "1 hour"
@@ -341,17 +357,7 @@ def stream_stream_join(spark: SparkSession, parquet_path: str) -> DataFrame:
         F.col("event_type") == "click"
     ).withWatermark("ts", "2 hours")
     joined = purchase_click_pairs(purchases, clicks)
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    return _drain(spark, joined, "append", "stream_join_")
 
 
 def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -360,7 +366,6 @@ def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
     State holds one entry per key only until the watermark passes it —
     bounded state on an unbounded stream.
     """
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
     stream = (
         _read_events_stream(spark, parquet_path)
         .withWatermark("ts", "1 hour")
@@ -368,17 +373,7 @@ def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    return _drain(spark, stream, "complete", "stream_dedup_")
 
 
 def bloom_dedup_stream(
@@ -414,7 +409,10 @@ def bloom_dedup_stream(
 
     m = m_bits_per_bucket
     k = n_hashes
-    n_words = m >> 6
+    # Ceil, not floor: bit positions range over [0, m), so a non-
+    # multiple-of-64 m with floor division would index past the word
+    # array inside the state fn (worker IndexError — code-review r15).
+    n_words = (m + 63) >> 6
 
     def fn(key, pdfs, state: GroupState):
         words = list(state.get[0]) if state.exists else [0] * n_words
@@ -448,7 +446,6 @@ def bloom_dedup_stream(
                 {"event_id": out_ids, "user_id": out_users, "event_type": out_types}
             )
 
-    name = "stream_bloom_" + uuid.uuid4().hex[:8]
     src = _read_events_stream(spark, parquet_path)
     # dedup key: the event's content identity (event_id in the fixture);
     # the 64-bit hash and the bucket id are computed ENGINE-side
@@ -467,17 +464,7 @@ def bloom_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    return _drain(spark, stream, "update", "stream_bloom_")
 
 
 def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -503,7 +490,6 @@ def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame
     single-batch replay harness never exercises the drop path, so this
     caveat is the production-behavior boundary, not a harness gap.
     """
-    name = "stream_out_" + uuid.uuid4().hex[:8]
     stream = (
         _read_events_stream(spark, parquet_path)
         .withWatermark("ts", "1 day")
@@ -518,17 +504,8 @@ def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame
             "n_users",
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    return _drain(spark, stream, "complete", "stream_out_")
+
 
 def dedup_ttl_expiry_stream(
     spark: SparkSession, parquet_path: str, n_msgs: int = 120
@@ -582,9 +559,14 @@ def dedup_ttl_expiry_stream(
 
     tune_existing(spark)
     width_min = 45  # see TIMING DERIVATION: must be <= 58
-    ev = spark.read.parquet(parquet_path).filter(
-        F.col("event_id") < n_msgs
-    ).select("event_id", "event_type")
+    # Explicit schema, never inference: the fixture only needs two
+    # columns, and schema inference would convert the FULL footer —
+    # crashing on a TIMESTAMP(NANOS)-era ts column this function never
+    # touches (the repo-wide "no raw events reads" rule; code-review
+    # r15). The clipped schema keeps the scan two columns wide too.
+    ev = spark.read.schema("event_id long, event_type string").parquet(
+        parquet_path
+    ).filter(F.col("event_id") < n_msgs)
     arrivals = None
     for off in ("2*event_id", "2*event_id + 20", "2*event_id + 240"):
         part = ev.select(
@@ -623,12 +605,11 @@ def dedup_ttl_expiry_stream(
                 os.utime(dst, (base_mtime + b, base_mtime + b))
         shutil.rmtree(staged)
 
-        name = "stream_ttl_" + uuid.uuid4().hex[:8]
         # 4 state partitions: the stateful dedup + complete-mode agg
         # commit every micro-batch; at 200 keys 32-way state stores are
         # pure overhead (the conf is pinned into the query's checkpoint
-        # at start, so restoring it right after does not affect the
-        # running drain).
+        # at start, so restoring right after the drain does not affect
+        # the completed run).
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
@@ -643,18 +624,8 @@ def dedup_ttl_expiry_stream(
                 .groupBy("event_type")
                 .agg(F.count(F.lit(1)).alias("n_emitted"))
             )
-            q = (
-                stream.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(name)
-                .start()
-            )
+            return _drain(spark, stream, "complete", "stream_ttl_")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

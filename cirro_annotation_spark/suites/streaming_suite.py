@@ -210,20 +210,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_avg",
         F.round(F.col("value") - F.col("type_avg"), 6).alias("value_delta"),
     )
-    import uuid as _uuid
-
-    name = "stream_enrich_" + _uuid.uuid4().hex[:8]
-    q = (
-        enriched.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    return STRM._drain(spark, enriched, "append", "stream_enrich_")
 
 
 @query(

@@ -289,3 +289,20 @@ def test_stream_left_outer_join_emits_null_on_watermark(spark, tmp_path):
     assert (3, 2, 2) in rows, rows          # matched pair emitted
     assert (1, None, 1) in rows, rows       # unmatched purchase → NULL row
     assert len(rows) == 2, rows
+
+
+def test_streaming_drain_drops_memory_sink_view(spark, sf_dir):
+    """The memory sink's temp view must not outlive the drain — one
+    leaked full result set per streaming query invocation on a
+    long-lived session (code-review r15)."""
+    import os
+
+    from cirro_annotation_spark.streaming import events as STRM
+
+    before = {t.name for t in spark.catalog.listTables()}
+    out = STRM.dedup_within_watermark(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    assert out.count() > 0  # checkpointed result survives the drop
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("stream_")}

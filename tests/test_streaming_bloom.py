@@ -67,3 +67,16 @@ def test_state_is_bounded(spark, tmp_path):
     # state stayed 4 × 8 KiB however many keys arrived.
     n_out = out.count()
     assert 4990 <= n_out <= 5000
+
+
+def test_bloom_non_multiple_of_64_bits(spark, sf_dir):
+    """m_bits_per_bucket=1000 exercises the ceil word sizing: positions
+    960-999 previously indexed past the word array (worker IndexError —
+    code-review r15)."""
+    import os
+
+    from cirro_annotation_spark.streaming.events import bloom_dedup_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    out = bloom_dedup_stream(spark, path, m_bits_per_bucket=1000, n_buckets=4)
+    assert out.count() > 0

@@ -194,3 +194,58 @@ def test_cdc_tombstone_horizon_prunes_old_tombstones(spark, tmp_path):
     assert (1, "d") not in ops          # pruned: older than horizon
     assert (2, "d") in ops              # retained: within horizon
     assert _base(spark, base) == {(3, "v1")}
+
+
+def test_cdc_recover_prefers_newest_staging_by_mtime(spark, tmp_path):
+    """Two complete staging dirs (a leaked older one + the correct newer
+    one): recovery must promote by MTIME, not lexical name order — a
+    lexical sort over random suffixes promoted the stale snapshot with
+    ~50% probability and deleted both the good base and the right
+    staged result (code-review r15)."""
+    import os
+    import time
+
+    from cirro_annotation_spark.streaming.cdc import BASE_SCHEMA
+
+    src = tmp_path / "cl9"
+    src.mkdir()
+    base = str(tmp_path / "base9")
+    _write(src, "b0.parquet", [(1, "2024-01-01 00:00:00", 1, "u", "v1")])
+    run_cdc_stream(spark, str(src), base)
+
+    # stale leaked staging dir: lexically LAST ("zzz" > any digit), old mtime
+    stale = base + ".staging-zzz"
+    spark.read.schema(BASE_SCHEMA).parquet(base).withColumn(
+        "payload", F.lit("stale")
+    ).write.parquet(stale)
+    t_old = time.time() - 1000
+    os.utime(stale, (t_old, t_old))
+    # correct newer staging dir
+    good = base + ".staging-0001"
+    spark.read.schema(BASE_SCHEMA).parquet(base).withColumn(
+        "payload", F.lit("v2")
+    ).write.parquet(good)
+
+    os.rename(base, base + ".old")
+    assert _base(spark, base) == {(1, "v2")}
+    assert not os.path.exists(stale) and not os.path.exists(good)
+
+
+def test_cdc_successful_swap_cleans_leaked_staging(spark, tmp_path):
+    """A staging dir leaked by an earlier crash must not survive a later
+    SUCCESSFUL merge — recovery would otherwise consider promoting it
+    forever (code-review r15)."""
+    import os
+
+    src = tmp_path / "cl10"
+    src.mkdir()
+    base = str(tmp_path / "base10")
+    _write(src, "b0.parquet", [(1, "2024-01-01 00:00:00", 1, "u", "v1")])
+    run_cdc_stream(spark, str(src), base)
+
+    leaked = base + ".staging-leftover"
+    os.makedirs(leaked)
+    _write(src, "b1.parquet", [(1, "2024-01-02 00:00:00", 2, "u", "v2")])
+    run_cdc_stream(spark, str(src), base)
+    assert not os.path.exists(leaked)
+    assert _base(spark, base) == {(1, "v2")}
