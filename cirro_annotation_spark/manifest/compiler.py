@@ -89,7 +89,7 @@ def compile_command(
         regex = token_template_to_regex(source) + r"(?:\.gz)?"
         matched = sorted(
             p
-            for p in globmod.glob(pattern) + globmod.glob(pattern + ".gz")
+            for p in _expand_glob(spark, pattern) + _expand_glob(spark, pattern + ".gz")
             if re.fullmatch(regex, p)
         )
         if not matched:
@@ -98,17 +98,31 @@ def compile_command(
         # Group index of each token in the compiled regex (named groups
         # are ordered by position).
         group_idx = {name: i + 1 for i, name in enumerate(extract_tokens(source))}
+        # input_file_name() is a percent-ENCODED file: URI; the regex is
+        # built from the raw template, so match against the decoded path
+        # or any space/special char in the tree silently yields ''
+        # tokens (code-review r15). '+' is protected first: url_decode
+        # is form-decoding ('+' -> ' '), but in a URI path a literal
+        # plus stays '+' — %2B-escaping it makes the decode a pure
+        # percent-decode.
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+        )
         for tok in tokens:
             df = df.withColumn(
                 tok,
                 F.regexp_extract(
-                    F.input_file_name(),
+                    decoded,
                     _file_url_regex(java_safe_regex(regex)),
                     group_idx[tok],
                 ),
             )
     else:
-        if not os.path.exists(source):
+        # Local-only existence pre-check: a URI-scheme source (s3a://,
+        # gs://, abfss://) is handed straight to the reader — the dsv
+        # sniffer and spark.read both speak Hadoop FS, and os.path.exists
+        # would wrongly reject every cloud path (code-review r15).
+        if "://" not in source and not os.path.exists(source):
             raise FileNotFoundError(source)
         df = read_dsv(spark, source, sep=cmd.read.sep, header=cmd.read.header)
 
@@ -130,7 +144,13 @@ def compile_command(
                 # §1.3 schema discipline: manifest column missing from the
                 # file → explicit null column, stable output schema.
                 keep.append(F.lit(None).cast("string").alias(col_norm))
-        keep.extend(_qcol(tok) for tok in tokens)
+        # A token already named in cmd.cols must not be selected twice
+        # (duplicate output columns fail at the parquet sink); the
+        # token value wins either way — withColumn above replaced any
+        # same-named data column, matching the reference's assignment
+        # overwrite (code-review r15).
+        spec_names = {normalize_columns([sp.col])[0] for sp in cmd.cols}
+        keep.extend(_qcol(tok) for tok in tokens if tok not in spec_names)
         df = df.select(*keep)
 
     # kwargs.read.index_col (transform.json:16-19): Spark has no index —
@@ -147,16 +167,23 @@ def compile_command(
             )
 
     if cmd.melt:
-        ids = [c for c in df.columns if c not in cmd.melt.value_cols]
+        # Normalize the manifest's value_cols the same way read_dsv
+        # normalized the frame's columns: a mixed-case manifest name
+        # would otherwise pass the case-sensitive `not in` below while
+        # Spark's case-insensitive resolver still unpivots it — the
+        # column would appear BOTH as an id and as melted rows
+        # (code-review r15).
+        value_cols = normalize_columns(list(cmd.melt.value_cols))
+        ids = [c for c in df.columns if c not in value_cols]
         # Spark requires a common type across unpivoted values; try_cast
         # (not cast) for pandas to_numeric(errors='coerce') parity — the
         # domain's 'NA' cells become NULL instead of an ANSI cast error.
-        for vc in cmd.melt.value_cols:
+        for vc in value_cols:
             df = df.withColumn(vc, _qcol(vc).try_cast("double"))
         df = melt_op(
             df,
             ids=ids,
-            values=list(cmd.melt.value_cols),
+            values=list(value_cols),
             var_name=cmd.melt.key_name,
             value_name=cmd.melt.value_name,
         )
@@ -196,6 +223,20 @@ def _read_family(spark: SparkSession, matched: list[str], cmd: TransformCommand)
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def _expand_glob(spark: SparkSession, pattern: str) -> list[str]:
+    """Glob expansion that follows the source's filesystem: plain paths
+    use Python glob; URI-scheme patterns (s3a://, gs://, abfss://) go
+    through Hadoop's FileSystem.globStatus — glob.glob returns [] for
+    them, which used to read as 'no files match' (code-review r15)."""
+    if "://" not in pattern:
+        return globmod.glob(pattern)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    return [] if statuses is None else [str(st.getPath()) for st in statuses]
 
 
 def _file_url_regex(path_regex: str) -> str:

@@ -30,6 +30,14 @@ def execute_manifest(
         if cmd.command != "hot.Parquet":
             raise ValueError(f"unknown manifest command: {cmd.command}")
         df = compile_command(spark, cmd, data_directory)
+        # cmd.target is manifest input: confine it to output_directory
+        # (an absolute or '..'-laden target would overwrite arbitrary
+        # writable paths under mode=overwrite — code-review r15, same
+        # contract as sources/remote.py's catalog-path validation).
+        if os.path.isabs(cmd.target) or ".." in cmd.target.split("/"):
+            raise ValueError(
+                f"manifest target escapes the output directory: {cmd.target!r}"
+            )
         target = os.path.join(output_directory, cmd.target)
         writer = df.coalesce(coalesce_small) if coalesce_small else df
         writer.write.mode("overwrite").parquet(target)

@@ -89,6 +89,11 @@ class Manifest:
                 kw = {}
                 if o.read.sep is not None:
                     kw["sep"] = o.read.sep
+                if o.read.header is not True:
+                    # header=False must round-trip: load_manifest defaults
+                    # the key to True, so omitting it would re-read the
+                    # first data row as a header (code-review r15).
+                    kw["header"] = o.read.header
                 if o.read.index_col is not None:
                     kw["index_col"] = o.read.index_col
                 if kw:
@@ -124,6 +129,28 @@ def _validate_command(d: dict, where: str) -> None:
             raise ManifestValidationError(f"{where}.params.cols[{i}]: needs a 'col' key")
     if not isinstance(p.get("concat", []), list):
         raise ManifestValidationError(f"{where}.params.concat: must be a list of token names")
+    # Sub-shapes reached by _parse_command must be validated HERE — a
+    # malformed melt/kwargs otherwise surfaces as a bare AttributeError
+    # deep in parsing instead of the documented load-time error with a
+    # field path (code-review r15).
+    m = p.get("melt")
+    if m is not None and not isinstance(m, dict):
+        raise ManifestValidationError(f"{where}.params.melt: must be an object")
+    if isinstance(m, dict):
+        for k in ("key", "value"):
+            if k in m and not isinstance(m[k], dict):
+                raise ManifestValidationError(
+                    f"{where}.params.melt.{k}: must be an object with name/desc"
+                )
+        if "value_cols" in m and not isinstance(m["value_cols"], list):
+            raise ManifestValidationError(
+                f"{where}.params.melt.value_cols: must be a list"
+            )
+    kwv = p.get("kwargs")
+    if kwv is not None and not isinstance(kwv, dict):
+        raise ManifestValidationError(f"{where}.params.kwargs: must be an object")
+    if isinstance(kwv, dict) and "read" in kwv and not isinstance(kwv["read"], dict):
+        raise ManifestValidationError(f"{where}.params.kwargs.read: must be an object")
     cmd_name = d.get("command", "hot.Parquet")
     if cmd_name != "hot.Parquet":
         raise ManifestValidationError(

@@ -75,11 +75,29 @@ def merge_duplicate_sources(manifest: Manifest) -> Manifest:
 
 
 def prune_empty_commands(manifest: Manifest) -> Manifest:
-    """Drop commands that would execute as projection-less scans."""
-    kept = tuple(
-        c for c in manifest.commands if c.cols or c.tokens
-    )
-    return Manifest(commands=kept)
+    """Drop commands whose planner resolved NO columns and that carry no
+    tokens and no melt — the dictionary matched nothing, so the command
+    would write an untyped full copy nobody asked for.
+
+    A command with a melt is real work even with empty cols (the
+    compiler treats empty cols as keep-all), so it survives; and every
+    drop is warned about, never silent (code-review r15)."""
+    import warnings
+
+    kept, dropped = [], []
+    for c in manifest.commands:
+        if c.cols or c.tokens or c.melt:
+            kept.append(c)
+        else:
+            dropped.append(c.target)
+    if dropped:
+        warnings.warn(
+            "prune_empty_commands dropped manifest targets with no "
+            f"resolved columns: {dropped} (write them explicitly with "
+            "cols or disable optimize)",
+            stacklevel=2,
+        )
+    return Manifest(commands=tuple(kept))
 
 
 def optimize_manifest(manifest: Manifest) -> Manifest:

@@ -121,10 +121,23 @@ def build_manifest(
         )
 
     # Standard files (generate_standard_file_manifest, :218-253).
+    # Basename targets collide when two directories carry a same-named
+    # file; the executor's overwrite would then silently destroy the
+    # first output (code-review r15). Colliding files switch to their
+    # full relative path (separators -> __), unique by construction.
+    by_target: dict[str, list[str]] = {}
+    for rel in standard:
+        by_target.setdefault(_target_name(rel), []).append(rel)
+    target_for = {
+        rel: (tgt if len(rels) == 1
+              else _target_name(rel.replace("/", "__").replace(os.sep, "__")))
+        for tgt, rels in by_target.items()
+        for rel in rels
+    }
     for rel in standard:
         cols = harvest_columns(spark, data_directory, [rel])[rel]
         melt = _melt_for(rel, cols, melt_groups, melt_key_name, melt_value_name)
-        target = _target_name(rel)
+        target = target_for[rel]
         commands.append(
             TransformCommand(
                 source=f"$data_directory/{rel}",

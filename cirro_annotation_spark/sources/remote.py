@@ -320,6 +320,15 @@ class RemoteHttpCatalog:
         import urllib.request
 
         self._require()
+        # The URI is catalog input: only http(s) may be fetched — a
+        # malicious portal returning file:///etc/... would otherwise
+        # have the driver copy LOCAL files into the dataset cache
+        # (code-review r15, same threat model as _safe_component).
+        scheme = file.uri.split("://", 1)[0].lower() if "://" in file.uri else ""
+        if scheme not in ("http", "https"):
+            raise ValueError(
+                f"refusing non-http(s) catalog uri for fetch: {file.uri!r}"
+            )
         os.makedirs(os.path.dirname(target_path), exist_ok=True)
         with urllib.request.urlopen(file.uri) as resp, open(  # pragma: no cover
             target_path, "wb"

@@ -183,3 +183,201 @@ def test_variable_family_mixed_separators(spark, tmp_path):
         (3, 0.9, "B"),
         (4, 1.1, "B"),
     }
+
+
+def test_token_extraction_with_space_and_plus_in_path(spark, tmp_path):
+    """input_file_name() is percent-encoded; the regex must match the
+    DECODED path or every token silently extracts '' (code-review r15).
+    A literal '+' in a segment must survive (pure URI decode, not form
+    decode)."""
+    root = tmp_path / "my data"
+    for gene in ("GENE A", "g+plus"):
+        d = root / "mageck" / gene
+        d.mkdir(parents=True)
+        (d / "rra.txt").write_text("id\tscore\nx\t1\n")
+    from cirro_annotation_spark.manifest.model import load_manifest
+
+    man = load_manifest(
+        {
+            "commands": [
+                {
+                    "command": "hot.Parquet",
+                    "params": {
+                        "source": "$data_directory/mageck/[gene]/rra.txt",
+                        "target": "rra.parquet",
+                        "cols": [{"col": "id"}, {"col": "score"}],
+                        "concat": ["gene"],
+                    },
+                }
+            ]
+        }
+    )
+    df = compile_command(spark, man.commands[0], str(root))
+    genes = {r["gene"] for r in df.select("gene").distinct().collect()}
+    assert genes == {"GENE A", "g+plus"}
+
+
+def test_planner_disambiguates_basename_collisions(spark, tmp_path):
+    """Two standard files with one basename must not share a target
+    (overwrite destroyed the first output — code-review r15)."""
+    root = tmp_path / "data"
+    for sub in ("runA", "runB"):
+        d = root / sub
+        d.mkdir(parents=True)
+        (d / "summary.txt").write_text("id\tval\nx\t1\n")
+    man = build_manifest(
+        spark, str(root), dictionary={"id": {"name": "id"}, "val": {"name": "val"}}
+    )
+    targets = [c.target for c in man.commands]
+    assert len(targets) == len(set(targets)) == 2
+    assert set(targets) == {"runA__summary.parquet", "runB__summary.parquet"}
+
+
+def test_prune_keeps_melt_only_commands_and_warns(tmp_path):
+    """A no-cols command with a melt is real work (empty cols = keep
+    all); only truly unresolved commands drop, and loudly
+    (code-review r15)."""
+    import warnings
+
+    from cirro_annotation_spark.manifest.model import (
+        MeltSpec,
+        Manifest,
+        TransformCommand,
+    )
+    from cirro_annotation_spark.manifest.optimizer import prune_empty_commands
+
+    melt_cmd = TransformCommand(
+        source="$data_directory/a.txt",
+        target="a.parquet",
+        melt=MeltSpec(key_name="k", value_name="v", value_cols=("c1",)),
+    )
+    empty_cmd = TransformCommand(
+        source="$data_directory/b.txt", target="b.parquet"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = prune_empty_commands(Manifest(commands=(melt_cmd, empty_cmd)))
+    assert [c.target for c in out.commands] == ["a.parquet"]
+    assert any("b.parquet" in str(x.message) for x in w)
+
+
+def test_to_json_roundtrips_header_false():
+    from cirro_annotation_spark.manifest.model import (
+        ReadOptions,
+        Manifest,
+        TransformCommand,
+        load_manifest,
+    )
+
+    man = Manifest(
+        commands=(
+            TransformCommand(
+                source="$data_directory/a.txt",
+                target="a.parquet",
+                read=ReadOptions(header=False),
+            ),
+        )
+    )
+    again = load_manifest(man.to_json())
+    assert again.commands[0].read.header is False
+
+
+def test_melt_value_cols_case_normalized(spark, tmp_path):
+    """Manifest value_cols in original case must melt the NORMALIZED
+    column once — not keep it as an id AND melt it (code-review r15)."""
+    root = tmp_path / "d"
+    root.mkdir()
+    (root / "m.txt").write_text("Gene\tCtrl_R1\nX\t3\n")
+    from cirro_annotation_spark.manifest.model import load_manifest
+
+    man = load_manifest(
+        {
+            "commands": [
+                {
+                    "command": "hot.Parquet",
+                    "params": {
+                        "source": "$data_directory/m.txt",
+                        "target": "m.parquet",
+                        "melt": {
+                            "key": {"name": "sample"},
+                            "value": {"name": "count"},
+                            "value_cols": ["Ctrl_R1"],
+                        },
+                    },
+                }
+            ]
+        }
+    )
+    df = compile_command(spark, man.commands[0], str(root))
+    assert set(df.columns) == {"gene", "sample", "count"}
+    row = df.first()
+    assert row["sample"] == "ctrl_r1" and row["count"] == 3.0
+
+
+def test_executor_rejects_escaping_targets(spark, tmp_path):
+    from cirro_annotation_spark.manifest.model import Manifest, TransformCommand
+
+    (tmp_path / "a.txt").write_text("id\n1\n")
+    for bad in ("/abs/x.parquet", "../esc.parquet"):
+        man = Manifest(
+            commands=(
+                TransformCommand(
+                    source="$data_directory/a.txt",
+                    target=bad,
+                    cols=(),
+                ),
+            )
+        )
+        with pytest.raises(ValueError, match="escapes"):
+            execute_manifest(
+                spark, man, str(tmp_path), str(tmp_path / "out")
+            )
+
+
+def test_load_manifest_validates_melt_and_kwargs_shapes():
+    from cirro_annotation_spark.manifest.model import (
+        ManifestValidationError,
+        load_manifest,
+    )
+
+    base = {"source": "$data_directory/a.txt", "target": "a.parquet"}
+    for bad_params, needle in (
+        ({**base, "melt": "sample"}, "melt"),
+        ({**base, "melt": {"key": "x"}}, "melt.key"),
+        ({**base, "melt": {"value_cols": "c1"}}, "value_cols"),
+        ({**base, "kwargs": "x"}, "kwargs"),
+        ({**base, "kwargs": {"read": 5}}, "kwargs.read"),
+    ):
+        with pytest.raises(ManifestValidationError, match=needle):
+            load_manifest(
+                {"commands": [{"command": "hot.Parquet", "params": bad_params}]}
+            )
+
+
+def test_token_name_colliding_with_cols_spec_selected_once(spark, tmp_path):
+    """A token that is also listed in cols must come out as ONE column
+    carrying the token value (the reference's assignment overwrite),
+    not a duplicate pair that fails at the sink (code-review r15)."""
+    d = tmp_path / "mageck" / "G1"
+    d.mkdir(parents=True)
+    (d / "rra.txt").write_text("gene\tscore\nfiledata\t1\n")
+    from cirro_annotation_spark.manifest.model import load_manifest
+
+    man = load_manifest(
+        {
+            "commands": [
+                {
+                    "command": "hot.Parquet",
+                    "params": {
+                        "source": "$data_directory/mageck/[gene]/rra.txt",
+                        "target": "rra.parquet",
+                        "cols": [{"col": "gene"}, {"col": "score"}],
+                        "concat": ["gene"],
+                    },
+                }
+            ]
+        }
+    )
+    df = compile_command(spark, man.commands[0], str(tmp_path))
+    assert df.columns.count("gene") == 1
+    assert df.first()["gene"] == "G1"  # token wins, like the reference
