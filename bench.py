@@ -509,6 +509,15 @@ def run_shard(names: list[str]) -> dict[str, float]:
 
 
 def main() -> int:
+    # Fail on a malformed round pin BEFORE the ~6-minute suite runs —
+    # int() at history-stamp time would crash after the fact and the
+    # contract's final summary line would never print (code-review r15;
+    # same fail-fast principle as _max_partition_bytes_override).
+    _env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if _env_rnd is not None and not _env_rnd.isdigit():
+        raise SystemExit(
+            f"SPARK_GRAFT_ROUND must be a bare integer (e.g. 16), got {_env_rnd!r}"
+        )
     shard_env = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
     n_gen = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GENERATIONS", "1")))
 
@@ -545,6 +554,7 @@ def main() -> int:
             )
             if proc.returncode != 0:
                 print(f"shard {i} failed rc={proc.returncode}", file=sys.stderr)
+                os.unlink(out_path)  # don't leak the shard temp file
                 return proc.returncode
             with open(out_path) as fh:
                 shard_times = json.load(fh)

@@ -65,25 +65,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         # advisor). Execution reads through the already-resolved bigint
         # schema, so the restore is safe before any action runs
         # (verified: collect() after restore returns the raw nanos).
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            prev = spark.conf.get(conf_key, None)
-        except Exception:
-            prev = None
-        try:
-            spark.conf.set(conf_key, "true")
-        except Exception:
-            pass  # conf locked by the hosting driver; the read will raise
-        try:
+        from cirro_annotation_spark.session import nanos_as_long
+
+        with nanos_as_long(spark):
             df = spark.read.parquet(path)
-        finally:
-            try:
-                if prev is None:
-                    spark.conf.unset(conf_key)
-                else:
-                    spark.conf.set(conf_key, prev)
-            except Exception:
-                pass
     else:
         df = spark.read.parquet(path)
     for f in df.schema.fields:

@@ -73,7 +73,8 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    plan = physical_plan(df)  # one JVM explain render, not two
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def count_exchanges(df: DataFrame) -> int:
@@ -84,10 +85,3 @@ def count_exchanges(df: DataFrame) -> int:
     plan = physical_plan(df)
     return len(re.findall(r"^\(\d+\)\s+Exchange\b", plan, flags=re.MULTILINE))
 
-
-def codegen_stage_count(df: DataFrame) -> int:
-    """Distinct whole-stage-codegen stages (formatted explain annotates
-    member nodes with ``[codegen id : N]``)."""
-    plan = physical_plan(df)
-    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
-    return len(ids) or plan.count("WholeStageCodegen")

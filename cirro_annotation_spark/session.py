@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 from functools import lru_cache
 
 from pyspark.sql import SparkSession
@@ -92,7 +93,49 @@ def get_spark(app_name: str = "cirro_annotation_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    # Runtime-settable confs live in ONE place: tune_existing. The
+    # builder block above carries only what must be set before the JVM
+    # exists (master, memory, static optimizer flags) plus safe
+    # defaults; without this call a get_spark session ran with 128 MB
+    # input splits until the first suites/util.t rescue, and the
+    # SPARK_GRAFT_MAX_PARTITION_BYTES knob was silently ignored
+    # (code-review r15: the two conf blocks had already drifted).
+    return tune_existing(spark)
+
+
+NANOS_CONF_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextmanager
+def nanos_as_long(spark: SparkSession):
+    """Scoped ``nanosAsLong=true`` with exact restore — THE protocol for
+    reading a TIMESTAMP(NANOS) parquet (vectorized reader rejects it
+    otherwise). Restoring matters: the conf must not leak session-wide,
+    so a LATER raw nanos read errors loudly instead of silently
+    arriving as bigint (round-5 advisor). Shared by catalog.read_table
+    (batch) and streaming.events._read_events_stream — the two copies
+    had drifted in error handling (code-review r15). Schema resolution
+    happens inside the scope; execution reads through the resolved
+    bigint schema, so actions after restore are safe (pinned by
+    tests/test_testdata_canary.py)."""
+    try:
+        prev = spark.conf.get(NANOS_CONF_KEY, None)
+    except Exception:
+        prev = None
+    try:
+        spark.conf.set(NANOS_CONF_KEY, "true")
+    except Exception:
+        pass  # conf locked by the hosting driver; the read will raise
+    try:
+        yield
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(NANOS_CONF_KEY)
+            else:
+                spark.conf.set(NANOS_CONF_KEY, prev)
+        except Exception:
+            pass
 
 
 def _max_partition_bytes_override() -> str:

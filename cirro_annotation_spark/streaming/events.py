@@ -62,26 +62,14 @@ def _read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
     # explicit bigint schema means triggers never re-infer, so the
     # restore is safe before the drain runs (pinned by the ns-flavor
     # parity tests in test_testdata_canary.py) (code-review r15).
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        prev = spark.conf.get(conf_key, None)
-    except Exception:
-        prev = None
-    spark.conf.set(conf_key, "true")
-    try:
+    from cirro_annotation_spark.session import nanos_as_long
+
+    with nanos_as_long(spark):
         stream = (
             spark.readStream.schema(EVENTS_SCHEMA_NANOS)
             .option("pathGlobFilter", os.path.basename(parquet_path))
             .parquet(os.path.dirname(parquet_path))
         )
-    finally:
-        try:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
-        except Exception:
-            pass
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
