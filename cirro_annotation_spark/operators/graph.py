@@ -69,6 +69,11 @@ def pagerank_fixed_point(
         # re-exchanging the (large) edge side each round.
         nodes = nodes.repartition("node").localCheckpoint(eager=True)
     n_nodes = nodes.count()  # scalar model state: one number
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank_fixed_point: empty edge frame (no vertices) — "
+            "an upstream filter matched nothing"
+        )
     teleport = (PR_SCALE - PR_D_NUM * PR_SCALE // PR_D_DEN) // n_nodes
     # outdeg via a src-partitioned window: ONE exchange yields the
     # degree-annotated edge list already partitioned on the per-round
@@ -299,6 +304,8 @@ def pagerank_personalized_fixed_point(
     if checkpoint:
         nodes = nodes.repartition("node").localCheckpoint(eager=True)
     n_seeds = len(seeds)
+    if n_seeds == 0:
+        raise ValueError("pagerank_personalized_fixed_point: empty seeds list")
     seed_tele = (PR_SCALE - PR_D_NUM * PR_SCALE // PR_D_DEN) // n_seeds
     seed_frame = nodes.sparkSession.createDataFrame(
         [(s,) for s in seeds], "node long"

@@ -91,6 +91,10 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, lens, sums = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # no media -> no frames; a NULL payload row must not
+                    # kill the whole job (code-review r15)
+                    continue
                 b = bytes(payload)
                 q = len(b) // n_frames
                 for k in range(n_frames):
@@ -127,15 +131,20 @@ def resize_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads propagate as NULL output/bytes instead of
+            # raising TypeError inside the worker (code-review r15).
             resized = pdf["payload"].map(
-                lambda b: FakeCodec.resize_fake(bytes(b), factor)
+                lambda b: None if b is None else FakeCodec.resize_fake(bytes(b), factor)
             )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": resized,
-                    "n_bytes": resized.map(len).astype("int64"),
+                    "n_bytes": pd.Series(
+                        [None if b is None else len(b) for b in resized],
+                        dtype="Int64",
+                    ),
                 }
             )
 
@@ -151,14 +160,24 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(FakeCodec.decode)
+            # NULL payload -> NULL features: decode failures stay
+            # countable rows instead of killing the job (code-review r15).
+            feats = pdf["payload"].map(
+                lambda b: None if b is None else FakeCodec.decode(b)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"],
-                    "decoded_len": feats.map(lambda d: d["decoded_len"]).astype("int64"),
-                    "checksum": feats.map(lambda d: d["checksum"]).astype("int64"),
+                    "decoded_len": pd.Series(
+                        [None if d is None else d["decoded_len"] for d in feats],
+                        dtype="Int64",
+                    ),
+                    "checksum": pd.Series(
+                        [None if d is None else d["checksum"] for d in feats],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -36,10 +36,15 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     """Regex token count approximating BPE pre-tokenization (GPT-2 style
     word/number/punct split): counts word-pieces, digit runs, punct runs."""
     c = F.col(col) if isinstance(col, str) else col
+    # Drop ALL whitespace elements, not just the literal space: the
+    # zero-width split makes every non-alnum char its own element, and
+    # keeping \n/\t/\r inflated a 100-line document by ~99 phantom
+    # tokens (code-review r15; no real pre-tokenizer emits
+    # whitespace-only tokens). Oracle twin: [A-Za-z0-9\s] class.
     return F.size(
         F.filter(
             F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-            lambda x: (x != "") & (x != " "),
+            lambda x: (x != "") & (~x.rlike(r"^\s+$")),
         )
     )
 
@@ -340,7 +345,11 @@ def canonicalize_url(col: Column) -> Column:
     host = url_host(col)
     path = F.regexp_extract(col, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, "/+$", "")
-    q = F.regexp_extract(col, r"\?([^#]*)", 1)
+    # Anchored through the pre-fragment prefix: an unanchored \?([^#]*)
+    # would extract a "query" from inside the fragment of a URL like
+    # /a#sec?x=1 (legal: '#' before '?'), splitting fragment-identical
+    # pages into different dedup keys (code-review r15).
+    q = F.regexp_extract(col, r"^[^#]*\?([^#]*)", 1)
     q = F.regexp_replace(q, "(^|&)utm_[a-z]+=[^&]*", "")
     q = F.regexp_replace(q, "^&", "")
     return F.concat(

@@ -278,7 +278,7 @@ _URL_CANON_ORACLE = f"""
                regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
                '/+$', '') AS path,
              regexp_replace(regexp_replace(
-               regexp_extract(url, '\\?([^#]*)', 1),
+               regexp_extract(url, '^[^#]*\\?([^#]*)', 1),
                '(^|&)utm_[a-z]+=[^&]*', '', 'g'), '^&', '') AS q
       FROM u),
     canon AS (

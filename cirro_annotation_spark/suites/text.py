@@ -64,7 +64,7 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   tok_chars = sum(token lengths)                   = #(\S chars)
     #   n_sw      = tokens equal to a stopword           = whole-token
     #               regex hits (lookarounds forbid adjacent \S)
-    #   n_bpe     = alnum runs + non-alnum-non-space chars
+    #   n_bpe     = alnum runs + non-alnum-non-WHITESPACE chars
     import re as _re
 
     # (?i) == the old per-token lower() compare for ASCII stopwords,
@@ -99,7 +99,7 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(sw_pat)).alias("n_sw"),
         (
             F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
-            + F.length(F.translate(F.col("text"), alnum + " ", ""))
+            + F.length(F.translate(F.col("text"), alnum + ws, ""))
         ).alias("n_bpe"),
     ).persist()
     while len(_DOC_FEATURES_CACHE) >= _DOC_FEATURES_CACHE_MAX:
@@ -206,7 +206,7 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {RATIO}) AS quality,
            p.n_tok AS n_tokens,
            LEN(list_filter(string_split_regex(b.text, '[^A-Za-z0-9]+'), x -> x <> ''))
-             + LENGTH(REGEXP_REPLACE(b.text, '[A-Za-z0-9 ]', '', 'g')) AS n_bpe_tokens
+             + LENGTH(REGEXP_REPLACE(b.text, '[A-Za-z0-9\s]', '', 'g')) AS n_bpe_tokens
     FROM parts p JOIN base b USING (doc_id)
     """,
 )

@@ -480,3 +480,19 @@ def test_lp_modularity_bipartite_oscillation_exact(spark):
     assert r["m_edges"] == 4
     assert r["n_communities"] == 4
     assert r["modularity"] == -0.25
+
+
+def test_pagerank_empty_inputs_raise_cleanly(spark):
+    import pytest as _pytest
+
+    from cirro_annotation_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_personalized_fixed_point,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError, match="empty edge frame"):
+        pagerank_fixed_point(empty, "src", "dst")
+    some = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="empty seeds"):
+        pagerank_personalized_fixed_point(some, [], "src", "dst")

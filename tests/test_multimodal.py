@@ -156,3 +156,25 @@ def test_payload_dedup_full_clone_vs_prefix_collision(spark):
     # both pairs collapse at the block grain; 128-byte blocks, 1 copy
     # reclaimed each; the unique doc forms no group
     assert groups == {1: (2, 128, 128), 3: (2, 128, 128)}
+
+
+def test_null_payload_rows_survive_all_ops(spark):
+    """A NULL payload (e.g. encode(NULL text)) must not kill the job:
+    frame_sample skips it, resize/extract propagate NULLs
+    (code-review r15)."""
+    from cirro_annotation_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"0123456789abcdef"), 16), (2, "image", None, None)],
+        "media_id long, kind string, payload binary, n_bytes long",
+    )
+    frames = MM.frame_sample(df, n_frames=2).collect()
+    assert {r["media_id"] for r in frames} == {1}
+
+    resized = {r["media_id"]: r for r in MM.resize_payloads(df).collect()}
+    assert resized[2]["payload"] is None and resized[2]["n_bytes"] is None
+    assert resized[1]["n_bytes"] is not None
+
+    feats = {r["media_id"]: r for r in MM.extract_features(df).collect()}
+    assert feats[2]["decoded_len"] is None and feats[2]["checksum"] is None
+    assert feats[1]["decoded_len"] == 16

@@ -946,3 +946,11 @@ def test_vocab_overlap_identical_disjoint_and_stopword_cap(spark):
     assert out[("s3", "s4")]["n_shared"] == 0
     assert out[("s3", "s4")]["jaccard_ppm"] == 0
     assert out[("s1", "s3")]["jaccard_ppm"] == 0
+
+
+def test_bpe_count_ignores_all_whitespace(spark):
+    """Newlines/tabs are not tokens: 'a\\nb' is 2, not 3 (code-review
+    r15); punct still counts per char, digits as runs."""
+    assert _one(spark, "a\nb", bpe_ish_token_count(F.col("text"))) == 2
+    assert _one(spark, "a\tb\r\nc", bpe_ish_token_count(F.col("text"))) == 3
+    assert _one(spark, "hi!! 42", bpe_ish_token_count(F.col("text"))) == 4
