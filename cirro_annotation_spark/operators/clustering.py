@@ -158,6 +158,23 @@ def kmeans_lloyd(
     return golden_summary(q, centroids)
 
 
+def lattice_cte(
+    table: str, vec_col: str, id_col: str, dim: int, name: str = "qd"
+) -> str:
+    """The quantization-lattice CTE (vec_id, d, x = floor(vec[d]*Q_SCALE))
+    — THE determinism anchor for this module, now written once: the same
+    text previously lived as three hand-copies in the kmeans, PQ, and
+    power-iteration oracle builders, where a change to the Q_SCALE
+    spelling or FLOOR/CAST order had to be made three times or the
+    oracles silently diverged (code-review r15). No trailing comma —
+    callers join CTE lists themselves."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
+         CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
+              AS BIGINT) AS x
+  FROM {table}, range(1, {dim + 1}) r(d))"""
+
+
 def lloyd_rounds_ctes(
     src: str, prefix: str, k: int, iters: int
 ) -> str:
@@ -222,11 +239,7 @@ def kmeans_oracle_ctes(
     assignment ``af`` and checksum table ``ck``), shared by the train,
     prototype-prune, and RQ oracles: the lattice CTE plus
     lloyd_rounds_ctes (where the pinned rules live)."""
-    lattice = f"""WITH qd AS MATERIALIZED (
-  SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
-         CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
-              AS BIGINT) AS x
-  FROM {table}, range(1, {dim + 1}) r(d)),"""
+    lattice = "WITH " + lattice_cte(table, vec_col, id_col, dim) + ","
     return lattice + "\n" + lloyd_rounds_ctes("qd", "", k, iters)
 
 
@@ -401,65 +414,31 @@ def pq_oracle_sql(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    parts = [
-        f"""WITH qd AS MATERIALIZED (
-  SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
-         CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
-              AS BIGINT) AS x
-  FROM {table}, range(1, {dim + 1}) r(d))"""
-    ]
+    # One lattice + the SHARED Lloyd template per subspace (prefix
+    # s{i}): the pinned rules — (dist, cid) tie-break, floor-division
+    # update, empty-cluster carry-forward — live only in
+    # lloyd_rounds_ctes; this builder previously hand-copied the whole
+    # template, exactly the divergence risk that function was factored
+    # out to remove (code-review r15; pure CTE renaming, values
+    # identical — re-verified against the driver oracle gate).
+    parts = ["WITH " + lattice_cte(table, vec_col, id_col, dim)]
     finals = []
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         parts.append(
             f"""sq{s} AS MATERIALIZED (
   SELECT vec_id, d - {lo - 1} AS d, x FROM qd
-  WHERE d BETWEEN {lo} AND {hi}),
-c{s}_0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cid, d, x AS m FROM sq{s}
-  WHERE vec_id IN (SELECT DISTINCT vec_id FROM sq{s} ORDER BY vec_id LIMIT {k}))"""
+  WHERE d BETWEEN {lo} AND {hi})"""
         )
-        for t_ in range(1, iters + 1):
-            p = t_ - 1
-            parts.append(
-                f"""a{s}_{t_} AS MATERIALIZED (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (SELECT sq{s}.vec_id, c.cid,
-                 SUM((sq{s}.x - c.m) * (sq{s}.x - c.m)) AS dist
-          FROM sq{s} JOIN c{s}_{p} c USING (d)
-          GROUP BY sq{s}.vec_id, c.cid))
-  WHERE rn = 1),
-c{s}_{t_} AS MATERIALIZED (
-  SELECT a.cid, sq{s}.d,
-         CAST(FLOOR(CAST(SUM(sq{s}.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-  FROM a{s}_{t_} a JOIN sq{s} USING (vec_id) GROUP BY a.cid, sq{s}.d
-  UNION ALL
-  SELECT cid, d, m FROM c{s}_{p}
-  WHERE cid NOT IN (SELECT DISTINCT cid FROM a{s}_{t_}))"""
-            )
-        parts.append(
-            f"""af{s} AS MATERIALIZED (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (SELECT sq{s}.vec_id, c.cid,
-                 SUM((sq{s}.x - c.m) * (sq{s}.x - c.m)) AS dist
-          FROM sq{s} JOIN c{s}_{iters} c USING (d)
-          GROUP BY sq{s}.vec_id, c.cid))
-  WHERE rn = 1),
-ck{s} AS MATERIALIZED (
-  SELECT cid, SUM(m * d) AS centroid_checksum FROM c{s}_{iters} GROUP BY cid)"""
-        )
+        parts.append(lloyd_rounds_ctes(f"sq{s}", f"s{s}", k, iters))
         finals.append(
-            f"""SELECT CAST({s} AS INT) AS subspace, af{s}.cid AS cluster_id,
+            f"""SELECT CAST({s} AS INT) AS subspace, s{s}af.cid AS cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(af{s}.dist) AS BIGINT) AS inertia,
-       CAST(ANY_VALUE(ck{s}.centroid_checksum) AS BIGINT)
+       CAST(SUM(s{s}af.dist) AS BIGINT) AS inertia,
+       CAST(ANY_VALUE(s{s}ck.centroid_checksum) AS BIGINT)
          AS centroid_checksum
-FROM af{s} JOIN ck{s} ON af{s}.cid = ck{s}.cid
-GROUP BY af{s}.cid"""
+FROM s{s}af JOIN s{s}ck ON s{s}af.cid = s{s}ck.cid
+GROUP BY s{s}af.cid"""
         )
     body = ",\n".join(parts)
     return body + "\n" + "\nUNION ALL\n".join(finals)
@@ -825,11 +804,9 @@ def power_iteration_oracle_sql(
     CTE, the floored mean Gram matrix, then one (w, m, v) CTE triple per
     round — same truncating-division arithmetic."""
     parts = [
-        f"""WITH qd AS MATERIALIZED (
-  SELECT {id_col} AS vec_id, CAST(r.d AS INT) AS d,
-         CAST(FLOOR(CAST({vec_col}[CAST(r.d AS INT)] AS DOUBLE) * {Q_SCALE}.0)
-              AS BIGINT) AS x
-  FROM {table}, range(1, {dim + 1}) r(d)),
+        "WITH "
+        + lattice_cte(table, vec_col, id_col, dim)
+        + f""",
 nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM qd),
 cm AS MATERIALIZED (
   SELECT a.d AS d1, b.d AS d2, SUM(a.x * b.x) // MAX(nn.n) AS c
