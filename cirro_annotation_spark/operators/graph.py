@@ -310,12 +310,18 @@ def pagerank_personalized_fixed_point(
     seed_frame = nodes.sparkSession.createDataFrame(
         [(s,) for s in seeds], "node long"
     )
-    nodes_t = nodes.join(F.broadcast(seed_frame), "node", "left_semi").select(
-        "node", F.lit(seed_tele).cast("long").alias("tele")
-    )
-    nodes_t = nodes.join(F.broadcast(nodes_t), "node", "left").select(
-        "node", F.coalesce("tele", F.lit(0)).cast("long").alias("tele")
-    )
+    # One broadcast left join, not semi-then-left (the two-join form
+    # walked nodes twice for the same tele column — code-review r15):
+    # seed membership IS the tele value.
+    nodes_t = nodes.join(
+        F.broadcast(
+            seed_frame.select(
+                "node", F.lit(seed_tele).cast("long").alias("tele")
+            )
+        ),
+        "node",
+        "left",
+    ).select("node", F.coalesce("tele", F.lit(0)).cast("long").alias("tele"))
     if checkpoint:
         nodes_t = nodes_t.localCheckpoint(eager=True)
     w_src = Window.partitionBy("src")
