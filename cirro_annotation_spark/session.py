@@ -185,6 +185,21 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         )
     except Exception:
         pass
+    # Memoize per (session, sentinel, split-override): every t() calls
+    # this rescue, and the ~16 py4j conf.set round-trips cost ~9-14 ms
+    # per call — ~30 s across a 350-query x 3-repeat bench run, pure
+    # driver overhead (optimization r15, guide §5). The sentinel is
+    # still read fresh on every call (one round-trip) so the
+    # determinism harness's tuneLayout=false sessions keep their
+    # divergent layouts; a session already tuned under the same key is
+    # left untouched. Deliberate consequence: externally mutating a
+    # layout conf mid-session on an already-tuned session now sticks
+    # until the sentinel or split override changes — callers that pin
+    # a temporary layout (the TTL-expiry drain) manage save/restore
+    # themselves and never relied on a mid-block re-pin.
+    memo_key = (tune_layout, os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"))
+    if spark.__dict__.get("_cirro_tuned_key") == memo_key:
+        return spark
     layout_confs = (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
@@ -225,6 +240,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the hosting driver; keep going
+    spark.__dict__["_cirro_tuned_key"] = memo_key
     return spark
 
 
