@@ -479,6 +479,13 @@ def connected_components(
             .groupBy(F.col("v").alias("vertex"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # The convergence probe is computed INLINE as a flag column
+        # (new label < old label iff a neighbor offered a smaller one)
+        # instead of a second join of new vs old labels: one count over
+        # the lazily-checkpointed frame both materializes the round's
+        # labels and answers "did anything change" — per round that is
+        # one action and one fewer shuffle join (optimization r15,
+        # guide §2.4; iterative rounds are job-latency-bound).
         new_labels = (
             labels.join(nbr_min, "vertex", "left")
             .select(
@@ -486,16 +493,14 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
+                (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl")).alias(
+                    "__chg"
+                ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break
@@ -531,12 +536,15 @@ def connected_components_star(
 
     Each half-round is one groupBy + one join (same cost shape as one
     propagation round); the edge set is deduped and lineage-truncated
-    per round. Convergence = the round produced the same edge set
-    (checked with a two-sided anti-join count, cheap on the contracted
-    graph). Dedup pair graphs are near-cliques where plain propagation
-    already wins on constant factors — use THIS variant when cluster
-    chains can be long (URL redirect chains, co-citation paths,
-    session-stitch graphs).
+    per round. Convergence = the round produced the same edge set.
+    Both sides are DISTINCT and null-free (u != v filters drop null
+    rows), so set equality is |nxt| == |e| AND nxt ∖ e = ∅: one carried
+    count plus one anti-join probe that is SKIPPED whenever the counts
+    already differ — versus the two full exceptAll shuffles per round
+    this replaced (optimization r15, guide §2.4). Dedup pair graphs are
+    near-cliques where plain propagation already wins on constant
+    factors — use THIS variant when cluster chains can be long (URL
+    redirect chains, co-citation paths, session-stitch graphs).
 
     Returns (vertex, component) for every vertex in ``edges``, component
     = min reachable vertex id — same contract as connected_components.
@@ -564,7 +572,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
-    def half_round(cur: DataFrame, large: bool) -> DataFrame:
+    def half_round(cur: DataFrame, large: bool, eager: bool) -> DataFrame:
         if large:
             nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         else:
@@ -583,20 +591,27 @@ def connected_components_star(
             out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
                 m.select(F.col("u"), F.col("m").alias("v"))
             )
+        # The large half stays eager (its output feeds the small half
+        # through two consumers — m and joined — so recomputation would
+        # double the round); the small half is lazy and materialized by
+        # the round's count() below: one action instead of two per round
+        # (optimization r15, guide §2.4).
         return (
             out.filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
 
     converged = False
+    n_e = e.count()
     for _ in range(max_iter):
-        nxt = half_round(half_round(e, large=True), large=False)
-        unchanged = (
-            nxt.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(nxt).limit(1).count() == 0
+        nxt = half_round(half_round(e, large=True, eager=True), large=False,
+                         eager=False)
+        n_nxt = nxt.count()  # also materializes the lazy checkpoint
+        unchanged = n_nxt == n_e and (
+            nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
         )
-        e = nxt
+        e, n_e = nxt, n_nxt
         if unchanged:
             converged = True
             break

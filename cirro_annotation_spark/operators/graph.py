@@ -431,13 +431,19 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
+        # Lazy checkpoint + count: ONE job both materializes the peel
+        # set (so the two anti-joins below reuse the persisted rows
+        # instead of re-aggregating degrees twice) and answers the
+        # early-exit probe — versus the eager-checkpoint + isEmpty pair
+        # this replaces (optimization r15, guide §2.4: iterative rounds
+        # are job-latency-bound at bench scale).
         bad = (
-            deg.filter(F.col("deg") < k).select("node").localCheckpoint(eager=True)
+            deg.filter(F.col("deg") < k).select("node").localCheckpoint(eager=False)
         )
         # Early exit preserves the fixed-round SEMANTICS exactly: once a
         # round removes nothing, every remaining round is a provable
         # no-op (peeling is monotone) — skipping them changes only cost.
-        if bad.isEmpty():
+        if bad.count() == 0:
             break
         e = (
             e.join(bad.withColumnRenamed("node", "src"), "src", "left_anti")
@@ -509,8 +515,15 @@ def bfs_hops(
     accumulated result; lineage truncates per round.
     """
     spark = edges.sparkSession
+    # All checkpoints in the wave loop are LAZY: each round runs exactly
+    # ONE job — count(new) — which materializes this round's frontier
+    # AND (as its anti-join side) the previous round's visited union, so
+    # every persisted frame is computed once and the eager-checkpoint +
+    # isEmpty + eager-union triple (3 jobs/round) collapses to one
+    # (optimization r15, guide §2.4). The edge list is materialized by
+    # round 1's count the same way.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     visited = spark.createDataFrame(
         [(s, 0) for s in sources], "node long, dist int"
     ).localCheckpoint(eager=True)
@@ -527,13 +540,13 @@ def bfs_hops(
         new = (
             reached.join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Empty wave => every later round is a no-op; exit early (same
         # semantics as running all hops, the k-core discipline).
-        if new.isEmpty():
+        if new.count() == 0:
             break
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return visited
 

@@ -33,7 +33,8 @@ from cirro_annotation_spark.operators.dedup import global_rank
 
 
 def prefix_doubled_window_ranks(
-    tokens: DataFrame, depth: int, num_partitions: int = 32
+    tokens: DataFrame, depth: int, num_partitions: int = 32,
+    dense_final: bool = True,
 ) -> DataFrame:
     """Dense integer ranks of every ``depth``-token window of the corpus.
 
@@ -44,6 +45,18 @@ def prefix_doubled_window_ranks(
     of a document are sentinel-padded: they only ever equal other
     windows with the same tokens AND the same overhang, so callers that
     filter ``pos <= n - depth + 1`` never see a padded collision).
+
+    ``dense_final=False`` skips the LAST round's dense re-rank and
+    returns (doc_id, pos, r, r2) instead: the PAIR (r, r2) equals
+    between two rows iff their ``depth``-windows are identical (that is
+    exactly the doubling invariant — rank_k(i) = rank_k(j) AND
+    rank_k(i+k) = rank_k(j+k) iff the 2k-windows match), so callers
+    that only group or join on window identity — the ExactSubstr
+    duplicate test — save the final global_rank entirely: its range
+    sampling pass, range shuffle, per-partition-size collect and the
+    rank join-back (optimization r15, guide §2.4: remove shuffles
+    outright; the dense single-column rank was paid for and thrown
+    away).
 
     ``depth`` must be a power of two (the doubling invariant).
     """
@@ -77,6 +90,11 @@ def prefix_doubled_window_ranks(
                 F.coalesce("r2", F.lit(0)).cast("long").alias("r2"),
             )
         )
+        if not dense_final and k * 2 >= depth:
+            # Eager checkpoint mirrors the dense path's round-final
+            # materialization: downstream consumers (the duplicate test
+            # reads this frame twice) reuse the persisted integer rows.
+            return pairs.localCheckpoint(eager=True)
         ranked = global_rank(
             pairs.select("r", "r2").distinct(), ["r", "r2"], num_partitions
         ).select("r", "r2", F.col("rnk").alias("__nr"))
@@ -97,19 +115,23 @@ def duplicated_window_positions(
     is string equality; no hash collisions by construction).
 
     ``tokens_with_len`` has (doc_id, pos, tok, n_tokens). Returns
-    (doc_id, pos, r) for every in-range duplicated window start.
+    (doc_id, pos) for every in-range duplicated window start.
     """
     ranks = prefix_doubled_window_ranks(
-        tokens_with_len.select("doc_id", "pos", "tok"), depth, num_partitions
+        tokens_with_len.select("doc_id", "pos", "tok"), depth, num_partitions,
+        dense_final=False,
     )
+    # depth == 1 yields the single-column vocab rank; otherwise the
+    # final (r, r2) pair IS window identity (see dense_final docs).
+    keys = [c for c in ("r", "r2") if c in ranks.columns]
     lens = tokens_with_len.select("doc_id", "n_tokens").distinct()
     in_range = ranks.join(lens, "doc_id").filter(
         F.col("pos") <= F.col("n_tokens") - (depth - 1)
     )
     dup = (
-        in_range.groupBy("r")
+        in_range.groupBy(*keys)
         .agg(F.count_distinct("doc_id").alias("__nd"))
         .filter(F.col("__nd") >= 2)
-        .select("r")
+        .select(*keys)
     )
-    return in_range.join(dup, "r").select("doc_id", "pos", "r")
+    return in_range.join(dup, keys).select("doc_id", "pos")
