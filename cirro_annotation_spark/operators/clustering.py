@@ -50,31 +50,57 @@ def quantize_expr(col: str) -> Column:
     )
 
 
+def _dist_sql(qvec: str, centroid: list[int]) -> str:
+    """SQL text of the exact BIGINT squared L2 distance to one literal
+    centroid — the same aggregate(zip_with(...)) loop the Column tree
+    built, emitted as ONE SQL string parsed JVM-side. Two measured
+    rationales (optimization r15, guide §5 driver overhead + §1
+    measure-first): (a) constructing k x dim literals through py4j
+    costs one driver round-trip per node — 21 s of pure expression
+    construction per PQ Lloyd round at k=4, dim=64, vs ~2 ms for the
+    parse; (b) the loop form must be KEPT at runtime — flattening to
+    k x dim explicit qv[i] terms ballooned generated code past JIT
+    limits and ran 7x slower (4.6 s vs 0.26 s on the k=8, dim=64
+    probe). Identical integer arithmetic either way (left-to-right
+    BIGINT fold)."""
+    arr = ",".join(str(int(m)) for m in centroid)
+    return (
+        f"aggregate(zip_with(`{qvec}`, array({arr}), (a,b) -> (a-b)*(a-b)),"
+        f" CAST(0 AS BIGINT), (acc,x) -> acc+x)"
+    )
+
+
 def _dist_expr(qvec: str, centroid: list[int]) -> Column:
     """Exact BIGINT squared L2 distance to one literal centroid."""
-    lit = F.array(*[F.lit(int(m)) for m in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(qvec), lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    return F.expr(_dist_sql(qvec, centroid))
+
+
+def _assign_sql(qvec: str, centroids: dict[int, list[int]]) -> str:
+    """SQL text of :func:`_assign_expr` (see _dist_sql for why SQL)."""
+    alts = ",".join(
+        f"struct({_dist_sql(qvec, m)} AS dist, {int(cid)} AS cid)"
+        for cid, m in sorted(centroids.items())
     )
+    return f"array_min(array({alts}))"
 
 
 def _assign_expr(qvec: str, centroids: dict[int, list[int]]) -> Column:
     """argmin over literal centroids as (dist, cid) struct min —
     struct ordering pins the lowest-cid tie-break."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _dist_expr(qvec, m).alias("dist"),
-                    F.lit(int(cid)).alias("cid"),
-                )
-                for cid, m in sorted(centroids.items())
-            ]
-        )
+    return F.expr(_assign_sql(qvec, centroids))
+
+
+def int_array_map_expr(mapping: dict[int, list[int]]) -> Column:
+    """``map<int, array<int>>`` literal from a {cid: vector} dict as a
+    single parsed SQL expression — the broadcast-codebook lookup used
+    by the residual frame and the pinned-codebook search queries. One
+    JVM parse replaces |map| x dim py4j literal constructions (same
+    rationale as _dist_sql)."""
+    entries = ",".join(
+        f"{int(k)},array({','.join(str(int(v)) for v in vec)})"
+        for k, vec in sorted(mapping.items())
     )
-    return best
+    return F.expr(f"map({entries})")
 
 
 def kmeans_fit(
@@ -309,49 +335,39 @@ def pq_train(
             book[(s, c)] = full[s * sub : (s + 1) * sub]
     cids = sorted(seeds)
 
-    def sub_assign(s: int) -> Column:
-        sv = F.slice(F.col("qv"), s * sub + 1, sub)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                sv,
-                                F.array(*[F.lit(int(x)) for x in book[(s, c)]]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        ).alias("dist"),
-                        F.lit(c).alias("cid"),
-                    )
-                    for c in cids
-                ]
-            )
+    def sub_assign_sql(s: int) -> str:
+        # One parsed SQL expression per subspace instead of a
+        # k x subdim py4j literal tree, keeping the aggregate/zip_with
+        # LOOP form at runtime (see _dist_sql for both measurements —
+        # optimization r15).
+        alts = ",".join(
+            "struct(aggregate(zip_with("
+            f"slice(qv, {s * sub + 1}, {sub}), "
+            f"array({','.join(str(int(x)) for x in book[(s, c)])}), "
+            "(a,b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc,x) -> acc+x)"
+            f" AS dist, {int(c)} AS cid)"
+            for c in cids
         )
+        return f"array_min(array({alts}))"
 
     for _ in range(iters):
         # Project each subspace's argmin ONCE, then aggregate over the
         # plain columns — embedding the argmin tree inside every one of
         # the m*k*(subdim+1) conditional sums made Catalyst analyze a
         # ~70x larger expression tree (measured 14 s -> ~6 s at sf0.1).
-        proj = q.select(
-            "qv", *[sub_assign(s)["cid"].alias(f"a{s}") for s in range(m)]
+        proj = q.selectExpr(
+            "qv", *[f"{sub_assign_sql(s)}.cid AS a{s}" for s in range(m)]
         )
         aggs = []
         for s in range(m):
             for c in cids:
-                hit = F.col(f"a{s}") == c
                 aggs.append(
-                    F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
+                    F.expr(f"SUM(IF(a{s}={int(c)},1,0))").alias(f"n_{s}_{c}")
                 )
                 for d in range(sub):
                     aggs.append(
-                        F.sum(
-                            F.when(
-                                hit, F.element_at("qv", s * sub + d + 1)
-                            ).otherwise(0)
+                        F.expr(
+                            f"SUM(IF(a{s}={int(c)},qv[{s * sub + d}],0))"
                         ).alias(f"s_{s}_{c}_{d}")
                     )
         row = proj.agg(*aggs).first()
@@ -367,18 +383,17 @@ def pq_train(
 
     # Final assignment stats, still one aggregate: counts + inertia per
     # (subspace, cluster); checksums are driver arithmetic on the book.
-    proj = q.select(
-        *[sub_assign(s).alias(f"b{s}") for s in range(m)]
+    proj = q.selectExpr(
+        *[f"{sub_assign_sql(s)} AS b{s}" for s in range(m)]
     )
     aggs = []
     for s in range(m):
         for c in cids:
-            hit = F.col(f"b{s}.cid") == c
             aggs.append(
-                F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}_{c}")
+                F.expr(f"SUM(IF(b{s}.cid={int(c)},1,0))").alias(f"n_{s}_{c}")
             )
             aggs.append(
-                F.sum(F.when(hit, F.col(f"b{s}.dist")).otherwise(0)).alias(
+                F.expr(f"SUM(IF(b{s}.cid={int(c)},b{s}.dist,0))").alias(
                     f"i_{s}_{c}"
                 )
             )
@@ -457,15 +472,7 @@ def rq_residual_frame(q: DataFrame, cent1: dict[int, list[int]]) -> DataFrame:
     pinned-codebook regen recipe, and the staleness canary (review
     finding r8: a copied derivation in the canary would pin a copy,
     not the production path)."""
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c in sorted(cent1)]),
-        F.array(
-            *[
-                F.array(*[F.lit(int(m)) for m in cent1[c]])
-                for c in sorted(cent1)
-            ]
-        ),
-    )
+    cmap = int_array_map_expr(cent1)
     assign = _assign_expr("qv", cent1)
     return q.select(
         "vec_id",

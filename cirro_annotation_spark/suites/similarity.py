@@ -1145,12 +1145,7 @@ def sim_topk_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", C.quantize_expr("embedding").alias("qv"))
     a1 = C._assign_expr("qv", CENT1)["cid"]
-    c1map = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c in sorted(CENT1)]),
-        F.array(
-            *[F.array(*[F.lit(int(m)) for m in CENT1[c]]) for c in sorted(CENT1)]
-        ),
-    )
+    c1map = C.int_array_map_expr(CENT1)
     q = q.select(
         "vec_id",
         a1.alias("k1"),
@@ -1172,14 +1167,8 @@ def sim_topk_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c1 in CENT1
         for c2 in CENT2
     }
-    rmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c1 * 1000 + c2)) for c1, c2 in sorted(recon)]),
-        F.array(
-            *[
-                F.array(*[F.lit(int(m)) for m in recon[key]])
-                for key in sorted(recon)
-            ]
-        ),
+    rmap = C.int_array_map_expr(
+        {c1 * 1000 + c2: vec for (c1, c2), vec in recon.items()}
     )
     qframe = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         C.quantize_expr("embedding").alias("__qq")
@@ -1820,18 +1809,14 @@ def sim_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x * 1000).cast("long"),
     )
     rows = emb.select("vec_id", vi.alias("vi"))
-    structs = []
-    for j, c in enumerate(CENTROIDS):
-        cj = F.array(*[F.lit(int(math.floor(x * 1000))) for x in c])
-        dj = F.aggregate(
-            F.zip_with(F.col("vi"), cj, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        structs.append(
-            F.struct(dj.alias("d"), F.lit(j).cast("long").alias("cell"))
-        )
-    darr = F.array_sort(F.array(*structs))
+    # One parsed SQL expression instead of k x dim py4j literal nodes
+    # (the clustering._dist_sql rationale — guide §5, driver overhead).
+    structs = [
+        f"struct({C._dist_sql('vi', [int(math.floor(x * 1000)) for x in c])}"
+        f" AS d, CAST({j} AS BIGINT) AS cell)"
+        for j, c in enumerate(CENTROIDS)
+    ]
+    darr = F.expr(f"array_sort(array({','.join(structs)}))")
     ab = rows.select(
         F.element_at(darr, 1)["cell"].alias("own_cell"),
         F.element_at(darr, 1)["d"].alias("a"),
