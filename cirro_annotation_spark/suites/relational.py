@@ -2243,16 +2243,18 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recurrence, b_t = max(0, b_{t-1} + delta_t), the classic
     # clamped-at-zero wallet/inventory balance. The clamp makes every
     # step depend on the clamped PREVIOUS step, so no single window
-    # frame expresses it directly — the recursion is the natural form
-    # (a closed-form identity b_t = S_t - min(0, min running S) exists
-    # and is pinned as a pytest property check against this query).
+    # frame expresses it directly — the recursion is the natural FORM,
+    # and the DuckDB oracle still runs it literally; the Spark side
+    # computes the exact closed-form identity b_t = S_t - min(0, min
+    # running S) with one user-keyed window (optimization r15 — see the
+    # function body), with the Spark WITH RECURSIVE formulation kept
+    # under test as the identity's second witness.
     # Credits/debits: view/click/signup deposit floor(value*100) cents;
     # purchase/error withdraw at 2x; the first 28 days (fixed horizon =
     # fixed recursion depth, under Spark's 100-level default) fold into
-    # one balance + a clamp-event counter per user. Scale shape: depth
-    # is the CALENDAR (28 joins of frontier x one-day deltas), never
-    # data size; each step is a user_id equi-join on the bounded
-    # user-grain frontier.
+    # one balance + a clamp-event counter per user. Scale shape: the
+    # closed form is calendar-independent — 2 exchanges regardless of
+    # horizon or data size (the recursion was 28 frontier joins).
     oracle="""
     WITH RECURSIVE m AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
     deltas AS (
@@ -2283,52 +2285,62 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_recursive_clamped_balance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # The recursion re-evaluates its referenced relations at EVERY
-    # level; left as a logical view, the deltas scan+agg would run 28
-    # times (~4k stages at the 10x tier, measured). Materialize it once
-    # behind a lazy localCheckpoint (the shared-scan discipline) so
-    # each level joins a cached table. Recursion row volume is
-    # users x 29 (the anchor plus 28 calendar steps), which outgrows
-    # the engine's 1M-row default safety valve at tier scale — raise
-    # it; depth stays bounded by the WHERE t < 28 horizon regardless.
-    try:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    except Exception:
-        pass  # locked conf: the sf<=0.1 driver volumes fit the default
+    # Closed form instead of the literal recursion (optimization r15,
+    # guide §1.1 first-principles / §2.4 remove shuffles): the clamped
+    # recurrence b_t = max(0, b_{t-1} + d_t) over prefix sums
+    # S_t = sum(d_1..d_t) has the exact integer identity
+    #   b_28       = S_28 - min(0, min_{t<=28} S_t)
+    #   clamp at t ⇔ S_t < min(0, min_{u<t} S_u)   (a new strict
+    #                running minimum below zero; days with no delta can
+    #                never clamp since b ≥ 0 and d = 0),
+    # so the 28 chained frontier joins (28 sequential shuffles + a
+    # union-by-level plan, measured ~5 s at sf0.1 mostly in stage
+    # scheduling) collapse to ONE user-keyed window plus a groupBy that
+    # reuses the window's partitioning — 2 exchanges total at any data
+    # size. Deltas past the 28-day horizon are zeroed, not dropped, so
+    # every user in the delta table still yields a row (the recursion's
+    # anchor semantics). The identity is proven three ways: the DuckDB
+    # oracle still runs the literal WITH RECURSIVE (hash-checked every
+    # sweep), tests/test_windows.py runs the Spark-side WITH RECURSIVE
+    # formulation against this closed form on live data, and the
+    # sequential-replay property test pins n_clamped/final_cents on a
+    # hand-built fixture.
     t(spark, sf_dir, "events").createOrReplaceTempView("__rc_events")
-    deltas = spark.sql("""
-        WITH m AS (SELECT MIN(to_date(ts)) AS d0 FROM __rc_events)
-        SELECT user_id,
-               CAST(datediff(to_date(ts), m.d0) + 1 AS BIGINT) AS t,
-               CAST(SUM(CASE WHEN event_type IN ('purchase', 'error')
-                             THEN -2 ELSE 1 END
-                        * CAST(FLOOR(value * 100) AS BIGINT))
-                    AS BIGINT) AS delta
-        FROM __rc_events CROSS JOIN m
-        GROUP BY user_id, datediff(to_date(ts), m.d0) + 1
-    """)
-    deltas.localCheckpoint(eager=False).createOrReplaceTempView(
-        "__rc_deltas"
-    )
     return spark.sql("""
-        WITH RECURSIVE bal(user_id, t, cents, n_clamped) AS (
-          SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-                 CAST(0 AS BIGINT)
-          FROM (SELECT DISTINCT user_id FROM __rc_deltas)
-          UNION ALL
-          SELECT b.user_id, b.t + 1,
-                 GREATEST(CAST(0 AS BIGINT),
-                          b.cents + COALESCE(d.delta, CAST(0 AS BIGINT))),
-                 b.n_clamped
-                   + CASE
-                       WHEN b.cents + COALESCE(d.delta, CAST(0 AS BIGINT)) < 0
-                       THEN 1 ELSE 0 END
-          FROM bal b LEFT JOIN __rc_deltas d
-            ON d.user_id = b.user_id AND d.t = b.t + 1
-          WHERE b.t < 28
+        WITH m AS (SELECT MIN(to_date(ts)) AS d0 FROM __rc_events),
+        deltas AS (
+          SELECT user_id,
+                 CAST(datediff(to_date(ts), m.d0) + 1 AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                               THEN -2 ELSE 1 END
+                          * CAST(FLOOR(value * 100) AS BIGINT))
+                      AS BIGINT) AS delta
+          FROM __rc_events CROSS JOIN m
+          GROUP BY user_id, datediff(to_date(ts), m.d0) + 1
+        ),
+        pre AS (
+          SELECT user_id, t,
+                 SUM(CASE WHEN t <= 28 THEN delta
+                          ELSE CAST(0 AS BIGINT) END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS s
+          FROM deltas
+        ),
+        mm AS (
+          SELECT user_id, t, s,
+                 MIN(s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_min
+          FROM pre
         )
-        SELECT user_id, cents AS final_cents, n_clamped
-        FROM bal WHERE t = 28
+        SELECT user_id,
+               CAST(MAX_BY(s, t) - LEAST(CAST(0 AS BIGINT), MIN(s))
+                    AS BIGINT) AS final_cents,
+               CAST(SUM(CASE WHEN s < LEAST(CAST(0 AS BIGINT),
+                                            COALESCE(prev_min,
+                                                     CAST(0 AS BIGINT)))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM mm GROUP BY user_id
     """)
 
 

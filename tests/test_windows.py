@@ -483,11 +483,13 @@ def test_conversion_latency_hand_computed(spark, tmp_path):
 
 
 def test_recursive_clamped_balance_matches_closed_form(spark, sf_dir):
-    """The WITH RECURSIVE clamp recurrence b_t = max(0, b_{t-1} + d_t)
-    has the closed form b_T = S_T - min(0, min_{k<=T} S_k) over prefix
-    sums S — the recursion and the window identity must agree on every
-    user's final balance (exact integer cents, no rounding surface)."""
-    from pyspark.sql import Window
+    """The production query computes the clamp recurrence
+    b_t = max(0, b_{t-1} + d_t) via the closed form
+    b_T = S_T - min(0, min_{k<=T} S_k) (optimization r15). This test
+    keeps the literal Spark WITH RECURSIVE formulation as the
+    identity's in-engine witness: both final balances AND clamp-event
+    counts must agree for every user (exact integer cents, no rounding
+    surface)."""
     from pyspark.sql import functions as F
 
     from cirro_annotation_spark.registry import QUERIES, load_all_suites
@@ -495,54 +497,54 @@ def test_recursive_clamped_balance_matches_closed_form(spark, sf_dir):
 
     load_all_suites()
     got = {
-        r["user_id"]: r["final_cents"]
+        r["user_id"]: (r["final_cents"], r["n_clamped"])
         for r in QUERIES["sql_recursive_clamped_balance"](
             spark, sf_dir
         ).collect()
     }
 
-    e = t(spark, sf_dir, "events")
-    m = e.agg(F.min(F.to_date("ts")).alias("d0"))
-    deltas = (
-        e.crossJoin(F.broadcast(m))
-        .filter(F.datediff(F.to_date("ts"), F.col("d0")) + 1 <= 28)
-        .groupBy(
-            "user_id",
-            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("t"),
-        )
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("event_type").isin("purchase", "error"), -2
-                ).otherwise(1)
-                * F.floor(F.col("value") * 100).cast("long")
-            )
-            .cast("long")
-            .alias("delta")
-        )
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    except Exception:
+        pass
+    t(spark, sf_dir, "events").createOrReplaceTempView("__rc_test_events")
+    spark.sql("""
+        WITH m AS (SELECT MIN(to_date(ts)) AS d0 FROM __rc_test_events)
+        SELECT user_id,
+               CAST(datediff(to_date(ts), m.d0) + 1 AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                             THEN -2 ELSE 1 END
+                        * CAST(FLOOR(value * 100) AS BIGINT))
+                    AS BIGINT) AS delta
+        FROM __rc_test_events CROSS JOIN m
+        GROUP BY user_id, datediff(to_date(ts), m.d0) + 1
+    """).localCheckpoint(eager=False).createOrReplaceTempView(
+        "__rc_test_deltas"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pref = deltas.withColumn("s", F.sum("delta").over(w)).withColumn(
-        "min_s", F.min("s").over(w)
-    )
-    closed = {
-        r["user_id"]: r["b"]
-        for r in pref.groupBy("user_id")
-        .agg(
-            (
-                F.max_by("s", "t") - F.least(F.lit(0).cast("long"), F.min("min_s"))
-            ).alias("b")
+    recursive = {
+        r["user_id"]: (r["final_cents"], r["n_clamped"])
+        for r in spark.sql("""
+        WITH RECURSIVE bal(user_id, t, cents, n_clamped) AS (
+          SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM (SELECT DISTINCT user_id FROM __rc_test_deltas)
+          UNION ALL
+          SELECT b.user_id, b.t + 1,
+                 GREATEST(CAST(0 AS BIGINT),
+                          b.cents + COALESCE(d.delta, CAST(0 AS BIGINT))),
+                 b.n_clamped
+                   + CASE
+                       WHEN b.cents + COALESCE(d.delta, CAST(0 AS BIGINT)) < 0
+                       THEN 1 ELSE 0 END
+          FROM bal b LEFT JOIN __rc_test_deltas d
+            ON d.user_id = b.user_id AND d.t = b.t + 1
+          WHERE b.t < 28
         )
-        .collect()
+        SELECT user_id, cents AS final_cents, n_clamped
+        FROM bal WHERE t = 28
+    """).collect()
     }
-    # Users with no activity inside the 28-day horizon stay at 0 in the
-    # recursion but have no prefix row; the identity covers the rest.
-    assert all(got[u] == b for u, b in closed.items())
-    assert all(v == 0 for u, v in got.items() if u not in closed)
+    assert got == recursive
 
 
 def _tiny_events(spark, tmp_path, rows, name):
