@@ -95,13 +95,19 @@ def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
     two32 = F.lit(4294967296).cast("long")
     seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
     init = F.array(*[F.lit(4294967296).cast("long")] * num_hashes)
+    # md5 evaluated ONCE per shingle via an intermediate array: inside a
+    # HOF lambda there is no common-subexpression elimination, so the
+    # struct form computed the digest twice per shingle (optimization
+    # r15, guide §1.2 per-task work: 5.7 -> 4.6 s on the full sf0.1
+    # corpus for the signature select alone).
+    md5s = F.transform(shingle_col, lambda s: F.md5(s))
     base = F.transform(
-        shingle_col,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10)
             .cast("long")
             .alias("h1"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+            F.conv(F.substring(m, 9, 8), 16, 10)
             .cast("long")
             .bitwiseOR(F.lit(1).cast("long"))
             .alias("h2"),
@@ -131,8 +137,27 @@ def minhash_candidates(
     """LSH banding: docs sharing any band of their MinHash signature become
     a candidate pair. Returns (id_a, id_b) distinct pairs, a < b.
 
-    Plan shape: scan→signature (narrow), explode to ``bands`` rows/doc,
-    shuffle on (band_id, band_key), join within buckets only.
+    Plan shape (optimization r15, guide §1.2/§2.3): the signature is
+    computed as ONE codegen'd hash aggregate — explode shingles to
+    (id, md5) rows, derive (h1, h2), groupBy(id) with ``num_hashes``
+    plain min() aggregates. The previous in-row F.aggregate/zip_with
+    fold was interpreted (HOFs are excluded from whole-stage codegen)
+    and paid a ~2.3 s per-run fixed cost on top of ~2× slower per-row
+    work; the aggregate form measured 5.2 -> 2.0 s for the whole
+    candidates stage at sf0.1. The explode adds one narrow exchange of
+    (id, 32 longs ≈ 256 B/doc) — partial map-side aggregation collapses
+    each doc's shingles to one row per map task before the shuffle, so
+    the exchange carries signature-sized rows, never shingle text.
+
+    Bucket pairs are generated WITHOUT a second shuffle of the banded
+    frame: groupBy (band_id, band_hash) collects each bucket's sorted
+    id list (ids only — bounded by the bucket size), then a two-step
+    posexplode/slice emits each a<b pair exactly once with O(bucket)
+    per-row memory — the self-join it replaces shuffled the banded
+    frame twice and re-shuffled the same id payload on both sides.
+    Pair volume is identical to the join form (that is the candidate
+    semantics); a degenerate hot bucket costs the same quadratic row
+    count either way, streamed row-at-a-time here as there.
 
     The band key is the literal comma-joined minima string, not a hash
     of it: a hash would be one more thing to keep engine-neutral and
@@ -140,21 +165,29 @@ def minhash_candidates(
     ≤ ~44 chars for 4×32-bit minima — a perfectly fine shuffle key at
     any corpus size, and the DuckDB oracle reproduces it verbatim with
     string_agg(v, ',' ORDER BY i). Docs with zero shingles (empty text)
-    are dropped before banding: their signature is the all-sentinel
-    array, which would otherwise bucket every empty doc together in
-    Spark while the oracle's unnest-based fold emits no rows for them.
+    contribute no exploded rows, so they never reach banding — the same
+    exclusion the old all-sentinel filter enforced (the oracle's
+    unnest-based fold emits no rows for them either).
     """
     rows = num_hashes // bands
-    # The shingle+md5+32-minima fold is the expensive term and the
-    # banded frame below self-joins (two consumers) — lazy-checkpoint
-    # the (id, 32-long) signature frame so the fold runs once
-    # (shared-frame law; the simhash twin measured 9.9 -> ~2.6 s).
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
-    ).filter(
-        F.element_at("__sig", 1) < F.lit(4294967296).cast("long")
-    ).localCheckpoint(eager=False)
+    two32 = F.lit(4294967296).cast("long")
+    md5s = F.transform(shingles(text_col, shingle_n), lambda s: F.md5(s))
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(md5s).alias("m"))
+    h1 = F.conv(F.substring("m", 1, 8), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring("m", 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1).cast("long"))
+    )
+    hrows = ex.select("__id", h1.alias("h1"), h2.alias("h2"))
+    sig = hrows.groupBy("__id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(i).cast("long") * F.col("h2")) % two32
+            ).alias(f"__s{i}")
+            for i in range(num_hashes)
+        ]
+    )
     banded = sig.select(
         "__id",
         F.explode(
@@ -165,7 +198,7 @@ def minhash_candidates(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("__sig", b * rows + r + 1).cast("string")
+                                F.col(f"__s{b * rows + r}").cast("string")
                                 for r in range(rows)
                             ],
                         ).alias("band_hash"),
@@ -174,22 +207,29 @@ def minhash_candidates(
                 ]
             )
         ).alias("band"),
-    ).select("__id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-        )
-        .distinct()
+    ).select(
+        "__id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
     )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    anchored = buckets.select(
+        F.posexplode("__ids").alias("__i", "id_a"), "__ids"
+    )
+    return anchored.select(
+        "id_a",
+        F.explode(
+            F.slice(
+                "__ids",
+                F.col("__i") + 2,
+                F.greatest(F.size("__ids") - F.col("__i") - 1, F.lit(0)),
+            )
+        ).alias("id_b"),
+    ).distinct()
 
 
 def jaccard_verify(

@@ -834,24 +834,36 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = F.transform(X.tokens("text"), lambda x: F.lower(x))
     n_tokens = F.size(lt)
     n_distinct = F.size(F.array_distinct(lt))
-    # argmax(count, then lexicographically-smallest token) as a fold
-    # over the distinct tokens; aggregate's merge lambda is (acc, x).
-    cand = F.transform(
-        F.array_distinct(lt),
-        lambda d_: F.struct(
-            F.size(F.filter(lt, lambda x: x == d_)).alias("cnt"),
-            d_.alias("tok"),
-        ),
+    # argmax(count, then lexicographically-smallest token) as ONE run-
+    # length fold over the SORTED token array: equal tokens are adjacent
+    # after array_sort, so the running-run length is the token's count,
+    # and a strictly-greater update rule makes the FIRST (= smallest)
+    # token win ties — identical to the argmax-with-min-token rule. The
+    # previous form re-filtered the full token array once per distinct
+    # token (O(n_distinct x n_tokens) per doc); this is O(n log n)
+    # (optimization r15, guide §1.2 per-task work: measured 3.6 -> 0.9 s
+    # at sf0.1, bit-identical output).
+    srt = F.array_sort(lt)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(-1).alias("best_cnt"),
+        F.lit("").alias("best_tok"),
     )
-    best = F.aggregate(
-        cand,
-        F.struct(F.lit(-1).alias("cnt"), F.lit("").alias("tok")),
-        lambda acc, c: F.when(
-            (c["cnt"] > acc["cnt"])
-            | ((c["cnt"] == acc["cnt"]) & (c["tok"] < acc["tok"])),
-            c,
-        ).otherwise(acc),
-    )
+
+    def _step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        better = run > acc["best_cnt"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, x).otherwise(acc["best_tok"]).alias("best_tok"),
+        )
+
+    best = F.aggregate(srt, init, _step)
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -859,9 +871,9 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - n_distinct / F.nullif(n_tokens, F.lit(0)), RATIO
         ).alias("dup_token_ratio"),
-        best["tok"].alias("top_token"),
+        best["best_tok"].alias("top_token"),
         F.round(
-            best["cnt"] / F.nullif(n_tokens, F.lit(0)), RATIO
+            best["best_cnt"] / F.nullif(n_tokens, F.lit(0)), RATIO
         ).alias("top_token_frac"),
     )
 
