@@ -148,6 +148,39 @@ _PART_EDGES_CTE = """
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 """
 
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) distinct part co-occurrence edges.
+
+    One groupBy(l_orderkey) + per-order sorted distinct part set +
+    two-step posexplode/slice pair fan-out, instead of the lineitem
+    SELF-JOIN the oracle spells (optimization r15, guide §2.3: the join
+    shuffled lineitem twice — both sides of the equi-join — where the
+    aggregate shuffles it once and partial map-side aggregation shrinks
+    even that; 2.6 -> 1.4 s at sf0.1, identical edge set). Per-row
+    memory is O(parts per order) — basket-sized, the same bound the
+    join's per-key output had; array_sort + i<j slicing yields each
+    src<dst pair exactly once, so the trailing distinct dedups only
+    cross-order repeats exactly as before.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    g = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
+        .filter(F.size("__ps") >= 2)
+    )
+    anchored = g.select(F.posexplode("__ps").alias("__i", "src"), "__ps")
+    return anchored.select(
+        "src",
+        F.explode(
+            F.slice(
+                "__ps",
+                F.col("__i") + 2,
+                F.greatest(F.size("__ps") - F.col("__i") - 1, F.lit(0)),
+            )
+        ).alias("dst"),
+    ).distinct()
+
 _TRIANGLE_ORACLE = f"""
     SELECT node, tri_count, tri_rank FROM (
       SELECT node, tri_count,
@@ -170,20 +203,7 @@ _TRIANGLE_ORACLE = f"""
     oracle=_TRIANGLE_ORACLE,
 )
 def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()  # canonical (src<dst) by construction
-    )
+    edges = _part_edges(spark, sf_dir)  # canonical (src<dst), distinct
     counts = triangle_count_per_node(edges, assume_canonical=True)
     top = counts.orderBy(F.col("tri_count").desc(), F.col("node").asc()).limit(20)
     w = Window.orderBy(F.col("tri_count").desc(), F.col("node").asc())
@@ -217,20 +237,7 @@ _KCORE_ORACLE = f"""
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cirro_annotation_spark.operators.graph import kcore_peel
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _part_edges(spark, sf_dir)
     return kcore_peel(edges, k=80, rounds=8, assume_canonical=True)
 
 
@@ -505,20 +512,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    # Optimization r15: (a) shared _part_edges aggregate build instead
+    # of the lineitem self-join; (b) the edge frame feeds the degree agg
+    # (twice via the ends union) AND the annotation join — materialize
+    # it once (shared-frame law); (c) the mirrored-pairs union is
+    # algebraically redundant for these six sums — over the mirror,
+    # m2 = 2·m, sx = sy = Σdx+Σdy, sxy = 2·Σdxdy, sxx = syy = Σdx²+Σdy²,
+    # all EXACT integer identities in decimal(38,0), so one pass over
+    # the un-mirrored joined frame computes the identical statistics
+    # and the final double arithmetic is bit-for-bit the same.
+    edges = _part_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -530,17 +533,23 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = edges.join(da, F.col("src") == F.col("na")).join(
         db, F.col("dst") == F.col("nb")
     )
-    pairs = joined.select(
-        F.col("dsrc").alias("dx"), F.col("ddst").alias("dy")
-    ).unionAll(joined.select(F.col("ddst").alias("dx"), F.col("dsrc").alias("dy")))
     dec = "decimal(38,0)"
-    s = pairs.agg(
-        F.count(F.lit(1)).cast(dec).alias("m2"),
-        F.sum(F.col("dx").cast(dec)).alias("sx"),
-        F.sum(F.col("dy").cast(dec)).alias("sy"),
-        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
-        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
-        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+    dx, dy = F.col("dsrc"), F.col("ddst")
+    h = joined.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(dx.cast(dec)).alias("hx"),
+        F.sum(dy.cast(dec)).alias("hy"),
+        F.sum((dx * dy).cast(dec)).alias("hxy"),
+        F.sum((dx * dx).cast(dec)).alias("hxx"),
+        F.sum((dy * dy).cast(dec)).alias("hyy"),
+    )
+    s = h.select(
+        (F.col("m") * 2).alias("m2"),
+        (F.col("hx") + F.col("hy")).alias("sx"),
+        (F.col("hx") + F.col("hy")).alias("sy"),
+        (F.col("hxy") * 2).alias("sxy"),
+        (F.col("hxx") + F.col("hyy")).alias("sxx"),
+        (F.col("hxx") + F.col("hyy")).alias("syy"),
     )
     num = (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.sqrt(
