@@ -34,6 +34,15 @@ def quantize_by_quantiles(
     n = (1 << bits) - 1
     probs = [(i + 1) / (n + 1) for i in range(n)]
     cuts = df.approxQuantile(col, probs, relative_error)
+    return _bucket_expr_from_cuts(col, cuts, n)
+
+
+def _bucket_expr_from_cuts(
+    col: str, cuts: list[float], n: int
+) -> tuple[list[float], F.Column]:
+    """Bucket expression for precomputed quantile cuts (shared by the
+    single-column API and write_zordered's one-pass multi-column
+    quantile job)."""
     # Strictly increasing cuts only (repeated quantiles on low-cardinality
     # columns collapse); bucket = count of cuts <= value, one codegen'd
     # expression, no join.
@@ -95,8 +104,15 @@ def write_zordered(
     participate — the layout cost is identical to a plain
     ``repartitionByRange(sort_key)`` rewrite, but every zorder column
     gets useful min/max file stats."""
+    # ONE approxQuantile job for every zorder column (the per-column
+    # loop ran one full scan per column — optimization r15, guide §5
+    # driver/actions; results identical, same sketch per column).
+    n = (1 << bits) - 1
+    probs = [(i + 1) / (n + 1) for i in range(n)]
+    all_cuts = df.approxQuantile(zorder_cols, probs, 0.01)
     cuts_and_exprs = [
-        (c, quantize_by_quantiles(df, c, bits=bits)) for c in zorder_cols
+        (c, _bucket_expr_from_cuts(c, cuts, n))
+        for c, cuts in zip(zorder_cols, all_cuts)
     ]
     z = interleave_bits([e for _, (_, e) in cuts_and_exprs], bits=bits)
     (
@@ -153,13 +169,23 @@ def compact_parquet(
     exchange, same cost shape as write_zordered) so the compacted files
     also carry tight min/max stats on the sort key.
 
-    The row count comes from ``count()`` on the parquet source —
-    metadata-only (row-group counts from footers), no data scan.
-    Returns the number of files written."""
+    The row count comes from the parquet FOOTERS directly (pyarrow
+    driver-side, the file_key_bounds/manifest-read class) — the
+    previous ``df.count()`` was metadata-only on the executors but
+    still a full Spark job in a write path that is already job-heavy
+    (optimization r15, guide §5 driver/actions). Returns the number of
+    files written."""
     import math
+    import os
+
+    import pyarrow.parquet as pq
 
     df = spark.read.parquet(src)
-    n = df.count()
+    n = sum(
+        pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
     nfiles = max(1, math.ceil(n / max(target_rows_per_file, 1)))
     if sort_col is not None:
         out = df.repartitionByRange(nfiles, sort_col).sortWithinPartitions(
