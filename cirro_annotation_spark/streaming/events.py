@@ -113,13 +113,50 @@ def session_agg(events: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
+def _drain_state_partitions(spark: SparkSession) -> str | None:
+    """Shuffle/state-store partition count to pin for a bounded drain,
+    or None to leave the session value alone.
+
+    Every stateful streaming operator keeps one state-store instance
+    per shuffle partition and COMMITS each of them every micro-batch
+    (AQE never coalesces streaming shuffles), so a bounded drain over a
+    fixture-sized source at the batch default (32) pays 32 state-store
+    commit cycles per operator per trigger for a handful of keys —
+    measured at sf0.1: stream_join_stream 7.6 → 2.7 s, dedup_watermark
+    3.2 → 1.2 s, histogram 3.4 → 1.5 s under 4 partitions (optimization
+    r15, guide §2.2 fewer/larger partitions). Production unbounded
+    streams size state partitions to key volume/throughput:
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides without a code
+    change. The determinism harness's ``spark.cirro.tuneLayout=false``
+    sentinel disables the pin so its divergent-layout sessions keep
+    proving results are partition-count-independent.
+    """
+    try:
+        if spark.conf.get("spark.cirro.tuneLayout", "true") == "false":
+            return None
+    except Exception:
+        pass
+    return os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+
+
 def _drain(
-    spark: SparkSession, sdf: DataFrame, mode: str, prefix: str
+    spark: SparkSession,
+    sdf: DataFrame,
+    mode: str,
+    prefix: str,
+    pin_state_partitions: bool = True,
 ) -> DataFrame:
     """Run a bounded streaming frame to completion through a memory sink
     and return the materialized result — the one drain implementation
     every operator in this module shares (code-review r15: the block was
     copy-pasted 8x, and none of the copies dropped its sink view).
+
+    ``pin_state_partitions=False`` opts a drain out of the state-
+    partition pin (see _drain_state_partitions): the Python-stateful
+    operators (applyInPandasWithState / transformWithStateInPandas)
+    are compute-bound in their Python workers and WANT the parallelism
+    (stream_stateful_counts measured 1.6 → 2.4 s under the pin — kept
+    at the session default deliberately).
 
     The memory sink's temp view is dropped AFTER the eager
     localCheckpoint (the checkpointed partitions no longer reference the
@@ -127,16 +164,34 @@ def _drain(
     query sweep, bench rounds — do not accumulate full result sets in
     driver memory."""
     name = prefix + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    pin = _drain_state_partitions(spark) if pin_state_partitions else None
+    prev = None
+    if pin is not None:
+        try:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            # Read at query START and pinned into the run's checkpoint,
+            # so restoring right after the drain is safe (the TTL-expiry
+            # drain established the save/restore contract).
+            spark.conf.set("spark.sql.shuffle.partitions", pin)
+        except Exception:
+            prev = None
     try:
-        q.processAllAvailable()
+        q = (
+            sdf.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            except Exception:
+                pass
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
@@ -192,7 +247,10 @@ def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _drain(spark, stream, "update", "stream_state_")
+    return _drain(
+        spark, stream, "update", "stream_state_",
+        pin_state_partitions=False,  # Python-stateful: wants parallelism
+    )
 
 
 def stateful_user_stats_tws(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -276,7 +334,10 @@ def stateful_user_stats_tws(spark: SparkSession, parquet_path: str) -> DataFrame
                 timeMode="None",
             )
         )
-        out = _drain(spark, stream, "update", "stream_tws_")
+        out = _drain(
+            spark, stream, "update", "stream_tws_",
+            pin_state_partitions=False,  # Python-stateful: wants parallelism
+        )
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
