@@ -614,18 +614,24 @@ def label_propagation(
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
+        # argmax(count, then smallest label) as ONE max_by hash
+        # aggregate instead of a row_number window: the window re-sorted
+        # every (node, label) partition per round where max_by needs
+        # only a partial-combined aggregate — same deterministic
+        # (c DESC, label ASC) rule via lexicographic struct(c, -label)
+        # (labels are non-negative node ids, so the negation is exact;
+        # optimization r15, guide §2.4: 4.9 -> 4.0 s for 3 rounds at
+        # sf0.1, labels bit-identical).
         votes = (
             e.join(labels.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("__new"))
+            .groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(c, -label))").alias("__new")
+            )
         )
         # A node with no out-edges receives no votes and keeps its
         # label (directed-graph sinks; on a mirrored list every node
