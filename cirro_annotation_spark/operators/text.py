@@ -87,23 +87,63 @@ def quality_score(col: str | Column) -> Column:
     return (len_ok + punct_ok + digit_ok + mwl_ok) / 4.0
 
 
+def langid_hits_struct(col: str | Column) -> Column:
+    """struct(h_<lang>... , n): per-language stopword hit counts plus the
+    token count, from ONE tokenization and ONE pass over the tokens.
+
+    The per-language form re-evaluated ``tokens(col)`` (trim + regex
+    split + filter) once per language — HOF arguments get no common-
+    subexpression elimination (optimization r15, guide §1.2: the vote
+    expression alone measured 1.48 → 0.79 s at sf0.1). Callers that
+    need several of (prediction, per-lang hits, max hits, token count)
+    should select THIS struct into a column first and derive from it,
+    or they pay one fold per reference."""
+    langs = sorted(STOPWORDS)  # deterministic field order
+    init = F.struct(
+        *[F.lit(0).alias(f"h_{lang}") for lang in langs],
+        F.lit(0).alias("n"),
+    )
+
+    def _step(acc, x):
+        lx = F.lower(x)
+        return F.struct(
+            *[
+                (
+                    acc[f"h_{lang}"]
+                    + F.when(
+                        F.array_contains(
+                            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+                            lx,
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"h_{lang}")
+                for lang in langs
+            ],
+            (acc["n"] + 1).alias("n"),
+        )
+
+    return F.aggregate(tokens(col), init, _step)
+
+
+def langid_vote_from_hits(hits: Column) -> Column:
+    """Argmax language from a :func:`langid_hits_struct` value — most
+    hits wins, 'und' when nothing matches, deterministic tie-break by
+    language code order (strictly-greater keeps the earlier code)."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        h = hits[f"h_{lang}"]
+        is_better = h > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return best_lang
+
+
 def langid_stopword_votes(col: str | Column) -> Column:
     """Language-ID heuristic: most stopword hits wins; 'und' (undetermined)
     when nothing matches. Deterministic tie-break by language code order."""
-    def _lang_matcher(words: list[str]):
-        # Closure factory: PySpark hands (element, index) to 2-arg lambdas,
-        # so a `lang=lang` default arg would receive the index Column.
-        sw = F.array(*[F.lit(w) for w in words])
-        return lambda x: F.array_contains(sw, F.lower(x))
-
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(STOPWORDS):  # deterministic fold order
-        hits = F.size(F.filter(tokens(col), _lang_matcher(STOPWORDS[lang])))
-        is_better = hits > best_hits
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return best_lang
+    return langid_vote_from_hits(langid_hits_struct(col))
 
 
 def fingerprint_sha(col: str | Column) -> Column:
