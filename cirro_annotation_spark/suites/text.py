@@ -1491,6 +1491,8 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
     W = 8
+    # Lazy checkpoint: the shingle frame feeds the dup aggregate AND the
+    # coverage join — see docs_dup_span_removal (optimization r15).
     sh = base.filter(F.col("n_tokens") >= W).select(
         "doc_id",
         F.explode(
@@ -1502,7 +1504,9 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    ).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh")
+    ).localCheckpoint(eager=False)
     dup = (
         sh.groupBy("sh")
         .agg(F.count_distinct("doc_id").alias("__nd"))
@@ -1579,6 +1583,14 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
     W = 8
+    # The shingle frame feeds TWO consumers (the duplicated-shingle
+    # aggregate and the join that marks removable positions) — without
+    # the lazy checkpoint the tokenize+explode+array_join scan runs
+    # twice (optimization r15, shared-frame law: 3.2 -> 2.6 s at
+    # sf0.1). A window min/max over partitionBy(sh) would be ~0.5 s
+    # faster still but puts every occurrence of one hot shingle in a
+    # single task — the groupBy keeps partial aggregation and AQE skew
+    # handling, which is the 100 TB-safe shape; rejected deliberately.
     sh = base.filter(F.col("n_tokens") >= W).select(
         "doc_id",
         F.explode(
@@ -1590,7 +1602,9 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    ).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh")
+    ).localCheckpoint(eager=False)
     dup = (
         sh.groupBy("sh")
         .agg(
