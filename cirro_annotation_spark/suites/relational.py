@@ -1372,27 +1372,41 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact is kept here so DuckDB hash-verifies the report. The unpivot
     of the 1-row aggregate is driver-free (melt over a single row).
     """
+    # One two-level aggregate per column, unioned (optimization r15,
+    # guide §2.3): the previous 5-way exact count_distinct planned as
+    # ONE aggregate behind an Expand — every row multiplied ×6 through
+    # the exchange. Per-column groupBy(value) partial-aggregates
+    # map-side, so each of the 5 shuffles carries (distinct value,
+    # count) pairs instead of expanded rows — 3.4 → 1.5 s at sf0.1 and
+    # strictly fewer shuffled bytes at any scale. The rollup derives
+    # every statistic exactly: n_rows = Σcnt, nulls from the NULL
+    # group, distinct = non-null group count, mean = Σ(v·cnt)/Σcnt over
+    # non-null rows (same float-sum class as the avg it replaces; both
+    # engines round at 6).
     li = t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
-    aggs = []
+    out = None
     for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
-            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
-            F.round(F.avg(c), 6).alias(f"{c}__mean"),
-        ]
-    one = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, "
-        f"{c}__min, {c}__max, {c}__mean"
-        for c in _PROFILE_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
-        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val)"
-    )
+        g = li.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        nn_cnt = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")))
+        arm = g.agg(
+            F.lit(c).alias("column_name"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("n_nulls"),
+            F.count("v").cast("long").alias("n_distinct"),
+            F.round(F.min("v").cast("double"), 6).alias("min_val"),
+            F.round(F.max("v").cast("double"), 6).alias("max_val"),
+            F.round(
+                F.sum(F.when(F.col("v").isNotNull(), F.col("v") * F.col("cnt")))
+                / nn_cnt,
+                6,
+            ).alias("mean_val"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 @query(
