@@ -435,19 +435,45 @@ def simhash_near_pairs(
         )
     else:
         chunks = chunks.withColumn("sub_val", F.lit(-1))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Bucket pairs WITHOUT a second shuffle of the chunk frame
+    # (optimization r15, the minhash_candidates shape): groupBy the
+    # bucket key, collect each bucket's (id, sim) members sorted by id,
+    # and emit a<b pairs with a two-step posexplode/slice. The
+    # collected array is bounded by bucket_cap per the sub-banding
+    # above (a degenerate identical-signature bucket stays together,
+    # but there the join form's quadratic OUTPUT dominates any
+    # per-row array cost). Measured 3.55 -> 3.17 s at sf0.1, pair set
+    # exceptAll-identical.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val", "sub_val")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__id", "__sim"))).alias(
+                "__ms"
+            )
+        )
+        .filter(F.size("__ms") >= 2)
+    )
+    anchored = buckets.select(
+        F.posexplode("__ms").alias("__i", "__ma"), "__ms"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.sub_val") == F.col("b.sub_val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        anchored.select(
+            F.col("__ma.__id").alias("id_a"),
+            F.col("__ma.__sim").alias("__sim_a"),
+            F.explode(
+                F.slice(
+                    "__ms",
+                    F.col("__i") + 2,
+                    F.greatest(F.size("__ms") - F.col("__i") - 1, F.lit(0)),
+                )
+            ).alias("__mb"),
         )
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+            "id_a",
+            F.col("__mb.__id").alias("id_b"),
+            hamming64(F.col("__sim_a"), F.col("__mb.__sim")).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
