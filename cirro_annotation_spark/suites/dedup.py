@@ -190,8 +190,14 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard on the pinned candidate pairs the banding stage emits at
     sf0.01 (same candidates fed to DuckDB — fixture-golden like
     manifest_harvest_columns). dedup_minhash_pairs runs the live
-    banding→verify composition; this query proves the verify arithmetic."""
-    d = t(spark, sf_dir, "documents")
+    banding→verify composition; this query proves the verify arithmetic.
+
+    The pinned ids are a literal, so they are filtered before the
+    verify call and push to the parquet scan as In(doc_id) —
+    jaccard_verify's generic semi-join (for non-literal candidate
+    frames) cannot reach the scan (optimization r15, guide §6)."""
+    cand_ids = sorted({i for pair in _GOLDEN_CANDIDATES for i in pair})
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isin(cand_ids))
     cands = spark.createDataFrame(
         list(_GOLDEN_CANDIDATES), "id_a long, id_b long"
     )
@@ -494,9 +500,17 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup flag for the pinned sf0.01 candidate list. The live
     banding query (dedup_simhash_pairs) stays xxhash64-fast and
     rows-only; this one proves the construction and distance
-    arithmetic bit-for-bit."""
+    arithmetic bit-for-bit.
+
+    Only docs in the pinned pair list can survive the inner joins, so
+    the expensive md5 vote fold runs on exactly those ids: the literal
+    id set is filtered BEFORE the signature select and pushes to the
+    parquet scan as an In(doc_id) predicate (optimization r15, guide
+    §6 — previously every document in the corpus paid the 60-bit fold
+    and the joins then discarded all but ~280 of them)."""
     d = t(spark, sf_dir, "documents")
-    sig = d.select(
+    cand_ids = sorted({i for pair in _SIMHASH_GOLDEN for i in pair})
+    sig = d.filter(F.col("doc_id").isin(cand_ids)).select(
         F.col("doc_id"), D.simhash60_md5("text").alias("sig")
     )
     cands = spark.createDataFrame(
