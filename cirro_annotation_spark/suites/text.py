@@ -1040,7 +1040,15 @@ def docs_segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(toks, i * 10 + 1, 10), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    segs = d.select("doc_id", F.explode(seg_fps).alias("fp"))
+    # The segment-fingerprint frame feeds TWO consumers with no common
+    # exchange (the count build and the probe join) — without the
+    # checkpoint the tokenize + md5-per-segment scan runs twice per
+    # action; the count stage materializes it, the probe reuses it
+    # (optimization r15, guide §5 shared-frame law, the
+    # docs_boilerplate_lines twin; measured 2.19 -> 1.25 s at sf0.1).
+    segs = d.select("doc_id", F.explode(seg_fps).alias("fp")).localCheckpoint(
+        eager=False
+    )
     cnt = segs.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     dup = F.when(F.col("n") > 1, 1).otherwise(0)
     return (
@@ -1963,6 +1971,15 @@ def docs_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line_idx", "line"),
         )
         .withColumn("line_sha", F.sha2(F.col("line"), 256))
+        # The line frame feeds TWO consumers (the boilerplate-sha
+        # broadcast build and the probe join) — without this the
+        # tokenize + 12-token slice + sha2 scan runs twice per action.
+        # Lazy is safe AND optimal here: the broadcast stage is
+        # dependency-serialized before the probe stage, so the first
+        # stage materializes the checkpoint and the probe reuses it
+        # (optimization r15, guide §5 shared-frame law; measured
+        # 2.39 -> 1.4 s at sf0.1).
+        .localCheckpoint(eager=False)
     )
     bad = (
         lines.select("line_sha", "doc_id")
