@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "sim_cosine_int8",  # last green driver r7, artifact r15
-    "sim_semantic_dedup",  # last green driver r7, artifact r15
-    "sim_topk_ivfpq",  # last green driver r7, artifact r15
-    "sim_topk_lsh_multiprobe",  # last green driver r7, artifact r15
-    "sim_topk_matryoshka",  # last green driver r7, artifact r15
-    "sim_topk_pq",  # last green driver r7, artifact r15
-    "stream_distinct_users_hourly",  # last green driver r7, artifact r15
-    "stream_histogram_batch",  # last green driver r7, artifact r15
-    "stream_histogram_stream",  # last green driver r7, artifact r15
-    "stream_join_left_batch",  # last green driver r7, artifact r15
-    "text_bm25_topk",  # last green driver r7, artifact r15
-    "agg_string_concat_ordered",  # last green driver r8, artifact r15
-    "basket_rules_lift",  # last green driver r8, artifact r15
-    "docs_ccnet_buckets",  # last green driver r8, artifact r15
-    "docs_chi_square_langs",  # last green driver r8, artifact r15
-    "docs_dsir_weights",  # last green driver r8, artifact r15
-    "docs_ngram_novelty",  # last green driver r8, artifact r15
-    "docs_token_entropy",  # last green driver r8, artifact r15
-    "docs_top_mass_per_source",  # last green driver r8, artifact r15
-    "embeddings_dim_clip_report",  # last green driver r8, artifact r15
-    "embeddings_kmeans_train",  # last green driver r8, artifact r15
-    "embeddings_norm_stats",  # last green driver r8, artifact r15
-    "embeddings_pq_train",  # last green driver r8, artifact r15
-    "embeddings_prototype_prune",  # last green driver r8, artifact r15
-    "events_cms_user_counts",  # last green driver r8, artifact r15
-    "events_daily_quantiles",  # last green driver r8, artifact r15
-    "events_daily_trend",  # last green driver r8, artifact r15
-    "events_interarrival_stats",  # last green driver r8, artifact r15
-    "events_ohlc_daily",  # last green driver r8, artifact r15
-    "events_session_paths",  # last green driver r8, artifact r15
-    "events_type_transitions",  # last green driver r8, artifact r15
-    "multimodal_vad_segments",  # last green driver r8, artifact r15
-    "orders_open_per_day",  # last green driver r8, artifact r15
-    "pipeline_corpus_funnel",  # last green driver r8, artifact r15
-    "pipeline_corpus_materialize",  # last green driver r8, artifact r15
-    "pipeline_dataset_card",  # last green driver r8, artifact r15
-    "pipeline_funnel_incremental",  # last green driver r8, artifact r15
-    "pipeline_length_buckets",  # last green driver r8, artifact r15
-    "profile_lineitem",  # last green driver r8, artifact r15
-    "q6_revenue_forecast",  # last green driver r8, artifact r15
-    "rag_hybrid_rrf",  # last green driver r8, artifact r15
-    "sample_flatten_length_dist",  # last green driver r8, artifact r15
-    "sample_unimax_budget",  # last green driver r8, artifact r15
-    "sample_weighted_k",  # last green driver r8, artifact r15
-    "scalar_explode_outer",  # last green driver r8, artifact r15
-    "sim_ann_recall_report",  # last green driver r8, artifact r15
-    "sim_hard_negatives",  # last green driver r8, artifact r15
-    "sim_ivf_cell_stats",  # last green driver r8, artifact r15
-    "sim_topk_lsh",  # last green driver r8, artifact r15
-    "split_kfold_assign",  # last green driver r8, artifact r15
+    "stream_top_types_batch",  # last green driver r8, artifact r15
+    "stream_top_types_stream",  # last green driver r8, artifact r15
+    "text_bpe_encode_fertility",  # last green driver r8, artifact r15
+    "text_bpe_train_merges",  # last green driver r8, artifact r15
+    "text_lexical_diversity",  # last green driver r8, artifact r15
+    "text_redact_terms",  # last green driver r8, artifact r15
+    "window_cume_dist_pct_rank",  # last green driver r8, artifact r15
+    "dataset_chooser_newest_first",  # last green driver r9, artifact r15
+    "dedup_bloom_prefilter",  # last green driver r9, artifact r15
+    "dedup_cluster_assign",  # last green driver r9, artifact r15
+    "dedup_cluster_auto",  # last green driver r9, artifact r15
+    "dedup_cluster_components",  # last green driver r9, artifact r15
+    "dedup_cluster_components_star",  # last green driver r9, artifact r15
+    "dedup_fuzzy_blocked",  # last green driver r9, artifact r15
+    "dedup_incremental_batch",  # last green driver r9, artifact r15
+    "dedup_jaccard_prefix_join",  # last green driver r9, artifact r15
+    "dedup_ngram_containment_sample",  # last green driver r9, artifact r15
+    "dedup_sorted_neighborhood",  # last green driver r9, artifact r15
+    "dedup_survivor_corpus",  # last green driver r9, artifact r15
+    "docs_classifier_train_perceptron",  # last green driver r9, artifact r15
+    "docs_doremi_weights",  # last green driver r9, artifact r15
+    "docs_dup_span_sa",  # last green driver r9, artifact r15
+    "embeddings_rq_train",  # last green driver r9, artifact r15
+    "events_spc_rules",  # last green driver r9, artifact r15
+    "graph_bfs_hops",  # last green driver r9, artifact r15
+    "graph_kcore_parts",  # last green driver r9, artifact r15
+    "graph_label_propagation",  # last green driver r9, artifact r15
+    "graph_pagerank_personalized",  # last green driver r9, artifact r15
+    "graph_pagerank_trade",  # last green driver r9, artifact r15
+    "graph_triangle_parts",  # last green driver r9, artifact r15
+    "join_bloom_semi",  # last green driver r9, artifact r15
+    "join_interval_overlap",  # last green driver r9, artifact r15
+    "manifest_file_to_columns",  # last green driver r9, artifact r15
+    "manifest_harvest_columns",  # last green driver r9, artifact r15
+    "manifest_melt_standard",  # last green driver r9, artifact r15
+    "manifest_project_dictionary",  # last green driver r9, artifact r15
+    "manifest_roundtrip_tokens",  # last green driver r9, artifact r15
+    "manifest_variable_family",  # last green driver r9, artifact r15
+    "multimodal_binary_stats",  # last green driver r9, artifact r15
+    "multimodal_extract_features",  # last green driver r9, artifact r15
+    "multimodal_frame_sample",  # last green driver r9, artifact r15
+    "multimodal_resize",  # last green driver r9, artifact r15
+    "pipeline_entity_resolution",  # last green driver r9, artifact r15
+    "pipeline_entity_resolution_incremental",  # last green driver r9, artifact r15
+    "scan_jsonl_typed",  # last green driver r9, artifact r15
+    "sim_topk_rq",  # last green driver r9, artifact r15
+    "stream_cdc_replay_exactly_once",  # last green driver r9, artifact r15
+    "stream_psi_daily_batch",  # last green driver r9, artifact r15
+    "stream_psi_daily_stream",  # last green driver r9, artifact r15
+    "basket_assoc_rules",  # last green driver r10, artifact r15
 ]
 
 
