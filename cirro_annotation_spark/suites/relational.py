@@ -1691,12 +1691,16 @@ def events_hll_daily_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(53))
         .cast("long")
     )
+    # ONE scan + one (day, user) distinct feeds BOTH the register
+    # maintenance and the exact twin (the exact count_distinct plans as
+    # this very distinct anyway, so the exchange is shared/reused):
+    # the md5 runs once per distinct (day, user) instead of once per
+    # event row (optimization r16, guide §2.3/§2.4 — rho depends only
+    # on user_id, so the register max over events equals the max over
+    # the distinct pairs).
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     regs = (
-        ev.select(
-            F.to_date("ts").alias("day"),
-            bucket.alias("bucket"),
-            rho.alias("rho"),
-        )
+        du.select("day", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -1708,8 +1712,8 @@ def events_hll_daily_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_num"),
         F.count(F.lit(1)).cast("long").alias("live_buckets"),
     )
-    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count_distinct("user_id").cast("long").alias("n_exact")
+    exact = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
     )
     raw = F.lit(1.3302132349779442e19) / F.col("s_num").cast("double")
     lc = F.lit(4096.0) * F.log(
@@ -1805,17 +1809,16 @@ def events_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(53))
         .cast("long")
     )
+    # ONE scan + one (user, day) distinct feeds the register cells AND
+    # the exact twin (`ud` below) — the distinct exchange is shared, the
+    # md5 runs once per distinct pair instead of once per event row
+    # (optimization r16; rho depends only on user_id so the register
+    # max over events equals the max over the distinct pairs).
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     regs = (
-        ev.select(
-            F.to_date("ts").alias("d"),
-            bucket.alias("bucket"),
-            rho.alias("rho"),
-        )
+        ud.select("d", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("d", "bucket")
         .agg(F.max("rho").alias("rho"))
-        # the cell frame feeds the windowed union AND nothing else, but
-        # the stream-scan above must not re-run for the exact twin —
-        # that one re-reads the table independently (one scan each).
     )
     spine = spark.range(30).select(
         F.date_add(
@@ -1839,7 +1842,6 @@ def events_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_num"),
         F.count(F.lit(1)).cast("long").alias("live_buckets"),
     )
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     x = (
         spine.join(
             ud,
@@ -1965,68 +1967,67 @@ def events_hll_segment_overlap(
         .otherwise(F.lit(53))
         .cast("long")
     )
-    regs = (
-        ev.select(
-            F.to_date("ts").alias("seg"),
+    # ONE scan, one user-grain aggregate, shared by all four arms
+    # (optimization r16, guide §2.3/§2.4): per user, segment membership
+    # flags; the md5 runs once per user. Per-bucket registers for A and
+    # B come out of one pivot-style aggregate; the UNION sketch is pure
+    # cell algebra (greatest of the two registers — Spark's greatest
+    # skips NULLs); all six sums collapse in ONE global aggregate; the
+    # exact intersection is the both-flags count of the same user frame
+    # (its exchange is shared, replacing INTERSECT's two extra scans).
+    d1 = F.lit("2024-01-01").cast("date")
+    d2 = F.lit("2024-01-02").cast("date")
+    peru = (
+        ev.select("user_id", F.to_date("ts").alias("seg"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("seg") == d1, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("seg") == d2, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    cells = (
+        peru.select(
             bucket.alias("bucket"),
-            rho.alias("rho"),
+            F.when(F.col("in_a") == 1, rho).alias("rho_a"),
+            F.when(F.col("in_b") == 1, rho).alias("rho_b"),
         )
-        .groupBy("seg", "bucket")
-        .agg(F.max("rho").alias("rho"))
-        # feeds the two per-type sums AND the union max — tiny cell
-        # frame, checkpoint so the stream scan runs once
-        .localCheckpoint(eager=False)
+        .groupBy("bucket")
+        .agg(
+            F.max("rho_a").alias("ra"),
+            F.max("rho_b").alias("rb"),
+        )
     )
+    T = F.lit(1099511627776).cast("long")
 
-    def sums_of(df: DataFrame, sa: str, va: str) -> DataFrame:
-        return df.agg(
-            (
-                F.sum(
-                    F.expr("shiftright(1099511627776L, cast(rho as int))")
-                )
-                + (F.lit(4096) - F.count(F.lit(1)))
-                * F.lit(1099511627776).cast("long")
-            ).alias(sa),
-            F.count(F.lit(1)).cast("long").alias(va),
+    def reg_sum(r: str) -> F.Column:
+        return (
+            F.sum(F.expr(f"shiftright(1099511627776L, cast({r} as int))"))
+            + (F.lit(4096) - F.count(r)) * T
         )
 
-    a = sums_of(
-        regs.filter(F.col("seg") == F.lit("2024-01-01").cast("date")),
-        "s_a",
-        "v_a",
+    sums = cells.select(
+        "ra", "rb", F.greatest("ra", "rb").alias("ru")
+    ).agg(
+        reg_sum("ra").alias("s_a"),
+        F.count("ra").cast("long").alias("v_a"),
+        reg_sum("rb").alias("s_b"),
+        F.count("rb").cast("long").alias("v_b"),
+        reg_sum("ru").alias("s_u"),
+        F.count("ru").cast("long").alias("v_u"),
     )
-    b = sums_of(
-        regs.filter(F.col("seg") == F.lit("2024-01-02").cast("date")),
-        "s_b",
-        "v_b",
-    )
-    u = sums_of(
-        regs.groupBy("bucket").agg(F.max("rho").alias("rho")), "s_u", "v_u"
-    )
-    seg_a = ev.filter(
-        F.to_date("ts") == F.lit("2024-01-01").cast("date")
-    ).select("user_id")
-    seg_b = ev.filter(
-        F.to_date("ts") == F.lit("2024-01-02").cast("date")
-    ).select("user_id")
     x = (
-        seg_a.intersect(seg_b)
+        peru.filter((F.col("in_a") == 1) & (F.col("in_b") == 1))
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
     est_a = _hll_estimate_from(F.col("s_a"), F.col("v_a"))
     est_b = _hll_estimate_from(F.col("s_b"), F.col("v_b"))
     est_u = _hll_estimate_from(F.col("s_u"), F.col("v_u"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(u))
-        .crossJoin(F.broadcast(x))
-        .select(
-            est_a.alias("est_a"),
-            est_b.alias("est_b"),
-            est_u.alias("est_union"),
-            F.round(est_a + est_b - est_u, 3).alias("est_intersection"),
-            F.col("n_exact").alias("intersection_exact"),
-        )
+    return sums.crossJoin(F.broadcast(x)).select(
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.round(est_a + est_b - est_u, 3).alias("est_intersection"),
+        F.col("n_exact").alias("intersection_exact"),
     )
 
 

@@ -1039,7 +1039,14 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("event_type")
+    # Whole-partition totals as a second FRAME on the same ordered
+    # window spec — one WindowExec computes all four sums instead of a
+    # second unordered window pass (optimization r16, guide §2.4).
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     cum = pervalue.select(
         "event_type",
         F.sum("r").over(w_cum).alias("cum_ref"),
@@ -1621,12 +1628,16 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_new", is_new)
         .withColumn("session_id", F.sum("is_new").over(wsum))
     )
-    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    first3 = sess.withColumn("rn", F.row_number().over(w_sess)).filter(
-        F.col("rn") <= 3
-    )
+    # "First 3 events of the session" without the second window sort:
+    # a row's position in its session is <= 3 iff a session START
+    # (is_new = 1) falls within the trailing 3-row frame of the SAME
+    # user-keyed, ts-ordered window the sessionizer already sorted by —
+    # one more frame on the existing WindowExec instead of a
+    # (user, session)-keyed row_number that re-sorts every partition
+    # (optimization r16, guide §2.4).
+    first3 = sess.withColumn(
+        "in3", F.sum("is_new").over(w.rowsBetween(-2, Window.currentRow))
+    ).filter(F.col("in3") >= 1)
     paths = (
         first3.groupBy("user_id", "session_id")
         .agg(
@@ -1920,13 +1931,23 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m"),
         )
     )
-    firstm = p.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
-    sizes = firstm.groupBy("cohort_m").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+    # Cohort assignment as a window over ONE user-keyed exchange instead
+    # of aggregate + join-back (which scanned the purchase slice twice);
+    # sizes and cells both derive from the same windowed frame, sharing
+    # its shuffle (optimization r16, guide §2.4).
+    pw = p.withColumn(
+        "cohort_m", F.min("m").over(Window.partitionBy("user_id"))
+    )
+    sizes = (
+        pw.select("user_id", "cohort_m")
+        .distinct()
+        .groupBy("cohort_m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
     cells = (
-        p.join(firstm, "user_id")
-        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months"))
+        pw.groupBy(
+            "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months")
+        )
         .agg(F.round(F.sum("value"), 2).alias("rev"))
     )
     w = (
@@ -2014,16 +2035,23 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long") % 256
         )
 
+    # Hash per (row, user) ONCE per user, not once per event: the cell
+    # counts are Σ n_events(user) over the users hashing into the cell,
+    # so aggregating to the user grain first (one exchange every other
+    # branch reuses) cuts the md5 count from 4x|events| to 4x|users|
+    # and drops the second full scan the truth branch paid
+    # (optimization r16, guide §2.3 aggregate before you shuffle).
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
     rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
     cells = (
-        e.select(F.col("user_id"), rows)
-        .select("r", bucket(F.col("r"), F.col("user_id")).alias("col"))
+        u.select("user_id", "n", rows)
+        .select("n", "r", bucket(F.col("r"), F.col("user_id")).alias("col"))
         .groupBy("r", "col")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("n").cast("long").alias("cnt"))
     )
-    probe = (
-        e.select("user_id").distinct().orderBy("user_id").limit(5)
-    )
+    probe = u.select("user_id").orderBy("user_id").limit(5)
     pr = probe.select(
         "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
     ).select("user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("col"))
@@ -2032,10 +2060,8 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
-    truth = (
-        e.join(F.broadcast(probe), "user_id")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    truth = u.join(F.broadcast(probe), "user_id").select(
+        "user_id", F.col("n").alias("true_count")
     )
     return truth.join(est, "user_id").select(
         "user_id",
@@ -2734,13 +2760,18 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h32",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
     )
+    # mod 2^32 on provably-nonnegative longs == AND (2^32 - 1): the
+    # codegen'd & is a single instruction where % is a long division
+    # (identical values — h32 >= 0, r >= 0, every product < 2^63).
+    m32 = F.lit(4294967295)
     z1 = (
-        ((F.col("h32") + F.col("r") * F.lit(2654435761)) % F.lit(4294967296))
+        ((F.col("h32") + F.col("r") * F.lit(2654435761)).bitwiseAND(m32))
         * F.lit(1540483477)
-    ) % F.lit(4294967296)
+    ).bitwiseAND(m32)
     bucket = F.shiftright(
-        (z1.bitwiseXOR(F.shiftright(z1, 13)) * F.lit(1540483477))
-        % F.lit(4294967296),
+        (z1.bitwiseXOR(F.shiftright(z1, 13)) * F.lit(1540483477)).bitwiseAND(
+            m32
+        ),
         16,
     )
     wt = F.lit(len(_POIS_T))
@@ -2945,7 +2976,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("s_us"),
         F.max(F.unix_micros("ts")).alias("e_us"),
     )
-    end = e.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    # The study horizon is the max event time — equal to the max session
+    # end, so derive it from the session frame instead of a second full
+    # scan of events (optimization r16; the shared subtree up to the
+    # user exchange is reused, and the extra aggregate runs on the
+    # session grain, not the event grain).
+    end = per_sess.agg(F.max("e_us").alias("end_us"))
     life = per_sess.crossJoin(F.broadcast(end)).select(
         F.expr("(e_us - s_us) div 60000000L").alias("t"),
         F.when(
@@ -3104,50 +3140,78 @@ def events_daily_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE user-keyed shuffle carries the whole funnel: the per-user
+    # first-view time is a window over the same partitioning the
+    # groupBy reuses (guide §2.4), so the view-aggregate + join + re-
+    # aggregate pyramid (two shuffles of events + a user-keyed join)
+    # collapses into shuffle → window → aggregate. The percentile
+    # thresholds ride the cum window as a whole-partition total instead
+    # of a broadcast crossJoin per order statistic, and both order
+    # statistics come out of ONE aggregate (min over a guarded when).
     e = t(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    e2 = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v.toDF("u2", "v_us"), F.col("user_id") == F.col("u2"))
-        .filter(F.unix_micros("ts") > F.col("v_us"))
-        .groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts") - F.col("v_us")).alias("d_us"))
-    )
-    lat = p.select(F.expr("d_us div 60000000L").alias("m"))
-    lc = lat.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy(F.col("m").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = lc.withColumn("cc", F.sum("c").over(w))
-    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n_viewers")).crossJoin(
-        lat.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
-    )
-    p50 = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("cc") * 2 >= F.col("n_converted"))
-        .agg(F.min("m").alias("p50_latency_min"))
-    )
-    p95 = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("cc") * 20 >= F.col("n_converted") * 19)
-        .agg(F.min("m").alias("p95_latency_min"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p95))
-        .select(
-            "n_viewers",
-            "n_converted",
-            F.expr("(n_converted * 1000000L) div n_viewers").alias(
-                "conversion_ppm"
-            ),
-            "p50_latency_min",
-            "p95_latency_min",
+    w_u = Window.partitionBy("user_id")
+    per_user = (
+        e2.withColumn(
+            "v_us",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).over(w_u),
         )
+        .filter(F.col("v_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("v_us")),
+                    F.col("us") - F.col("v_us"),
+                )
+            ).alias("d_us")
+        )
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers"),
+        F.count("d_us").cast("long").alias("n_converted"),
+    )
+    lc = (
+        per_user.filter(F.col("d_us").isNotNull())
+        .select(F.expr("d_us div 60000000L").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = Window.orderBy(F.col("m").asc())
+    cum = lc.select(
+        "m",
+        F.sum("c")
+        .over(w_cum.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cc"),
+        F.sum("c")
+        .over(
+            w_cum.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nc"),
+    )
+    pq = cum.agg(
+        F.min(
+            F.when(F.col("cc") * 2 >= F.col("nc"), F.col("m"))
+        ).alias("p50_latency_min"),
+        F.min(
+            F.when(F.col("cc") * 20 >= F.col("nc") * 19, F.col("m"))
+        ).alias("p95_latency_min"),
+    )
+    return tot.crossJoin(F.broadcast(pq)).select(
+        "n_viewers",
+        "n_converted",
+        F.expr("(n_converted * 1000000L) div n_viewers").alias(
+            "conversion_ppm"
+        ),
+        "p50_latency_min",
+        "p95_latency_min",
     )
 
 
@@ -3311,20 +3375,36 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("slope_ppm").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = g.withColumn("cc", F.sum("c").over(w_cum))
-    tot = g.groupBy("event_type").agg(F.sum("c").cast("long").alias("n_pairs"))
+    # The pair total rides the same ordered window as the prefix sum
+    # (whole-partition frame), so the median is ONE aggregate — the
+    # tot aggregate and its two broadcast joins disappear
+    # (optimization r16, guide §2.4).
+    cum = g.select(
+        "event_type",
+        "slope_ppm",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("slope_ppm").asc())
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n_pairs"),
+    )
     nd = s.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days")
     )
-    med = (
-        cum.join(F.broadcast(tot), "event_type")
-        .filter(F.col("cc") * 2 >= F.col("n_pairs"))
-        .groupBy("event_type")
-        .agg(F.min("slope_ppm").alias("slope_ppm_med"))
+    med = cum.groupBy("event_type").agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.min(
+            F.when(F.col("cc") * 2 >= F.col("n_pairs"), F.col("slope_ppm"))
+        ).alias("slope_ppm_med"),
     )
     return (
-        nd.join(F.broadcast(tot), "event_type")
-        .join(F.broadcast(med), "event_type")
+        nd.join(F.broadcast(med), "event_type")
         .select("event_type", "n_days", "n_pairs", "slope_ppm_med")
     )
 
@@ -3456,20 +3536,28 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("pos").cast("long").alias("pos"), "resid")
         .localCheckpoint(eager=False)
     )
-    split = (
-        res.groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_res"))
-        .select(
-            "event_type",
-            F.expr("(n_res * 2) div 3").alias("n_cal"),
-            F.expr("n_res - (n_res * 2) div 3").alias("n_test"),
+    # Split sizes ride the res frame as a whole-partition window count
+    # instead of an aggregate broadcast-joined back twice; the conformal
+    # rank kk and n_cal are scan-local expressions over it, so the
+    # cal/test split, the qhat order statistic and the coverage count
+    # need no split/k side frames at all (optimization r16, guide §2.4
+    # — 3 broadcast joins and 2 aggregates removed; every stage below
+    # runs on the bounded |types| x |days| residual grain).
+    res2 = res.select(
+        "event_type",
+        "pos",
+        "resid",
+        F.expr(
+            "(count(1) over (partition by event_type) * 2) div 3"
+        ).alias("n_cal"),
+    )
+    g = (
+        res2.filter(F.col("pos") < F.col("n_cal"))
+        .groupBy("event_type", "resid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.max("n_cal").alias("n_cal"),
         )
-    )
-    cal = res.join(F.broadcast(split), "event_type").filter(
-        F.col("pos") < F.col("n_cal")
-    )
-    g = cal.groupBy("event_type", "resid").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     )
     w_cum = (
         Window.partitionBy("event_type")
@@ -3477,33 +3565,32 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = g.withColumn("cc", F.sum("c").over(w_cum))
-    k = split.select(
-        "event_type",
-        F.expr("least(n_cal, ((n_cal + 1) * 9 + 9) div 10)").alias("kk"),
-    )
     q = (
-        cum.join(F.broadcast(k), "event_type")
-        .filter(F.col("cc") >= F.col("kk"))
-        .groupBy("event_type")
-        .agg(F.min("resid").alias("qhat_cents"))
+        cum.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc")
+                    >= F.expr("least(n_cal, ((n_cal + 1) * 9 + 9) div 10)"),
+                    F.col("resid"),
+                )
+            ).alias("qhat_cents")
+        )
     )
-    tst = res.join(F.broadcast(split), "event_type").filter(
-        F.col("pos") >= F.col("n_cal")
-    )
-    cov = (
-        tst.join(F.broadcast(q), "event_type")
+    return (
+        res2.filter(F.col("pos") >= F.col("n_cal"))
+        .join(F.broadcast(q), "event_type")
         .groupBy("event_type")
         .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("qhat_cents").alias("qhat_cents"),
             F.sum(
                 F.when(F.col("resid") <= F.col("qhat_cents"), 1).otherwise(0)
             )
             .cast("long")
-            .alias("n_in")
+            .alias("n_in"),
         )
-    )
-    return (
-        split.join(F.broadcast(q), "event_type")
-        .join(F.broadcast(cov), "event_type")
         .select(
             "event_type",
             "n_cal",
@@ -3961,46 +4048,61 @@ def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x div 100L")).cast("long").alias("s1"),
         F.sum(F.expr("(x div 100L) * (x div 100L)")).cast("long").alias("s2"),
     )
+    # Order statistics without the per-statistic broadcast-join + filter
+    # + aggregate chain: the per-type day total rides the SAME window
+    # the prefix sum uses (one WindowExec, two frames), and med/q1/q3
+    # come out of ONE aggregate over one pass of the cum frame (min
+    # over a guarded when ≡ filter + min). The groupBy(event_type)
+    # reuses the window's partitioning — no extra exchange (guide §2.4;
+    # optimization r16, events-family sweep).
     g = d.groupBy("event_type", "x").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("x").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = g.withColumn("cc", F.sum("c").over(w_cum))
 
-    def ostat(frame, val, mult_cc, mult_n, name):
-        return (
-            frame.join(F.broadcast(st.select("event_type", "n")), "event_type")
-            .filter(F.col("cc") * mult_cc >= F.col("n") * mult_n)
-            .groupBy("event_type")
-            .agg(F.min(val).alias(name))
+    def cum_tot(frame, val):
+        w = Window.partitionBy("event_type").orderBy(F.col(val).asc())
+        return frame.select(
+            "event_type",
+            val,
+            F.sum("c")
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cc"),
+            F.sum("c")
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("nt"),
         )
 
-    med = ostat(cum, "x", 2, 1, "med")
-    q1 = ostat(cum, "x", 4, 1, "q1")
-    q3 = ostat(cum, "x", 4, 3, "q3")
-    ad = d.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("x") - F.col("med")).alias("a")
+    def ostat(val, mult_cc, mult_n, name):
+        return F.min(
+            F.when(
+                F.col("cc") * mult_cc >= F.col("nt") * mult_n, F.col(val)
+            )
+        ).alias(name)
+
+    quart = cum_tot(g, "x").groupBy("event_type").agg(
+        ostat("x", 2, 1, "med"),
+        ostat("x", 4, 1, "q1"),
+        ostat("x", 4, 3, "q3"),
     )
+    ad = d.join(
+        F.broadcast(quart.select("event_type", "med")), "event_type"
+    ).select("event_type", F.abs(F.col("x") - F.col("med")).alias("a"))
     adg = ad.groupBy("event_type", "a").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w_ad = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("a").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mad = cum_tot(adg, "a").groupBy("event_type").agg(
+        ostat("a", 2, 1, "mad")
     )
-    adcum = adg.withColumn("cc", F.sum("c").over(w_ad))
-    mad = ostat(adcum, "a", 2, 1, "mad")
     flags = (
         d.join(F.broadcast(st), "event_type")
-        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(quart), "event_type")
         .join(F.broadcast(mad), "event_type")
-        .join(F.broadcast(q1), "event_type")
-        .join(F.broadcast(q3), "event_type")
         .select(
             "event_type",
             F.expr(
@@ -4679,36 +4781,45 @@ def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BOTH daily series from ONE scan and one day-keyed aggregate (the
+    # two filtered rollups each re-scanned events, and their totals
+    # re-derived the rollups again — 8 scans in the before-plan): a day
+    # absent from a series is a zero count, so the per-series day sets
+    # are recovered by x>0 / y>0 filters over the combined frame, whose
+    # aggregate exchange every consumer shares (optimization r16,
+    # guide §2.3/§2.4).
     ev = t(spark, sf_dir, "events")
-
-    def daily(tp: str, col: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == tp)
-            .groupBy(
-                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
-                .cast("long")
-                .alias("d")
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias(col))
+    d = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d")
         )
-
-    dx, dy = daily("view", "x"), daily("purchase", "y")
-    tx = dx.agg(
-        F.count(F.lit(1)).cast("long").alias("nx"),
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    n = d.agg(
+        F.least(
+            F.count(F.when(F.col("x") > 0, 1)),
+            F.count(F.when(F.col("y") > 0, 1)),
+        )
+        .cast("long")
+        .alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("ssx"),
-    )
-    ty = dy.agg(
-        F.count(F.lit(1)).cast("long").alias("ny"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("ssy"),
     )
-    n = tx.crossJoin(ty).select(
-        F.least("nx", "ny").alias("n"), "sx", "ssx", "sy", "ssy"
-    )
     lags = spark.range(0, 15).select((F.col("id") - 7).alias("lag"))
-    a = dx.select(F.col("d").alias("da"), "x")
-    b = dy.select(F.col("d").alias("db"), "y")
+    a = d.filter(F.col("x") > 0).select(F.col("d").alias("da"), "x")
+    b = d.filter(F.col("y") > 0).select(F.col("d").alias("db"), "y")
     pairs = (
         lags.crossJoin(a)
         .join(b, F.col("db") == F.col("da") + F.col("lag"))
@@ -4786,13 +4897,17 @@ def events_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_anova_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan: the day spine derives from the (hour, day) rollup's own
+    # aggregate exchange instead of a second full pass over events
+    # (optimization r16, guide §2.4 — the rest of the pipeline already
+    # runs on the bounded 24 x |days| cell grid).
     ev = t(spark, sf_dir, "events")
     hours = spark.range(0, 24).select(F.col("id").alias("hour"))
-    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
     counts = ev.groupBy(
         F.hour("ts").cast("long").alias("hour"),
         F.col("ts").cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    days = counts.select("day").distinct()
     grid = hours.crossJoin(days)
     cells = grid.join(counts, ["hour", "day"], "left").select(
         "hour", "day", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
@@ -4878,7 +4993,10 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d"))
     )
     obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # Total from the 9-row digit frame, not a second full scan of
+    # events (optimization r16, guide §2.4 — obs' aggregate exchange is
+    # shared by both consumers).
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
     expected = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_PPM.items()],
         "first_digit long, benford_ppm long",
