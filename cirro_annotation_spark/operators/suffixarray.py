@@ -58,20 +58,60 @@ def prefix_doubled_window_ranks(
     outright; the dense single-column rank was paid for and thrown
     away).
 
+    If ``tokens`` additionally carries a ``tok2`` column (the NEXT
+    token at ``pos + 1``, NULL when the suffix ends — callers that hold
+    the token ARRAY produce it scan-locally for free) and ``depth >= 2``,
+    the vocabulary round and the first doubling round FUSE: rank_2 is
+    the dense rank of the distinct (tok, next) pairs directly, saving
+    one full global_rank round (range sample pass + range exchange +
+    offsets collect) plus one integer self-join over the position table
+    (optimization r16, VERDICT r15 item 5; guide §2.4). The rank VALUES
+    are identical to the unfused path's rank_2: ordering pairs by
+    (tok, has-next, next-token) is the same total order as
+    (vocab-rank, sentinel-0-or-vocab-rank), so every later round — and
+    any dense_final consumer — sees byte-identical ranks.
+
     ``depth`` must be a power of two (the doubling invariant).
     """
     if depth < 1 or depth & (depth - 1):
         raise ValueError(f"depth must be a power of two, got {depth}")
-    # Round 0: dense vocabulary rank — the ONLY string shuffle.
-    vocab = global_rank(
-        tokens.select("tok").distinct(), ["tok"], num_partitions
-    ).select("tok", F.col("rnk").alias("r"))
-    cur = (
-        tokens.join(vocab, "tok")
-        .select("doc_id", "pos", "r")
-        .localCheckpoint(eager=True)  # also breaks the self-join lineage
-    )
-    k = 1
+    if depth >= 2 and "tok2" in tokens.columns:
+        # Fused round 0+1: dense rank of (tok, tok2) — still the only
+        # string shuffle. has-next sorts a suffix-final window before
+        # every real continuation (the sentinel-0 convention), and the
+        # empty-string stand-in for NULL cannot collide with a genuine
+        # empty token because h2 disambiguates.
+        keyed = tokens.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.col("tok2").isNotNull().cast("int").alias("h2"),
+            F.coalesce("tok2", F.lit("")).alias("t2"),
+        )
+        vocab2 = global_rank(
+            keyed.select("tok", "h2", "t2").distinct(),
+            ["tok", "h2", "t2"],
+            num_partitions,
+        ).select("tok", "h2", "t2", F.col("rnk").alias("r"))
+        cur = (
+            keyed.join(vocab2, ["tok", "h2", "t2"])
+            .select("doc_id", "pos", "r")
+            .localCheckpoint(eager=True)
+        )
+        k = 2
+        if k >= depth:
+            return cur
+    else:
+        # Round 0: dense vocabulary rank — the ONLY string shuffle.
+        vocab = global_rank(
+            tokens.select("tok").distinct(), ["tok"], num_partitions
+        ).select("tok", F.col("rnk").alias("r"))
+        cur = (
+            tokens.join(vocab, "tok")
+            .select("doc_id", "pos", "r")
+            .localCheckpoint(eager=True)  # also breaks the self-join lineage
+        )
+        k = 1
     while k < depth:
         # rank_{2k}(i) = dense rank of (rank_k(i), rank_k(i + k));
         # missing right half (suffix shorter than 2k) -> sentinel 0,
@@ -117,8 +157,11 @@ def duplicated_window_positions(
     ``tokens_with_len`` has (doc_id, pos, tok, n_tokens). Returns
     (doc_id, pos) for every in-range duplicated window start.
     """
+    cols = ["doc_id", "pos", "tok"] + (
+        ["tok2"] if "tok2" in tokens_with_len.columns else []
+    )
     ranks = prefix_doubled_window_ranks(
-        tokens_with_len.select("doc_id", "pos", "tok"), depth, num_partitions,
+        tokens_with_len.select(*cols), depth, num_partitions,
         dense_final=False,
     )
     # depth == 1 yields the single-column vocab rank; otherwise the

@@ -3855,12 +3855,27 @@ def docs_dup_span_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
     W = 8
+    # Pair each token with its successor SCAN-LOCALLY (array shift +
+    # zip — no join, no window): prefix_doubled_window_ranks fuses its
+    # vocabulary round into the first doubling round when tok2 is
+    # present, saving one full global_rank round over the position
+    # table (optimization r16, VERDICT r15 item 5).
+    nxt = F.expr(
+        "concat(slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "array(cast(null as string)))"
+    )
     tokens = base.filter(F.col("n_tokens") >= W).select(
         "doc_id",
         "n_tokens",
-        F.posexplode("toks").alias("pos0", "tok"),
+        F.posexplode(F.arrays_zip("toks", nxt.alias("nxt"))).alias(
+            "pos0", "z"
+        ),
     ).select(
-        "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok"
+        "doc_id",
+        "n_tokens",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("z.toks").alias("tok"),
+        F.col("z.nxt").alias("tok2"),
     )
     dup_pos = SA.duplicated_window_positions(tokens, W)
     cov = (
