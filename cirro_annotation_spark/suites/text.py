@@ -3380,10 +3380,7 @@ def pipeline_corpus_materialize(
     import os
     import tempfile
 
-    from cirro_annotation_spark.operators.layout import (
-        compact_parquet,
-        write_zordered,
-    )
+    from cirro_annotation_spark.operators.layout import write_zordered
     from cirro_annotation_spark.operators.merge import (
         merge_into_parquet,
         table_diff,
@@ -3409,7 +3406,6 @@ def pipeline_corpus_materialize(
     root = tempfile.mkdtemp(prefix=prefix)
     _atexit.register(_shutil.rmtree, root, ignore_errors=True)
     base_dir = os.path.join(root, "base")
-    z_dir = os.path.join(root, "zordered")
     final_dir = os.path.join(root, "compacted")
 
     # Stale base snapshot: survivors with a wrong n_tok for doc_id%3==0
@@ -3427,11 +3423,29 @@ def pipeline_corpus_materialize(
     )
     stale.write.mode("overwrite").parquet(base_dir)
     merge_into_parquet(spark, base_dir, survivors, key="doc_id")
-    write_zordered(
-        spark.read.parquet(base_dir), z_dir, ["doc_id", "n_tok"], num_files=4
+    # Emit the COMPACTED layout directly from the z-order sort (VERDICT
+    # r15 item 7, optimization r16): the z-order pass was immediately
+    # followed by a compaction rewrite of the same data — two full
+    # write+read cycles where one write suffices. The compaction-grade
+    # file count (ceil(rows / 64), rows from the merged table's parquet
+    # footers — the same driver-side manifest read compact_parquet
+    # uses) is handed to write_zordered's range partitioner, so the
+    # final files carry BOTH the even sizing the compaction contract
+    # pins and min/max stats on both z-order dimensions.
+    import math as _math
+
+    import pyarrow.parquet as _pq
+
+    n_rows = sum(
+        _pq.ParquetFile(os.path.join(base_dir, f)).metadata.num_rows
+        for f in os.listdir(base_dir)
+        if f.endswith(".parquet")
     )
-    compact_parquet(
-        spark, z_dir, final_dir, target_rows_per_file=64, sort_col="doc_id"
+    write_zordered(
+        spark.read.parquet(base_dir),
+        final_dir,
+        ["doc_id", "n_tok"],
+        num_files=max(1, _math.ceil(n_rows / 64)),
     )
 
     final = spark.read.parquet(final_dir)
