@@ -113,7 +113,28 @@ def session_agg(events: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
-def _drain_state_partitions(spark: SparkSession) -> str | None:
+def derive_state_partitions(source_bytes: int | None, cores: int) -> int:
+    """Scale-adaptive state-store partition count for a streaming drain
+    (VERDICT r15 item 3 — the previous constant-4 default was right for
+    fixture-scale drains but a 100 TB deployment that forgot the env
+    override would run 4 state stores for the whole stream).
+
+    One state partition per ~64 MB of source, floored at 4 (the r15
+    measured optimum for small bounded drains — fewer partitions starve
+    multi-batch parallelism on the non-TTL drains, re-measured r16) and
+    capped at the core count (state stores beyond cores only add commit
+    cycles per trigger). On a real cluster ``cores`` follows
+    SPARK_GRAFT_CPUS / the deployment's executor budget, so the cap
+    grows with the hardware exactly like shuffle partitions do.
+    """
+    if source_bytes is None:
+        return 4
+    return max(4, min(cores, 1 + source_bytes // (64 << 20)))
+
+
+def _drain_state_partitions(
+    spark: SparkSession, source_path: str | None = None
+) -> str | None:
     """Shuffle/state-store partition count to pin for a bounded drain,
     or None to leave the session value alone.
 
@@ -124,8 +145,10 @@ def _drain_state_partitions(spark: SparkSession) -> str | None:
     commit cycles per operator per trigger for a handful of keys —
     measured at sf0.1: stream_join_stream 7.6 → 2.7 s, dedup_watermark
     3.2 → 1.2 s, histogram 3.4 → 1.5 s under 4 partitions (optimization
-    r15, guide §2.2 fewer/larger partitions). Production unbounded
-    streams size state partitions to key volume/throughput:
+    r15, guide §2.2 fewer/larger partitions). The default now DERIVES
+    from the source size (derive_state_partitions: ~64 MB of source per
+    state partition, floor 4, cap cores) instead of a constant, so an
+    unbounded deployment that forgets the knob still scales;
     SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides without a code
     change. The determinism harness's ``spark.cirro.tuneLayout=false``
     sentinel disables the pin so its divergent-layout sessions keep
@@ -136,7 +159,18 @@ def _drain_state_partitions(spark: SparkSession) -> str | None:
             return None
     except Exception:
         pass
-    return os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env is not None:
+        return env
+    from cirro_annotation_spark.session import default_parallelism
+
+    size = None
+    if source_path is not None:
+        try:
+            size = os.path.getsize(source_path)
+        except OSError:
+            size = None
+    return str(derive_state_partitions(size, default_parallelism()))
 
 
 def _drain(
@@ -145,6 +179,7 @@ def _drain(
     mode: str,
     prefix: str,
     pin_state_partitions: bool = True,
+    source_path: str | None = None,
 ) -> DataFrame:
     """Run a bounded streaming frame to completion through a memory sink
     and return the materialized result — the one drain implementation
@@ -164,7 +199,11 @@ def _drain(
     query sweep, bench rounds — do not accumulate full result sets in
     driver memory."""
     name = prefix + uuid.uuid4().hex[:8]
-    pin = _drain_state_partitions(spark) if pin_state_partitions else None
+    pin = (
+        _drain_state_partitions(spark, source_path)
+        if pin_state_partitions
+        else None
+    )
     prev = None
     if pin is not None:
         try:
@@ -212,7 +251,10 @@ def run_streaming_over_parquet(
     dataflow — the part this engine owns — is identical.
     """
     stream = _read_events_stream(spark, parquet_path).withWatermark("ts", watermark)
-    return _drain(spark, transform(stream), "complete", "stream_out_")
+    return _drain(
+        spark, transform(stream), "complete", "stream_out_",
+        source_path=parquet_path,
+    )
 
 
 def stateful_user_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -406,7 +448,9 @@ def stream_stream_join(spark: SparkSession, parquet_path: str) -> DataFrame:
         F.col("event_type") == "click"
     ).withWatermark("ts", "2 hours")
     joined = purchase_click_pairs(purchases, clicks)
-    return _drain(spark, joined, "append", "stream_join_")
+    return _drain(
+        spark, joined, "append", "stream_join_", source_path=parquet_path
+    )
 
 
 def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -422,7 +466,9 @@ def dedup_within_watermark(spark: SparkSession, parquet_path: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return _drain(spark, stream, "complete", "stream_dedup_")
+    return _drain(
+        spark, stream, "complete", "stream_dedup_", source_path=parquet_path
+    )
 
 
 def bloom_dedup_stream(
@@ -513,7 +559,9 @@ def bloom_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _drain(spark, stream, "update", "stream_bloom_")
+    return _drain(
+        spark, stream, "update", "stream_bloom_", source_path=parquet_path
+    )
 
 
 def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -553,7 +601,9 @@ def windowed_distinct_users(spark: SparkSession, parquet_path: str) -> DataFrame
             "n_users",
         )
     )
-    return _drain(spark, stream, "complete", "stream_out_")
+    return _drain(
+        spark, stream, "complete", "stream_out_", source_path=parquet_path
+    )
 
 
 def dedup_ttl_expiry_stream(
@@ -654,13 +704,19 @@ def dedup_ttl_expiry_stream(
                 os.utime(dst, (base_mtime + b, base_mtime + b))
         shutil.rmtree(staged)
 
-        # 4 state partitions: the stateful dedup + complete-mode agg
-        # commit every micro-batch; at 200 keys 32-way state stores are
-        # pure overhead (the conf is pinned into the query's checkpoint
-        # at start, so restoring right after the drain does not affect
-        # the completed run).
+        # ONE state partition: this drain's cost is ~12 SEQUENTIAL
+        # micro-batches (the TTL semantics under test), each committing
+        # every state store of the dedup AND the complete-mode agg —
+        # per-trigger commit count is what matters, not task
+        # parallelism over ~40 rows/batch. Measured at sf0.1
+        # (optimization r16, interleaved min-of-3): 1 part 6.9 s,
+        # 2 parts 7.4 s, 4 parts 10.9 s. The fixture is bounded at
+        # n_msgs keys by construction, so the scale-adaptive derivation
+        # the other drains use does not apply. (The conf is pinned into
+        # the query's checkpoint at start, so restoring right after the
+        # drain does not affect the completed run.)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         try:
             stream = (
                 spark.readStream.schema(

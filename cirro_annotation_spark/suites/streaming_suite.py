@@ -210,7 +210,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_avg",
         F.round(F.col("value") - F.col("type_avg"), 6).alias("value_delta"),
     )
-    return STRM._drain(spark, enriched, "append", "stream_enrich_")
+    return STRM._drain(
+        spark, enriched, "append", "stream_enrich_", source_path=path
+    )
 
 
 @query(

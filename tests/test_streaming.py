@@ -306,3 +306,17 @@ def test_streaming_drain_drops_memory_sink_view(spark, sf_dir):
     assert out.count() > 0  # checkpointed result survives the drop
     after = {t.name for t in spark.catalog.listTables()}
     assert not {n for n in after - before if n.startswith("stream_")}
+
+
+def test_state_partition_derivation_scales_with_source():
+    """VERDICT r15 item 3: the bounded-drain state-partition default
+    derives from source size — fixture-sized sources keep the measured
+    optimum (4), big sources scale up to the core cap, and a missing
+    size falls back to the fixture default rather than a 100 TB
+    footgun."""
+    d = STRM.derive_state_partitions
+    assert d(None, 32) == 4                    # unknown size: safe default
+    assert d(2 * 1024 * 1024, 32) == 4         # sf0.1 events: unchanged
+    assert d(10 * (64 << 20), 32) == 11        # 640 MB: 1 + 10 partitions
+    assert d(100 * (1 << 40), 32) == 32        # 100 TB: capped at cores
+    assert d(100 * (1 << 40), 4096) == 4096    # bigger cluster, bigger cap
