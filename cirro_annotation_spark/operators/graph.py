@@ -625,24 +625,28 @@ def label_propagation(
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
     labels = nodes.select("node", F.col("node").alias("label"))
+    # argmax(count, then smallest label) via a row_number window — the
+    # r15 max_by(struct(c, -label)) rewrite was REVERTED in r16: at the
+    # tier scale the driver bench cannot see (120k cliques / 7.2M
+    # mirrored edges, scripts/scale_graph_ab_r16.py), the window shape
+    # measured consistently faster across 3 interleaved rounds (old
+    # 24.5/15.9/23.7 s vs max_by 25.1/25.1/33.0 s for 3 LPA rounds) —
+    # the second hash aggregate's struct-comparison update loses to one
+    # partition sort, and both shapes pay the same two exchanges.
+    # Labels are bit-identical between the two (both A/B'd rounds and
+    # the unchanged LPA oracle pin that).
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
     for _ in range(rounds):
-        # argmax(count, then smallest label) as ONE max_by hash
-        # aggregate instead of a row_number window: the window re-sorted
-        # every (node, label) partition per round where max_by needs
-        # only a partial-combined aggregate — same deterministic
-        # (c DESC, label ASC) rule via lexicographic struct(c, -label)
-        # (labels are non-negative node ids, so the negation is exact;
-        # optimization r15, guide §2.4: 4.9 -> 4.0 s for 3 rounds at
-        # sf0.1, labels bit-identical).
         votes = (
             e.join(labels.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
-            .groupBy("node")
-            .agg(
-                F.expr("max_by(label, struct(c, -label))").alias("__new")
-            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("__new"))
         )
         # A node with no out-edges receives no votes and keeps its
         # label (directed-graph sinks; on a mirrored list every node

@@ -2473,7 +2473,11 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = global_rank(c, ["money_neg", "custkey"]).withColumnRenamed(
         "rnk", "m_rnk"
     )
-    n_cust = cust.agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    # Count customers from the final (checkpointed) rank frame — the
+    # separate cust.agg re-ran the orders scan + customer aggregate in
+    # its own job, outside any exchange-reuse window (optimization r16,
+    # guide §2.4/§5).
+    n_cust = c.agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
     scored = c.crossJoin(F.broadcast(n_cust)).select(
         "custkey",
         "money_cents",
@@ -2750,16 +2754,23 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_mktsegment").alias("segment"), "custkey", "m")
     )
     g = global_rank(cust, ["segment", "m", "custkey"])
-    off = g.groupBy("segment").agg((F.min("rnk") - 1).alias("off"))
-    ranked = g.join(F.broadcast(off), "segment").select(
-        "segment", "custkey", "m", (F.col("rnk") - F.col("off")).alias("r")
+    # ONE per-segment aggregate carries both the rank offset and the
+    # segment size (n = count of ranks in the segment), so the second
+    # aggregate + broadcast join over the ranked frame disappears
+    # (optimization r16, guide §2.4).
+    off = g.groupBy("segment").agg(
+        (F.min("rnk") - 1).alias("off"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
-    nseg = ranked.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    ranked = g.join(F.broadcast(off), "segment").select(
+        "segment",
+        "custkey",
+        "m",
+        "n",
+        (F.col("rnk") - F.col("off")).alias("r"),
     )
     agg = (
-        ranked.join(F.broadcast(nseg), "segment")
-        .groupBy("segment")
+        ranked.groupBy("segment")
         .agg(
             F.first("n").alias("n"),
             F.sum("m").cast("long").alias("s_m"),
@@ -3280,7 +3291,12 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bkt",
         F.coalesce(F.sum("bs").over(w_off), F.lit(0)).cast("long").alias("off"),
     )
-    tot = rev.agg(F.sum("cents").cast("long").alias("tot"))
+    # Total from the bucket sums (a bounded frame over the already-
+    # checkpointed rank table) instead of re-running the lineitem scan +
+    # part aggregate a second time (optimization r16, guide §2.4; the
+    # rank frame was materialized in its own job, so exchange reuse
+    # never applied across the two).
+    tot = bsum.agg(F.sum("bs").cast("long").alias("tot"))
     w_in = (
         Window.partitionBy("bkt")
         .orderBy(F.col("rnk").asc())
