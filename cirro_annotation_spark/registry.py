@@ -48,56 +48,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # don't resolve — a rename/typo must break loudly, not silently slide a
 # family out of the hash-checked window (the round-2 regression class).
 PRIORITY: list[str] = [
-    "stream_top_types_batch",  # last green driver r8, artifact r15
-    "stream_top_types_stream",  # last green driver r8, artifact r15
-    "text_bpe_encode_fertility",  # last green driver r8, artifact r15
-    "text_bpe_train_merges",  # last green driver r8, artifact r15
-    "text_lexical_diversity",  # last green driver r8, artifact r15
-    "text_redact_terms",  # last green driver r8, artifact r15
-    "window_cume_dist_pct_rank",  # last green driver r8, artifact r15
-    "dataset_chooser_newest_first",  # last green driver r9, artifact r15
-    "dedup_bloom_prefilter",  # last green driver r9, artifact r15
-    "dedup_cluster_assign",  # last green driver r9, artifact r15
-    "dedup_cluster_auto",  # last green driver r9, artifact r15
-    "dedup_cluster_components",  # last green driver r9, artifact r15
-    "dedup_cluster_components_star",  # last green driver r9, artifact r15
-    "dedup_fuzzy_blocked",  # last green driver r9, artifact r15
-    "dedup_incremental_batch",  # last green driver r9, artifact r15
-    "dedup_jaccard_prefix_join",  # last green driver r9, artifact r15
-    "dedup_ngram_containment_sample",  # last green driver r9, artifact r15
-    "dedup_sorted_neighborhood",  # last green driver r9, artifact r15
-    "dedup_survivor_corpus",  # last green driver r9, artifact r15
-    "docs_classifier_train_perceptron",  # last green driver r9, artifact r15
-    "docs_doremi_weights",  # last green driver r9, artifact r15
-    "docs_dup_span_sa",  # last green driver r9, artifact r15
-    "embeddings_rq_train",  # last green driver r9, artifact r15
-    "events_spc_rules",  # last green driver r9, artifact r15
-    "graph_bfs_hops",  # last green driver r9, artifact r15
-    "graph_kcore_parts",  # last green driver r9, artifact r15
-    "graph_label_propagation",  # last green driver r9, artifact r15
-    "graph_pagerank_personalized",  # last green driver r9, artifact r15
-    "graph_pagerank_trade",  # last green driver r9, artifact r15
-    "graph_triangle_parts",  # last green driver r9, artifact r15
-    "join_bloom_semi",  # last green driver r9, artifact r15
-    "join_interval_overlap",  # last green driver r9, artifact r15
-    "manifest_file_to_columns",  # last green driver r9, artifact r15
-    "manifest_harvest_columns",  # last green driver r9, artifact r15
-    "manifest_melt_standard",  # last green driver r9, artifact r15
-    "manifest_project_dictionary",  # last green driver r9, artifact r15
-    "manifest_roundtrip_tokens",  # last green driver r9, artifact r15
-    "manifest_variable_family",  # last green driver r9, artifact r15
-    "multimodal_binary_stats",  # last green driver r9, artifact r15
-    "multimodal_extract_features",  # last green driver r9, artifact r15
-    "multimodal_frame_sample",  # last green driver r9, artifact r15
-    "multimodal_resize",  # last green driver r9, artifact r15
-    "pipeline_entity_resolution",  # last green driver r9, artifact r15
-    "pipeline_entity_resolution_incremental",  # last green driver r9, artifact r15
-    "scan_jsonl_typed",  # last green driver r9, artifact r15
-    "sim_topk_rq",  # last green driver r9, artifact r15
-    "stream_cdc_replay_exactly_once",  # last green driver r9, artifact r15
-    "stream_psi_daily_batch",  # last green driver r9, artifact r15
-    "stream_psi_daily_stream",  # last green driver r9, artifact r15
-    "basket_assoc_rules",  # last green driver r10, artifact r15
+    "stream_top_types_batch",  # last green driver r8, artifact r16
+    "stream_top_types_stream",  # last green driver r8, artifact r16
+    "text_bpe_encode_fertility",  # last green driver r8, artifact r16
+    "text_bpe_train_merges",  # last green driver r8, artifact r16
+    "text_lexical_diversity",  # last green driver r8, artifact r16
+    "text_redact_terms",  # last green driver r8, artifact r16
+    "window_cume_dist_pct_rank",  # last green driver r8, artifact r16
+    "dataset_chooser_newest_first",  # last green driver r9, artifact r16
+    "dedup_bloom_prefilter",  # last green driver r9, artifact r16
+    "dedup_cluster_assign",  # last green driver r9, artifact r16
+    "dedup_cluster_auto",  # last green driver r9, artifact r16
+    "dedup_cluster_components",  # last green driver r9, artifact r16
+    "dedup_cluster_components_star",  # last green driver r9, artifact r16
+    "dedup_fuzzy_blocked",  # last green driver r9, artifact r16
+    "dedup_incremental_batch",  # last green driver r9, artifact r16
+    "dedup_jaccard_prefix_join",  # last green driver r9, artifact r16
+    "dedup_ngram_containment_sample",  # last green driver r9, artifact r16
+    "dedup_sorted_neighborhood",  # last green driver r9, artifact r16
+    "dedup_survivor_corpus",  # last green driver r9, artifact r16
+    "docs_classifier_train_perceptron",  # last green driver r9, artifact r16
+    "docs_doremi_weights",  # last green driver r9, artifact r16
+    "docs_dup_span_sa",  # last green driver r9, artifact r16
+    "embeddings_rq_train",  # last green driver r9, artifact r16
+    "events_spc_rules",  # last green driver r9, artifact r16
+    "graph_bfs_hops",  # last green driver r9, artifact r16
+    "graph_kcore_parts",  # last green driver r9, artifact r16
+    "graph_label_propagation",  # last green driver r9, artifact r16
+    "graph_pagerank_personalized",  # last green driver r9, artifact r16
+    "graph_pagerank_trade",  # last green driver r9, artifact r16
+    "graph_triangle_parts",  # last green driver r9, artifact r16
+    "join_bloom_semi",  # last green driver r9, artifact r16
+    "join_interval_overlap",  # last green driver r9, artifact r16
+    "manifest_file_to_columns",  # last green driver r9, artifact r16
+    "manifest_harvest_columns",  # last green driver r9, artifact r16
+    "manifest_melt_standard",  # last green driver r9, artifact r16
+    "manifest_project_dictionary",  # last green driver r9, artifact r16
+    "manifest_roundtrip_tokens",  # last green driver r9, artifact r16
+    "manifest_variable_family",  # last green driver r9, artifact r16
+    "multimodal_binary_stats",  # last green driver r9, artifact r16
+    "multimodal_extract_features",  # last green driver r9, artifact r16
+    "multimodal_frame_sample",  # last green driver r9, artifact r16
+    "multimodal_resize",  # last green driver r9, artifact r16
+    "pipeline_entity_resolution",  # last green driver r9, artifact r16
+    "pipeline_entity_resolution_incremental",  # last green driver r9, artifact r16
+    "scan_jsonl_typed",  # last green driver r9, artifact r16
+    "sim_topk_rq",  # last green driver r9, artifact r16
+    "stream_cdc_replay_exactly_once",  # last green driver r9, artifact r16
+    "stream_psi_daily_batch",  # last green driver r9, artifact r16
+    "stream_psi_daily_stream",  # last green driver r9, artifact r16
+    "basket_assoc_rules",  # last green driver r10, artifact r16
 ]
 
 
